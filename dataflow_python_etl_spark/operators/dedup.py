@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines
+(BASELINE.json north star; SURVEY.md §2.4).
+
+Scale design notes (100 TB):
+- Exact dedup is a hash aggregation on the dedup key — one shuffle,
+  map-side partial aggregation, AQE coalesces the reduce side.
+- N-gram Jaccard builds an inverted index (shingle → docs) and joins
+  it with itself: the join key is the shingle, so only docs sharing a
+  shingle ever meet — no cross join. Hot shingles are the skew risk;
+  ``max_shingle_df`` drops shingles whose document frequency exceeds a
+  cap (a standard trick: ubiquitous shingles contribute little to
+  Jaccard but quadratic join fan-out).
+- MinHash/LSH replaces the exact inverted index with banded
+  signatures: candidate pairs only form inside an LSH bucket, then
+  are verified with exact Jaccard. Per-doc work is O(shingles ×
+  permutations) map-side; the only shuffle key is (band, signature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dataflow_python_etl_spark.functions.text import shingles, tokens
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id row per duplicate group.
+
+    Deterministic (unlike ``dropDuplicates``, which keeps an arbitrary
+    row). Returns one row per distinct key with ``n_dups``.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .select(id_col, *key_cols, "n_dups")
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram-set Jaccard ≥ threshold.
+
+    Inverted-index self-join: explode distinct shingles, join on the
+    shingle, count common shingles per pair, then
+    ``jaccard = |A∩B| / (|A| + |B| - |A∩B|)``. Returns
+    ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b``.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+#
+# Signature: for permutation i, sig_i(doc) = min over shingles s of
+# h_i(s) where h_i(s) = xxhash64(s, seed=i). Banding: group the
+# signature into bands of `rows_per_band` values; docs sharing any
+# band's full sub-signature become candidates; candidates are verified
+# with exact Jaccard so the final output has no false positives (recall
+# depends on band geometry — that's the documented trade-off).
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """(id, array<long> signature). One explode + one groupBy —
+    signature work is map-side; the only shuffle key is the doc id."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    At scale this is the workhorse: candidate generation touches only
+    (band, band-signature) buckets instead of the full inverted index.
+    """
+    num_bands = num_perm // rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    bands = sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[bi * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("sig"),
+                )
+                for bi in range(num_bands)
+            ])
+        ).alias("bs"),
+    ).select("doc", "bs.band", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over tokens: sign of the per-bit sum of token
+    hashes. Pure expression pipeline (explode-free: aggregate over the
+    token array), so it's a narrow map — no shuffle at all."""
+    toks = F.array_distinct(tokens(text_col))
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        # +1 when bit b's independent token hash is odd, else -1
+        contrib = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.xxhash64(t, F.lit(1000 + b)).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))

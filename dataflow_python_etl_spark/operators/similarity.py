@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (``array<float>``)
+— BASELINE.json north star; SURVEY.md §2.4.
+
+Two tiers:
+- :func:`cosine_topk` — exact brute force: broadcast the (small) query
+  set against the full corpus; one narrow pass, no shuffle except the
+  final top-k window. The correctness baseline.
+- :func:`rp_lsh_buckets` / :func:`cosine_pairs_lsh` — signed
+  random-projection LSH: band the sign bits of fixed hyperplane
+  projections; only same-bucket vectors meet. This is the 100 TB
+  path: candidate generation is a map + an equi-join on (band, key),
+  then exact cosine verifies, so the output has exact scores and no
+  false positives (recall is the documented band-geometry trade-off).
+
+The hyperplanes are module-level constants generated once from a
+fixed seed and inlined as literals — deterministic across engines, so
+the DuckDB oracle can reproduce bucket assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.functions.vectors import as_double_array, cosine, dot
+
+EMBED_DIM = 64
+NUM_PLANES = 16  # 4 bands × 4 planes
+PLANES_PER_BAND = 4
+
+
+def _gen_planes(dim: int = EMBED_DIM, n: int = NUM_PLANES, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    # Round so the literal text is short and identical in Spark + SQL.
+    return [[round(float(v), 6) for v in rng.randn(dim)] for _ in range(n)]
+
+
+PLANES: list[list[float]] = _gen_planes()
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    streams through one narrow stage computing cosines, then a per-
+    query top-k window. Ties broken by neighbor id for determinism.
+    Returns (query_id, neighbor_id, cos_sim).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def _band_keys(vec: F.Column) -> list[F.Column]:
+    """One string key per band: the concatenated sign bits of that
+    band's hyperplane projections."""
+    keys = []
+    for band in range(NUM_PLANES // PLANES_PER_BAND):
+        bits = []
+        for p in range(band * PLANES_PER_BAND, (band + 1) * PLANES_PER_BAND):
+            plane = F.array(*[F.lit(v) for v in PLANES[p]])
+            bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        keys.append(F.concat(*bits))
+    return keys
+
+
+def rp_lsh_buckets(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, band, bucket_key) — the LSH index. Pure map stage."""
+    vec = as_double_array(vec_col)
+    keys = _band_keys(vec)
+    return df.select(
+        F.col(id_col),
+        vec.alias("__v"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), k.alias("bucket"))
+                for i, k in enumerate(keys)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket", "__v")
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs (cosine ≥ threshold) among LSH candidates.
+
+    Exact cosine verification on candidates only. Output
+    (id_a, id_b, cos_sim) with id_a < id_b; scores exact, recall
+    bounded by band geometry (16 planes / 4 bands).
+    """
+    b = rp_lsh_buckets(df, id_col, vec_col)
+    left = b.alias("a")
+    right = b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("r.band"))
+            & (F.col("a.bucket") == F.col("r.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("a.__v").alias("va"),
+            F.col("r.__v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,957 @@
+"""Declared query surface: every operator from SURVEY.md §2 (reference
+core + §2.3 freebies + §2.4 scale extensions) as a named query with a
+Spark implementation and, where SQL-expressible, a DuckDB oracle.
+
+Registry contract (driver's ``__spark_entry__.py``):
+- ``QUERIES[name].fn(spark, sf_dir) -> DataFrame``
+- ``QUERIES[name].oracle`` — ANSI SQL over the pre-registered views
+  ``region nation customer supplier part orders lineitem events
+  documents embeddings`` producing the same columns (names aligned,
+  floats rounded identically on both sides).
+
+Determinism rules used throughout:
+- every float aggregate / score is ``round(x, k)`` on BOTH sides;
+- every ranking orders by the ROUNDED score plus an id tie-break, so
+  cross-engine ULP noise cannot flip ranks;
+- "today" is pinned to 2026-08-13 anywhere ages/date math appear.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.functions.core import (
+    abs_amount,
+    age_years,
+    obfuscate_name,
+    quota_expr,
+)
+from dataflow_python_etl_spark.functions import text as TX
+from dataflow_python_etl_spark.functions.vectors import as_double_array, cosine
+from dataflow_python_etl_spark.operators import dedup as DD
+from dataflow_python_etl_spark.operators import similarity as SIM
+from dataflow_python_etl_spark.operators.compensation import with_compensation
+from dataflow_python_etl_spark.operators.mart import dedup_top1
+from dataflow_python_etl_spark.sources.catalog import read_table
+
+TODAY = datetime.date(2026, 8, 13)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-core operators (SURVEY.md §2.1, O8–O23) on the testdata star
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Flagship scan→filter→agg (TPC-H Q1 shape; operators O8/O18/O19)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q02_projection_pushdown",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+    "Column projection + filter that must reach the parquet scan (O8)",
+)
+def q02_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    )
+
+
+@_q(
+    "q03_top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    "Window ranking + top-1-per-group dedup (O10; reference datalake_to_mart.py:170-179)",
+)
+def q03_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_top1(
+        _t(spark, sf_dir, "orders"), "o_custkey", ["o_orderdate", "o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@_q(
+    "q04_mart_denorm",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+           o.o_custkey, o.o_orderstatus, o.o_totalprice,
+           c.c_name, c.c_mktsegment
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "Fact ⋈ two dims, broadcast left joins preserving misses (O11-O13; reference datalake_to_mart.py:72-102,198-201)",
+)
+def q04_mart_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "o_custkey", "o_orderstatus", "o_totalprice", "c_name", "c_mktsegment",
+        )
+    )
+
+
+@_q(
+    "q05_abs_amount",
+    """
+    SELECT event_id, round(abs(value - 245.0), 2) AS abs_centered FROM events
+    """,
+    "Scalar absolute value (O14; reference datalake_to_mart.py:128-131)",
+)
+def q05_abs_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(abs_amount(F.col("value") - 245.0), 2).alias("abs_centered")
+    )
+
+
+@_q(
+    "q06_obfuscate_names",
+    """
+    SELECT p_partkey,
+           CASE WHEN strpos(p_name, ' ') = 0 THEN p_name || ' '
+                ELSE split_part(p_name, ' ', 1) || ' ' ||
+                     regexp_replace(
+                         substr(p_name, strpos(p_name, ' ') + 1),
+                         '[^' || substr(substr(p_name, strpos(p_name, ' ') + 1), 1, 1) || ' ]',
+                         '*', 'g')
+           END AS masked
+    FROM part
+    """,
+    "Char-level name obfuscation (O15; reference datalake_to_mart.py:133-144)",
+)
+def q06_obfuscate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", obfuscate_name("p_name").alias("masked")
+    )
+
+
+@_q(
+    "q07_group_quota",
+    """
+    SELECT o_custkey, count(*) AS cnt,
+           CAST(floor(count(*) / 20.0 + 0.5) AS BIGINT) * 3 AS num_tickets_pref_disp
+    FROM orders GROUP BY o_custkey
+    """,
+    "Decorrelated count aggregation + BQ round-on-cast quota (O18/O19; reference datalake_compensation.py:98-103)",
+)
+def q07_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            quota_expr(F.count(F.lit(1))).alias("num_tickets_pref_disp"),
+        )
+    )
+
+
+@_q(
+    "q08_filter_in_case",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_totalprice < 50000 THEN 'LOW'
+                WHEN o_totalprice > 200000 THEN 'HIGH'
+                ELSE 'MID' END AS bucket
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F') AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    "Equality/IN filters + CASE branches (O16/O17/O22)",
+)
+def q08_filter_in_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("o_totalprice") < 50000, "LOW")
+            .when(F.col("o_totalprice") > 200000, "HIGH")
+            .otherwise("MID")
+            .alias("bucket"),
+        )
+    )
+
+
+@_q(
+    "q09_age_years",
+    """
+    SELECT o_orderkey,
+           CAST(2026 - EXTRACT(year FROM o_orderdate) AS BIGINT) AS age_years
+    FROM orders
+    """,
+    "Bare year-subtraction age (O20; reference datalake_compensation.py:92-93; today pinned 2026-08-13)",
+)
+def q09_age_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", age_years("o_orderdate", today=TODAY).cast("long").alias("age_years")
+    )
+
+
+_COMP_ELIGIBLE = (
+    "(fecha_de_nacimiento IS NOT NULL AND "
+    "(2026 - EXTRACT(year FROM fecha_de_nacimiento) < 14 "
+    "OR 2026 - EXTRACT(year FROM fecha_de_nacimiento) > 60))"
+)
+
+@_q(
+    "q10_compensation",
+    f"""
+    WITH mart AS (
+        SELECT c_mktsegment AS cod_vuelo,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS dni,
+               CASE WHEN c_custkey % 50 = 0 THEN NULL
+                    ELSE DATE '1920-01-01' + CAST((c_custkey % 100) * 365 AS INTEGER)
+               END AS fecha_de_nacimiento,
+               to_timestamp(c_custkey) AS fecha_compra
+        FROM customer
+    ),
+    scored AS (
+        SELECT *,
+               2026 - EXTRACT(year FROM fecha_de_nacimiento) AS age,
+               {_COMP_ELIGIBLE} AS eligible,
+               CAST(floor(count(*) OVER (PARTITION BY cod_vuelo) / 20.0 + 0.5) AS BIGINT) * 3 AS quota,
+               row_number() OVER (
+                   PARTITION BY cod_vuelo
+                   ORDER BY CASE WHEN {_COMP_ELIGIBLE} THEN 1 ELSE 0 END DESC, fecha_compra, dni
+               ) AS rk
+        FROM mart
+    )
+    SELECT dni, cod_vuelo,
+           CASE WHEN fecha_de_nacimiento IS NULL THEN NULL
+                WHEN quota <= 0 THEN NULL
+                WHEN eligible AND rk <= quota THEN
+                     CASE WHEN age < 14 THEN 'ASISTENCIA_PREFERENCIAL'
+                          ELSE 'ASIENTO_PREFERENCIAL' END
+                WHEN eligible THEN NULL
+                ELSE 'NO APLICA' END AS compensacion
+    FROM scored
+    """,
+    "Full deterministic compensation recompute (O16-O23; reference datalake_compensation.py:88-142 redesigned per SURVEY.md §7.3.1)",
+)
+def q10_compensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    mart = cust.select(
+        F.col("c_mktsegment").alias("cod_vuelo"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("dni"),
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None).cast("date"))
+        .otherwise(
+            F.date_add(F.lit(datetime.date(1920, 1, 1)), ((F.col("c_custkey") % 100) * 365).cast("int"))
+        )
+        .alias("fecha_de_nacimiento"),
+        F.timestamp_seconds(F.col("c_custkey")).alias("fecha_compra"),
+        F.lit(None).cast("string").alias("compensacion"),
+    )
+    return with_compensation(mart, today=TODAY).select("dni", "cod_vuelo", "compensacion")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 freebies the reference lacks but our engine exposes (Q11–Q18)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q11_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "Global sort + limit (top-k) with deterministic tie-break",
+)
+def q11_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@_q(
+    "q12_union_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    "Set op: UNION (distinct)",
+)
+def q12_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@_q(
+    "q13_except_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    "Set op: EXCEPT (distinct)",
+)
+def q13_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics, unlike exceptAll
+
+
+@_q(
+    "q14_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    "Set op: INTERSECT (distinct)",
+)
+def q14_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@_q(
+    "q15_distinct_agg",
+    """
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_cust, count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "Distinct aggregation per group",
+)
+def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("uniq_cust"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@_q(
+    "q16_rollup",
+    """
+    SELECT c_mktsegment, c_nationkey, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+    "Hierarchical ROLLUP aggregation",
+)
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    )
+
+
+@_q(
+    "q17_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE aggregation (all grouping sets)",
+)
+def q17_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "q18_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    "Left-semi join (EXISTS)",
+)
+def q18_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_q(
+    "q19_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "Left-anti join (NOT EXISTS)",
+)
+def q19_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "q20_window_analytics",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(lag(o_totalprice) OVER w, 2)  AS prev_total,
+           round(lead(o_totalprice) OVER w, 2) AS next_total,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "Analytic window functions: lag/lead + running frame sum",
+)
+def q20_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+        F.round(F.sum("o_totalprice").over(wf), 2).alias("running_total"),
+    )
+
+
+@_q(
+    "q21_string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_name)                                   AS lname,
+           upper(substr(p_name, 1, 5))                     AS pfx,
+           p_brand || '-' || p_type                        AS brand_type,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')     AS devoweled,
+           CAST(length(p_name) AS BIGINT)                  AS name_len
+    FROM part
+    """,
+    "Scalar string functions: lower/substr/concat/regexp_replace/length",
+)
+def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper(F.substring("p_name", 1, 5)).alias("pfx"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@_q(
+    "q22_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)  AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT)   AS dy,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-08-13') AS BIGINT) AS days_ago,
+           CAST(date_trunc('month', o_orderdate) AS DATE)  AS month_start
+    FROM orders
+    """,
+    "Scalar date functions: year/month/day/datediff/date_trunc",
+)
+def q22_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.datediff(F.lit(TODAY), F.col("o_orderdate")).cast("long").alias("days_ago"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    )
+
+
+@_q(
+    "q23_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    "JSON field extraction from a string payload column",
+)
+def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+@_q(
+    "q24_revenue_by_nation",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+    "Multi-join star query with broadcast dims (bench headline)",
+)
+def q24_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extensions: text analysis / dedup / similarity / multimodal /
+# windowed event analytics (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS) + "]"
+
+@_q(
+    "q25_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+    "Token + char counting over the documents corpus",
+)
+def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.char_count("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@_q(
+    "q26_quality_score",
+    f"""
+    WITH x AS (
+        SELECT doc_id,
+               regexp_split_to_array(text, '\\s+') AS toks,
+               length(text) AS nch,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS npunct
+        FROM documents
+    ), y AS (
+        SELECT doc_id,
+               len(toks) AS ntok,
+               len(list_filter(toks, t -> list_contains({_STOPWORD_SQL_LIST}, t))) AS nsw,
+               nch, npunct
+        FROM x
+    )
+    SELECT doc_id,
+           round(
+             least(ntok / 100.0, 1.0) * 0.4
+             + least((nsw * 1.0 / greatest(ntok, 1)) * 5.0, 1.0) * 0.3
+             + (1.0 - least((npunct * 1.0 / greatest(nch, 1)) * 10.0, 1.0)) * 0.3,
+           6) AS quality
+    FROM y
+    """,
+    "Composite document quality score: length / stopword ratio / punctuation ratio",
+)
+def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    )
+
+
+@_q(
+    "q27_langid",
+    f"""
+    WITH x AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(toks, t -> list_contains({_STOPWORD_SQL_LIST}, t)))
+                 * 1.0 / greatest(len(toks), 1), 6) AS en_score,
+           CASE WHEN len(list_filter(toks, t -> list_contains({_STOPWORD_SQL_LIST}, t)))
+                     * 1.0 / greatest(len(toks), 1) > 0.05
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM x
+    """,
+    "Heuristic language ID via stopword-hit ratio",
+)
+def q27_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score = TX.langid_en_score("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        score.alias("en_score"),
+        F.when(score > 0.05, "en").otherwise("und").alias("lang_pred"),
+    )
+
+
+@_q(
+    "q28_fingerprint",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(sum((i * 131 + length(toks[i]) * 7 + ascii(substr(toks[i], 1, 1)))
+                    * (i % 97 + 1)) % 1000000007 AS BIGINT) AS fingerprint
+    FROM tok, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+    GROUP BY doc_id
+    """,
+    "Order-sensitive document fingerprint (portable integer rolling hash)",
+)
+def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.fingerprint("text").alias("fingerprint")
+    )
+
+
+@_q(
+    "q29_exact_dedup",
+    """
+    SELECT min(doc_id) AS doc_id, lang, source, count(*) AS n_dups
+    FROM documents GROUP BY lang, source
+    """,
+    "Exact dedup keeping the min-id survivor per key (deterministic dropDuplicates)",
+)
+def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_exact(_t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id")
+
+
+@_q(
+    "q30_ngram_jaccard_pairs",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
+        WHERE len(toks) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.s + sb.s - c), 6) AS jaccard
+    FROM co
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+    """,
+    "Near-dup pairs by exact 3-gram-set Jaccard (inverted-index self-join)",
+)
+def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@_q(
+    "q31_minhash_lsh_pairs",
+    None,  # hash-function-specific candidate generation → rows-only check;
+           # exact-Jaccard verification makes scores exact (see q30 for the
+           # fully oracle-checked exact variant)
+    "MinHash(32 perms) banded LSH near-dup candidates, verified by exact Jaccard",
+)
+def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_perm=32, rows_per_band=4, threshold=0.5,
+    )
+
+
+@_q(
+    "q32_simhash",
+    None,  # engine-specific 64-bit hash mixing → rows-only check
+    "64-bit SimHash fingerprint per document (shuffle-free map)",
+)
+def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_double_array(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+    )
+
+
+@_q(
+    "q33_cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cos_sim
+        FROM q, c WHERE neighbor_id != query_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM s
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM r WHERE rk <= 5
+    """,
+    "Exact brute-force cosine top-5 ANN baseline (queries broadcast against corpus)",
+)
+def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _lsh_oracle_sql() -> str:
+    """Mirror the banded random-projection LSH (similarity.PLANES) in
+    SQL so bucket assignment is reproduced bit-for-bit."""
+    band_exprs = []
+    n_bands = SIM.NUM_PLANES // SIM.PLANES_PER_BAND
+    for band in range(n_bands):
+        bits = []
+        for p in range(band * SIM.PLANES_PER_BAND, (band + 1) * SIM.PLANES_PER_BAND):
+            plane = _sql_double_array(SIM.PLANES[p])
+            bits.append(
+                f"CASE WHEN list_inner_product(ve, {plane}) >= 0 THEN '1' ELSE '0' END"
+            )
+        band_exprs.append(f"({band}, " + " || ".join(bits) + ")")
+    values = ", ".join(band_exprs)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, ve, band, bucket
+        FROM v, LATERAL (VALUES {values}) t(band, bucket)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, r.vec_id AS id_b
+        FROM b a JOIN b r ON a.band = r.band AND a.bucket = r.bucket AND a.vec_id < r.vec_id
+    ),
+    scored AS (
+        SELECT id_a, id_b, {_cosine_sql('va.ve', 'vb.ve')} AS cos_sim
+        FROM cand
+        JOIN v va ON va.vec_id = id_a
+        JOIN v vb ON vb.vec_id = id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
+    """
+
+
+@_q(
+    "q34_cosine_pairs_lsh",
+    _lsh_oracle_sql(),
+    "Near-dup vector pairs via signed random-projection LSH buckets + exact cosine verify "
+    "(the 100 TB scale path; oracle reproduces the fixed hyperplanes)",
+)
+def q34_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@_q(
+    "q35_embedding_stats",
+    f"""
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_l2_norm
+    FROM embeddings GROUP BY label
+    """,
+    "Vector column aggregation: mean L2 norm per label",
+)
+def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.functions.vectors import l2_norm
+
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", l2_norm(as_double_array("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 6).alias("avg_l2_norm"))
+    )
+
+
+@_q(
+    "q36_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS magic_byte
+    FROM documents
+    """,
+    "Opaque binary payload column + typed metadata extraction (multimodal plumbing)",
+)
+def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("payload_bytes"),
+        F.ascii(F.substring("text", 1, 1)).cast("long").alias("magic_byte"),
+    )
+
+
+@_q(
+    "q37_tumbling_window",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Tumbling 1h window aggregation (batch parity of the streaming pipeline)",
+)
+def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@_q(
+    "q38_hopping_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 1800) * 1800 - k * 1800 AS BIGINT) AS window_start_epoch,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    GROUP BY 1
+    """,
+    "Hopping window (1h size / 30m slide) via explicit window assignment",
+)
+def q38_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = F.floor(F.col("ts").cast("double") / 1800) * 1800
+    return (
+        ev.select("value", F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), base.alias("base"))
+        .select((F.col("base") - F.col("k") * 1800).cast("long").alias("window_start_epoch"), "value")
+        .groupBy("window_start_epoch")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@_q(
+    "q39_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, value, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 300 OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+    "Session windows (5-min inactivity gap) as a batch plan; streaming twin in streaming/pipeline.py",
+)
+def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch = F.col("ts").cast("double")
+    prev = F.lag(F.col("ts")).over(w).cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when((epoch - prev > 300) | prev.isNull(), 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn("session_idx", F.sum("new_session").over(wf))
+        .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+    )

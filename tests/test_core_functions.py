@@ -1,0 +1,98 @@
+import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.functions.core import (
+    abs_amount,
+    age_years,
+    normalize_date,
+    normalize_timestamp,
+    obfuscate_name,
+    obfuscate_name_py,
+    quota_expr,
+)
+
+
+def _mask_one(spark, name: str) -> str:
+    df = spark.createDataFrame([(name,)], "nombre_completo: string")
+    return df.select(obfuscate_name("nombre_completo").alias("o")).first()["o"]
+
+
+class TestObfuscateName:
+    def test_basic(self, spark):
+        # remainder 'Weber Obama': head char 'W' kept, spaces kept,
+        # everything else starred.
+        assert _mask_one(spark, "Lane Weber Obama") == "Lane W**** *****"
+
+    def test_exact_examples(self, spark):
+        cases = {
+            "Ada Lovelace Byron": obfuscate_name_py("Ada Lovelace Byron"),
+            "Bob Marley": obfuscate_name_py("Bob Marley"),
+            "Dan": "Dan ",  # single token → trailing space
+            "Eve Evergreen Everest": obfuscate_name_py("Eve Evergreen Everest"),
+            "A BB B": obfuscate_name_py("A BB B"),
+        }
+        for raw, want in cases.items():
+            assert _mask_one(spark, raw) == want, raw
+
+    def test_single_token_trailing_space(self, spark):
+        assert _mask_one(spark, "Solo") == "Solo "
+
+    def test_repeated_first_char_kept_everywhere(self, spark):
+        # remainder 'Bab Bub': first char 'B'; every 'B' and space kept
+        got = _mask_one(spark, "X Bab Bub")
+        assert got == "X B** B**"
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Lu", "Ll")),
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def test_property_matches_python_model(self, spark, tokens):
+        name = " ".join(tokens)
+        assert _mask_one(spark, name) == obfuscate_name_py(name)
+
+    def test_null_passthrough(self, spark):
+        df = spark.createDataFrame([(None,)], "nombre_completo: string")
+        assert df.select(obfuscate_name("nombre_completo").alias("o")).first()["o"] is None
+
+
+class TestScalars:
+    def test_normalize_date(self, spark):
+        df = spark.createDataFrame([("1990/03/09",)], "d: string")
+        assert df.select(normalize_date("d").alias("d")).first()["d"] == datetime.date(1990, 3, 9)
+
+    def test_normalize_timestamp(self, spark):
+        df = spark.createDataFrame([("20240101 10:30:00",)], "t: string")
+        assert df.select(normalize_timestamp("t").alias("t")).first()["t"] == datetime.datetime(2024, 1, 1, 10, 30)
+
+    def test_abs(self, spark):
+        df = spark.createDataFrame([(-80000.0,), (5.0,)], "monto: double")
+        got = [r["monto"] for r in df.select(abs_amount("monto").alias("monto")).collect()]
+        assert got == [80000.0, 5.0]
+
+    def test_age_is_year_subtraction_not_floor_age(self, spark):
+        # Born Dec 31 2010, pinned today = 2026-01-01: floor age is 15,
+        # but the reference computes 2026-2010 = 16.
+        df = spark.createDataFrame([(datetime.date(2010, 12, 31),)], "b: date")
+        got = df.select(age_years("b", today=datetime.date(2026, 1, 1)).alias("a")).first()["a"]
+        assert got == 16
+
+    @pytest.mark.parametrize(
+        "n,want",
+        [(0, 0), (9, 0), (10, 3), (19, 3), (20, 3), (29, 3), (30, 6), (49, 6), (50, 9), (100, 15)],
+    )
+    def test_quota_bq_rounding(self, spark, n, want):
+        # BQ CAST(x AS INT64) rounds half away from zero: 10/20=0.5 → 1 → quota 3.
+        df = spark.createDataFrame([(n,)], "n: long")
+        assert df.select(quota_expr(F.col("n")).alias("q")).first()["q"] == want

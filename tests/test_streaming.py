@@ -1,0 +1,62 @@
+"""Streaming pipelines: drain the events table through a file-source
+stream and check the windowed agg against its oracle-verified batch
+twin (q37)."""
+
+import shutil
+
+import pytest
+
+from dataflow_python_etl_spark.streaming.pipeline import (
+    read_event_stream,
+    run_to_memory_sink,
+    sessionized,
+    windowed_counts,
+)
+from dataflow_python_etl_spark.sources.catalog import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_drop(spark, tmp_path_factory):
+    """Re-materialize events as a micro-precision parquet drop dir
+    (the raw file is nanos, which the streaming source can't map)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "drop")
+    read_table(spark, SF_DIR, "events").write.parquet(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_windowed_counts_matches_batch(spark, event_drop):
+    stream = read_event_stream(spark, event_drop)
+    assert stream.isStreaming
+    run_to_memory_sink(windowed_counts(stream), "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+
+    from dataflow_python_etl_spark.queries import QUERIES
+
+    batch = QUERIES["q37_tumbling_window"].fn(spark, SF_DIR).collect()
+    import datetime
+
+    want = {
+        (datetime.datetime.utcfromtimestamp(r["window_start_epoch"]), r["event_type"]): (
+            r["n"],
+            r["total_value"],
+        )
+        for r in batch
+    }
+    assert got == want
+
+
+def test_sessionized_stream_runs(spark, event_drop):
+    stream = read_event_stream(spark, event_drop)
+    run_to_memory_sink(sessionized(stream), "sessions")
+    rows = spark.table("sessions").collect()
+    assert len(rows) > 0
+    # session windows are disjoint per user and end > start
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+    # total events across sessions == total input events
+    assert sum(r["n_events"] for r in rows) == read_table(spark, SF_DIR, "events").count()
