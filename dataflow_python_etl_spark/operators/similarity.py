@@ -23,7 +23,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataflow_python_etl_spark.functions.vectors import as_double_array, cosine, dot
+from dataflow_python_etl_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    dot,
+    l2_norm,
+)
 
 EMBED_DIM = 64
 NUM_PLANES = 16  # 4 bands × 4 planes
@@ -53,15 +58,21 @@ def cosine_topk(
     query top-k window. Ties broken by neighbor id for determinism.
     Returns (query_id, neighbor_id, cos_sim).
     """
+    # Norms are computed ONCE per vector before the pair fan-out (the
+    # naive cosine() recomputes both norms for every pair — 3× the
+    # flops). Same formula, same summation order → same doubles.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -116,9 +127,12 @@ def cosine_pairs_lsh(
     (id_a, id_b, cos_sim) with id_a < id_b; scores exact, recall
     bounded by band geometry (16 planes / 4 bands).
     """
-    b = rp_lsh_buckets(df, id_col, vec_col)
+    b = rp_lsh_buckets(df, id_col, vec_col).select(id_col, "band", "bucket")
     left = b.alias("a")
     right = b.alias("r")
+    # Candidates are deduped as bare id pairs BEFORE vectors are
+    # attached — the band explode never shuffles vector payloads, and
+    # each unique pair is scored exactly once.
     cand = (
         left.join(
             right,
@@ -129,13 +143,23 @@ def cosine_pairs_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("a.__v").alias("va"),
-            F.col("r.__v").alias("vb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
     )
+    v = df.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vv")
+    ).withColumn("nrm", l2_norm(F.col("vv")))
+    va = v.alias("va")
+    vb = v.alias("vb")
     return (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.join(F.broadcast(va), F.col("id_a") == F.col("va.vid"))
+        .join(F.broadcast(vb), F.col("id_b") == F.col("vb.vid"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("va.vv"), F.col("vb.vv")) / (F.col("va.nrm") * F.col("vb.nrm")), 6
+            ),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -1,0 +1,88 @@
+"""Physical-plan pins: the scale properties each declared query must
+keep (pushdown, pruning, broadcast joins, minimal shuffles). A change
+that silently de-optimizes a plan fails here, not on the cluster."""
+
+import pytest
+
+from dataflow_python_etl_spark.plans.checks import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_join,
+    has_pushed_filters,
+    read_schema_columns,
+)
+from dataflow_python_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return QUERIES[name].fn(spark, SF_DIR)
+
+
+def test_projection_and_filter_reach_scan(spark):
+    df = _q(spark, "q02_projection_pushdown")
+    assert has_pushed_filters(df), "l_quantity filter must push to parquet"
+    cols = read_schema_columns(df)
+    # exactly the 6 projected columns are read — no full-width scan
+    assert set(cols) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate",
+    }
+
+
+def test_flagship_prunes_to_needed_columns(spark):
+    df = _q(spark, "q01_pricing_summary")
+    cols = set(read_schema_columns(df))
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+    assert has_pushed_filters(df), "shipdate filter must push down"
+
+
+def test_mart_denorm_broadcasts_dims(spark):
+    df = _q(spark, "q04_mart_denorm")
+    assert has_broadcast_join(df)
+    # broadcast left joins: no shuffle of the fact table at all
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_revenue_star_broadcasts_all_dims(spark):
+    df = _q(spark, "q24_revenue_by_nation")
+    assert has_broadcast_join(df)
+    # lineitem⋈orders shuffles (both large); the dim joins must not
+    # add exchanges beyond join + final agg
+    assert count_exchanges(df) <= 3, explain_str(df, "simple")
+
+
+def test_top1_per_group_single_shuffle(spark):
+    # window dedup = one hash partition by the window key
+    df = _q(spark, "q03_top1_per_group")
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_compensation_single_shuffle(spark):
+    # The whole compensation recompute (quota + rank + case) must be
+    # ONE shuffle on the flight key — both windows share partitioning.
+    df = _q(spark, "q10_compensation")
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_scalar_queries_have_zero_shuffles(spark):
+    for name in ["q05_abs_amount", "q06_obfuscate_names", "q09_age_years",
+                 "q21_string_funcs", "q22_date_funcs", "q23_json_extract",
+                 "q25_token_stats", "q26_quality_score", "q27_langid",
+                 "q28_fingerprint", "q32_simhash", "q36_multimodal_meta"]:
+        df = _q(spark, name)
+        assert count_exchanges(df) == 0, f"{name} should be a pure map plan"
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    df = _q(spark, "q33_cosine_topk")
+    assert has_broadcast_join(df)
+    # corpus never shuffles for scoring; only the final top-k window
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_obfuscation_is_jvm_only(spark):
+    # No Python UDF in the hot path: plan must not contain
+    # BatchEvalPython / ArrowEvalPython nodes.
+    s = explain_str(_q(spark, "q06_obfuscate_names"), "simple")
+    assert "EvalPython" not in s
