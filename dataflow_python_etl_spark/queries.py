@@ -955,3 +955,342 @@ def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Advanced relational + text/vector operators (round-1 batch 3):
+# range frames, grouping sets, pivot, percentiles, as-of / range joins,
+# TF-IDF, BPE-ish tokenization, IVF-style ANN, array functions
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q40_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS near_total
+    FROM orders
+    """,
+    "RANGE window frame (value-based) per customer",
+)
+def q40_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fractional RANGE boundaries aren't expressible through the
+    # pyspark Window builder (long-typed API); the SQL surface is.
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q40")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS near_total
+        FROM orders_q40
+        """
+    )
+
+
+@_q(
+    "q41_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "Explicit GROUPING SETS (via the engine's SQL surface)",
+)
+def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q41")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders_q41
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+@_q(
+    "q42_pivot",
+    f"""
+    SELECT c_nationkey,
+           {", ".join(f"round(sum(CASE WHEN c_mktsegment = '{s}' THEN c_acctbal END), 2) AS {s}" for s in _SEGMENTS)}
+    FROM customer GROUP BY c_nationkey
+    """,
+    "Pivot (wide aggregation by category)",
+)
+def q42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(F.round(F.sum("c_acctbal"), 2))
+    )
+    return piv
+
+
+@_q(
+    "q43_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    "Exact interpolated percentiles per group",
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+@_q(
+    "q44_asof_join",
+    """
+    SELECT a.event_id, b.event_id AS matched_view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    "As-of join: each purchase matched to the user's most recent prior view. "
+    "Implemented scale-first as union + ordered window (one shuffle on the key, "
+    "no range-join explosion) — the standard merge formulation",
+)
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"), F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("right_id"),
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"), F.lit(0).alias("is_left"),
+        F.col("event_id").alias("right_id"),
+    )
+    # At equal ts the right row sorts first (is_left asc), so `ts >=`
+    # semantics hold. last(ignorenulls) carries the latest view id
+    # forward to each purchase.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "matched_view_id", F.last("right_id", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where((F.col("is_left") == 1) & F.col("matched_view_id").isNotNull())
+        .select("event_id", "matched_view_id")
+    )
+
+
+@_q(
+    "q45_range_join",
+    """
+    SELECT a.event_id, b.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id
+     AND b.ts <= a.ts
+     AND epoch(a.ts) - epoch(b.ts) <= 86400
+    """,
+    "Range (interval) join: views within 24h before each purchase",
+)
+def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").alias("a")
+    b = ev.where(F.col("event_type") == "view").alias("b")
+    a_ts = F.col("a.ts").cast("double")
+    b_ts = F.col("b.ts").cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") <= F.col("a.ts"))
+            & (a_ts - b_ts <= 86400),
+        )
+        .select(F.col("a.event_id").alias("event_id"), F.col("b.event_id").alias("view_id"))
+    )
+
+
+@_q(
+    "q46_tfidf_top_term",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rk = 1
+    """,
+    "TF-IDF scoring; most characteristic term per document",
+)
+def q46_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+@_q(
+    "q47_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_subtokens
+    FROM documents
+    """,
+    "BPE-ish subword token counting via regex segmentation",
+)
+def q47_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).cast("long").alias("n_subtokens"),
+    )
+
+
+# IVF-style ANN: K fixed centroids (seeded literals, mirrored in the
+# oracle); vectors are indexed by nearest centroid, queries probe only
+# their own centroid's bucket, hits are re-ranked by exact cosine.
+def _gen_centroids(dim: int = 64, k: int = 8, seed: int = 11) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[round(float(v), 6) for v in rng.randn(dim)] for _ in range(k)]
+
+
+CENTROIDS: list[list[float]] = _gen_centroids()
+
+
+def _centroid_assign_spark(vec):
+    scores = F.array(*[
+        cosine(vec, F.array(*[F.lit(v) for v in c])) for c in CENTROIDS
+    ])
+    return F.array_position(scores, F.array_max(scores))
+
+
+def _ivf_oracle_sql() -> str:
+    score_list = ", ".join(
+        _cosine_sql("ve", _sql_double_array(c)).replace("round(", "(", 1).replace(", 6)", ")", 1)
+        for c in CENTROIDS
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, ve,
+               list_indexof([{score_list}], list_max([{score_list}])) AS cid
+        FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qv, cid FROM assigned WHERE vec_id < 10),
+    s AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               {_cosine_sql('q.qv', 'a.ve')} AS cos_sim
+        FROM q JOIN assigned a ON a.cid = q.cid AND a.vec_id != q.query_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM s
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM r WHERE rk <= 3
+    """
+
+
+@_q(
+    "q48_ivf_ann",
+    _ivf_oracle_sql(),
+    "IVF-bucketed ANN: nearest-centroid index + in-bucket exact re-rank "
+    "(probes 1/K of the corpus; oracle reproduces the fixed centroids)",
+)
+def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_array("embedding").alias("ve"))
+    assigned = v.withColumn("cid", _centroid_assign_spark(F.col("ve")))
+    q = (
+        assigned.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"), "cid")
+    )
+    from dataflow_python_etl_spark.functions.vectors import dot, l2_norm
+
+    a = assigned.alias("a")
+    scored = (
+        a.join(
+            F.broadcast(q.alias("q")),
+            (F.col("a.cid") == F.col("q.cid")) & (F.col("a.vec_id") != F.col("q.query_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("q.qv"), F.col("a.ve"))
+                / (l2_norm(F.col("q.qv")) * l2_norm(F.col("a.ve"))),
+                6,
+            ),
+        )
+        .select(F.col("q.query_id").alias("query_id"), F.col("a.vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@_q(
+    "q49_array_funcs",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           toks[1] AS first_token,
+           toks[-1] AS last_token,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted
+    FROM tok
+    """,
+    "Array functions: distinct/sort/slice/contains/element access over token arrays",
+)
+def q49_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = TX.tokens("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("first3_sorted"),
+    )

