@@ -21,9 +21,11 @@ def normalize_date(col: Column | str, fmt: str = "yyyy/MM/dd") -> Column:
 
     The reference rewrites the string ``value.replace("/", "-")`` and
     lets BigQuery parse it (reference ``src/data_ingest.py:64-67``);
-    we parse to a real DateType at ingest.
+    we parse to a real DateType at ingest. ``try_to_date``: malformed
+    values become NULL instead of failing the job under ANSI mode —
+    one dirty row must never kill a 100 TB ingest.
     """
-    return F.to_date(F.col(col) if isinstance(col, str) else col, fmt)
+    return F.try_to_date(F.col(col) if isinstance(col, str) else col, fmt)
 
 
 def normalize_timestamp(col: Column | str, fmt: str = "yyyyMMdd HH:mm:ss") -> Column:
@@ -31,8 +33,9 @@ def normalize_timestamp(col: Column | str, fmt: str = "yyyyMMdd HH:mm:ss") -> Co
 
     The reference slices the string into ``YYYY-MM-DD hh:mm:ss``
     (reference ``src/data_ingest.py:68-71``); we parse it typed.
+    ``try_to_timestamp``: malformed values → NULL, never a job abort.
     """
-    return F.to_timestamp(F.col(col) if isinstance(col, str) else col, fmt)
+    return F.try_to_timestamp(F.col(col) if isinstance(col, str) else col, F.lit(fmt))
 
 
 def abs_amount(col: Column | str) -> Column:

@@ -96,3 +96,29 @@ class TestScalars:
         # BQ CAST(x AS INT64) rounds half away from zero: 10/20=0.5 → 1 → quota 3.
         df = spark.createDataFrame([(n,)], "n: long")
         assert df.select(quota_expr(F.col("n")).alias("q")).first()["q"] == want
+
+
+class TestNormalizerProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.dates(min_value=datetime.date(1900, 1, 1), max_value=datetime.date(2100, 1, 1)))
+    def test_date_roundtrip(self, spark, d):
+        raw = d.strftime("%Y/%m/%d")
+        df = spark.createDataFrame([(raw,)], "d: string")
+        assert df.select(normalize_date("d").alias("d")).first()["d"] == d
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.datetimes(
+            min_value=datetime.datetime(1900, 1, 1),
+            max_value=datetime.datetime(2100, 1, 1),
+        ).map(lambda t: t.replace(microsecond=0))
+    )
+    def test_timestamp_roundtrip(self, spark, t):
+        raw = t.strftime("%Y%m%d %H:%M:%S")
+        df = spark.createDataFrame([(raw,)], "t: string")
+        assert df.select(normalize_timestamp("t").alias("t")).first()["t"] == t
+
+    def test_garbage_becomes_null_not_error(self, spark):
+        df = spark.createDataFrame([("not a date",), ("",), ("2020-13-45",)], "d: string")
+        vals = [r["d"] for r in df.select(normalize_date("d").alias("d")).collect()]
+        assert vals == [None, None, None]
