@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1293,4 +1294,137 @@ def q49_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, -1).alias("last_token"),
         F.array_contains(toks, "the").alias("has_the"),
         F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("first3_sorted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest parity (oracle-checked CSV), UDAF via applyInPandas, UDTF
+# ---------------------------------------------------------------------------
+
+# A deterministic pasajero-shaped fixture written INSIDE the repo so
+# both engines can read the identical bytes. Covers the reference's
+# edge cases: '+'-phone, slash dates, empty birthdate, quoted commas,
+# 1-token and repeated-first-char names.
+_INGEST_FIXTURE = Path(__file__).resolve().parent.parent / ".fixtures" / "pasajero_fixture.csv"
+_INGEST_ROWS = [
+    '10000000-1|Ada Lovelace Byron|ada@example.com|"1 Analytical Way, London"|+56910000001|1950/01/15',
+    "20000000-2|Bob Marley|bob@example.com|56 Hope Road|+56920000002|2015/06/01",
+    "30000000-3|Solo|solo@example.com|Nowhere 3|+56930000003|1999/12/31",
+    "40000000-4|X Bab Bub|x@example.com|Round St 4|not_a_phone|2020/02/29",
+    "50000000-5|Eve Evergreen Everest|eve@example.com|Elm 5|+56950000005|",
+]
+
+
+def _ensure_ingest_fixture() -> str:
+    _INGEST_FIXTURE.parent.mkdir(exist_ok=True)
+    content = "\n".join(_INGEST_ROWS) + "\n"
+    if not _INGEST_FIXTURE.exists() or _INGEST_FIXTURE.read_text() != content:
+        _INGEST_FIXTURE.write_text(content)
+    return str(_INGEST_FIXTURE)
+
+
+_ensure_ingest_fixture()
+
+@_q(
+    "q50_csv_ingest",
+    f"""
+    SELECT dni, nombre_completo, correo_electronico, direccion,
+           TRY_CAST(replace(telefono, '+', '') AS BIGINT) AS telefono,
+           TRY_CAST(replace(fecha_de_nacimiento, '/', '-') AS DATE) AS fecha_de_nacimiento
+    FROM read_csv('{_ensure_ingest_fixture()}',
+                  delim='|', header=false, quote='"',
+                  columns={{'dni': 'VARCHAR', 'nombre_completo': 'VARCHAR',
+                           'correo_electronico': 'VARCHAR', 'direccion': 'VARCHAR',
+                           'telefono': 'VARCHAR', 'fecha_de_nacimiento': 'VARCHAR'}})
+    """,
+    "Typed pipe-CSV ingest with dirty-data policy (operators O1-O5; "
+    "oracle reads the identical fixture file)",
+)
+def q50_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.schema import bq_schema_to_struct
+    from dataflow_python_etl_spark.sources.csv_ingest import read_typed_csv
+
+    schema = bq_schema_to_struct(
+        [
+            {"name": "dni", "type": "STRING"},
+            {"name": "nombre_completo", "type": "STRING"},
+            {"name": "correo_electronico", "type": "STRING"},
+            {"name": "direccion", "type": "STRING"},
+            {"name": "telefono", "type": "INTEGER"},
+            {"name": "fecha_de_nacimiento", "type": "DATE"},
+        ]
+    )
+    return read_typed_csv(spark, _ensure_ingest_fixture(), schema)
+
+
+@_q(
+    "q51_udaf_geomean",
+    """
+    SELECT event_type, count(*) AS n,
+           round(exp(avg(ln(value))), 6) AS geo_mean
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+    "Custom UDAF via applyInPandas (Arrow-batched per-group kernel); "
+    "oracle uses the closed form exp(avg(ln x))",
+)
+def q51_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("geo_mean", T.DoubleType()),
+        ]
+    )
+
+    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "geo_mean": [round(float(np.exp(np.mean(np.log(v)))), 6)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value") > 0)
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(geomean, out_schema)
+    )
+
+
+@_q(
+    "q52_udtf_ngrams",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(toks[i:i+1], ' ') AS bigram
+    FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+    WHERE len(toks) >= 2
+    """,
+    "Python UDTF (table function): one row per token bigram with position",
+)
+def q52_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf, lit
+
+    @udtf(returnType="doc_id: bigint, pos: int, bigram: string")
+    class BigramUDTF:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split()
+            for i in range(len(toks) - 1):
+                yield doc_id, i + 1, f"{toks[i]} {toks[i + 1]}"
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_q52")
+    spark.udtf.register("bigrams_q52", BigramUDTF)
+    return spark.sql(
+        "SELECT b.doc_id, b.pos, b.bigram "
+        "FROM documents_q52 d, LATERAL bigrams_q52(d.doc_id, d.text) b"
     )
