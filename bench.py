@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "q34_cosine_pairs_lsh",
     "q37_tumbling_window",
     "q39_sessionize",
+    "q43_percentiles",
+    "q44_asof_join",
+    "q46_tfidf_top_term",
+    "q48_ivf_ann",
+    "q51_udaf_geomean",
 ]
 
 
