@@ -1428,3 +1428,109 @@ def q52_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT b.doc_id, b.pos, b.bigram "
         "FROM documents_q52 d, LATERAL bigrams_q52(d.doc_id, d.text) b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, unpivot, correlated subqueries, fuzzy matching
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q53_approx_distinct",
+    None,  # HLL sketches are engine-specific → rows-only; accuracy is
+           # pinned against the exact count in tests/test_queries_extra.py
+    "Approximate distinct (HyperLogLog) per group — the 100 TB cardinality path",
+)
+def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@_q(
+    "q54_unpivot",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    """,
+    "Unpivot (wide → long): one row per (entity, metric)",
+)
+def q54_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+        ),
+    )
+
+
+@_q(
+    "q55_correlated_subquery",
+    """
+    SELECT o_orderkey,
+           (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty
+    FROM orders
+    """,
+    "Correlated scalar subquery — the reference's per-row aggregation shape "
+    "(datalake_compensation.py:98-115) written declaratively; Catalyst "
+    "decorrelates it into an aggregate + join (plan-pinned, no per-row exec)",
+)
+def q55_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q55")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q55")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT max(l_quantity) FROM lineitem_q55 WHERE l_orderkey = o_orderkey) AS max_qty
+        FROM orders_q55
+        """
+    )
+
+
+@_q(
+    "q56_stats_aggs",
+    """
+    SELECT o_orderpriority,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(var_samp(o_totalprice), 2) AS var,
+           round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 2) AS cv
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "Statistical aggregates: stddev/variance/correlation/covariance",
+)
+def q56_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cv"),
+        )
+    )
+
+
+@_q(
+    "q57_levenshtein",
+    """
+    SELECT p_partkey, levenshtein(p_name, p_type) AS name_type_dist,
+           levenshtein(p_brand, 'brand#00') AS brand_dist
+    FROM part
+    """,
+    "Edit-distance fuzzy matching (levenshtein)",
+)
+def q57_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.levenshtein("p_brand", F.lit("brand#00")).alias("brand_dist"),
+    )

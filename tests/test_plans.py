@@ -86,3 +86,12 @@ def test_obfuscation_is_jvm_only(spark):
     # BatchEvalPython / ArrowEvalPython nodes.
     s = explain_str(_q(spark, "q06_obfuscate_names"), "simple")
     assert "EvalPython" not in s
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    # The reference executed this shape as one RPC per row
+    # (datalake_compensation.py:96-115); Catalyst must rewrite it to
+    # aggregate + join — the plan contains a join, never a per-row loop.
+    df = _q(spark, "q55_correlated_subquery")
+    s = explain_str(df, "simple")
+    assert "Join" in s and "Aggregate" in s

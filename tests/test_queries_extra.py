@@ -1,0 +1,50 @@
+"""Checks for rows-only queries whose guarantees the oracle can't pin:
+approx-distinct accuracy, minhash recall vs the exact variant."""
+
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_5pct(spark):
+    rows = QUERIES["q53_approx_distinct"].fn(spark, SF_DIR).collect()
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    exact = {
+        r["event_type"]: r["u"]
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users"] - e) <= max(2, 0.05 * e), (r["event_type"], r["approx_users"], e)
+
+
+def test_minhash_recall_vs_exact(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q30_ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q31_minhash_lsh_pairs"].fn(spark, SF_DIR).collect()
+    }
+    assert lsh <= exact  # no false positives (exact verification)
+    # recall on this corpus' near-dup structure: banding finds them all
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_simhash_near_dups_have_close_hashes(spark):
+    """Planted near-dup pairs should have small simhash hamming distance."""
+    sim = {r["doc_id"]: r["simhash"] for r in QUERIES["q32_simhash"].fn(spark, SF_DIR).collect()}
+    pairs = QUERIES["q30_ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
+    assert pairs
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    dists = [hamming(sim[p["doc_a"]], sim[p["doc_b"]]) for p in pairs]
+    # near-dups cluster well below the random-pair expectation of 32 bits
+    assert sum(dists) / len(dists) < 16
