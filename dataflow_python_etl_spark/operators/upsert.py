@@ -1,0 +1,42 @@
+"""Keyed upsert (MERGE) over parquet tables — the general form of the
+reference's per-row UPDATE (operator O23, ``datalake_compensation.py:
+132-139``; SURVEY.md §7.3.4).
+
+Vanilla Spark has no mutable storage, so an upsert is a recompute:
+``existing ANTI-JOIN keys(updates) UNION updates`` → write to a temp
+path → swap. One shuffle (the anti join on the key; broadcast when
+the update batch is small, which is the common CDC case), atomic-ish
+swap at the end. On a transactional table format (Delta/Iceberg) this
+becomes a real MERGE INTO; the operator's contract stays the same.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_df(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Rows of ``updates`` replace same-keyed rows of ``existing``;
+    unmatched update rows are inserts. Column sets must match."""
+    assert set(existing.columns) == set(updates.columns), "schema mismatch"
+    keys = updates.select(*key_cols).distinct()
+    kept = existing.join(F.broadcast(keys), on=key_cols, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def upsert_table(
+    spark: SparkSession, table_path: str, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Upsert into a parquet table path with write-to-temp-and-swap
+    (Spark cannot overwrite a path it is lazily reading)."""
+    existing = spark.read.parquet(table_path)
+    merged = upsert_df(existing, updates, key_cols)
+    tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(table_path)
+    shutil.move(tmp, table_path)
+    return spark.read.parquet(table_path)
