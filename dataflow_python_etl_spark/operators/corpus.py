@@ -1,0 +1,113 @@
+"""End-to-end training-corpus cleaning pipeline — the composition the
+individual operators exist for (BASELINE.json north star).
+
+``clean_corpus``: quality-gate → near-dup removal → per-doc stats,
+entirely as one lazy DataFrame graph (the stages fuse where Catalyst
+allows; nothing materializes until the sink).
+
+``dup_clusters``: connected components over the near-dup pair graph
+via iterative min-label propagation — the canonical "iterative
+algorithm" Spark pattern (loop of joins with localCheckpoint to cut
+the growing lineage). Used when near-dup chains (a~b, b~c) must
+collapse to one survivor per CLUSTER rather than per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dataflow_python_etl_spark.functions.text import quality_score, token_count
+from dataflow_python_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Survivors of quality gating + pairwise near-dup removal.
+
+    Near-dup rule: among each near-dup pair (a < b), the larger id is
+    removed — deterministic, keeps the earliest document, and mirrors
+    exactly into the SQL oracle. (For chain-collapsing cluster
+    semantics use :func:`dup_clusters`.)
+    Returns (id, n_tokens, quality).
+    """
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        quality_score(text_col).alias("quality"),
+    ).where(F.col("quality") >= min_quality)
+    pairs = ngram_jaccard_pairs(
+        scored, id_col=id_col, text_col=text_col, n=n, threshold=jaccard_threshold
+    )
+    removals = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return (
+        scored.join(F.broadcast(removals), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            token_count(text_col).cast("long").alias("n_tokens"),
+            F.col("quality"),
+        )
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, every node adopts the minimum label in its neighborhood;
+    stop at fixpoint. Each round is two shuffles (join + groupBy);
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    with the iteration count. Converges in O(diameter) rounds — real
+    near-dup graphs are shallow.
+
+    Returns (node, cluster) where cluster is the min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for each node, the min label among neighbors
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1534,3 +1534,70 @@ def q57_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_name", "p_type").alias("name_type_dist"),
         F.levenshtein("p_brand", F.lit("brand#00")).alias("brand_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: training-corpus cleaning + dup clustering
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q58_clean_corpus",
+    f"""
+    WITH x AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(text, '\\s+') AS toks,
+               length(text) AS nch,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS npunct
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, text, len(toks) AS ntok,
+               round(
+                 least(len(toks) / 100.0, 1.0) * 0.4
+                 + least((len(list_filter(toks, t -> list_contains({_STOPWORD_SQL_LIST}, t)))
+                          * 1.0 / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
+                 + (1.0 - least((npunct * 1.0 / greatest(nch, 1)) * 10.0, 1.0)) * 0.3,
+               6) AS quality
+        FROM x
+    ), kept AS (
+        SELECT * FROM scored WHERE quality >= 0.3
+    ), tok2 AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM kept
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok2, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
+        WHERE len(toks) >= 3
+    ), sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM co
+        JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+    ), removals AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT k.doc_id, CAST(len(regexp_split_to_array(k.text, '\\s+')) AS BIGINT) AS n_tokens,
+           k.quality
+    FROM kept k ANTI JOIN removals r ON k.doc_id = r.doc_id
+    """,
+    "Flagship LLM-corpus cleaning composition: quality gate → 3-gram "
+    "near-dup removal → per-doc stats, one lazy plan end to end",
+)
+def q58_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "q59_dup_clusters",
+    None,  # iterative label propagation — not SQL-expressible; pinned
+           # against a Python union-find in tests/test_corpus.py
+    "Connected components over the near-dup graph (iterative min-label "
+    "propagation with lineage checkpoints)",
+)
+def q59_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import dup_clusters
+
+    pairs = DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dup_clusters(pairs)
