@@ -1601,3 +1601,99 @@ def q59_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     return dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Time-interval frames, deterministic sampling, null semantics, rank family
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q60_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS events_last_hour
+    FROM events
+    """,
+    "Time-based RANGE frame: trailing 1h event count per user",
+)
+def q60_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_q60")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS events_last_hour
+        FROM events_q60
+        """
+    )
+
+
+@_q(
+    "q61_deterministic_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 10
+    """,
+    "Deterministic ~10% sample via multiplicative hashing — reproducible "
+    "across engines and runs, unlike TABLESAMPLE",
+)
+def q61_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") * 2654435761) % 100 < 10)
+        .select("doc_id", "lang")
+    )
+
+
+@_q(
+    "q62_null_semantics",
+    """
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_defaulted,
+           (o_orderstatus IS NOT DISTINCT FROM 'P') AS is_p_nullsafe
+    FROM orders
+    """,
+    "NULL semantics: nullif / coalesce / null-safe equality",
+)
+def q62_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("PENDING")).alias("status_defaulted"),
+        F.col("o_orderstatus").eqNullSafe("P").alias("is_p_nullsafe"),
+    )
+
+
+@_q(
+    "q63_rank_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           ntile(4)       OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    "Ranking family: rank / dense_rank / percent_rank / ntile / cume_dist",
+)
+def q63_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
