@@ -14,6 +14,12 @@ Scale design notes (100 TB):
   signatures: candidate pairs only form inside an LSH bucket, then
   are verified with exact Jaccard. Per-doc work is O(shingles ×
   permutations) map-side; the only shuffle key is (band, signature).
+
+Algorithms are the standard public constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997), banded LSH (Leskovec/Rajaraman/Ullman, "Mining of Massive
+Datasets" ch. 3), SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", 2002).
 """
 
 from __future__ import annotations

@@ -15,6 +15,11 @@ Two tiers:
 The hyperplanes are module-level constants generated once from a
 fixed seed and inlined as literals — deterministic across engines, so
 the DuckDB oracle can reproduce bucket assignment bit-for-bit.
+
+Constructions are the standard public ones: random-hyperplane LSH for
+cosine similarity (Charikar 2002), inverted-file (IVF) coarse
+quantization for ANN (Jégou/Douze/Schmid, "Product quantization for
+nearest neighbor search", 2011 — coarse-quantizer stage only).
 """
 
 from __future__ import annotations
