@@ -1697,3 +1697,92 @@ def q63_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map functions, math functions, grouped-agg pandas UDAF
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q64_map_funcs",
+    """
+    SELECT event_id,
+           CAST(cardinality(map(['type', 'uid'],
+                                [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER) AS m_size,
+           map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS m_type,
+           array_to_string(list_sort(map_keys(
+               map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]))), ',') AS m_keys
+    FROM events
+    """,
+    "Map column functions: construction, size, key extraction, lookup",
+)
+def q64_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(m).alias("m_size"),
+        F.element_at(m, "type").alias("m_type"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
+    )
+
+
+@_q(
+    "q65_math_funcs",
+    """
+    SELECT o_orderkey,
+           round(sqrt(o_totalprice), 6) AS sq,
+           round(ln(o_totalprice), 6) AS lg,
+           round(pow(o_totalprice, 0.25), 6) AS p25,
+           CAST(floor(o_totalprice) AS BIGINT) AS fl,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+           CAST(sign(o_totalprice - 100000) AS BIGINT) AS sgn,
+           CAST(CAST(o_orderkey AS BIGINT) % 7 AS BIGINT) AS m7,
+           round(greatest(o_totalprice, 50000.0), 2) AS gst,
+           round(least(o_totalprice, 50000.0), 2) AS lst
+    FROM orders
+    """,
+    "Scalar math: sqrt/ln/pow/floor/ceil/sign/mod/greatest/least",
+)
+def q65_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("o_totalprice")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.sqrt(t), 6).alias("sq"),
+        F.round(F.log(t), 6).alias("lg"),
+        F.round(F.pow(t, F.lit(0.25)), 6).alias("p25"),
+        F.floor(t).cast("long").alias("fl"),
+        F.ceil(t).cast("long").alias("ce"),
+        F.signum(t - 100000).cast("long").alias("sgn"),
+        (F.col("o_orderkey") % 7).cast("long").alias("m7"),
+        F.round(F.greatest(t, F.lit(50000.0)), 2).alias("gst"),
+        F.round(F.least(t, F.lit(50000.0)), 2).alias("lst"),
+    )
+
+
+@_q(
+    "q66_pandas_udaf_weighted_mean",
+    """
+    SELECT event_type,
+           round(sum(value * user_id) / sum(user_id), 6) AS weighted_mean
+    FROM events WHERE user_id > 0 GROUP BY event_type
+    """,
+    "Grouped-agg pandas UDAF (Arrow series → scalar); oracle is the closed form",
+)
+def q66_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies type hints, so signature-based inference can't apply.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(v, w):
+        return round(float((v * w).sum() / w.sum()), 6)
+
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") > 0)
+        .groupBy("event_type")
+        .agg(wmean(F.col("value"), F.col("user_id").cast("double")).alias("weighted_mean"))
+    )
