@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q46_tfidf_top_term",
     "q48_ivf_ann",
     "q51_udaf_geomean",
+    "q58_clean_corpus",
 ]
 
 

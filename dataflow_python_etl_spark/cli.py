@@ -76,6 +76,19 @@ def run_compensation(args) -> None:
         print(f"compensacion={r['compensacion']}: {r['count']}")
 
 
+def run_explain(args) -> None:
+    from dataflow_python_etl_spark.plans.checks import explain_str
+    from dataflow_python_etl_spark.queries import QUERIES
+
+    if args.query not in QUERIES:
+        raise SystemExit(
+            f"unknown query {args.query!r}; choose from: {', '.join(sorted(QUERIES))}"
+        )
+    spark = get_spark("explain")
+    df = QUERIES[args.query].fn(spark, args.sf_dir)
+    print(explain_str(df, args.mode))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -96,6 +109,12 @@ def main(argv: list[str] | None = None) -> None:
     pc.add_argument("--warehouse", required=True)
     pc.add_argument("--output", default="schema_prod")
     pc.set_defaults(fn=run_compensation)
+
+    pe = sub.add_parser("explain", help="print the physical plan of a declared query")
+    pe.add_argument("query", help="query name from the declared surface (e.g. q01_pricing_summary)")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pe.add_argument("--mode", default="formatted", choices=["simple", "formatted", "extended", "cost"])
+    pe.set_defaults(fn=run_explain)
 
     args = p.parse_args(argv)
     args.fn(args)
