@@ -59,6 +59,8 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footer caches.
     QUERIES["q01_pricing_summary"].fn(spark, sf_dir).count()
 
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
     results: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
@@ -67,6 +69,7 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         results[name] = dt
         total += dt
+        unpersist_all()  # release operator-internal shingle caches
     print(
         json.dumps(
             {

@@ -92,16 +92,16 @@ def apply_compensation(
     (operator O23, SURVEY.md §7.3.4).
 
     Spark can't overwrite a path it is lazily reading, so this
-    materializes to a sibling temp path and swaps directories —
-    read-then-write safe. (On HDFS/S3 the swap would be a rename /
-    committed overwrite; this local-FS implementation mirrors it.)
+    materializes to a sibling temp path and swaps directories with a
+    backup-then-replace (see ``operators.upsert.swap_table_dir``) so a
+    mid-swap failure never loses the table.
     """
-    import shutil
     import uuid
+
+    from dataflow_python_etl_spark.operators.upsert import swap_table_dir
 
     tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
     df = spark.read.parquet(table_path)
     with_compensation(df, today=today).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(table_path)
-    shutil.move(tmp, table_path)
+    swap_table_dir(table_path, tmp)
     return spark.read.parquet(table_path)

@@ -29,6 +29,31 @@ from pyspark.sql import DataFrame, functions as F
 from dataflow_python_etl_spark.functions.text import shingles, tokens
 
 
+# Operator-internal caches (the exploded shingle streams). Spark can't
+# unpersist before the lazy result is consumed, so operators register
+# their caches here and callers (bench, long-lived services) reclaim
+# storage with unpersist_all() between queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_all() -> int:
+    """Release every cache registered by dedup operators; returns count."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the min-id row per duplicate group.
 
@@ -79,13 +104,18 @@ def ngram_jaccard_pairs(
     # The exploded stream feeds BOTH sides of the self-join; caching it
     # makes the (expensive, interpreted-HOF) shingle pipeline run once.
     # MEMORY_AND_DISK: spills instead of OOMing at scale.
-    sh = sh.persist()
-    # Set sizes come from a shuffle-free scan of the BASE table (one
-    # shingle evaluation per doc, no explode involved).
-    sizes = df.select(
-        F.col(id_col).alias("doc"),
-        F.size(F.array_distinct(shingles(text_col, n))).alias("sz"),
-    )
+    sh = _persist(sh)
+    if max_shingle_df is not None:
+        # Jaccard must be computed over the SAME (filtered) shingle
+        # sets as the intersection counts — deriving sizes from the
+        # unfiltered base table would understate every pair's score.
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        # Shuffle-free: one shingle evaluation per base row, no explode.
+        sizes = df.select(
+            F.col(id_col).alias("doc"),
+            F.size(F.array_distinct(shingles(text_col, n))).alias("sz"),
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -137,6 +167,13 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
     )
+    return _signature_from_shingles(sh, id_col, num_perm)
+
+
+def _signature_from_shingles(sh: DataFrame, id_col: str, num_perm: int) -> DataFrame:
+    """Shared signature aggregation over a (doc, shingle) stream — one
+    definition so the standalone API and the LSH pair path can't
+    desynchronize on the hashing scheme."""
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
@@ -169,19 +206,8 @@ def minhash_lsh_pairs(
     # One cached exploded shingle stream feeds ALL THREE phases
     # (signatures, verification join, set sizes) — the shingle
     # pipeline is the expensive part and runs exactly once.
-    sh = _doc_shingles(df, id_col, text_col, n).persist()
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sig = (
-        sh.groupBy("doc")
-        .agg(*mins)
-        .select(
-            F.col("doc").alias(id_col),
-            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
-        )
-    )
+    sh = _persist(_doc_shingles(df, id_col, text_col, n))
+    sig = _signature_from_shingles(sh, id_col, num_perm)
     bands = sig.select(
         F.col(id_col).alias("doc"),
         F.explode(

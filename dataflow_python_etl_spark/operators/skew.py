@@ -19,10 +19,24 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic per-row salt (hash of all columns, not rand(), so
-    retries/recomputations of a task produce identical rows)."""
+    """Per-row salt = hash(all columns) + row position.
+
+    The positional component (``monotonically_increasing_id``) matters
+    when the hot key's rows are byte-identical — the exact shape a
+    dedup-heavy pipeline sees — where a pure content hash would give
+    every duplicate the same salt and defeat the mitigation. Position
+    is stable for deterministic sources (same splits → same ids), so
+    task retries still produce identical rows; avoid rand(), which
+    breaks on recomputation.
+    """
+    # Position goes in as a hash INPUT (not added after) — summing two
+    # longs could overflow, which throws under ANSI mode.
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        salt_col,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
     )
 
 
@@ -58,9 +72,7 @@ def replicate_broadcast_join(
     is for dims too big to broadcast but small enough to replicate
     n_salts× across the shuffle.)
     """
-    salted_facts = facts.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
-    )
+    salted_facts = with_salt(facts, n_salts)
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -19,6 +19,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def swap_table_dir(table_path: str, new_path: str) -> None:
+    """Replace ``table_path`` with ``new_path`` without a window where
+    the table is gone: the old directory is renamed aside first, the
+    new one moved in, and only then is the backup deleted. If the move
+    fails mid-way the backup is restored, so a crash never leaves
+    readers with a missing table. (Local-FS implementation; on HDFS/S3
+    this maps to rename / committed overwrite.)
+    """
+    bak = f"{table_path}.__bak_{uuid.uuid4().hex[:8]}"
+    shutil.move(table_path, bak)
+    try:
+        shutil.move(new_path, table_path)
+    except BaseException:
+        shutil.move(bak, table_path)  # restore; table never lost
+        raise
+    shutil.rmtree(bak)
+
+
 def upsert_df(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
     """Rows of ``updates`` replace same-keyed rows of ``existing``;
     unmatched update rows are inserts. Column sets must match."""
@@ -37,6 +55,5 @@ def upsert_table(
     merged = upsert_df(existing, updates, key_cols)
     tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(table_path)
-    shutil.move(tmp, table_path)
+    swap_table_dir(table_path, tmp)
     return spark.read.parquet(table_path)
