@@ -89,3 +89,37 @@ def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint: str,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming CDC: upsert each micro-batch into a parquet table via
+    ``foreachBatch`` + the batch MERGE operator.
+
+    ``foreachBatch`` gives exactly-once-per-batch semantics through the
+    checkpoint (a replayed batch re-applies the same upsert, which is
+    idempotent by key), and reuses ALL batch operators — the streaming
+    twin of the reference's truncate-reload sink, but incremental.
+    """
+    from dataflow_python_etl_spark.operators.upsert import upsert_table
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        deduped = batch_df.dropDuplicates(key_cols)
+        if not os.path.exists(table_path):
+            deduped.write.parquet(table_path)
+        else:
+            upsert_table(spark, table_path, deduped, key_cols)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -93,3 +93,40 @@ def test_stateful_running_stats(spark, event_drop):
         .collect()
     }
     assert got == want
+
+
+def test_stream_upsert_to_table(spark, tmp_path):
+    """foreachBatch CDC: later micro-batches overwrite same-keyed rows."""
+    import os
+
+    from dataflow_python_etl_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        read_event_stream,
+        stream_upsert_to_table,
+    )
+
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "state_table")
+    ckpt = str(tmp_path / "ckpt")
+    ev = read_table(spark, SF_DIR, "events")
+    # batch 1: original rows for users; batch 2 (same keys): bumped values
+    ev.limit(200).write.parquet(src)
+    q = stream_upsert_to_table(
+        read_event_stream(spark, src), table, ["event_id"], ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(table).count()
+    assert n1 == 200
+
+    from pyspark.sql import functions as F
+
+    ev.limit(50).withColumn("value", F.lit(-1.0)).write.mode("append").parquet(src)
+    q = stream_upsert_to_table(
+        read_event_stream(spark, src), table, ["event_id"], ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(table)
+    assert out.count() == 200  # upsert, not append
+    assert out.where(F.col("value") == -1.0).count() == 50
