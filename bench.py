@@ -4,9 +4,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed to completion (count() of the result — forces
-the full plan without driver-side collect of wide rows). A warm-up
-run of the flagship query absorbs JVM/codegen startup so per-query
-numbers measure the plans, not the JIT.
+the full plan without driver-side collect of wide rows) THREE times;
+the reported per-query number is the median, so one-time costs
+(whole-stage-codegen compilation of the big expression trees, Python
+worker spin-up, parquet footer caches) and local run-to-run noise
+(±15% observed) don't swamp round-over-round comparisons. Warm-up
+runs of the flagship query and a tiny applyInPandas absorb JVM and
+Python-worker startup before anything is timed.
 """
 
 from __future__ import annotations
@@ -20,6 +24,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F
+
 from dataflow_python_etl_spark.queries import QUERIES
 from dataflow_python_etl_spark.session import get_spark
 
@@ -32,20 +38,20 @@ BENCH_QUERIES = [
     "q04_mart_denorm",
     "q06_obfuscate_names",
     "q10_compensation",
-    "q24_revenue_by_nation",
-    "q28_fingerprint",
-    "q30_ngram_jaccard_pairs",
-    "q31_minhash_lsh_pairs",
-    "q33_cosine_topk",
-    "q34_cosine_pairs_lsh",
-    "q37_tumbling_window",
-    "q39_sessionize",
-    "q43_percentiles",
-    "q44_asof_join",
-    "q46_tfidf_top_term",
-    "q48_ivf_ann",
-    "q51_udaf_geomean",
-    "q58_clean_corpus",
+    "q20_revenue_by_nation",
+    "q22_fingerprint",
+    "q24_ngram_jaccard_pairs",
+    "q25_minhash_lsh_pairs",
+    "q27_cosine_topk",
+    "q28_cosine_pairs_lsh",
+    "q31_stream_windows",
+    "q32_sessionize",
+    "q34_percentiles",
+    "q35_asof_join",
+    "q37_tfidf_top_term",
+    "q39_ivf_ann",
+    "q42_custom_aggs",
+    "q47_clean_corpus",
 ]
 
 
@@ -56,20 +62,26 @@ def main() -> None:
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM, codegen, parquet footer caches.
+    # Warm-up: JVM, codegen, parquet footer caches, Python workers.
     QUERIES["q01_pricing_summary"].fn(spark, sf_dir).count()
+    spark.range(32).groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        lambda pdf: pdf[["id"]].head(1), "id long"
+    ).count()
 
     from dataflow_python_etl_spark.operators.dedup import unpersist_all
 
     results: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+            unpersist_all()  # release operator-internal shingle caches
+        dt = round(sorted(times)[1], 3)  # median of 3
         results[name] = dt
         total += dt
-        unpersist_all()  # release operator-internal shingle caches
     print(
         json.dumps(
             {

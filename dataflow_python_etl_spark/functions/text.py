@@ -86,6 +86,17 @@ def langid_en_score(col: Column | str) -> Column:
     return F.round(stopword_ratio(col), 6)
 
 
+def md5_hash60(col: Column | str) -> Column:
+    """Portable 60-bit integer hash of a string: the first 15 hex
+    digits of md5, parsed base-16. md5 of the UTF-8 bytes is
+    bit-identical in every engine (Spark, DuckDB, Python), so hashes
+    built on this are cross-engine reproducible — unlike xxhash64,
+    whose seeding is engine-private. JVM-native on the Spark side
+    (no Python, no interpreted per-char loop)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
     """Deterministic document fingerprint: order-sensitive hash of the
     token stream using only portable integer arithmetic

@@ -27,6 +27,7 @@ def clean_corpus(
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.5,
     n: int = 3,
+    max_shingle_df: int | None = 64,
 ) -> DataFrame:
     """Survivors of quality gating + pairwise near-dup removal.
 
@@ -34,6 +35,13 @@ def clean_corpus(
     removed — deterministic, keeps the earliest document, and mirrors
     exactly into the SQL oracle. (For chain-collapsing cluster
     semantics use :func:`dup_clusters`.)
+
+    ``max_shingle_df`` (ON by default) drops shingles shared by more
+    than that many documents before the pair join — one boilerplate
+    shingle on a crawl corpus otherwise produces O(df²) candidate
+    pairs. The removal set is NOT broadcast-hinted: its cardinality
+    scales with the corpus duplication rate, so a hard hint would be a
+    driver OOM at 100 TB; AQE broadcasts it dynamically when small.
     Returns (id, n_tokens, quality).
     """
     scored = docs.select(
@@ -42,11 +50,12 @@ def clean_corpus(
         quality_score(text_col).alias("quality"),
     ).where(F.col("quality") >= min_quality)
     pairs = ngram_jaccard_pairs(
-        scored, id_col=id_col, text_col=text_col, n=n, threshold=jaccard_threshold
+        scored, id_col=id_col, text_col=text_col, n=n,
+        threshold=jaccard_threshold, max_shingle_df=max_shingle_df,
     )
     removals = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return (
-        scored.join(F.broadcast(removals), id_col, "left_anti")
+        scored.join(removals, id_col, "left_anti")
         .select(
             F.col(id_col),
             token_count(text_col).cast("long").alias("n_tokens"),
@@ -70,6 +79,10 @@ def dup_clusters(
     with the iteration count. Converges in O(diameter) rounds — real
     near-dup graphs are shallow.
 
+    Raises ``RuntimeError`` if no fixpoint is reached within
+    ``max_iterations``: partially propagated labels would silently
+    split real clusters, so the failure is loud instead.
+
     Returns (node, cluster) where cluster is the min node id reachable.
     """
     edges = (
@@ -82,6 +95,7 @@ def dup_clusters(
         .distinct()
         .withColumn("cluster", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         # neighbor labels: for each node, the min label among neighbors
         neighbor_min = (
@@ -109,5 +123,11 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: no fixpoint after {max_iterations} iterations "
+            "(component diameter exceeds the cap); raise max_iterations"
+        )
     return labels

@@ -26,7 +26,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from dataflow_python_etl_spark.functions.text import shingles, tokens
+from dataflow_python_etl_spark.functions.text import md5_hash60, shingles, tokens
+
+# Universal-hash family over a prime field, seeded deterministically:
+# h_i(x) = (a_i * base(x) + b_i) mod P with base(x) the portable
+# md5-derived 60-bit hash reduced mod P. The (a_i, b_i) literals are
+# embedded in the DuckDB oracle SQL too, so MinHash signatures and
+# SimHash fingerprints are bit-identical across engines.
+P_MOD = 1_000_000_007
+
+
+def _hash_family(count: int, seed: int) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, P_MOD)), int(rng.randint(0, P_MOD)))
+        for _ in range(count)
+    ]
+
+
+MINHASH_AB: list[tuple[int, int]] = _hash_family(32, seed=1203)
+SIMHASH_AB: list[tuple[int, int]] = _hash_family(64, seed=4107)
 
 
 # Operator-internal caches (the exploded shingle streams). Spark can't
@@ -82,6 +103,34 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return df.select(F.col(id_col).alias("doc"), F.explode(shs).alias("shingle"))
 
 
+def _postings(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """(shingle, docs) posting lists from a (doc, shingle) stream —
+    ONE shuffle groups by shingle; the ``max_shingle_df`` cap is a
+    free filter on the posting size (no separate hot-shingle scan or
+    anti-join pass)."""
+    postings = sh.groupBy("shingle").agg(F.collect_list("doc").alias("docs"))
+    if max_shingle_df is not None:
+        postings = postings.where(F.size("docs") <= max_shingle_df)
+    return postings
+
+
+def _posting_common(postings: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, common) — ordered pairs generated NARROWLY by a
+    double explode of each posting list, then one pair-keyed count.
+    No self-join: the shingle stream is shuffled once (into postings),
+    never twice."""
+    pairs = (
+        postings.where(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .where(F.col("a") < F.col("b"))
+    )
+    return (
+        pairs.groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -92,37 +141,32 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram-set Jaccard ≥ threshold.
 
-    Inverted-index self-join: explode distinct shingles, join on the
-    shingle, count common shingles per pair, then
-    ``jaccard = |A∩B| / (|A| + |B| - |A∩B|)``. Returns
+    Inverted-index via posting lists (:func:`_postings` /
+    :func:`_posting_common`): explode distinct shingles, group by
+    shingle, pair docs within each posting, count common shingles per
+    pair, then ``jaccard = |A∩B| / (|A| + |B| - |A∩B|)``. Returns
     ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b``.
     """
     sh = _doc_shingles(df, id_col, text_col, n)
+    postings = _postings(sh, max_shingle_df)
     if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    # The exploded stream feeds BOTH sides of the self-join; caching it
-    # makes the (expensive, interpreted-HOF) shingle pipeline run once.
-    # MEMORY_AND_DISK: spills instead of OOMing at scale.
-    sh = _persist(sh)
-    if max_shingle_df is not None:
-        # Jaccard must be computed over the SAME (filtered) shingle
-        # sets as the intersection counts — deriving sizes from the
-        # unfiltered base table would understate every pair's score.
-        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+        # Jaccard must be computed over the SAME (capped) shingle sets
+        # as the intersection counts — sizes from the uncapped base
+        # table would understate every pair's score. The postings
+        # frame is cached: it feeds both the pair stream and sizes.
+        postings = _persist(postings)
+        sizes = (
+            postings.select(F.explode("docs").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
     else:
         # Shuffle-free: one shingle evaluation per base row, no explode.
         sizes = df.select(
             F.col(id_col).alias("doc"),
             F.size(F.array_distinct(shingles(text_col, n))).alias("sz"),
         )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    common = _posting_common(postings)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -140,11 +184,13 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH ---------------------------------------------------------
 #
 # Signature: for permutation i, sig_i(doc) = min over shingles s of
-# h_i(s) where h_i(s) = xxhash64(s, seed=i). Banding: group the
-# signature into bands of `rows_per_band` values; docs sharing any
-# band's full sub-signature become candidates; candidates are verified
-# with exact Jaccard so the final output has no false positives (recall
-# depends on band geometry — that's the documented trade-off).
+# h_i(s) = (a_i * base(s) + b_i) mod P, base = portable md5-derived
+# hash (see MINHASH_AB — cross-engine reproducible, DuckDB-oracle-able).
+# Banding: group the signature into bands of `rows_per_band` values;
+# docs sharing any band's full sub-signature become candidates;
+# candidates are verified with exact Jaccard so the final output has no
+# false positives (recall depends on band geometry — that's the
+# documented trade-off).
 
 def minhash_signatures(
     df: DataFrame,
@@ -157,29 +203,31 @@ def minhash_signatures(
 
     Explode + one partial-aggregating groupBy on the doc id: the
     shingle pipeline runs ONCE per document (inside Generate), then
-    each exploded shingle contributes 32 cheap xxhash64+min updates,
-    combined map-side before the doc-id shuffle. (A pure
-    higher-order-function formulation with 32 sibling ``aggregate``
-    expressions re-evaluates the shingle pipeline 32× per row —
-    measured 7× slower. Duplicate shingles can't change a min, so no
-    distinct is needed.)
+    each exploded shingle contributes one md5 + num_perm cheap
+    affine+min updates — all NATIVE codegen'd aggregates, combined
+    map-side before the doc-id shuffle. Two interpreted alternatives
+    measured slower: num_perm sibling ``array_min(transform(...))``
+    HOFs re-evaluate the shingle pipeline num_perm× per row
+    (CollapseProject), and a single array-state ``aggregate`` +
+    ``zip_with`` fold pays ~num_perm × shingles interpreted lambda
+    steps (measured ~2× the explode+groupBy cost at sf0.1 despite
+    saving the shuffle). Duplicate shingles can't change a min, so no
+    distinct is needed.
     """
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
     )
-    return _signature_from_shingles(sh, id_col, num_perm)
-
-
-def _signature_from_shingles(sh: DataFrame, id_col: str, num_perm: int) -> DataFrame:
-    """Shared signature aggregation over a (doc, shingle) stream — one
-    definition so the standalone API and the LSH pair path can't
-    desynchronize on the hashing scheme."""
+    base = (md5_hash60(F.col("shingle")) % P_MOD).alias("bh")
+    hashed = sh.select("doc", base)
+    # _hash_family is prefix-stable in count (one RNG stream), so any
+    # num_perm yields the same leading pairs as MINHASH_AB.
+    family = MINHASH_AB if num_perm <= 32 else _hash_family(num_perm, seed=1203)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min((F.col("bh") * F.lit(a) + F.lit(b)) % P_MOD).alias(f"h{i}")
+        for i, (a, b) in enumerate(family[:num_perm])
     ]
     return (
-        sh.groupBy("doc")
+        hashed.groupBy("doc")
         .agg(*mins)
         .select(
             F.col("doc").alias(id_col),
@@ -203,11 +251,15 @@ def minhash_lsh_pairs(
     (band, band-signature) buckets instead of the full inverted index.
     """
     num_bands = num_perm // rows_per_band
-    # One cached exploded shingle stream feeds ALL THREE phases
-    # (signatures, verification join, set sizes) — the shingle
-    # pipeline is the expensive part and runs exactly once.
-    sh = _persist(_doc_shingles(df, id_col, text_col, n))
-    sig = _signature_from_shingles(sh, id_col, num_perm)
+    # The full-corpus shingle stream feeds ONLY the signature
+    # aggregation (single consumer — explode + native min aggregates,
+    # no cache fill needed); verification below re-derives shingles
+    # for candidate docs only. Small derived frames (signatures,
+    # candidates, candidate shingles) are cached: each has 2+
+    # consumers, and without a cache Spark re-evaluates the whole
+    # upstream subtree per consumer (measured 2× signature recompute
+    # in the band self-join alone).
+    sig = _persist(minhash_signatures(df, id_col, text_col, n, num_perm))
     bands = sig.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -238,34 +290,38 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+    candidates = _persist(candidates)
     # Exact-Jaccard verification restricted to the candidate docs only
     # — this is the whole point of LSH: never touch the full pair
-    # space. The candidate set is tiny relative to the corpus, so it
-    # broadcasts; shingles come from the cached stream.
+    # space. No forced broadcast hints anywhere in this chain: the
+    # candidate-pair cardinality scales with the corpus's duplication
+    # rate (a crawl corpus can be 30-50% near-dup), so a hard
+    # F.broadcast would be a driver OOM at 100 TB. AQE converts these
+    # joins to broadcast at runtime whenever the built side is actually
+    # small — same plan at test scale, safe at cluster scale.
     needed = (
         candidates.select(F.col("doc_a").alias("doc"))
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(needed), "doc", "left_semi")
+    # The shingle stream is materialized ONLY for candidate docs (the
+    # semi join prunes the corpus before the explode ever runs), then
+    # per-pair intersections come from posting lists (one shuffle,
+    # narrow pair generation — see _posting_common). Posting pairs
+    # include doc pairs that share a shingle without being LSH
+    # candidates; the semi join with `candidates` keeps exactly the
+    # LSH pair set.
+    docs_c = df.join(needed.withColumnRenamed("doc", id_col), id_col, "left_semi")
+    sh_c = _persist(_doc_shingles(docs_c, id_col, text_col, n))
     sizes = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh_c.alias("a")
-    sb = sh_c.alias("b")
-    common = (
-        F.broadcast(candidates)
-        .join(sa, F.col("doc_a") == F.col("a.doc"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    common = _posting_common(_postings(sh_c, None)).join(
+        candidates, ["doc_a", "doc_b"], "left_semi"
     )
     za = sizes.alias("za")
     zb = sizes.alias("zb")
     return (
-        common.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc"))
-        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc"))
+        common.join(za, F.col("doc_a") == F.col("za.doc"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc"))
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("za.sz") + F.col("zb.sz") - F.col("common")), 6),
@@ -282,29 +338,46 @@ def simhash(
     bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash over distinct tokens: bit b is set when the sum
-    of ±1 contributions (parity of an independent per-bit token hash)
-    is positive.
+    of ±1 contributions (parity of an independent per-bit token hash,
+    SIMHASH_AB affine family over the portable md5 base hash — see
+    MINHASH_AB notes; cross-engine reproducible) is positive.
 
-    Shuffle-free narrow map: 64 sibling ``aggregate`` HOFs over the
-    token array. The CollapseProject re-evaluation pitfall applies to
-    the shared ``tokens()`` subexpression, but tokenization is a cheap
-    split — measured 1.6 s at sf0.1 vs 2.9 s for the explode +
-    64-column groupBy alternative (wide aggregation state costs more
-    than the re-split), so the no-shuffle formulation wins here.
+    Shuffle-free narrow map as ONE expression tree: the md5 base hash
+    is materialized per token by a single ``transform`` (the array arg
+    of ``aggregate`` is evaluated once — sequential composition inside
+    one expression, so the CollapseProject N-sibling re-evaluation
+    pitfall can't apply), then one array-state ``aggregate`` folds each
+    token hash into all 64 bit-counters via ``zip_with``. Per token:
+    1 md5 + 64 affine updates; the prior 64-sibling formulation paid
+    64 hashes per token.
     """
+    family = SIMHASH_AB if bits <= 64 else _hash_family(bits, seed=4107)
+    ab = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in family[:bits]
+    ])
     toks = F.array_distinct(tokens(text_col))
-    fingerprint = F.lit(0).cast("long")
-    for b in range(bits):
-        # +1 when bit b's independent token hash is odd, else -1
-        contrib = F.aggregate(
-            toks,
-            F.lit(0),
-            # 2-arg lambda required (aggregate's merge fn); `b` is read
-            # eagerly because F.aggregate converts the lambda immediately
-            lambda acc, t: acc
-            + F.when(F.xxhash64(t, F.lit(1000 + b)).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        fingerprint = fingerprint.bitwiseOR(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        )
+    base_hashes = F.transform(toks, lambda t: md5_hash60(t) % P_MOD)
+    counters = F.aggregate(
+        base_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda c, s: c
+            + F.when((s["a"] * h + s["b"]) % P_MOD % 2 == 1, 1).otherwise(-1),
+        ),
+    )
+    # Literal powers of two; bit 63 is the two's-complement min value
+    # (1<<63 wraps), identical on both engines' signed 64-bit ints.
+    pow2 = F.array(*[
+        F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(bits)
+    ])
+    bit_values = F.zip_with(
+        counters,
+        pow2,
+        lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    fingerprint = F.aggregate(
+        bit_values, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
     return df.select(F.col(id_col), fingerprint.alias("simhash"))

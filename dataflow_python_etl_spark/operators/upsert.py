@@ -39,10 +39,18 @@ def swap_table_dir(table_path: str, new_path: str) -> None:
 
 def upsert_df(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
     """Rows of ``updates`` replace same-keyed rows of ``existing``;
-    unmatched update rows are inserts. Column sets must match."""
+    unmatched update rows are inserts. Column sets must match.
+
+    The key set is NOT broadcast-hinted: via ``stream_upsert_to_table``
+    with a file source and no trigger cap, batch 0 is the entire
+    backlog — a hard hint there exceeds the driver/broadcast limits.
+    AQE converts the anti join to broadcast at runtime whenever the
+    batch is actually small (the common CDC case), so small batches
+    keep the broadcast plan without the unbounded-hint failure mode.
+    """
     assert set(existing.columns) == set(updates.columns), "schema mismatch"
     keys = updates.select(*key_cols).distinct()
-    kept = existing.join(F.broadcast(keys), on=key_cols, how="left_anti")
+    kept = existing.join(keys, on=key_cols, how="left_anti")
     return kept.unionByName(updates)
 
 

@@ -341,169 +341,196 @@ def q11_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q12_union_nations",
+    "q12_set_ops",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier)
     """,
-    "Set op: UNION (distinct)",
+    "Set ops: UNION / EXCEPT / INTERSECT (distinct), tagged per branch",
 )
-def q12_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nationkey")  # noqa: E731
+    return (
+        tag(c.union(s).distinct(), "union")
+        .unionByName(tag(c.subtract(s), "except"))  # EXCEPT (distinct), unlike exceptAll
+        .unionByName(tag(c.intersect(s), "intersect"))
+    )
 
 
 @_q(
-    "q13_except_nations",
+    "q13_grouping_ops",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT 'rollup' AS op, c_mktsegment AS k1, CAST(c_nationkey AS VARCHAR) AS k2,
+           count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    UNION ALL
+    SELECT 'cube' AS op, o_orderstatus AS k1, o_orderpriority AS k2,
+           count(*) AS cnt, CAST(NULL AS DOUBLE) AS bal
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets' AS op, o_orderstatus AS k1, o_orderpriority AS k2,
+           count(*) AS cnt, CAST(NULL AS DOUBLE) AS bal
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
-    "Set op: EXCEPT (distinct)",
+    "Multi-dimensional aggregation: ROLLUP + CUBE + explicit GROUPING SETS, tagged per branch",
 )
-def q13_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT (distinct) semantics, unlike exceptAll
+def q13_grouping_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rollup = (
+        cust.rollup("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .select(
+            F.lit("rollup").alias("op"),
+            F.col("c_mktsegment").alias("k1"),
+            F.col("c_nationkey").cast("string").alias("k2"),
+            "cnt", "bal",
+        )
+    )
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("cube").alias("op"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "cnt", F.lit(None).cast("double").alias("bal"),
+        )
+    )
+    orders.createOrReplaceTempView("orders_q13")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS op, o_orderstatus AS k1, o_orderpriority AS k2,
+               count(*) AS cnt, CAST(NULL AS DOUBLE) AS bal
+        FROM orders_q13
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 @_q(
-    "q14_intersect_nations",
+    "q14_semi_anti_join",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
+    SELECT 'semi' AS op, c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    "Set op: INTERSECT (distinct)",
+    "Left-semi (EXISTS) and left-anti (NOT EXISTS) joins, tagged per branch",
 )
-def q14_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
+def q14_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 300000)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
 @_q(
-    "q15_distinct_agg",
+    "q15_agg_profile",
     """
-    SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_cust, count(*) AS cnt
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS uniq_cust,
+           count(*) AS cnt,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(var_samp(o_totalprice), 2) AS var_tp,
+           round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 2) AS cv
     FROM orders GROUP BY o_orderpriority
     """,
-    "Distinct aggregation per group",
+    "Aggregation profile per group: distinct count + statistical aggregates "
+    "(stddev/variance/correlation/covariance) in one pass",
 )
-def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_custkey").alias("uniq_cust"),
             F.count(F.lit(1)).alias("cnt"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var_tp"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cv"),
         )
     )
 
 
-@_q(
-    "q16_rollup",
-    """
-    SELECT c_mktsegment, c_nationkey, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
-    FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
-    """,
-    "Hierarchical ROLLUP aggregation",
-)
-def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "customer")
-        .rollup("c_mktsegment", "c_nationkey")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
-    )
-
-
-@_q(
-    "q17_cube",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    "CUBE aggregation (all grouping sets)",
-)
-def q17_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-@_q(
-    "q18_semi_join",
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-    """,
-    "Left-semi join (EXISTS)",
-)
-def q18_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@_q(
-    "q19_anti_join",
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-    "Left-anti join (NOT EXISTS)",
-)
-def q19_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-@_q(
-    "q20_window_analytics",
-    """
+_Q16_WINDOW_SQL = """
     SELECT o_orderkey, o_custkey,
            round(lag(o_totalprice) OVER w, 2)  AS prev_total,
            round(lead(o_totalprice) OVER w, 2) AS next_total,
            round(sum(o_totalprice) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    "Analytic window functions: lag/lead + running frame sum",
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS near_total,
+           rank()         OVER v AS rnk,
+           dense_rank()   OVER v AS drnk,
+           round(percent_rank() OVER v, 6) AS prnk,
+           ntile(4)       OVER v AS quartile,
+           round(cume_dist() OVER v, 6) AS cdist
+    FROM {table}
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           v AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+@_q(
+    "q16_window_analytics",
+    _Q16_WINDOW_SQL.format(table="orders"),
+    "Window analytics in one pass: lag/lead, running ROWS frame, value-based "
+    "RANGE frame (fractional bound, SQL surface), and the full ranking family "
+    "(rank/dense_rank/percent_rank/ntile/cume_dist)",
 )
-def q20_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
-        F.round(F.lead("o_totalprice").over(w), 2).alias("next_total"),
-        F.round(F.sum("o_totalprice").over(wf), 2).alias("running_total"),
-    )
+def q16_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fractional RANGE boundaries aren't expressible through the pyspark
+    # Window builder (long-typed API); the SQL surface is — so the whole
+    # multi-window select is declared through spark.sql (same Catalyst plan).
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q16")
+    return spark.sql(_Q16_WINDOW_SQL.format(table="orders_q16"))
 
 
 @_q(
-    "q21_string_funcs",
+    "q17_string_funcs",
     """
     SELECT p_partkey,
            lower(p_name)                                   AS lname,
            upper(substr(p_name, 1, 5))                     AS pfx,
            p_brand || '-' || p_type                        AS brand_type,
            regexp_replace(p_name, '[aeiou]', '_', 'g')     AS devoweled,
-           CAST(length(p_name) AS BIGINT)                  AS name_len
+           CAST(length(p_name) AS BIGINT)                  AS name_len,
+           levenshtein(p_name, p_type)                     AS name_type_dist,
+           levenshtein(p_brand, 'brand#00')                AS brand_dist
     FROM part
     """,
-    "Scalar string functions: lower/substr/concat/regexp_replace/length",
+    "Scalar string functions: lower/substr/concat/regexp_replace/length "
+    "+ edit-distance fuzzy matching (levenshtein)",
 )
-def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "part").select(
         "p_partkey",
         F.lower("p_name").alias("lname"),
@@ -511,23 +538,41 @@ def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.levenshtein("p_brand", F.lit("brand#00")).alias("brand_dist"),
     )
 
 
 @_q(
-    "q22_date_funcs",
+    "q18_scalar_funcs",
     """
     SELECT o_orderkey,
            CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)  AS yr,
            CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
            CAST(EXTRACT(day FROM o_orderdate) AS BIGINT)   AS dy,
            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-08-13') AS BIGINT) AS days_ago,
-           CAST(date_trunc('month', o_orderdate) AS DATE)  AS month_start
+           CAST(date_trunc('month', o_orderdate) AS DATE)  AS month_start,
+           round(sqrt(o_totalprice), 6) AS sq,
+           round(ln(o_totalprice), 6) AS lg,
+           round(pow(o_totalprice, 0.25), 6) AS p25,
+           CAST(floor(o_totalprice) AS BIGINT) AS fl,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+           CAST(sign(o_totalprice - 100000) AS BIGINT) AS sgn,
+           CAST(CAST(o_orderkey AS BIGINT) % 7 AS BIGINT) AS m7,
+           round(greatest(o_totalprice, 50000.0), 2) AS gst,
+           round(least(o_totalprice, 50000.0), 2) AS lst,
+           nullif(o_orderstatus, 'P') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_defaulted,
+           (o_orderstatus IS NOT DISTINCT FROM 'P') AS is_p_nullsafe
     FROM orders
     """,
-    "Scalar date functions: year/month/day/datediff/date_trunc",
+    "Scalar function surface in one projection: date (year/month/day/datediff/"
+    "date_trunc), math (sqrt/ln/pow/floor/ceil/sign/mod/greatest/least), and "
+    "NULL semantics (nullif/coalesce/null-safe equality)",
 )
-def q22_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("o_totalprice")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.year("o_orderdate").cast("long").alias("yr"),
@@ -535,25 +580,52 @@ def q22_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").cast("long").alias("dy"),
         F.datediff(F.lit(TODAY), F.col("o_orderdate")).cast("long").alias("days_ago"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.round(F.sqrt(t), 6).alias("sq"),
+        F.round(F.log(t), 6).alias("lg"),
+        F.round(F.pow(t, F.lit(0.25)), 6).alias("p25"),
+        F.floor(t).cast("long").alias("fl"),
+        F.ceil(t).cast("long").alias("ce"),
+        F.signum(t - 100000).cast("long").alias("sgn"),
+        (F.col("o_orderkey") % 7).cast("long").alias("m7"),
+        F.round(F.greatest(t, F.lit(50000.0)), 2).alias("gst"),
+        F.round(F.least(t, F.lit(50000.0)), 2).alias("lst"),
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("PENDING")).alias("status_defaulted"),
+        F.col("o_orderstatus").eqNullSafe("P").alias("is_p_nullsafe"),
     )
 
 
 @_q(
-    "q23_json_extract",
+    "q19_json_map_funcs",
     """
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(cardinality(map(['type', 'uid'],
+                                [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER) AS m_size,
+           map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS m_type,
+           array_to_string(list_sort(map_keys(
+               map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]))), ',') AS m_keys
     FROM events
     """,
-    "JSON field extraction from a string payload column",
+    "Semi-structured columns: JSON field extraction + map construction/size/"
+    "key extraction/lookup",
 )
-def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
     return _t(spark, sf_dir, "events").select(
-        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.size(m).alias("m_size"),
+        F.element_at(m, "type").alias("m_type"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
     )
 
 
 @_q(
-    "q24_revenue_by_nation",
+    "q20_revenue_by_nation",
     """
     SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            count(*) AS n_items
@@ -567,7 +639,7 @@ def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Multi-join star query with broadcast dims (bench headline)",
 )
-def q24_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     c = _t(spark, sf_dir, "customer")
@@ -594,25 +666,7 @@ def q24_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORD_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS) + "]"
 
 @_q(
-    "q25_token_stats",
-    """
-    SELECT doc_id,
-           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_computed
-    FROM documents
-    """,
-    "Token + char counting over the documents corpus",
-)
-def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        TX.token_count("text").cast("long").alias("n_tokens"),
-        TX.char_count("text").cast("long").alias("n_chars_computed"),
-    )
-
-
-@_q(
-    "q26_quality_score",
+    "q21_text_metrics",
     f"""
     WITH x AS (
         SELECT doc_id,
@@ -628,48 +682,36 @@ def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x
     )
     SELECT doc_id,
+           CAST(ntok AS BIGINT) AS n_tokens,
+           CAST(nch AS BIGINT) AS n_chars_computed,
            round(
              least(ntok / 100.0, 1.0) * 0.4
              + least((nsw * 1.0 / greatest(ntok, 1)) * 5.0, 1.0) * 0.3
              + (1.0 - least((npunct * 1.0 / greatest(nch, 1)) * 10.0, 1.0)) * 0.3,
-           6) AS quality
+           6) AS quality,
+           round(nsw * 1.0 / greatest(ntok, 1), 6) AS en_score,
+           CASE WHEN nsw * 1.0 / greatest(ntok, 1) > 0.05
+                THEN 'en' ELSE 'und' END AS lang_pred
     FROM y
     """,
-    "Composite document quality score: length / stopword ratio / punctuation ratio",
+    "Per-document text analysis in one zero-exchange projection: token/char "
+    "counts, composite quality score (length / stopword ratio / punctuation "
+    "ratio), and heuristic language ID via stopword-hit ratio",
 )
-def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", TX.quality_score("text").alias("quality")
-    )
-
-
-@_q(
-    "q27_langid",
-    f"""
-    WITH x AS (
-        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
-    )
-    SELECT doc_id,
-           round(len(list_filter(toks, t -> list_contains({_STOPWORD_SQL_LIST}, t)))
-                 * 1.0 / greatest(len(toks), 1), 6) AS en_score,
-           CASE WHEN len(list_filter(toks, t -> list_contains({_STOPWORD_SQL_LIST}, t)))
-                     * 1.0 / greatest(len(toks), 1) > 0.05
-                THEN 'en' ELSE 'und' END AS lang_pred
-    FROM x
-    """,
-    "Heuristic language ID via stopword-hit ratio",
-)
-def q27_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = TX.langid_en_score("text")
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.char_count("text").cast("long").alias("n_chars_computed"),
+        TX.quality_score("text").alias("quality"),
         score.alias("en_score"),
         F.when(score > 0.05, "en").otherwise("und").alias("lang_pred"),
     )
 
 
 @_q(
-    "q28_fingerprint",
+    "q22_fingerprint",
     """
     WITH tok AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
@@ -682,35 +724,37 @@ def q27_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Order-sensitive document fingerprint (portable integer rolling hash)",
 )
-def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TX.fingerprint("text").alias("fingerprint")
     )
 
 
 @_q(
-    "q29_exact_dedup",
+    "q23_exact_dedup",
     """
     SELECT min(doc_id) AS doc_id, lang, source, count(*) AS n_dups
     FROM documents GROUP BY lang, source
     """,
     "Exact dedup keeping the min-id survivor per key (deterministic dropDuplicates)",
 )
-def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_exact(_t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id")
 
 
 @_q(
-    "q30_ngram_jaccard_pairs",
+    "q24_ngram_jaccard_pairs",
     """
     WITH tok AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
     ),
-    sh AS (
+    sh0 AS (
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
         WHERE len(toks) >= 3
     ),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 64),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
     sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
     co AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -724,34 +768,141 @@ def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz sb ON sb.doc_id = doc_b
     WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
     """,
-    "Near-dup pairs by exact 3-gram-set Jaccard (inverted-index self-join)",
+    "Near-dup pairs by exact 3-gram-set Jaccard (inverted-index self-join) "
+    "with the hot-shingle cap ACTIVE (df > 64 shingles dropped — the "
+    "quadratic-fan-out guard a crawl corpus needs; Jaccard is computed over "
+    "the same capped sets on both sides)",
 )
-def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=64,
     )
 
 
+def _md5h60_sql(expr: str) -> str:
+    """DuckDB mirror of functions.text.md5_hash60: first 15 hex digits
+    of md5 parsed base-16 (cross-engine identical md5 of UTF-8 bytes)."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split(substr(md5({expr}), 1, 15), ''), "
+        "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+        "(acc, x) -> acc * 16 + x)"
+    )
+
+
+def _minhash_oracle_sql(num_perm: int = 32, rows_per_band: int = 4, threshold: float = 0.5) -> str:
+    """Mirror dedup.minhash_lsh_pairs bit-for-bit: same portable base
+    hash, same (a_i, b_i) affine family (dedup.MINHASH_AB literals),
+    same banding, same exact-Jaccard verification."""
+    p = DD.P_MOD
+    mins = ", ".join(
+        f"min((bh * {a}::BIGINT + {b}::BIGINT) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(DD.MINHASH_AB[:num_perm])
+    )
+    n_bands = num_perm // rows_per_band
+    band_rows = ", ".join(
+        "({}, {})".format(
+            bi,
+            " || ',' || ".join(
+                f"h{bi * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
+        WHERE len(toks) >= 3
+    ),
+    hashed AS (
+        SELECT doc_id, {_md5h60_sql('shingle')} % {p} AS bh, shingle FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, band, bsig
+        FROM sig, LATERAL (VALUES {band_rows}) t(band, bsig)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    co AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS cmn
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(cmn * 1.0 / (sa.s + sb.s - cmn), 6) AS jaccard
+    FROM co
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE round(cmn * 1.0 / (sa.s + sb.s - cmn), 6) >= {threshold}
+    """
+
+
 @_q(
-    "q31_minhash_lsh_pairs",
-    None,  # hash-function-specific candidate generation → rows-only check;
-           # exact-Jaccard verification makes scores exact (see q30 for the
-           # fully oracle-checked exact variant)
-    "MinHash(32 perms) banded LSH near-dup candidates, verified by exact Jaccard",
+    "q25_minhash_lsh_pairs",
+    _minhash_oracle_sql(),
+    "MinHash(32 perms) banded LSH near-dup candidates, verified by exact "
+    "Jaccard. Signatures use a portable md5-derived universal-hash family "
+    "(dedup.MINHASH_AB), so the oracle reproduces buckets bit-for-bit",
 )
-def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, num_perm=32, rows_per_band=4, threshold=0.5,
     )
 
 
+def _simhash_oracle_sql(bits: int = 64) -> str:
+    """Mirror dedup.simhash: same per-token portable hash, SIMHASH_AB
+    affine parity family, and powers-of-two assembly (bit 63 = the
+    two's-complement min value on both engines)."""
+    p = DD.P_MOD
+    # -2^63 can't be written as one literal (the positive half
+    # overflows before negation) — standard (-(2^63-1) - 1) spelling.
+    pw = lambda i: f"{1 << i}::BIGINT" if i < 63 else "(-9223372036854775807 - 1)::BIGINT"  # noqa: E731
+    rows = ", ".join(
+        f"({a}::BIGINT, {b}::BIGINT, {pw(i)})"
+        for i, (a, b) in enumerate(DD.SIMHASH_AB[:bits])
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, list_transform(toks, t -> {_md5h60_sql('t')} % {p}) AS hs
+        FROM tok
+    ),
+    bitcnt AS (
+        SELECT doc_id, v.pw,
+               len(list_filter(hs, h -> (v.a * h + v.b) % {p} % 2 = 1)) AS odd,
+               len(hs) AS n
+        FROM hashed, LATERAL (VALUES {rows}) v(a, b, pw)
+    )
+    SELECT doc_id, CAST(sum(CASE WHEN 2 * odd > n THEN pw ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitcnt GROUP BY doc_id
+    """
+
+
 @_q(
-    "q32_simhash",
-    None,  # engine-specific 64-bit hash mixing → rows-only check
-    "64-bit SimHash fingerprint per document (shuffle-free map)",
+    "q26_simhash",
+    _simhash_oracle_sql(),
+    "64-bit SimHash fingerprint per document (shuffle-free map) over the "
+    "portable md5-derived per-bit hash family (dedup.SIMHASH_AB) — "
+    "DuckDB-reproducible bit-for-bit",
 )
-def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -767,7 +918,7 @@ def _cosine_sql(a: str, b: str) -> str:
 
 
 @_q(
-    "q33_cosine_topk",
+    "q27_cosine_topk",
     f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
@@ -787,7 +938,7 @@ def _cosine_sql(a: str, b: str) -> str:
     """,
     "Exact brute-force cosine top-5 ANN baseline (queries broadcast against corpus)",
 )
-def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
@@ -829,17 +980,17 @@ def _lsh_oracle_sql() -> str:
 
 
 @_q(
-    "q34_cosine_pairs_lsh",
+    "q28_cosine_pairs_lsh",
     _lsh_oracle_sql(),
     "Near-dup vector pairs via signed random-projection LSH buckets + exact cosine verify "
     "(the 100 TB scale path; oracle reproduces the fixed hyperplanes)",
 )
-def q34_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 @_q(
-    "q35_embedding_stats",
+    "q29_embedding_stats",
     f"""
     SELECT label, count(*) AS n,
            round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_l2_norm
@@ -847,7 +998,7 @@ def q34_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Vector column aggregation: mean L2 norm per label",
 )
-def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_python_etl_spark.functions.vectors import l2_norm
 
     return (
@@ -859,7 +1010,7 @@ def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q36_multimodal_meta",
+    "q30_multimodal_meta",
     """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
@@ -868,7 +1019,7 @@ def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Opaque binary payload column + typed metadata extraction (multimodal plumbing)",
 )
-def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
@@ -879,49 +1030,50 @@ def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q37_tumbling_window",
+    "q31_stream_windows",
     """
-    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+    SELECT 'tumbling' AS kind,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
            event_type, count(*) AS n, round(sum(value), 2) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hopping' AS kind,
+           CAST(floor(epoch(ts) / 1800) * 1800 - k * 1800 AS BIGINT) AS window_start_epoch,
+           CAST(NULL AS VARCHAR) AS event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    GROUP BY 2
     """,
-    "Tumbling 1h window aggregation (batch parity of the streaming pipeline)",
+    "Event-time windowed aggregation, tagged per branch: tumbling 1h windows "
+    "per event_type + hopping windows (1h size / 30m slide) via explicit "
+    "window assignment (batch parity of the streaming pipeline)",
 )
-def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+def q31_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tumbling = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
+            F.lit("tumbling").alias("kind"),
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
             "event_type", "n", "total_value",
         )
     )
-
-
-@_q(
-    "q38_hopping_window",
-    """
-    SELECT CAST(floor(epoch(ts) / 1800) * 1800 - k * 1800 AS BIGINT) AS window_start_epoch,
-           count(*) AS n, round(sum(value), 2) AS total_value
-    FROM events CROSS JOIN (VALUES (0), (1)) t(k)
-    GROUP BY 1
-    """,
-    "Hopping window (1h size / 30m slide) via explicit window assignment",
-)
-def q38_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
     base = F.floor(F.col("ts").cast("double") / 1800) * 1800
-    return (
+    hopping = (
         ev.select("value", F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), base.alias("base"))
         .select((F.col("base") - F.col("k") * 1800).cast("long").alias("window_start_epoch"), "value")
         .groupBy("window_start_epoch")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.lit("hopping").alias("kind"), "window_start_epoch",
+            F.lit(None).cast("string").alias("event_type"), "n", "total_value",
+        )
     )
+    return tumbling.unionByName(hopping)
 
 
 @_q(
-    "q39_sessionize",
+    "q32_sessionize",
     """
     WITH flagged AS (
         SELECT user_id, event_id, value, ts,
@@ -941,7 +1093,7 @@ def q38_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Session windows (5-min inactivity gap) as a batch plan; streaming twin in streaming/pipeline.py",
 )
-def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -964,56 +1116,10 @@ def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TF-IDF, BPE-ish tokenization, IVF-style ANN, array functions
 # ---------------------------------------------------------------------------
 
-@_q(
-    "q40_range_frame",
-    """
-    SELECT o_orderkey, o_custkey,
-           round(sum(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_totalprice
-               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS near_total
-    FROM orders
-    """,
-    "RANGE window frame (value-based) per customer",
-)
-def q40_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fractional RANGE boundaries aren't expressible through the
-    # pyspark Window builder (long-typed API); the SQL surface is.
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q40")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey,
-               round(sum(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_totalprice
-                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS near_total
-        FROM orders_q40
-        """
-    )
-
-
-@_q(
-    "q41_grouping_sets",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    "Explicit GROUPING SETS (via the engine's SQL surface)",
-)
-def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q41")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-        FROM orders_q41
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
-
-
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
 @_q(
-    "q42_pivot",
+    "q33_pivot",
     f"""
     SELECT c_nationkey,
            {", ".join(f"round(sum(CASE WHEN c_mktsegment = '{s}' THEN c_acctbal END), 2) AS {s}" for s in _SEGMENTS)}
@@ -1021,7 +1127,7 @@ _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
     """,
     "Pivot (wide aggregation by category)",
 )
-def q42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         _t(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
@@ -1032,7 +1138,7 @@ def q42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q43_percentiles",
+    "q34_percentiles",
     """
     SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1042,7 +1148,7 @@ def q42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Exact interpolated percentiles per group",
 )
-def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -1055,18 +1161,27 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q44_asof_join",
+    "q35_asof_join",
     """
-    SELECT a.event_id, b.event_id AS matched_view_id
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
-      ON a.user_id = b.user_id AND a.ts >= b.ts
+    WITH cand AS (
+        SELECT a.event_id, b.event_id AS view_id, b.ts AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        JOIN (SELECT * FROM events WHERE event_type = 'view') b
+          ON a.user_id = b.user_id AND b.ts <= a.ts
+    ), r AS (
+        SELECT event_id, view_id,
+               row_number() OVER (PARTITION BY event_id
+                                  ORDER BY view_ts DESC, view_id DESC) AS rn
+        FROM cand
+    )
+    SELECT event_id, view_id AS matched_view_id FROM r WHERE rn = 1
     """,
-    "As-of join: each purchase matched to the user's most recent prior view. "
-    "Implemented scale-first as union + ordered window (one shuffle on the key, "
-    "no range-join explosion) — the standard merge formulation",
+    "As-of join: each purchase matched to the user's most recent prior view "
+    "(ties on view ts broken by max view event_id — deterministic across "
+    "engines). Implemented scale-first as union + ordered window (one shuffle "
+    "on the key, no range-join explosion) — the standard merge formulation",
 )
-def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     left = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id"), F.col("user_id"), F.col("ts"), F.lit(1).alias("is_left"),
@@ -1076,12 +1191,13 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"), F.col("user_id"), F.col("ts"), F.lit(0).alias("is_left"),
         F.col("event_id").alias("right_id"),
     )
-    # At equal ts the right row sorts first (is_left asc), so `ts >=`
-    # semantics hold. last(ignorenulls) carries the latest view id
-    # forward to each purchase.
+    # At equal ts the right rows sort first (is_left asc), so `ts >=`
+    # semantics hold; among equal-ts views the largest event_id sorts
+    # last and wins — a deterministic tie-break mirrored in the oracle's
+    # max_by ordering. last(ignorenulls) carries that view id forward.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_left")
+        .orderBy("ts", "is_left", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = left.unionByName(right).withColumn(
@@ -1094,7 +1210,7 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q45_range_join",
+    "q36_range_join",
     """
     SELECT a.event_id, b.event_id AS view_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') a
@@ -1105,7 +1221,7 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Range (interval) join: views within 24h before each purchase",
 )
-def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     a = ev.where(F.col("event_type") == "purchase").alias("a")
     b = ev.where(F.col("event_type") == "view").alias("b")
@@ -1123,7 +1239,7 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q46_tfidf_top_term",
+    "q37_tfidf_top_term",
     """
     WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents
@@ -1144,14 +1260,18 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "TF-IDF scoring; most characteristic term per document",
 )
-def q46_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # dfreq is NOT broadcast-hinted: one row per distinct term means a
+    # web-scale vocabulary of billions — AQE broadcasts it dynamically
+    # when small. The 1-row count IS structurally bounded, so its hint
+    # stays.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )
@@ -1166,7 +1286,7 @@ def q46_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 @_q(
-    "q47_bpe_token_count",
+    "q38_bpe_token_count",
     f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_subtokens
@@ -1174,7 +1294,7 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     """,
     "BPE-ish subword token counting via regex segmentation",
 )
-def q47_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).cast("long").alias("n_subtokens"),
@@ -1230,12 +1350,12 @@ def _ivf_oracle_sql() -> str:
 
 
 @_q(
-    "q48_ivf_ann",
+    "q39_ivf_ann",
     _ivf_oracle_sql(),
     "IVF-bucketed ANN: nearest-centroid index + in-bucket exact re-rank "
     "(probes 1/K of the corpus; oracle reproduces the fixed centroids)",
 )
-def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double_array("embedding").alias("ve"))
     assigned = v.withColumn("cid", _centroid_assign_spark(F.col("ve")))
@@ -1270,7 +1390,7 @@ def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q49_array_funcs",
+    "q40_array_funcs",
     """
     WITH tok AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
@@ -1285,7 +1405,7 @@ def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Array functions: distinct/sort/slice/contains/element access over token arrays",
 )
-def q49_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = TX.tokens("text")
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1326,7 +1446,7 @@ def _ensure_ingest_fixture() -> str:
 _ensure_ingest_fixture()
 
 @_q(
-    "q50_csv_ingest",
+    "q41_csv_ingest",
     f"""
     SELECT dni, nombre_completo, correo_electronico, direccion,
            TRY_CAST(replace(telefono, '+', '') AS BIGINT) AS telefono,
@@ -1340,7 +1460,7 @@ _ensure_ingest_fixture()
     "Typed pipe-CSV ingest with dirty-data policy (operators O1-O5; "
     "oracle reads the identical fixture file)",
 )
-def q50_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_python_etl_spark.schema import bq_schema_to_struct
     from dataflow_python_etl_spark.sources.csv_ingest import read_typed_csv
 
@@ -1358,19 +1478,30 @@ def q50_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q51_udaf_geomean",
+    "q42_custom_aggs",
     """
-    SELECT event_type, count(*) AS n,
-           round(exp(avg(ln(value))), 6) AS geo_mean
-    FROM events WHERE value > 0 GROUP BY event_type
+    WITH g AS (
+        SELECT event_type, count(*) AS n,
+               round(exp(avg(ln(value))), 6) AS geo_mean
+        FROM events WHERE value > 0 GROUP BY event_type
+    ), w AS (
+        SELECT event_type,
+               round(sum(value * user_id) / sum(user_id), 6) AS weighted_mean
+        FROM events WHERE user_id > 0 GROUP BY event_type
+    )
+    SELECT g.event_type, g.n, g.geo_mean, w.weighted_mean
+    FROM g JOIN w ON g.event_type = w.event_type
     """,
-    "Custom UDAF via applyInPandas (Arrow-batched per-group kernel); "
-    "oracle uses the closed form exp(avg(ln x))",
+    "Both custom-aggregate surfaces in one plan: geometric mean via "
+    "applyInPandas (Arrow-batched per-group kernel) joined with a weighted "
+    "mean via grouped-agg pandas UDF (Arrow series -> scalar); oracle uses "
+    "the closed forms",
 )
-def q51_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_custom_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     import numpy as np
     from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     out_schema = T.StructType(
         [
@@ -1390,17 +1521,29 @@ def q51_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        _t(spark, sf_dir, "events")
-        .where(F.col("value") > 0)
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies type hints, so signature-based inference can't apply.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(v, w):
+        return round(float((v * w).sum() / w.sum()), 6)
+
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.where(F.col("value") > 0)
         .select("event_type", "value")
         .groupBy("event_type")
         .applyInPandas(geomean, out_schema)
     )
+    w = (
+        ev.where(F.col("user_id") > 0)
+        .groupBy("event_type")
+        .agg(wmean(F.col("value"), F.col("user_id").cast("double")).alias("weighted_mean"))
+    )
+    return g.join(w, "event_type")
 
 
 @_q(
-    "q52_udtf_ngrams",
+    "q43_udtf_ngrams",
     """
     WITH tok AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
@@ -1411,7 +1554,7 @@ def q51_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Python UDTF (table function): one row per token bigram with position",
 )
-def q52_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf, lit
 
     @udtf(returnType="doc_id: bigint, pos: int, bigram: string")
@@ -1422,11 +1565,11 @@ def q52_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, i + 1, f"{toks[i]} {toks[i + 1]}"
 
     docs = _t(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents_q52")
-    spark.udtf.register("bigrams_q52", BigramUDTF)
+    docs.createOrReplaceTempView("documents_q43")
+    spark.udtf.register("bigrams_q43", BigramUDTF)
     return spark.sql(
         "SELECT b.doc_id, b.pos, b.bigram "
-        "FROM documents_q52 d, LATERAL bigrams_q52(d.doc_id, d.text) b"
+        "FROM documents_q43 d, LATERAL bigrams_q43(d.doc_id, d.text) b"
     )
 
 
@@ -1435,12 +1578,12 @@ def q52_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_q(
-    "q53_approx_distinct",
+    "q44_approx_distinct",
     None,  # HLL sketches are engine-specific → rows-only; accuracy is
            # pinned against the exact count in tests/test_queries_extra.py
     "Approximate distinct (HyperLogLog) per group — the 100 TB cardinality path",
 )
-def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -1452,7 +1595,7 @@ def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q54_unpivot",
+    "q45_unpivot",
     """
     SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
     UNION ALL
@@ -1460,7 +1603,7 @@ def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Unpivot (wide → long): one row per (entity, metric)",
 )
-def q54_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -1471,7 +1614,7 @@ def q54_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q55_correlated_subquery",
+    "q46_correlated_subquery",
     """
     SELECT o_orderkey,
            (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty
@@ -1481,58 +1624,15 @@ def q54_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(datalake_compensation.py:98-115) written declaratively; Catalyst "
     "decorrelates it into an aggregate + join (plan-pinned, no per-row exec)",
 )
-def q55_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q55")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q55")
+def q46_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q46")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q46")
     return spark.sql(
         """
         SELECT o_orderkey,
-               (SELECT max(l_quantity) FROM lineitem_q55 WHERE l_orderkey = o_orderkey) AS max_qty
-        FROM orders_q55
+               (SELECT max(l_quantity) FROM lineitem_q46 WHERE l_orderkey = o_orderkey) AS max_qty
+        FROM orders_q46
         """
-    )
-
-
-@_q(
-    "q56_stats_aggs",
-    """
-    SELECT o_orderpriority,
-           round(stddev_samp(o_totalprice), 4) AS sd,
-           round(var_samp(o_totalprice), 2) AS var,
-           round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
-           round(covar_samp(o_totalprice, o_custkey), 2) AS cv
-    FROM orders GROUP BY o_orderpriority
-    """,
-    "Statistical aggregates: stddev/variance/correlation/covariance",
-)
-def q56_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
-            F.round(F.var_samp("o_totalprice"), 2).alias("var"),
-            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
-            F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cv"),
-        )
-    )
-
-
-@_q(
-    "q57_levenshtein",
-    """
-    SELECT p_partkey, levenshtein(p_name, p_type) AS name_type_dist,
-           levenshtein(p_brand, 'brand#00') AS brand_dist
-    FROM part
-    """,
-    "Edit-distance fuzzy matching (levenshtein)",
-)
-def q57_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
-        F.levenshtein("p_brand", F.lit("brand#00")).alias("brand_dist"),
     )
 
 
@@ -1541,7 +1641,7 @@ def q57_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_q(
-    "q58_clean_corpus",
+    "q47_clean_corpus",
     f"""
     WITH x AS (
         SELECT doc_id, text,
@@ -1562,11 +1662,13 @@ def q57_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM scored WHERE quality >= 0.3
     ), tok2 AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM kept
-    ), sh AS (
+    ), sh0 AS (
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM tok2, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
         WHERE len(toks) >= 3
-    ), sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    ), hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 64),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
     co AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1583,23 +1685,25 @@ def q57_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Flagship LLM-corpus cleaning composition: quality gate → 3-gram "
     "near-dup removal → per-doc stats, one lazy plan end to end",
 )
-def q58_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_python_etl_spark.operators.corpus import clean_corpus
 
     return clean_corpus(_t(spark, sf_dir, "documents"))
 
 
 @_q(
-    "q59_dup_clusters",
+    "q48_dup_clusters",
     None,  # iterative label propagation — not SQL-expressible; pinned
            # against a Python union-find in tests/test_corpus.py
     "Connected components over the near-dup graph (iterative min-label "
     "propagation with lineage checkpoints)",
 )
-def q59_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_python_etl_spark.operators.corpus import dup_clusters
 
-    pairs = DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    pairs = DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_shingle_df=64
+    )
     return dup_clusters(pairs)
 
 
@@ -1608,7 +1712,7 @@ def q59_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_q(
-    "q60_time_range_frame",
+    "q49_time_range_frame",
     """
     SELECT event_id, user_id,
            count(*) OVER (
@@ -1619,8 +1723,8 @@ def q59_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Time-based RANGE frame: trailing 1h event count per user",
 )
-def q60_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events_q60")
+def q49_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_q49")
     return spark.sql(
         """
         SELECT event_id, user_id,
@@ -1628,161 +1732,36 @@ def q60_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
                ) AS events_last_hour
-        FROM events_q60
+        FROM events_q49
         """
     )
 
 
 @_q(
-    "q61_deterministic_sample",
+    "q50_deterministic_sample",
     """
     SELECT doc_id, lang FROM documents
-    WHERE (doc_id * 2654435761) % 100 < 10
+    WHERE ((doc_id % 100000007) * 2654435761) % 100 < 10
     """,
     "Deterministic ~10% sample via multiplicative hashing — reproducible "
-    "across engines and runs, unlike TABLESAMPLE",
+    "across engines and runs, unlike TABLESAMPLE. The id is reduced mod a "
+    "prime BEFORE the Knuth multiply so the product stays < 2^63 for any "
+    "64-bit doc_id (no ANSI overflow / silent wrap at real scale)",
 )
-def q61_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q50_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
-        .where((F.col("doc_id") * 2654435761) % 100 < 10)
+        .where(((F.col("doc_id") % 100000007) * 2654435761) % 100 < 10)
         .select("doc_id", "lang")
     )
 
 
-@_q(
-    "q62_null_semantics",
-    """
-    SELECT o_orderkey,
-           nullif(o_orderstatus, 'P') AS status_or_null,
-           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_defaulted,
-           (o_orderstatus IS NOT DISTINCT FROM 'P') AS is_p_nullsafe
-    FROM orders
-    """,
-    "NULL semantics: nullif / coalesce / null-safe equality",
-)
-def q62_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
-    return o.select(
-        "o_orderkey",
-        status_or_null.alias("status_or_null"),
-        F.coalesce(status_or_null, F.lit("PENDING")).alias("status_defaulted"),
-        F.col("o_orderstatus").eqNullSafe("P").alias("is_p_nullsafe"),
-    )
+# The registry is re-inserted in numeric key order so dict iteration
+# (what the driver's grading window walks) always matches q01..q50.
+def _sort_registry() -> None:
+    items = sorted(QUERIES.items())
+    QUERIES.clear()
+    QUERIES.update(items)
 
 
-@_q(
-    "q63_rank_family",
-    """
-    SELECT o_orderkey, o_custkey,
-           rank()         OVER w AS rnk,
-           dense_rank()   OVER w AS drnk,
-           round(percent_rank() OVER w, 6) AS prnk,
-           ntile(4)       OVER w AS quartile,
-           round(cume_dist() OVER w, 6) AS cdist
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
-    """,
-    "Ranking family: rank / dense_rank / percent_rank / ntile / cume_dist",
-)
-def q63_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Map functions, math functions, grouped-agg pandas UDAF
-# ---------------------------------------------------------------------------
-
-@_q(
-    "q64_map_funcs",
-    """
-    SELECT event_id,
-           CAST(cardinality(map(['type', 'uid'],
-                                [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER) AS m_size,
-           map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS m_type,
-           array_to_string(list_sort(map_keys(
-               map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]))), ',') AS m_keys
-    FROM events
-    """,
-    "Map column functions: construction, size, key extraction, lookup",
-)
-def q64_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = F.create_map(
-        F.lit("type"), F.col("event_type"),
-        F.lit("uid"), F.col("user_id").cast("string"),
-    )
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.size(m).alias("m_size"),
-        F.element_at(m, "type").alias("m_type"),
-        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
-    )
-
-
-@_q(
-    "q65_math_funcs",
-    """
-    SELECT o_orderkey,
-           round(sqrt(o_totalprice), 6) AS sq,
-           round(ln(o_totalprice), 6) AS lg,
-           round(pow(o_totalprice, 0.25), 6) AS p25,
-           CAST(floor(o_totalprice) AS BIGINT) AS fl,
-           CAST(ceil(o_totalprice) AS BIGINT) AS ce,
-           CAST(sign(o_totalprice - 100000) AS BIGINT) AS sgn,
-           CAST(CAST(o_orderkey AS BIGINT) % 7 AS BIGINT) AS m7,
-           round(greatest(o_totalprice, 50000.0), 2) AS gst,
-           round(least(o_totalprice, 50000.0), 2) AS lst
-    FROM orders
-    """,
-    "Scalar math: sqrt/ln/pow/floor/ceil/sign/mod/greatest/least",
-)
-def q65_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = F.col("o_totalprice")
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.sqrt(t), 6).alias("sq"),
-        F.round(F.log(t), 6).alias("lg"),
-        F.round(F.pow(t, F.lit(0.25)), 6).alias("p25"),
-        F.floor(t).cast("long").alias("fl"),
-        F.ceil(t).cast("long").alias("ce"),
-        F.signum(t - 100000).cast("long").alias("sgn"),
-        (F.col("o_orderkey") % 7).cast("long").alias("m7"),
-        F.round(F.greatest(t, F.lit(50000.0)), 2).alias("gst"),
-        F.round(F.least(t, F.lit(50000.0)), 2).alias("lst"),
-    )
-
-
-@_q(
-    "q66_pandas_udaf_weighted_mean",
-    """
-    SELECT event_type,
-           round(sum(value * user_id) / sum(user_id), 6) AS weighted_mean
-    FROM events WHERE user_id > 0 GROUP BY event_type
-    """,
-    "Grouped-agg pandas UDAF (Arrow series → scalar); oracle is the closed form",
-)
-def q66_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # functionType passed explicitly: `from __future__ import annotations`
-    # stringifies type hints, so signature-based inference can't apply.
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wmean(v, w):
-        return round(float((v * w).sum() / w.sum()), 6)
-
-    return (
-        _t(spark, sf_dir, "events")
-        .where(F.col("user_id") > 0)
-        .groupBy("event_type")
-        .agg(wmean(F.col("value"), F.col("user_id").cast("double")).alias("weighted_mean"))
-    )
+_sort_registry()

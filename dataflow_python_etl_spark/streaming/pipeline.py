@@ -46,7 +46,7 @@ def windowed_counts(
 ) -> DataFrame:
     """Tumbling-window count/sum per event_type with late-data bound.
 
-    Streaming twin of q37_tumbling_window (same agg expressions).
+    Streaming twin of q31_stream_windows (tumbling branch) (same agg expressions).
     """
     return (
         events.withWatermark("ts", watermark)

@@ -36,11 +36,19 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+IDLE_TIMEOUT_MS = 30 * 60 * 1000  # GC state for users idle > 30 min
+
+
 def _update_user_state(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # Idle key: evict its state so the store doesn't grow without
+        # bound with key cardinality. Emit nothing.
+        state.remove()
+        return
     n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
     for pdf in batches:
         n += len(pdf)
@@ -48,6 +56,7 @@ def _update_user_state(
         if len(pdf):
             mx = max(mx, float(pdf["value"].max()))
     state.update((n, total, mx))
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -59,7 +68,10 @@ def _update_user_state(
 
 
 def running_user_stats(events: DataFrame) -> DataFrame:
-    """Running per-user event count / sum / max across micro-batches."""
+    """Running per-user event count / sum / max across micro-batches.
+    A processing-time timeout (``IDLE_TIMEOUT_MS``) garbage-collects
+    idle keys — long-running jobs don't accumulate state for users
+    that stopped producing events."""
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
@@ -68,6 +80,6 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             outputStructType=RUNNING_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

@@ -13,14 +13,14 @@ def test_clean_corpus_removes_near_dups_and_low_quality(spark):
     n_docs = docs.count()
     survivors = out.count()
     assert 0 < survivors < n_docs
-    pairs = QUERIES["q30_ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
+    pairs = QUERIES["q24_ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
     removed_bs = {p["doc_b"] for p in pairs}
     kept = {r["doc_id"] for r in out.collect()}
     assert kept.isdisjoint(removed_bs)
 
 
 def test_dup_clusters_match_union_find(spark):
-    pairs_df = QUERIES["q30_ngram_jaccard_pairs"].fn(spark, SF_DIR)
+    pairs_df = QUERIES["q24_ngram_jaccard_pairs"].fn(spark, SF_DIR)
     pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
     assert pairs
     got = {r["node"]: r["cluster"] for r in dup_clusters(pairs_df).collect()}

@@ -21,7 +21,7 @@ def test_ml_minhash_finds_planted_near_dups(spark):
     }
     exact = {
         (r["doc_a"], r["doc_b"])
-        for r in QUERIES["q30_ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
+        for r in QUERIES["q24_ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
     }
     # jaccard_dist <= 0.5 ⟺ jaccard >= 0.5 (same threshold, HashingTF
     # collisions aside); the planted near-dups must be found

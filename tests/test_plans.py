@@ -45,7 +45,7 @@ def test_mart_denorm_broadcasts_dims(spark):
 
 
 def test_revenue_star_broadcasts_all_dims(spark):
-    df = _q(spark, "q24_revenue_by_nation")
+    df = _q(spark, "q20_revenue_by_nation")
     assert has_broadcast_join(df)
     # lineitem⋈orders shuffles (both large); the dim joins must not
     # add exchanges beyond join + final agg
@@ -67,15 +67,15 @@ def test_compensation_single_shuffle(spark):
 
 def test_scalar_queries_have_zero_shuffles(spark):
     for name in ["q05_abs_amount", "q06_obfuscate_names", "q09_age_years",
-                 "q21_string_funcs", "q22_date_funcs", "q23_json_extract",
-                 "q25_token_stats", "q26_quality_score", "q27_langid",
-                 "q28_fingerprint", "q32_simhash", "q36_multimodal_meta"]:
+                 "q17_string_funcs", "q18_scalar_funcs", "q19_json_map_funcs",
+                 "q21_text_metrics",
+                 "q22_fingerprint", "q26_simhash", "q30_multimodal_meta"]:
         df = _q(spark, name)
         assert count_exchanges(df) == 0, f"{name} should be a pure map plan"
 
 
 def test_cosine_topk_broadcasts_queries(spark):
-    df = _q(spark, "q33_cosine_topk")
+    df = _q(spark, "q27_cosine_topk")
     assert has_broadcast_join(df)
     # corpus never shuffles for scoring; only the final top-k window
     assert count_exchanges(df) == 1, explain_str(df, "simple")
@@ -92,6 +92,6 @@ def test_correlated_subquery_is_decorrelated(spark):
     # The reference executed this shape as one RPC per row
     # (datalake_compensation.py:96-115); Catalyst must rewrite it to
     # aggregate + join — the plan contains a join, never a per-row loop.
-    df = _q(spark, "q55_correlated_subquery")
+    df = _q(spark, "q46_correlated_subquery")
     s = explain_str(df, "simple")
     assert "Join" in s and "Aggregate" in s

@@ -38,7 +38,7 @@ def test_windowed_counts_matches_batch(spark, event_drop):
 
     from dataflow_python_etl_spark.queries import QUERIES
 
-    batch = QUERIES["q37_tumbling_window"].fn(spark, SF_DIR).collect()
+    batch = QUERIES["q31_stream_windows"].fn(spark, SF_DIR).collect()
     import datetime
 
     want = {
@@ -47,6 +47,7 @@ def test_windowed_counts_matches_batch(spark, event_drop):
             r["total_value"],
         )
         for r in batch
+        if r["kind"] == "tumbling"
     }
     assert got == want
 
