@@ -72,12 +72,17 @@ def dup_clusters(
 ) -> DataFrame:
     """Connected components of the near-dup pair graph.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round, every node adopts the minimum label in its neighborhood;
-    stop at fixpoint. Each round is two shuffles (join + groupBy);
+    Min-label propagation with pointer jumping: every node starts
+    labeled with itself; each round, every node first adopts its
+    label's label (the pointer jump doubles the propagation distance,
+    so convergence is O(log diameter) rounds instead of O(diameter)),
+    then adopts the minimum label in its neighborhood.
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
-    with the iteration count. Converges in O(diameter) rounds — real
-    near-dup graphs are shallow.
+    with the iteration count; the symmetrized edge set is checkpointed
+    once so the (possibly expensive) upstream pair plan is never
+    re-evaluated per round. The convergence probe rides the same job
+    that materializes the round's checkpoint — one Spark job per
+    round, which is what dominates iterative latency in local mode.
 
     Raises ``RuntimeError`` if no fixpoint is reached within
     ``max_iterations``: partially propagated labels would silently
@@ -89,6 +94,7 @@ def dup_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -97,31 +103,45 @@ def dup_clusters(
     )
     converged = False
     for _ in range(max_iterations):
+        # pointer jump first, over the (checkpointed, node-sized)
+        # label table — cluster ids are node ids, so the self-join
+        # always finds a row; evaluating this side of the diamond
+        # twice only re-reads checkpoint blocks, never recomputes
+        # the expensive neighbor aggregation
+        jump = labels.select(
+            F.col("node").alias("pj_node"), F.col("cluster").alias("pj_cluster")
+        )
+        jumped = labels.join(jump, labels.cluster == jump.pj_node, "left").select(
+            "node",
+            F.col("cluster").alias("prev"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("pj_cluster"), F.col("cluster"))
+            ).alias("cluster"),
+        )
         # neighbor labels: for each node, the min label among neighbors
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(jumped, edges.dst == jumped.node)
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            jumped.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                "prev",
                 F.least(F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))).alias(
                     "cluster"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # single action per round: materializes the checkpoint AND
+        # answers "did anything change" from the carried prev column
+        # (prev is the round's starting label, so it catches changes
+        # from the jump as well as from propagation)
+        changed = new_labels.where(F.col("cluster") != F.col("prev")).limit(1).count()
+        labels = new_labels.select("node", "cluster")
         if changed == 0:
             converged = True
             break

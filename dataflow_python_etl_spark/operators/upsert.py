@@ -15,7 +15,7 @@ from __future__ import annotations
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -52,6 +52,140 @@ def upsert_df(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> D
     keys = updates.select(*key_cols).distinct()
     kept = existing.join(keys, on=key_cols, how="left_anti")
     return kept.unionByName(updates)
+
+
+def merge_df(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    *,
+    when_matched_update: dict[str, Column] | None = None,
+    when_matched_update_condition: Column | None = None,
+    when_matched_delete_condition: Column | None = None,
+    when_not_matched_insert: dict[str, Column] | None = None,
+    when_not_matched_insert_condition: Column | None = None,
+    fail_on_duplicate_source_keys: bool = True,
+) -> DataFrame:
+    """General MERGE (the Delta/Iceberg ``MERGE INTO`` clause family)
+    as a single full-outer-join recompute — the closed form of the
+    reference's per-row UPDATE loop (O23) when matched rows can also
+    be deleted and source-only rows conditionally inserted.
+
+    Clause semantics (evaluated per joined row, Delta clause order):
+
+    - matched + ``when_matched_delete_condition`` → row dropped
+    - matched + ``when_matched_update`` (gated by the optional update
+      condition) → target columns reassigned; unassigned columns keep
+      their target value
+    - matched otherwise → target row kept unchanged
+    - source-only + ``when_not_matched_insert`` (gated by the optional
+      insert condition) → row built from the assignment map
+    - source-only otherwise → dropped
+    - target-only → kept unchanged
+
+    Conditions and assignment values are ``Column`` expressions over
+    the aliases ``t`` (target) and ``s`` (source), e.g.
+    ``F.col("s.v") > F.col("t.v")`` — the same referencing rule as
+    Delta's MERGE. Output schema = target schema.
+
+    Scale shape: exactly one shuffle (the full-outer join on the key;
+    AQE broadcasts the source side when it is small — no hard hint, so
+    an unbounded CDC backlog cannot OOM the driver). Duplicate source
+    keys would apply a nondeterministic one-of-N update, so by default
+    they fail loudly — distributed, via a window count + raise_error
+    on the same key partitioning the join needs (no extra driver
+    action, and Catalyst reuses the exchange).
+    """
+    if when_matched_update is None and when_matched_update_condition is not None:
+        raise ValueError("when_matched_update_condition requires when_matched_update")
+    if when_not_matched_insert is None and when_not_matched_insert_condition is not None:
+        raise ValueError("when_not_matched_insert_condition requires when_not_matched_insert")
+    if when_not_matched_insert is not None:
+        missing = set(target.columns) - set(when_not_matched_insert)
+        if missing:
+            raise ValueError(f"insert assignments missing target columns: {sorted(missing)}")
+
+    if fail_on_duplicate_source_keys:
+        from pyspark.sql import Window
+
+        n_dup = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        # the guard lives in a FILTER over the window output (a dead
+        # projected column would be pruned by Catalyst, silently
+        # removing the check)
+        source = (
+            source.withColumn("__n_dup", n_dup)
+            .where(
+                F.when(
+                    F.col("__n_dup") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("merge_df: multiple source rows for key ("),
+                            F.concat_ws(", ", *[F.col(k).cast("string") for k in key_cols]),
+                            F.lit(")"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .drop("__n_dup")
+        )
+
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.col("t.__t_present").isNotNull() & F.col("s.__s_present").isNotNull()
+    t_only = F.col("t.__t_present").isNotNull() & F.col("s.__s_present").isNull()
+    s_only = F.col("t.__t_present").isNull() & F.col("s.__s_present").isNotNull()
+
+    delete_hit = (
+        matched & when_matched_delete_condition
+        if when_matched_delete_condition is not None
+        else F.lit(False)
+    )
+    update_hit = F.lit(False)
+    if when_matched_update is not None:
+        update_hit = matched & ~delete_hit
+        if when_matched_update_condition is not None:
+            update_hit = update_hit & when_matched_update_condition
+    insert_hit = F.lit(False)
+    if when_not_matched_insert is not None:
+        insert_hit = s_only
+        if when_not_matched_insert_condition is not None:
+            insert_hit = insert_hit & when_not_matched_insert_condition
+
+    kept = joined.where(t_only | (matched & ~delete_hit) | insert_hit)
+    out_cols = []
+    for c in target.columns:
+        col = F.col(f"t.{c}")
+        if when_matched_update is not None and c in when_matched_update:
+            col = F.when(update_hit, when_matched_update[c]).otherwise(col)
+        if when_not_matched_insert is not None:
+            col = F.when(insert_hit, when_not_matched_insert[c]).otherwise(col)
+        out_cols.append(col.alias(c))
+    return kept.select(*out_cols)
+
+
+def merge_table(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    **clauses,
+) -> DataFrame:
+    """MERGE into a parquet table path with write-to-temp-and-swap
+    (same adapter shape as :func:`upsert_table`; on Delta/Iceberg the
+    body becomes a real transactional ``MERGE INTO`` and the swap
+    disappears — callers keep the same contract)."""
+    existing = spark.read.parquet(table_path)
+    merged = merge_df(existing, source, key_cols, **clauses)
+    tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    swap_table_dir(table_path, tmp)
+    return spark.read.parquet(table_path)
 
 
 def upsert_table(

@@ -32,11 +32,57 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-based event stream (one parquet/json drop per micro-batch).
     On a real deployment this would be a Kafka source; the
-    transformation chain below is source-agnostic."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    transformation chain below is source-agnostic.
+
+    ``max_files_per_trigger`` caps each micro-batch: without it, batch 0
+    of a recovery/backfill is the ENTIRE backlog in one batch — one
+    giant shuffle and (for the CDC sink) one giant upsert. Set it so a
+    batch's state delta fits executor memory at the deployed scale.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def rate_event_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    advance_ms_per_batch: int = 60_000,
+) -> DataFrame:
+    """Synthetic unbounded ``events``-shaped stream from the built-in
+    ``rate-micro-batch`` source — exercises the trigger/backpressure
+    path that a file source (whose batches are whatever files appear)
+    cannot: every trigger emits exactly ``rows_per_batch`` rows and
+    advances event time by ``advance_ms_per_batch``, so watermark
+    progression and state eviction happen deterministically.
+
+    The generated columns are pure JVM expressions over the source's
+    (timestamp, value) — no Python in the per-row path.
+    """
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", advance_ms_per_batch)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        F.pmod(F.col("value"), F.lit(100)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.pmod(F.col("value"), F.lit(3)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("value") * 37, F.lit(1000)) / 10.0).alias("value"),
+        F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+    )
 
 
 def windowed_counts(

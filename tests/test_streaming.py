@@ -70,6 +70,15 @@ def test_stateful_running_stats(spark, event_drop):
 
     from dataflow_python_etl_spark.streaming.stateful import running_user_stats
 
+    import time
+
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
     stream = read_event_stream(spark, event_drop)
     q = (
         running_user_stats(stream)
@@ -78,21 +87,22 @@ def test_stateful_running_stats(spark, event_drop):
         .outputMode("update")
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    # With ProcessingTimeTimeout the engine keeps scheduling no-data
+    # "cleaning up state" batches, so processAllAvailable() never
+    # quiesces — poll the sink until the expected totals appear.
     # memory sink in update mode appends each update; the LAST row per
     # user is the final state
-    got = {
-        r["user_id"]: (r["n_events"], r["total_value"])
-        for r in spark.table("running_stats").collect()
-    }
-    want = {
-        r["user_id"]: (r["n"], r["tv"])
-        for r in read_table(spark, SF_DIR, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
-        .collect()
-    }
+    got = {}
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table("running_stats").collect()
+        }
+        if got == want:
+            break
+        time.sleep(1)
+    q.stop()
     assert got == want
 
 
@@ -131,3 +141,41 @@ def test_stream_upsert_to_table(spark, tmp_path):
     out = spark.read.parquet(table)
     assert out.count() == 200  # upsert, not append
     assert out.where(F.col("value") == -1.0).count() == 50
+
+
+def test_rate_source_trigger_and_watermark(spark):
+    """e2e over the unbounded rate-micro-batch source: micro-batches
+    fire on the processing-time trigger, event time advances 1 min per
+    batch, and the watermarked tumbling agg emits finalized windows."""
+    import time
+
+    from dataflow_python_etl_spark.streaming.pipeline import rate_event_stream
+
+    events = rate_event_stream(spark, rows_per_batch=300, advance_ms_per_batch=60_000)
+    agg = windowed_counts(events, window="1 minute", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_win")
+        .outputMode("append")  # append emits only watermark-finalized windows
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("rate_win").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.table("rate_win").collect()
+        assert rows, "no finalized windows emitted from the rate source"
+        # each batch is one full 1-min window of 300 rows split across
+        # the 3 generated event types
+        by_window = {}
+        for r in rows:
+            by_window.setdefault(r["window_start"], 0)
+            by_window[r["window_start"]] += r["n"]
+        assert all(n == 300 for n in by_window.values()), by_window
+        p = q.lastProgress
+        assert p is not None and p["sources"][0]["numInputRows"] >= 0
+    finally:
+        q.stop()
