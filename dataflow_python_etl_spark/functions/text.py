@@ -114,3 +114,94 @@ def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
         ).cast("long"),
     )
     return (F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % mod).alias("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation functions for LLM training pipelines: PII scrubbing,
+# repetition (boilerplate) metrics, URL/domain handling. All pure JVM
+# expression trees — zero-exchange map plans, safe in the 100 TB hot
+# path, and regex/array semantics that a SQL oracle can mirror.
+# ---------------------------------------------------------------------------
+
+# Order matters: emails before bare digit-runs (an email can contain
+# digits); each pattern replaced by a typed placeholder so downstream
+# tokenization stays stable.
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"(?:\+?\d{1,2}[\s.-])?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}\b", "<PHONE>"),
+    (r"\b\d{13,19}\b", "<CCNUM>"),
+)
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Replace common PII shapes (emails, IPv4s, SSNs, phone numbers,
+    long card-like digit runs) with typed placeholders.
+
+    A chained ``regexp_replace`` expression tree: runs inside
+    whole-stage codegen, no Python in the per-row path. This is the
+    regex tier of PII removal — a production pipeline layers an NER
+    model on top for names/addresses; the regex tier does the
+    high-precision structured shapes and is the part that must run on
+    every byte of a 100 TB corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in _PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def _lines(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+
+
+def dup_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line (Gopher-style repetition signal: boilerplate navigation,
+    scraped templates). 0.0 for documents with <2 lines."""
+    lines = _lines(col)
+    n = F.size(lines)
+    return F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(F.lit(0.0)), 6
+    )
+
+
+def dup_line_char_fraction(col: Column | str) -> Column:
+    """Fraction of characters living in duplicated lines — the
+    character-weighted twin of :func:`dup_line_fraction` (one short
+    repeated line matters less than a repeated paragraph)."""
+    lines = _lines(col)
+    chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    dchars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return F.round(
+        F.when(chars > 0, (chars - dchars) / chars).otherwise(F.lit(0.0)), 6
+    )
+
+
+def ellipsis_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines ending in an ellipsis — a Gopher
+    rule: truncated-preview boilerplate ('read more...')."""
+    lines = _lines(col)
+    n = F.size(lines)
+    ell = F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+    return F.round(F.when(n > 0, ell / n).otherwise(F.lit(0.0)), 6)
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """Symbols (#, …, bullet marks) per token — high values indicate
+    markup/boilerplate rather than prose (Gopher rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_sym = F.length(c) - F.length(F.regexp_replace(c, r"[#…•*>|]", ""))
+    n_tok = token_count(col)
+    return F.round(F.when(n_tok > 0, n_sym / n_tok).otherwise(F.lit(0.0)), 6)
+
+
+def url_domain(col: Column | str) -> Column:
+    """Registrable host of a URL (lowercased, port stripped) via the
+    JVM ``parse_url`` — for per-domain quotas, blocklists, and
+    provenance stats over crawl corpora."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.parse_url(c, F.lit("HOST")))

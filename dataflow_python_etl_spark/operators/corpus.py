@@ -151,3 +151,30 @@ def dup_clusters(
             "(component diameter exceeds the cap); raise max_iterations"
         )
     return labels
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_cols: list[str],
+) -> DataFrame:
+    """At most ``n`` rows per key — the per-domain quota step of
+    corpus curation (no single crawl domain may dominate the corpus).
+
+    Deterministic: survivors are the first ``n`` by ``order_cols``
+    (pass an id column last for a total order). One shuffle on the
+    key; Spark's WindowGroupLimit pushes the rank filter map-side, so
+    only ~n rows per key per input partition reach the exchange. A
+    pathologically hot key still lands on one reducer — if one domain
+    is a large fraction of the corpus, pre-thin it with
+    :func:`~dataflow_python_etl_spark.queries.q50_deterministic_sample`'s
+    hash-sampling shape before the quota."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -90,3 +90,102 @@ def extract_asset_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.select(id_col, "payload").mapInPandas(kernel, ASSET_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_payload(payload: bytes, width: int, height: int, real_decode: bool = False) -> bytes:
+    """Resize one image payload. ``real_decode=True`` is the
+    integration point for an actual codec (Pillow etc., not in this
+    environment); the default is a deterministic fake that samples the
+    payload bytes down/up to ``width*height`` — byte count and content
+    are reproducible, so tests can pin the batch contract."""
+    if real_decode:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; plug Pillow here"
+        )
+    target = width * height
+    n = len(payload)
+    if n == 0:
+        return b"\x00" * target
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas resize over binary payloads: one output row per
+    asset, fixed-size payload out. Partition-parallel, no shuffle —
+    at 100 TB the only knob that matters is input split size
+    (``spark.sql.files.maxPartitionBytes``) so each Arrow batch of
+    payloads fits executor memory."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "payload": [resize_payload(p, width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_ms: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame sampling as a fan-out mapInPandas: each binary
+    payload (a 'video') yields ``n_frames`` evenly spaced frame rows
+    (frame_idx, ts_ms, frame bytes). The generator shape — one input
+    batch to a LARGER output batch — is the part worth pinning: a real
+    ffmpeg kernel swaps in per chunk without touching the plan.
+
+    The fake 'decoder' slices the payload into ``n_frames`` equal
+    chunks; a zero-length payload yields no frames (mirrors a corrupt
+    video being skipped, and tests pin that rows can disappear)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for asset_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                step = max(n // n_frames, 1)
+                for k in range(min(n_frames, n)):
+                    ids.append(int(asset_id))
+                    idxs.append(k)
+                    tss.append(k * frame_ms)
+                    frames.append(bytes(payload[k * step : k * step + step]))
+            yield pd.DataFrame(
+                {"asset_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "ts_ms": pd.Series(tss, dtype="int64"),
+                 "frame": pd.Series(frames, dtype=object)}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, FRAME_SCHEMA)

@@ -1,0 +1,135 @@
+"""Corpus-curation operators: PII scrubbing, repetition metrics,
+domain handling, per-key quotas, and the multimodal resize /
+frame-sample kernels (fake codecs; real Arrow plumbing)."""
+
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.functions.text import (
+    dup_line_char_fraction,
+    dup_line_fraction,
+    ellipsis_line_fraction,
+    pii_scrub,
+    symbol_word_ratio,
+    url_domain,
+)
+from dataflow_python_etl_spark.operators.corpus import cap_per_key
+from dataflow_python_etl_spark.operators.multimodal import (
+    resize_images,
+    sample_frames,
+    with_binary_payload,
+)
+
+
+def test_pii_scrub_patterns(spark):
+    rows = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@example.co.uk now",),
+            ("server 192.168.1.10 down",),
+            ("ssn 123-45-6789 leaked",),
+            ("call (415) 555-1234 or +1 650.555.9999",),
+            ("card 4111111111111111 charged",),
+            ("plain text stays",),
+        ],
+        "text: string",
+    ).select(pii_scrub("text").alias("t"))
+    got = [r["t"] for r in rows.collect()]
+    assert got[0] == "mail me at <EMAIL> now"
+    assert got[1] == "server <IP> down"
+    assert got[2] == "ssn <SSN> leaked"
+    assert "<PHONE>" in got[3] and "555" not in got[3]
+    assert got[4] == "card <CCNUM> charged"
+    assert got[5] == "plain text stays"
+
+
+def test_repetition_metrics(spark):
+    boiler = "menu\nhome\nmenu\nhome\nmenu"  # 5 lines, 2 distinct
+    prose = "alpha beta\ngamma delta"
+    df = spark.createDataFrame([(boiler,), (prose,)], "text: string").select(
+        dup_line_fraction("text").alias("dlf"),
+        dup_line_char_fraction("text").alias("dlcf"),
+    )
+    got = df.collect()
+    assert got[0]["dlf"] == 0.6  # 3 of 5 lines are repeats
+    # chars: 5 lines * 4 chars = 20, distinct = 8 -> 12/20
+    assert got[0]["dlcf"] == 0.6
+    assert got[1]["dlf"] == 0.0 and got[1]["dlcf"] == 0.0
+
+
+def test_ellipsis_and_symbol_metrics(spark):
+    df = spark.createDataFrame(
+        [("read more...\nfull story…\nactual text",), ("# a > b | c",)],
+        "text: string",
+    ).select(
+        ellipsis_line_fraction("text").alias("ell"),
+        symbol_word_ratio("text").alias("sym"),
+    )
+    got = df.collect()
+    assert abs(got[0]["ell"] - 2 / 3) < 1e-6
+    assert got[1]["sym"] == 0.5  # 3 symbols / 6 whitespace tokens
+
+
+def test_url_domain(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Example.com:8080/a/b?q=1",), ("http://sub.site.org/x",)],
+        "url: string",
+    ).select(url_domain("url").alias("d"))
+    assert [r["d"] for r in df.collect()] == ["www.example.com", "sub.site.org"]
+
+
+def test_cap_per_key_quota(spark):
+    df = spark.createDataFrame(
+        [(d, i) for d in ("a.com", "b.com") for i in range(10)] + [("c.com", 0)],
+        "domain: string, doc_id: long",
+    )
+    out = cap_per_key(df, ["domain"], 3, ["doc_id"])
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom == {"a.com": 3, "b.com": 3, "c.com": 1}
+    # deterministic survivors: lowest doc_ids
+    assert sorted(
+        r["doc_id"] for r in out.where(F.col("domain") == "a.com").collect()
+    ) == [0, 1, 2]
+
+
+def test_resize_images_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy")], "doc_id: long, text: string"
+    )
+    out = resize_images(with_binary_payload(docs), width=4, height=2).collect()
+    assert {r["asset_id"] for r in out} == {1, 2}
+    for r in out:
+        assert len(r["payload"]) == 8 and r["width"] == 4 and r["height"] == 2
+    # deterministic: same input -> same bytes
+    again = resize_images(with_binary_payload(docs), 4, 2).collect()
+    assert {bytes(r["payload"]) for r in out} == {bytes(r["payload"]) for r in again}
+
+
+def test_sample_frames_fanout_and_skip(spark):
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdef"), (2, "")], "doc_id: long, text: string"
+    )
+    out = sample_frames(with_binary_payload(docs), n_frames=4, frame_ms=500).collect()
+    # empty payload yields no frames; the other yields exactly 4
+    assert {r["asset_id"] for r in out} == {1}
+    assert sorted((r["frame_idx"], r["ts_ms"]) for r in out) == [
+        (0, 0), (1, 500), (2, 1000), (3, 1500),
+    ]
+    assert all(len(r["frame"]) == 4 for r in out)  # 16 bytes / 4 frames
+
+
+def test_curation_plans_stay_narrow(spark):
+    """Scalar curation fns are zero-exchange map plans; the multimodal
+    kernels are shuffle-free mapInPandas."""
+    docs = spark.createDataFrame([(1, "a\nb", "http://x.com")],
+                                 "doc_id: long, text: string, url: string")
+    scalar_plan = docs.select(
+        pii_scrub("text"), dup_line_fraction("text"), url_domain("url")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in scalar_plan
+    mm_plan = (
+        sample_frames(with_binary_payload(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in mm_plan and "MapInPandas" in mm_plan
