@@ -44,11 +44,24 @@ def clean_corpus(
     driver OOM at 100 TB; AQE broadcasts it dynamically when small.
     Returns (id, n_tokens, quality).
     """
-    scored = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        quality_score(text_col).alias("quality"),
-    ).where(F.col("quality") >= min_quality)
+    # The gated projection feeds two consumers (the shingle/pair
+    # pipeline and the final survivor projection); without a
+    # materialization barrier the regex-heavy quality_score tree is
+    # evaluated twice over the full corpus (CollapseProject folds a
+    # withColumn back into both branches). persist() is the barrier —
+    # MEMORY_AND_DISK, the same stage a 100 TB pipeline would
+    # checkpoint to the lake between gating and pairing. Lives until
+    # session end (same policy as the dedup operators' internal
+    # caches; see docs/SCALE.md known trade-offs).
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            quality_score(text_col).alias("quality"),
+        )
+        .where(F.col("quality") >= min_quality)
+        .persist()
+    )
     pairs = ngram_jaccard_pairs(
         scored, id_col=id_col, text_col=text_col, n=n,
         threshold=jaccard_threshold, max_shingle_df=max_shingle_df,
