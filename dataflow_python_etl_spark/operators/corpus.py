@@ -191,3 +191,34 @@ def cap_per_key(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: documents whose embeddings
+    sit within ``threshold`` cosine of an earlier document are dropped
+    (the lower id of each near-dup pair survives — same deterministic
+    survivor rule as :func:`clean_corpus`).
+
+    This is the semantic tier of the dedup family: n-gram Jaccard
+    catches copy-edits, MinHash scales it, SimHash compresses it —
+    embedding cosine catches PARAPHRASES none of those see. Candidate
+    pairs come from random-hyperplane LSH buckets
+    (:func:`~dataflow_python_etl_spark.operators.similarity.cosine_pairs_lsh`),
+    so the corpus never goes through an all-pairs join, and the
+    removal set is not broadcast-hinted (its size scales with the
+    duplication rate; AQE broadcasts it when actually small).
+    """
+    from dataflow_python_etl_spark.operators.similarity import cosine_pairs_lsh
+
+    pairs = cosine_pairs_lsh(
+        embeddings, threshold=threshold, id_col=emb_id_col, vec_col=vec_col
+    )
+    removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(removals, id_col, "left_anti")

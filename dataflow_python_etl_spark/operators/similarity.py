@@ -257,3 +257,128 @@ def cosine_topk_arrow(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+# --- IVF with a fitted coarse quantizer ------------------------------------
+
+def fit_ivf_centroids(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Spherical k-means fit of the IVF coarse quantizer.
+
+    Vectors are L2-normalized before the (Euclidean) k-means fit, so
+    nearest-centroid-by-dot-product equals nearest-by-angle — the
+    right quantizer for cosine search. At 100 TB you fit on a sample
+    (``sample_fraction``): k-means centroids converge on a few million
+    points, and the full corpus never shuffles — only the k×dim
+    centroid matrix (a few KB) comes back to the driver, which is the
+    one artifact that SHOULD broadcast.
+
+    Returns row-normalized centroids as plain Python lists, ready for
+    :func:`ivf_topk` / inlining as plan literals.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    # Normalizer (p=2) works on the ml vector, computing each row's
+    # norm once — a transform(x / l2_norm(col)) expression would
+    # re-evaluate the norm per ELEMENT (the CollapseProject pitfall).
+    data = df.select(array_to_vector(as_double_array(vec_col)).alias("raw"))
+    if sample_fraction is not None:
+        data = data.sample(fraction=sample_fraction, seed=seed)
+    data = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(data)
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(data)
+    cents = []
+    for c in model.clusterCenters():
+        arr = np.asarray(c, dtype=np.float64)
+        nrm = float(np.linalg.norm(arr)) or 1.0
+        cents.append([round(float(x) / nrm, 6) for x in arr])
+    return cents
+
+
+def _centroid_dots(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+    """array<double> of dot(vec, centroid_i). Centroids are unit-norm,
+    so argmax-dot == nearest-by-cosine without per-row norm division
+    (the row norm is a positive constant across the K scores)."""
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: per query, search only the ``n_probe`` nearest
+    centroid cells instead of the corpus — each probe touches ~1/K of
+    the data, the multi-probe knob buys recall back at the cell
+    boundary (the classic IVF trade; ``n_probe=len(centroids)``
+    degenerates to exact brute force, which tests pin against
+    :func:`cosine_topk`).
+
+    The corpus partitions by cell assignment (a pure map — one dot
+    product per centroid per row); queries explode to their n_probe
+    cells and broadcast (a query batch is structurally small). Scoring
+    reuses precomputed norms; output (query_id, neighbor_id, cos_sim),
+    ties broken by neighbor id.
+    """
+    kcells = len(centroids)
+    n_probe = min(n_probe, kcells)
+
+    cv = as_double_array(vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), cv.alias("cvec")
+    ).withColumn(
+        "cid",
+        F.array_position(
+            _centroid_dots(F.col("cvec"), centroids),
+            F.array_max(_centroid_dots(F.col("cvec"), centroids)),
+        ),
+    ).withColumn("cn", l2_norm(F.col("cvec")))
+
+    # top-n_probe cells per query: sort (dot, index) pairs by dot
+    # descending with an index tie-break, slice, explode
+    dots = _centroid_dots(as_double_array(vec_col), centroids)
+    ranked = F.array_sort(
+        F.arrays_zip(dots.alias("s"), F.sequence(F.lit(1), F.lit(kcells)).alias("i")),
+        lambda l, r: F.when(l["s"] > r["s"], -1)
+        .when(l["s"] < r["s"], 1)
+        .otherwise((l["i"] - r["i"]).cast("int")),
+    )
+    probes = F.slice(F.transform(ranked, lambda x: x["i"]), 1, n_probe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qvec"),
+            F.explode(probes).alias("cid"),
+        )
+        .withColumn("qn", l2_norm(F.col("qvec")))
+    )
+
+    scored = (
+        c.join(F.broadcast(q), c.cid == q.cid)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

@@ -1,0 +1,77 @@
+"""Fitted-centroid IVF ANN tier and embedding-cosine semantic dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.operators.corpus import semantic_dedup
+from dataflow_python_etl_spark.operators.similarity import (
+    cosine_pairs_lsh,
+    cosine_topk,
+    fit_ivf_centroids,
+    ivf_topk,
+)
+from dataflow_python_etl_spark.sources.catalog import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, emb):
+    return fit_ivf_centroids(emb, k=4, max_iter=10)
+
+
+def test_fitted_centroids_shape_and_norm(centroids, emb):
+    dim = len(emb.first()["embedding"])
+    assert len(centroids) == 4
+    assert all(len(c) == dim for c in centroids)
+    for c in centroids:
+        nrm = sum(x * x for x in c) ** 0.5
+        assert abs(nrm - 1.0) < 1e-3  # unit-norm (spherical k-means)
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, centroids):
+    """n_probe == K degenerates to brute force: must equal cosine_topk
+    exactly (same rounding, same tie-break)."""
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=3).collect()
+    full = ivf_topk(emb, queries, centroids, k=3, n_probe=len(centroids)).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos_sim"])
+    assert sorted(map(key, full)) == sorted(map(key, exact))
+
+
+def test_ivf_probe_recall_floor(spark, emb, centroids):
+    """Single-cell probing touches ~1/K of the corpus; multi-probe must
+    recover most exact neighbors, and recall must not DECREASE with
+    n_probe."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    recalls = []
+    for n_probe in (1, 2):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, centroids, k=3, n_probe=n_probe).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls[0] >= 0.4, recalls
+    assert recalls[1] >= max(recalls[0], 0.6), recalls
+
+
+def test_semantic_dedup_removes_pair_tails(spark, emb):
+    docs = read_table(spark, SF_DIR, "documents")
+    # embeddings vec_id aligns with documents doc_id on the testdata
+    pairs = cosine_pairs_lsh(emb, threshold=0.9).collect()
+    removed = {p["id_b"] for p in pairs}
+    out = semantic_dedup(docs, emb, threshold=0.9)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - removed
+    # survivors of each pair (the lower id) stay
+    assert all(min(p["id_a"], p["id_b"]) in kept or p["id_a"] in removed for p in pairs)
