@@ -89,6 +89,58 @@ def run_explain(args) -> None:
     print(explain_str(df, args.mode))
 
 
+def run_sql(args) -> None:
+    """Ad-hoc SQL over the warehouse — the reference's users live in
+    BigQuery SQL (every pipeline embeds SQL strings); this is that
+    surface over the parquet catalog. Registers every table in the
+    warehouse dir as a temp view, runs the statement, prints a bounded
+    sample or writes a new table."""
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    spark = get_spark("sql")
+    wh = Path(args.warehouse)
+    for entry in sorted(wh.iterdir()):
+        name = entry.stem if entry.suffix == ".parquet" else entry.name
+        if name.startswith((".", "_")) or ".__" in entry.name:
+            continue  # hidden files / in-flight tmp+bak swap dirs
+        if entry.is_dir():
+            spark.read.parquet(str(entry)).createOrReplaceTempView(name)
+        elif entry.suffix == ".parquet":
+            # single-file tables (e.g. the driver's testdata) may carry
+            # TIMESTAMP(NANOS); read_table handles the conversion
+            read_table(spark, str(wh), name).createOrReplaceTempView(name)
+    statement = args.query if args.query else Path(args.file).read_text()
+    df = spark.sql(statement)
+    if args.output:
+        out = _table_path(args.warehouse, args.output)
+        df.write.mode("overwrite").parquet(out)
+        print(f"{args.output}: {spark.read.parquet(out).count()} rows")
+    else:
+        for row in df.limit(args.limit).collect():
+            print(row)
+
+
+def run_compact(args) -> None:
+    """Compact a table's small files — streaming CDC upserts and
+    incremental loads accrete files; scans pay per-file open cost and
+    lose row-group pruning. Rewrites to ceil(bytes / target-file-size)
+    files with write-and-swap (readers never see a missing table)."""
+    import math
+
+    from dataflow_python_etl_spark.operators.upsert import swap_table_dir
+
+    spark = get_spark("compact")
+    path = _table_path(args.warehouse, args.table)
+    files = [p for p in Path(path).rglob("*.parquet")]
+    total_bytes = sum(p.stat().st_size for p in files)
+    n_out = max(1, math.ceil(total_bytes / args.target_file_mb / 1024 / 1024))
+    df = spark.read.parquet(path)
+    tmp = f"{path}.__tmp_compact"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    swap_table_dir(path, tmp)
+    print(f"{args.table}: {len(files)} files ({total_bytes} B) -> {n_out} files")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,7 +168,23 @@ def main(argv: list[str] | None = None) -> None:
     pe.add_argument("--mode", default="formatted", choices=["simple", "formatted", "extended", "cost"])
     pe.set_defaults(fn=run_explain)
 
+    ps = sub.add_parser("sql", help="ad-hoc SQL over the warehouse tables")
+    ps.add_argument("--warehouse", required=True)
+    ps.add_argument("--query", default=None, help="SQL text (or use --file)")
+    ps.add_argument("--file", default=None, help="path to a .sql file")
+    ps.add_argument("--output", default=None, help="write result as this table instead of printing")
+    ps.add_argument("--limit", type=int, default=20, help="max rows to print")
+    ps.set_defaults(fn=run_sql)
+
+    pk = sub.add_parser("compact", help="rewrite a table's small files to target-size files")
+    pk.add_argument("--warehouse", required=True)
+    pk.add_argument("--table", required=True)
+    pk.add_argument("--target-file-mb", type=int, default=128)
+    pk.set_defaults(fn=run_compact)
+
     args = p.parse_args(argv)
+    if args.cmd == "sql" and not (args.query or args.file):
+        raise SystemExit("sql: provide --query or --file")
     args.fn(args)
 
 

@@ -37,3 +37,42 @@ def test_ingest_uses_bundled_schemas(spark, airline_fixtures, tmp_path):
     ])
     df = spark.read.parquet(f"{wh}/pasajero")
     assert df.schema["telefono"].dataType.simpleString() == "bigint"
+
+
+def test_sql_subcommand(spark, airline_fixtures, tmp_path, capsys):
+    wh = str(tmp_path / "lake_sql")
+    fx = airline_fixtures
+    cli.main([
+        "ingest",
+        "--input", fx["pasajero"]["csv"],
+        "--output", "pasajero",
+        "--schemas", fx["pasajero"]["schema"],
+        "--warehouse", wh,
+    ])
+    capsys.readouterr()
+    cli.main([
+        "sql", "--warehouse", wh,
+        "--query", "SELECT count(*) AS n FROM pasajero",
+    ])
+    assert "n=7" in capsys.readouterr().out  # 8 CSV lines, 1 dirty row dropped by typed ingest
+    # --output writes a queryable table
+    cli.main([
+        "sql", "--warehouse", wh,
+        "--query", "SELECT dni FROM pasajero WHERE dni IS NOT NULL",
+        "--output", "dnis",
+    ])
+    assert spark.read.parquet(f"{wh}/dnis").count() == 7
+
+
+def test_compact_subcommand(spark, tmp_path, capsys):
+    wh = str(tmp_path / "lake_cmp")
+    # a fragmented table: 32 shuffle partitions -> many small files
+    spark.range(1000).repartition(32).write.parquet(f"{wh}/frag")
+    import glob
+    n_before = len(glob.glob(f"{wh}/frag/*.parquet"))
+    assert n_before > 10
+    cli.main(["compact", "--warehouse", wh, "--table", "frag", "--target-file-mb", "128"])
+    n_after = len(glob.glob(f"{wh}/frag/*.parquet"))
+    assert n_after == 1  # 1000 longs << 128 MB
+    assert spark.read.parquet(f"{wh}/frag").count() == 1000
+    assert "-> 1 files" in capsys.readouterr().out
