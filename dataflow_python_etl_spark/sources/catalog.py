@@ -96,3 +96,24 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     ``operators.compensation.apply_compensation`` does.
     """
     df.write.mode("overwrite").parquet(path)
+
+
+def write_table_as(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Format-agnostic WRITE_TRUNCATE sink: ``parquet`` (default),
+    ``orc``, ``json`` (lines), or ``csv``. Columnar formats keep
+    predicate pushdown and column pruning; json/csv are interchange
+    sinks — scans over them read every byte, so they are for export,
+    not for the 100 TB query path."""
+    df.write.mode("overwrite").format(fmt).options(**options).save(path)
+
+
+def read_table_as(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options
+) -> DataFrame:
+    """Format-agnostic table read. For json/csv pass an explicit
+    ``schema``: inference scans the data once before the real read and
+    widens everything it cannot prove — never acceptable at scale."""
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

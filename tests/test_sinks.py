@@ -43,3 +43,23 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     assert joined.count() == orders.join(li, orders.o_orderkey == li.l_orderkey).count()
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_format_roundtrips(spark, tmp_path):
+    from dataflow_python_etl_spark.sources.catalog import read_table_as, write_table_as
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id: long, name: string, v: double"
+    )
+    want = {(r["id"], r["name"], r["v"]) for r in df.collect()}
+    for fmt, opts in (
+        ("parquet", {}),
+        ("orc", {}),
+        ("json", {}),
+        ("csv", {"header": "true"}),
+    ):
+        path = str(tmp_path / f"t_{fmt}")
+        write_table_as(df, path, fmt, **opts)
+        back = read_table_as(spark, path, fmt, schema=df.schema, **opts)
+        assert {(r["id"], r["name"], r["v"]) for r in back.collect()} == want, fmt
+        assert back.schema == df.schema, fmt

@@ -103,3 +103,66 @@ def test_merge_table_swaps(spark, tmp_path):
         spark, path, source, ["id"], when_matched_delete_condition=F.lit(True)
     )
     assert {r["id"] for r in out.collect()} == {1, 2}
+
+
+def test_merge_df_property_vs_python_reference(spark):
+    """Randomized clause matrix: merge_df must equal a row-at-a-time
+    Python evaluation of the same MERGE semantics. One Spark job per
+    case is slow, so cases are batched: each drawn example carries
+    target rows, source rows, and a threshold gating the update."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_python_etl_spark.operators.upsert import merge_df
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=6),          # key
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        tgt=st.lists(row, max_size=6, unique_by=lambda r: r[0]),
+        src=st.lists(row, max_size=6, unique_by=lambda r: r[0]),
+        thresh=st.floats(min_value=-5, max_value=5, allow_nan=False),
+    )
+    def check(tgt, src, thresh):
+        target = spark.createDataFrame(
+            [(k, float(v)) for k, v in tgt] or [(99, 0.0)], "id: long, v: double"
+        )
+        if not tgt:
+            target = target.where("id < 0")
+        source = spark.createDataFrame(
+            [(k, float(v)) for k, v in src] or [(99, 0.0)], "id: long, v: double"
+        )
+        if not src:
+            source = source.where("id < 0")
+        out = merge_df(
+            target,
+            source,
+            ["id"],
+            when_matched_update={"v": F.col("s.v")},
+            when_matched_update_condition=F.col("s.v") > F.lit(thresh),
+            when_matched_delete_condition=F.col("s.v") < F.lit(-8.0),
+            when_not_matched_insert={"id": F.col("s.id"), "v": F.col("s.v")},
+            when_not_matched_insert_condition=F.col("s.v") >= F.lit(0.0),
+        )
+        got = {r["id"]: r["v"] for r in out.collect()}
+
+        tdict = {k: float(v) for k, v in tgt}
+        sdict = {k: float(v) for k, v in src}
+        want = {}
+        for k, tv in tdict.items():
+            if k in sdict:
+                sv = sdict[k]
+                if sv < -8.0:
+                    continue  # deleted
+                want[k] = sv if sv > thresh else tv
+            else:
+                want[k] = tv
+        for k, sv in sdict.items():
+            if k not in tdict and sv >= 0.0:
+                want[k] = sv
+        assert got == want
+
+    check()
