@@ -1,0 +1,41 @@
+"""Single-pass table profiling."""
+
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.operators.profile import profile_table
+from dataflow_python_etl_spark.sources.catalog import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_profile_small_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, None, 2.5), (4, "b", None)],
+        "id: long, name: string, v: double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "name", "v"}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_nulls"] == 0
+    assert prof["name"]["n_nulls"] == 1 and prof["name"]["null_frac"] == 0.25
+    assert prof["v"]["n_nulls"] == 2
+    assert prof["id"]["min"] == "1" and prof["id"]["max"] == "4"
+    assert prof["name"]["n_distinct_approx"] == 2  # exact at tiny cardinality
+    assert prof["v"]["min"] == "1.5" and prof["v"]["max"] == "2.5"
+
+
+def test_profile_events_single_job(spark):
+    events = read_table(spark, SF_DIR, "events")
+    prof = profile_table(events)
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["event_id"]["n_nulls"] == 0
+    n = events.count()
+    assert all(r["n_rows"] == n for r in rows.values())
+    # HLL within its error bound vs exact on a real column
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    approx = rows["user_id"]["n_distinct_approx"]
+    assert abs(approx - exact) / exact < 0.1
+    # single aggregation: the plan has exactly one pass over events
+    plan = (
+        events.agg(F.count(F.lit(1)))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
