@@ -141,6 +141,21 @@ def run_compact(args) -> None:
     print(f"{args.table}: {len(files)} files ({total_bytes} B) -> {n_out} files")
 
 
+def run_profile(args) -> None:
+    """Single-pass per-column profile of a warehouse table (the
+    data-quality gate before trusting a new drop)."""
+    from dataflow_python_etl_spark.operators.profile import profile_table
+
+    spark = get_spark("profile")
+    df = spark.read.parquet(_table_path(args.warehouse, args.table))
+    for r in profile_table(df).collect():
+        print(
+            f"{r['column']}\t{r['dtype']}\trows={r['n_rows']}\t"
+            f"nulls={r['n_nulls']} ({r['null_frac']})\t"
+            f"~distinct={r['n_distinct_approx']}\tmin={r['min']}\tmax={r['max']}"
+        )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -181,6 +196,11 @@ def main(argv: list[str] | None = None) -> None:
     pk.add_argument("--table", required=True)
     pk.add_argument("--target-file-mb", type=int, default=128)
     pk.set_defaults(fn=run_compact)
+
+    pp = sub.add_parser("profile", help="single-pass per-column stats of a table")
+    pp.add_argument("--warehouse", required=True)
+    pp.add_argument("--table", required=True)
+    pp.set_defaults(fn=run_profile)
 
     args = p.parse_args(argv)
     if args.cmd == "sql" and not (args.query or args.file):

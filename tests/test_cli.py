@@ -76,3 +76,14 @@ def test_compact_subcommand(spark, tmp_path, capsys):
     assert n_after == 1  # 1000 longs << 128 MB
     assert spark.read.parquet(f"{wh}/frag").count() == 1000
     assert "-> 1 files" in capsys.readouterr().out
+
+
+def test_profile_subcommand(spark, tmp_path, capsys):
+    wh = str(tmp_path / "lake_prof")
+    spark.createDataFrame(
+        [(1, None), (2, "x")], "id: long, name: string"
+    ).write.parquet(f"{wh}/t")
+    cli.main(["profile", "--warehouse", wh, "--table", "t"])
+    out = capsys.readouterr().out
+    assert "id\tbigint\trows=2\tnulls=0" in out
+    assert "name\tstring\trows=2\tnulls=1 (0.5)" in out
