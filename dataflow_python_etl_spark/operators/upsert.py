@@ -88,13 +88,23 @@ def merge_df(
     ``F.col("s.v") > F.col("t.v")`` — the same referencing rule as
     Delta's MERGE. Output schema = target schema.
 
+    Null join keys never match — standard ``MERGE ON t.k = s.k``
+    semantics: null-key target rows are kept unchanged, null-key
+    source rows take the not-matched path. (An eqNullSafe variant was
+    measured: its join partitions on ``(coalesce(k), isnull(k))``,
+    which cannot reuse the guard window's ``k`` partitioning — one
+    extra full shuffle of the source for nonstandard semantics.)
+
     Scale shape: exactly one shuffle (the full-outer join on the key;
     AQE broadcasts the source side when it is small — no hard hint, so
-    an unbounded CDC backlog cannot OOM the driver). Duplicate source
-    keys would apply a nondeterministic one-of-N update, so by default
-    they fail loudly — distributed, via a window count + raise_error
-    on the same key partitioning the join needs (no extra driver
-    action, and Catalyst reuses the exchange).
+    an unbounded CDC backlog cannot OOM the driver). Duplicate
+    fully-non-null source keys would apply a nondeterministic one-of-N
+    update, so by default they fail loudly — distributed, via a window
+    count + raise_error on the same key partitioning the join needs
+    (no extra driver action; the window's exchange is reused by the
+    join, pinned in tests). Duplicate NULL-key source rows are not an
+    error: they can't match anything, so each just takes the
+    not-matched path.
     """
     if when_matched_update is None and when_matched_update_condition is not None:
         raise ValueError("when_matched_update_condition requires when_matched_update")
@@ -109,14 +119,18 @@ def merge_df(
         from pyspark.sql import Window
 
         n_dup = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        key_non_null = F.lit(True)
+        for k in key_cols:
+            key_non_null = key_non_null & F.col(k).isNotNull()
         # the guard lives in a FILTER over the window output (a dead
         # projected column would be pruned by Catalyst, silently
-        # removing the check)
+        # removing the check); null keys are exempt — they never match
+        # a target row, so duplicates among them are not ambiguous
         source = (
             source.withColumn("__n_dup", n_dup)
             .where(
                 F.when(
-                    F.col("__n_dup") > 1,
+                    (F.col("__n_dup") > 1) & key_non_null,
                     F.raise_error(
                         F.concat(
                             F.lit("merge_df: multiple source rows for key ("),
@@ -133,7 +147,7 @@ def merge_df(
     s = source.withColumn("__s_present", F.lit(True)).alias("s")
     cond = None
     for k in key_cols:
-        eq = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = eq if cond is None else cond & eq
     joined = t.join(s, cond, "full_outer")
 

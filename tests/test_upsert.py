@@ -166,3 +166,44 @@ def test_merge_df_property_vs_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_merge_df_null_keys_never_match(spark):
+    from dataflow_python_etl_spark.operators.upsert import merge_df
+
+    target = spark.createDataFrame(
+        [(None, "t-null", 1.0), (1, "a", 10.0)], "id: long, name: string, v: double"
+    )
+    # two null-key source rows: not ambiguous (can't match), both insert
+    source = spark.createDataFrame(
+        [(None, "s-null-1", 2.0), (None, "s-null-2", 3.0), (1, "a2", 20.0)],
+        "id: long, name: string, v: double",
+    )
+    out = merge_df(
+        target,
+        source,
+        ["id"],
+        when_matched_update={"v": F.col("s.v")},
+        when_not_matched_insert={
+            "id": F.col("s.id"), "name": F.col("s.name"), "v": F.col("s.v"),
+        },
+    ).collect()
+    names = sorted(r["name"] for r in out)
+    # target null row kept; both source null rows inserted; id=1 updated
+    assert names == ["a", "s-null-1", "s-null-2", "t-null"]
+    assert [r["v"] for r in out if r["name"] == "a"] == [20.0]
+
+
+def test_merge_df_guard_window_reuses_join_exchange(spark):
+    """The dup guard must not add a shuffle: window partitioning ==
+    join partitioning, so the plan has exactly 2 exchanges (one per
+    join side), same as a guard-less merge."""
+    from dataflow_python_etl_spark.operators.upsert import merge_df
+
+    target = _base(spark)
+    source = _base(spark)
+    plan = (
+        merge_df(target, source, ["id"], when_matched_update={"v": F.col("s.v")})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
