@@ -742,10 +742,10 @@ def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_exact(_t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id")
 
 
-@_q(
-    "q24_ngram_jaccard_pairs",
-    """
-    WITH tok AS (
+# Shared CTE chain: exact capped 3-gram Jaccard pairs over `documents`
+# (the q24 oracle body; q48 builds its recursive-CTE components oracle
+# on the same pair set so both stay literally in sync).
+_NGRAM_PAIR_CTES = """tok AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
     ),
     sh0 AS (
@@ -760,13 +760,22 @@ def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           round(c * 1.0 / (sa.s + sb.s - c), 6) AS jaccard
-    FROM co
-    JOIN sz sa ON sa.doc_id = doc_a
-    JOIN sz sb ON sb.doc_id = doc_b
-    WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.s + sb.s - c), 6) AS jaccard
+        FROM co
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+    )"""
+
+
+@_q(
+    "q24_ngram_jaccard_pairs",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     "Near-dup pairs by exact 3-gram-set Jaccard (inverted-index self-join) "
     "with the hot-shingle cap ACTIVE (df > 64 shingles dropped — the "
@@ -1693,10 +1702,28 @@ def q47_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q48_dup_clusters",
-    None,  # iterative label propagation — not SQL-expressible; pinned
-           # against a Python union-find in tests/test_corpus.py
+    # The Spark side is iterative (pointer-jump label propagation), but
+    # its FIXPOINT is declarative: min reachable id per node — which a
+    # recursive CTE over the same pair set expresses exactly. Also
+    # pinned against a Python union-find in tests/test_corpus.py.
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS lab FROM edges
+        UNION
+        SELECT e.src AS node, r.lab
+        FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+    """,
     "Connected components over the near-dup graph (iterative min-label "
-    "propagation with lineage checkpoints)",
+    "propagation with lineage checkpoints; oracle = recursive-CTE min "
+    "reachable id)",
 )
 def q48_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_python_etl_spark.operators.corpus import dup_clusters
