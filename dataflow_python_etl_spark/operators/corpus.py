@@ -222,3 +222,61 @@ def semantic_dedup(
     )
     removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(removals, id_col, "left_anti")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str | None = None,
+    max_per_domain: int = 1000,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.9,
+    max_shingle_df: int | None = 64,
+) -> DataFrame:
+    """The full training-corpus curation pipeline, one lazy plan:
+
+    1. PII scrub (typed placeholders — before anything downstream can
+       memorize raw identifiers);
+    2. quality gate (composite heuristic ≥ ``min_quality``);
+    3. syntactic near-dup removal (capped n-gram Jaccard — copy-edits);
+    4. semantic near-dup removal (embedding cosine over LSH buckets —
+       paraphrases; skipped when ``embeddings`` is None);
+    5. per-domain quota (``cap_per_key``; skipped when ``domain_col``
+       is None).
+
+    Order matters at scale: each stage shrinks the corpus the next
+    (more expensive) stage sees — the regex gate is a map, Jaccard
+    touches only shingle-sharing survivors, the vector pass only
+    quality survivors. Returns (id, scrubbed text, quality,
+    n_tokens) survivors.
+    """
+    from dataflow_python_etl_spark.functions.text import pii_scrub
+
+    keep_cols = [F.col(id_col), pii_scrub(text_col).alias(text_col)]
+    if domain_col is not None:
+        keep_cols.append(F.col(domain_col))
+    scrubbed = docs.select(*keep_cols)
+
+    gated = scrubbed.withColumn("quality", quality_score(text_col)).where(
+        F.col("quality") >= min_quality
+    )
+    pairs = ngram_jaccard_pairs(
+        gated, id_col=id_col, text_col=text_col,
+        threshold=jaccard_threshold, max_shingle_df=max_shingle_df,
+    )
+    out = gated.join(
+        pairs.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+    if embeddings is not None:
+        out = semantic_dedup(out, embeddings, id_col=id_col, threshold=cosine_threshold)
+    if domain_col is not None:
+        out = cap_per_key(out, [domain_col], max_per_domain, [id_col])
+    return out.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("quality"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )

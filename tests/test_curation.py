@@ -133,3 +133,29 @@ def test_curation_plans_stay_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in mm_plan and "MapInPandas" in mm_plan
+
+
+def test_curate_corpus_full_pipeline(spark):
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    emb = read_table(spark, sf, "embeddings")
+    out = curate_corpus(
+        docs, emb, domain_col="source", max_per_domain=50, cosine_threshold=0.95
+    )
+    rows = out.collect()
+    n_in = docs.count()
+    assert 0 < len(rows) < n_in
+    # survivors carry scrubbed text + metrics
+    assert set(out.columns) == {"doc_id", "text", "quality", "n_tokens"}
+    assert all(r["quality"] >= 0.3 and r["n_tokens"] > 0 for r in rows)
+    # the quota bound holds per source domain
+    per_dom = (
+        out.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").count().collect()
+    )
+    assert all(r["count"] <= 50 for r in per_dom)
+    # whole pipeline is ONE lazy plan: no action ran during construction
+    assert out.is_cached is False
