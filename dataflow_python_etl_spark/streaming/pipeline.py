@@ -2,8 +2,8 @@
 stateful sessionization over an ``events``-shaped stream.
 
 The reference is batch-only (SURVEY.md §1.1/§2.3); this module is the
-Structured Streaming twin of queries q37 (tumbling window) and q39
-(sessionize). The batch versions are oracle-verified; these share the
+Structured Streaming twin of queries q31_stream_windows (tumbling/
+hopping) and q32_sessionize. The batch versions are oracle-verified; these share the
 same aggregation expressions, so the streaming correctness burden is
 the windowing/watermark plumbing, covered by tests/test_streaming.py
 using a file source + one processAllAvailable micro-batch.
@@ -110,7 +110,7 @@ def windowed_counts(
 
 def sessionized(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Session windows per user via the built-in session_window —
-    state bounded by watermark; streaming twin of q39_sessionize."""
+    state bounded by watermark; streaming twin of q32_sessionize."""
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
