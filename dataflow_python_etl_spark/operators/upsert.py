@@ -37,9 +37,21 @@ def swap_table_dir(table_path: str, new_path: str) -> None:
     shutil.rmtree(bak)
 
 
-def upsert_df(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+def upsert_df(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    allow_schema_evolution: bool = False,
+) -> DataFrame:
     """Rows of ``updates`` replace same-keyed rows of ``existing``;
-    unmatched update rows are inserts. Column sets must match.
+    unmatched update rows are inserts.
+
+    Column sets must match unless ``allow_schema_evolution`` — then the
+    output schema is the union: columns new in ``updates`` backfill
+    NULL for untouched rows, columns absent from ``updates`` stay NULL
+    on inserted/updated rows (additive evolution, the Delta
+    ``mergeSchema`` behavior; drops/renames/retypes stay loud errors —
+    silently coercing those corrupts a table at scale).
 
     The key set is NOT broadcast-hinted: via ``stream_upsert_to_table``
     with a file source and no trigger cap, batch 0 is the entire
@@ -48,6 +60,19 @@ def upsert_df(existing: DataFrame, updates: DataFrame, key_cols: list[str]) -> D
     batch is actually small (the common CDC case), so small batches
     keep the broadcast plan without the unbounded-hint failure mode.
     """
+    if allow_schema_evolution:
+        e_types = dict(existing.dtypes)
+        u_types = dict(updates.dtypes)
+        clash = [c for c in e_types.keys() & u_types.keys() if e_types[c] != u_types[c]]
+        if clash:
+            raise ValueError(
+                f"schema evolution is additive-only; type changes on {sorted(clash)}"
+            )
+        if missing_keys := set(key_cols) - set(u_types):
+            raise ValueError(f"updates lack key columns {sorted(missing_keys)}")
+        keys = updates.select(*key_cols).distinct()
+        kept = existing.join(keys, on=key_cols, how="left_anti")
+        return kept.unionByName(updates, allowMissingColumns=True)
     assert set(existing.columns) == set(updates.columns), "schema mismatch"
     keys = updates.select(*key_cols).distinct()
     kept = existing.join(keys, on=key_cols, how="left_anti")
@@ -203,13 +228,39 @@ def merge_table(
 
 
 def upsert_table(
-    spark: SparkSession, table_path: str, updates: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Upsert into a parquet table path with write-to-temp-and-swap
     (Spark cannot overwrite a path it is lazily reading)."""
     existing = spark.read.parquet(table_path)
-    merged = upsert_df(existing, updates, key_cols)
+    merged = upsert_df(existing, updates, key_cols, allow_schema_evolution)
     tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     swap_table_dir(table_path, tmp)
     return spark.read.parquet(table_path)
+
+
+def vacuum_table_dir(warehouse: str, older_than_s: float = 24 * 3600) -> list[str]:
+    """Remove stale ``.__tmp_*`` / ``.__bak_*`` directories left by
+    swaps that crashed between write and rename. Age-gated so a
+    concurrently-running swap's live temp dir is never collected
+    (default 24 h — generous next to any real write). Returns the
+    removed paths."""
+    import re
+    import time
+
+    removed = []
+    pat = re.compile(r"\.__(tmp|bak)_")
+    cutoff = time.time() - older_than_s
+    import os
+
+    for name in os.listdir(warehouse):
+        full = os.path.join(warehouse, name)
+        if pat.search(name) and os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    return sorted(removed)

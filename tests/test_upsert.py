@@ -207,3 +207,55 @@ def test_merge_df_guard_window_reuses_join_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_upsert_schema_evolution_additive(spark):
+    from dataflow_python_etl_spark.operators.upsert import upsert_df
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 22.0, "eu"), (4, "d", 40.0, "us")],
+        "id: long, name: string, v: double, region: string",
+    )
+    out = upsert_df(_base(spark), updates, ["id"], allow_schema_evolution=True)
+    assert set(out.columns) == {"id", "name", "v", "region"}
+    got = {r["id"]: (r["name"], r["v"], r["region"]) for r in out.collect()}
+    # untouched rows backfill NULL for the new column
+    assert got == {
+        1: ("a", 10.0, None),
+        2: ("b2", 22.0, "eu"),
+        3: ("c", 30.0, None),
+        4: ("d", 40.0, "us"),
+    }
+    # updates may also DROP a non-key column (stays NULL on their rows)
+    narrow = spark.createDataFrame([(5, 50.0)], "id: long, v: double")
+    out2 = upsert_df(_base(spark), narrow, ["id"], allow_schema_evolution=True)
+    assert {r["id"]: r["name"] for r in out2.collect()}[5] is None
+
+
+def test_upsert_schema_evolution_rejects_type_change(spark):
+    import pytest
+
+    from dataflow_python_etl_spark.operators.upsert import upsert_df
+
+    retyped = spark.createDataFrame([(1, "x", 5)], "id: long, name: string, v: long")
+    with pytest.raises(ValueError, match="additive-only"):
+        upsert_df(_base(spark), retyped, ["id"], allow_schema_evolution=True)
+
+
+def test_vacuum_table_dir(tmp_path):
+    import os
+    import time
+
+    from dataflow_python_etl_spark.operators.upsert import vacuum_table_dir
+
+    wh = tmp_path / "lake"
+    wh.mkdir()
+    (wh / "good_table").mkdir()
+    stale = wh / "t.__tmp_dead01"
+    fresh = wh / "t.__bak_live02"
+    stale.mkdir()
+    fresh.mkdir()
+    os.utime(stale, (time.time() - 100_000, time.time() - 100_000))
+    removed = vacuum_table_dir(str(wh), older_than_s=3600)
+    assert removed == [str(stale)]
+    assert fresh.exists() and (wh / "good_table").exists()
