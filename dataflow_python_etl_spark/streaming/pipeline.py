@@ -169,3 +169,60 @@ def stream_upsert_to_table(
         .outputMode("update")
         .start()
     )
+
+
+def stream_cdc_to_table(
+    stream_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    op_col: str = "op",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Op-coded CDC apply: each micro-batch carries rows tagged
+    ``op in ('I','U','D')`` (the Debezium/binlog shape); inserts and
+    updates MERGE in, deletes remove the keyed row. Built on
+    ``operators.upsert.merge_df``, so the per-batch plan is one
+    full-outer join with AQE sizing — no driver-side state.
+
+    A batch is deduped per key before the merge (merge_df rejects
+    duplicate source keys); if one batch can carry conflicting ops for
+    the same key, pre-collapse it to the latest op per key upstream —
+    a binlog-shaped source is already per-key ordered. Replaying a
+    batch re-applies the same merge: idempotent by key.
+    """
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import merge_df, swap_table_dir
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid as _uuid
+
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(key_cols)
+        data_cols = [c for c in batch.columns if c != op_col]
+        if not os.path.exists(table_path):
+            batch.where(F.col(op_col) != "D").select(*data_cols).write.parquet(table_path)
+            return
+        existing = spark.read.parquet(table_path)
+        merged = merge_df(
+            existing,
+            batch,
+            key_cols,
+            when_matched_update={
+                c: F.col(f"s.{c}") for c in data_cols if c not in key_cols
+            },
+            when_matched_delete_condition=F.col(f"s.{op_col}") == "D",
+            when_not_matched_insert={c: F.col(f"s.{c}") for c in data_cols},
+            when_not_matched_insert_condition=F.col(f"s.{op_col}") != "D",
+        )
+        tmp = f"{table_path}.__tmp_{_uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_table_dir(table_path, tmp)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

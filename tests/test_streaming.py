@@ -179,3 +179,41 @@ def test_rate_source_trigger_and_watermark(spark):
         assert p is not None and p["sources"][0]["numInputRows"] >= 0
     finally:
         q.stop()
+
+
+def test_stream_cdc_to_table_ops(spark, tmp_path):
+    """Op-coded CDC: I inserts, U updates, D deletes, per micro-batch."""
+    from pyspark.sql import types as T
+
+    from dataflow_python_etl_spark.streaming.pipeline import stream_cdc_to_table
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ])
+    src = str(tmp_path / "cdc_in")
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    spark.createDataFrame(
+        [(1, "a", "I"), (2, "b", "I"), (3, "c", "I")], schema
+    ).write.parquet(src)
+    q = stream_cdc_to_table(
+        spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    assert {r["id"]: r["val"] for r in spark.read.parquet(table).collect()} == {
+        1: "a", 2: "b", 3: "c"
+    }
+
+    # next batch: update 1, delete 2, insert 4, delete-nonexistent 9 (no-op)
+    spark.createDataFrame(
+        [(1, "a2", "U"), (2, None, "D"), (4, "d", "I"), (9, None, "D")], schema
+    ).write.mode("append").parquet(src)
+    q = stream_cdc_to_table(
+        spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    out = {r["id"]: r["val"] for r in spark.read.parquet(table).collect()}
+    assert out == {1: "a2", 3: "c", 4: "d"}
