@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from dataflow_python_etl_spark.functions.text import quality_score, token_count
-from dataflow_python_etl_spark.operators.dedup import ngram_jaccard_pairs
+from dataflow_python_etl_spark.operators.dedup import ngram_jaccard_pairs, register_cache
 
 
 def clean_corpus(
@@ -52,15 +52,14 @@ def clean_corpus(
     # MEMORY_AND_DISK, the same stage a 100 TB pipeline would
     # checkpoint to the lake between gating and pairing. Lives until
     # session end (same policy as the dedup operators' internal
-    # caches; see docs/SCALE.md known trade-offs).
-    scored = (
+    # caches, registered for the same unpersist_all() sweep bench and
+    # long-lived services use; see docs/SCALE.md known trade-offs).
+    scored = register_cache(
         docs.select(
             F.col(id_col),
             F.col(text_col),
             quality_score(text_col).alias("quality"),
-        )
-        .where(F.col("quality") >= min_quality)
-        .persist()
+        ).where(F.col("quality") >= min_quality)
     )
     pairs = ngram_jaccard_pairs(
         scored, id_col=id_col, text_col=text_col, n=n,

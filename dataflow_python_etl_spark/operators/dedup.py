@@ -63,6 +63,11 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+# Public name for other operator modules (corpus etc.) whose internal
+# caches should be reclaimed by the same unpersist_all() sweep.
+register_cache = _persist
+
+
 def unpersist_all() -> int:
     """Release every cache registered by dedup operators; returns count."""
     n = 0
