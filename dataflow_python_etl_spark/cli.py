@@ -156,6 +156,44 @@ def run_profile(args) -> None:
         )
 
 
+def run_vacuum(args) -> None:
+    """Remove stale swap leftovers (.__tmp_*/.__bak_*) from the
+    warehouse — companions of crashed write-and-swap operations."""
+    from dataflow_python_etl_spark.operators.upsert import vacuum_table_dir
+
+    removed = vacuum_table_dir(args.warehouse, older_than_s=args.older_than_hours * 3600)
+    for path in removed:
+        print(f"removed {path}")
+    print(f"{len(removed)} stale swap dirs removed")
+
+
+def run_curate(args) -> None:
+    """Run the full corpus-curation pipeline (PII scrub -> quality gate
+    -> n-gram dedup [-> semantic dedup] [-> per-domain quota]) over a
+    documents-shaped table and write the survivors."""
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+
+    spark = get_spark("curate")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+    emb = (
+        spark.read.parquet(_table_path(args.warehouse, args.embeddings))
+        if args.embeddings
+        else None
+    )
+    out = curate_corpus(
+        docs,
+        emb,
+        domain_col=args.domain_col,
+        max_per_domain=args.max_per_domain,
+        min_quality=args.min_quality,
+    )
+    dest = _table_path(args.warehouse, args.output)
+    out.write.mode("overwrite").parquet(dest)
+    n_in = docs.count()
+    n_out = spark.read.parquet(dest).count()
+    print(f"{args.table}: {n_in} docs -> {args.output}: {n_out} survivors")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -201,6 +239,21 @@ def main(argv: list[str] | None = None) -> None:
     pp.add_argument("--warehouse", required=True)
     pp.add_argument("--table", required=True)
     pp.set_defaults(fn=run_profile)
+
+    pv = sub.add_parser("vacuum", help="remove stale .__tmp_*/.__bak_* swap leftovers")
+    pv.add_argument("--warehouse", required=True)
+    pv.add_argument("--older-than-hours", type=float, default=24.0)
+    pv.set_defaults(fn=run_vacuum)
+
+    pu = sub.add_parser("curate", help="corpus curation pipeline over a documents table")
+    pu.add_argument("--warehouse", required=True)
+    pu.add_argument("--table", required=True)
+    pu.add_argument("--output", default="curated")
+    pu.add_argument("--embeddings", default=None, help="embeddings table for semantic dedup")
+    pu.add_argument("--domain-col", default=None)
+    pu.add_argument("--max-per-domain", type=int, default=1000)
+    pu.add_argument("--min-quality", type=float, default=0.3)
+    pu.set_defaults(fn=run_curate)
 
     args = p.parse_args(argv)
     if args.cmd == "sql" and not (args.query or args.file):

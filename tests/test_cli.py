@@ -87,3 +87,33 @@ def test_profile_subcommand(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "id\tbigint\trows=2\tnulls=0" in out
     assert "name\tstring\trows=2\tnulls=1 (0.5)" in out
+
+
+def test_vacuum_and_curate_subcommands(spark, tmp_path, capsys):
+    import os
+    import time
+
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "lake_cur")
+    os.makedirs(wh)
+    # stale swap leftover
+    stale = os.path.join(wh, "x.__tmp_dead")
+    os.makedirs(stale)
+    os.utime(stale, (time.time() - 90_000,) * 2)
+    cli.main(["vacuum", "--warehouse", wh])
+    assert "1 stale swap dirs removed" in capsys.readouterr().out
+    assert not os.path.exists(stale)
+
+    read_table(spark, "/root/testdata/sf0.001", "documents").write.parquet(
+        os.path.join(wh, "documents")
+    )
+    cli.main([
+        "curate", "--warehouse", wh, "--table", "documents",
+        "--domain-col", "source", "--max-per-domain", "40",
+    ])
+    out = capsys.readouterr().out
+    assert "survivors" in out
+    curated = spark.read.parquet(os.path.join(wh, "curated"))
+    assert 0 < curated.count() < 500
+    assert set(curated.columns) == {"doc_id", "text", "quality", "n_tokens"}
