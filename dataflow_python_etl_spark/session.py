@@ -26,6 +26,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning: the build side's keys filter
+    # the probe side's SCAN before the shuffle — at 100 TB this is the
+    # difference between shuffling a fact table and shuffling the ~1%
+    # of it that can join. Below the size thresholds (local test data)
+    # it never injects, so plans and pins are unchanged locally.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
