@@ -189,3 +189,52 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, window_bytes: int = 1024, id_col: str = "doc_id"
+) -> DataFrame:
+    """Windowed audio features over binary payloads — the audio leg of
+    the multimodal family (image: :func:`resize_images`, video:
+    :func:`sample_frames`). Payload bytes are treated as 8-bit PCM
+    (centered at 128) and each ``window_bytes`` window yields RMS
+    energy, peak amplitude, and zero-crossing count — the numpy
+    kernel shape a real librosa/ffmpeg decode would feed. Fan-out
+    mapInPandas: no shuffle, one output row per window.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, rms, peak, zc = [], [], [], [], []
+            for asset_id, payload in zip(pdf[id_col], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                for w in range(0, len(samples) // window_bytes):
+                    win = samples[w * window_bytes : (w + 1) * window_bytes]
+                    ids.append(int(asset_id))
+                    widx.append(w)
+                    rms.append(round(float(np.sqrt(np.mean(win * win))), 6))
+                    peak.append(int(np.max(np.abs(win))))
+                    zc.append(int(np.count_nonzero(np.diff(np.sign(win)))))
+            yield pd.DataFrame(
+                {"asset_id": pd.Series(ids, dtype="int64"),
+                 "window_idx": pd.Series(widx, dtype="int32"),
+                 "rms": pd.Series(rms, dtype="float64"),
+                 "peak": pd.Series(peak, dtype="int32"),
+                 "zero_crossings": pd.Series(zc, dtype="int32")}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

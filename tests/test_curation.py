@@ -159,3 +159,20 @@ def test_curate_corpus_full_pipeline(spark):
     assert all(r["count"] <= 50 for r in per_dom)
     # whole pipeline is ONE lazy plan: no action ran during construction
     assert out.is_cached is False
+
+
+def test_extract_audio_features_windows(spark):
+    from dataflow_python_etl_spark.operators.multimodal import extract_audio_features
+
+    # 2.5 windows of 4 bytes -> exactly 2 full windows; constant signal
+    # (silence at center) has rms 0; alternating has crossings
+    docs = spark.createDataFrame(
+        [(1, bytes([128, 128, 128, 128, 0, 255, 0, 255, 77, 99])),
+         (2, b"")],
+        "doc_id: long, payload: binary",
+    )
+    out = extract_audio_features(docs, window_bytes=4).collect()
+    rows = {(r["asset_id"], r["window_idx"]): r for r in out}
+    assert set(rows) == {(1, 0), (1, 1)}  # empty payload -> no rows
+    assert rows[(1, 0)]["rms"] == 0.0 and rows[(1, 0)]["peak"] == 0
+    assert rows[(1, 1)]["peak"] == 128 and rows[(1, 1)]["zero_crossings"] == 3
