@@ -259,8 +259,14 @@ def curate_corpus(
         keep_cols.append(F.col(domain_col))
     scrubbed = docs.select(*keep_cols)
 
-    gated = scrubbed.withColumn("quality", quality_score(text_col)).where(
-        F.col("quality") >= min_quality
+    # Same barrier as clean_corpus: the gated projection (5-regex
+    # scrub + regex-heavy quality score) feeds the pair pipeline AND
+    # the survivor projection; without the registered persist both
+    # branches re-evaluate the full scrub+score over the corpus.
+    gated = register_cache(
+        scrubbed.withColumn("quality", quality_score(text_col)).where(
+            F.col("quality") >= min_quality
+        )
     )
     pairs = ngram_jaccard_pairs(
         gated, id_col=id_col, text_col=text_col,
@@ -270,7 +276,14 @@ def curate_corpus(
         pairs.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
     )
     if embeddings is not None:
-        out = semantic_dedup(out, embeddings, id_col=id_col, threshold=cosine_threshold)
+        # prune the vector table to current survivors FIRST — the
+        # O(bucket²) scoring pass must only see documents that passed
+        # the cheaper gates (this is the "each stage shrinks what the
+        # next sees" contract; scoring removed docs is pure waste)
+        emb_pruned = embeddings.join(
+            out.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+        )
+        out = semantic_dedup(out, emb_pruned, id_col=id_col, threshold=cosine_threshold)
     if domain_col is not None:
         out = cap_per_key(out, [domain_col], max_per_domain, [id_col])
     return out.select(

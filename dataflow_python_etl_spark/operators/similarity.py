@@ -158,19 +158,24 @@ def cosine_pairs_lsh(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # Preserve the caller's id type (long, string, UUID…): the output
+    # schema mirrors the input column, and the kernel never forces a
+    # numeric dtype — np.minimum/np.maximum order object arrays with
+    # the elements' own comparison.
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "cos_sim": np.array([], dtype=np.float64)}
             )
         mat = np.array(list(pdf["__v"]), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -337,15 +342,26 @@ def ivf_topk(
     n_probe = min(n_probe, kcells)
 
     cv = as_double_array(vec_col)
+    # single-pass argmax: one aggregate over the zipped (dot, index)
+    # array references the K-dot expression ONCE — the sibling
+    # array_position(dots, array_max(dots)) spelling evaluates the
+    # interpreted dot array twice per corpus row (CLAUDE.md pitfall),
+    # doubling the map stage that touches 100% of the corpus. Strict
+    # `>` keeps the first index on ties, matching array_position.
+    kcells_seq = F.sequence(F.lit(1), F.lit(len(centroids)))
+    argmax_cell = lambda vec: F.aggregate(  # noqa: E731
+        F.arrays_zip(_centroid_dots(vec, centroids).alias("s"), kcells_seq.alias("i")),
+        F.struct(
+            F.lit(float("-inf")).alias("s"), F.lit(0).cast("integer").alias("i")
+        ),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        lambda acc: acc["i"],
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), cv.alias("cvec")
-    ).withColumn(
-        "cid",
-        F.array_position(
-            _centroid_dots(F.col("cvec"), centroids),
-            F.array_max(_centroid_dots(F.col("cvec"), centroids)),
-        ),
-    ).withColumn("cn", l2_norm(F.col("cvec")))
+    ).withColumn("cid", argmax_cell(F.col("cvec"))).withColumn(
+        "cn", l2_norm(F.col("cvec"))
+    )
 
     # top-n_probe cells per query: sort (dot, index) pairs by dot
     # descending with an index tie-break, slice, explode

@@ -48,10 +48,13 @@ def upsert_df(
 
     Column sets must match unless ``allow_schema_evolution`` — then the
     output schema is the union: columns new in ``updates`` backfill
-    NULL for untouched rows, columns absent from ``updates`` stay NULL
-    on inserted/updated rows (additive evolution, the Delta
-    ``mergeSchema`` behavior; drops/renames/retypes stay loud errors —
-    silently coercing those corrupts a table at scale).
+    NULL for untouched rows, and columns absent from ``updates`` are
+    NULL on the replaced/inserted rows TOO — an upsert is whole-row
+    replacement, so an update batch that omits a column nulls it for
+    the keys it touches (use :func:`merge_df` with explicit
+    assignments when updated rows must keep their old values for
+    unassigned columns). Type changes stay loud errors — silently
+    coercing those corrupts a table at scale.
 
     The key set is NOT broadcast-hinted: via ``stream_upsert_to_table``
     with a file source and no trigger cap, batch 0 is the entire
@@ -180,8 +183,16 @@ def merge_df(
     t_only = F.col("t.__t_present").isNotNull() & F.col("s.__s_present").isNull()
     s_only = F.col("t.__t_present").isNull() & F.col("s.__s_present").isNotNull()
 
+    # A clause condition that evaluates to NULL must NOT fire (SQL
+    # three-valued logic: WHEN MATCHED AND <null> skips the clause).
+    # Without the coalesce, a NULL delete condition makes the kept
+    # filter below NULL and the row is silently DROPPED instead of
+    # kept — the one place where NULL≠false changes row fate.
+    def _fires(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
     delete_hit = (
-        matched & when_matched_delete_condition
+        matched & _fires(when_matched_delete_condition)
         if when_matched_delete_condition is not None
         else F.lit(False)
     )
@@ -189,12 +200,12 @@ def merge_df(
     if when_matched_update is not None:
         update_hit = matched & ~delete_hit
         if when_matched_update_condition is not None:
-            update_hit = update_hit & when_matched_update_condition
+            update_hit = update_hit & _fires(when_matched_update_condition)
     insert_hit = F.lit(False)
     if when_not_matched_insert is not None:
         insert_hit = s_only
         if when_not_matched_insert_condition is not None:
-            insert_hit = insert_hit & when_not_matched_insert_condition
+            insert_hit = insert_hit & _fires(when_not_matched_insert_condition)
 
     kept = joined.where(t_only | (matched & ~delete_hit) | insert_hit)
     out_cols = []
@@ -248,19 +259,35 @@ def vacuum_table_dir(warehouse: str, older_than_s: float = 24 * 3600) -> list[st
     """Remove stale ``.__tmp_*`` / ``.__bak_*`` directories left by
     swaps that crashed between write and rename. Age-gated so a
     concurrently-running swap's live temp dir is never collected
-    (default 24 h — generous next to any real write). Returns the
-    removed paths."""
+    (default 24 h — generous next to any real write).
+
+    SAFETY: a leftover whose BASE TABLE is missing is never removed —
+    a process killed between ``swap_table_dir``'s two renames leaves
+    the only surviving copy of the table in the ``.__bak_*`` dir, and
+    vacuuming it would destroy the table. Those are reported for
+    manual restore instead. Returns the removed paths."""
+    import os
     import re
+    import sys
     import time
 
     removed = []
-    pat = re.compile(r"\.__(tmp|bak)_")
+    pat = re.compile(r"^(?P<base>.+)\.__(tmp|bak)_")
     cutoff = time.time() - older_than_s
-    import os
-
     for name in os.listdir(warehouse):
+        m = pat.match(name)
         full = os.path.join(warehouse, name)
-        if pat.search(name) and os.path.isdir(full) and os.path.getmtime(full) < cutoff:
-            shutil.rmtree(full, ignore_errors=True)
-            removed.append(full)
+        if not m or not os.path.isdir(full) or os.path.getmtime(full) >= cutoff:
+            continue
+        base = os.path.join(warehouse, m.group("base"))
+        if not os.path.isdir(base):
+            print(
+                f"vacuum: NOT removing {full} — base table {base} is missing; "
+                "this may be the only surviving copy (crashed mid-swap). "
+                "Restore it with: mv {0} {1}".format(full, base),
+                file=sys.stderr,
+            )
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
     return sorted(removed)

@@ -184,11 +184,15 @@ def stream_cdc_to_table(
     ``operators.upsert.merge_df``, so the per-batch plan is one
     full-outer join with AQE sizing — no driver-side state.
 
-    A batch is deduped per key before the merge (merge_df rejects
-    duplicate source keys); if one batch can carry conflicting ops for
-    the same key, pre-collapse it to the latest op per key upstream —
-    a binlog-shaped source is already per-key ordered. Replaying a
-    batch re-applies the same merge: idempotent by key.
+    A batch with two ops for one key FAILS LOUDLY (merge_df's
+    duplicate-source-key guard): silently picking one-of-N would apply
+    a nondeterministic op and different replays of the same
+    checkpointed batch could pick differently. A binlog-shaped source
+    is per-key ordered — collapse to the latest op per key upstream
+    (with the log's sequence column, which this engine cannot invent)
+    before the sink. Replaying a batch re-applies the same merge:
+    idempotent by key. Batch 0 goes through the same merge against an
+    empty table, so the guard holds from the first batch.
     """
     from pyspark.sql import functions as F
 
@@ -199,15 +203,14 @@ def stream_cdc_to_table(
         import uuid as _uuid
 
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(key_cols)
-        data_cols = [c for c in batch.columns if c != op_col]
-        if not os.path.exists(table_path):
-            batch.where(F.col(op_col) != "D").select(*data_cols).write.parquet(table_path)
-            return
-        existing = spark.read.parquet(table_path)
+        data_cols = [c for c in batch_df.columns if c != op_col]
+        if os.path.exists(table_path):
+            existing = spark.read.parquet(table_path)
+        else:
+            existing = batch_df.select(*data_cols).where(F.lit(False))
         merged = merge_df(
             existing,
-            batch,
+            batch_df,
             key_cols,
             when_matched_update={
                 c: F.col(f"s.{c}") for c in data_cols if c not in key_cols
@@ -218,7 +221,10 @@ def stream_cdc_to_table(
         )
         tmp = f"{table_path}.__tmp_{_uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        swap_table_dir(table_path, tmp)
+        if os.path.exists(table_path):
+            swap_table_dir(table_path, tmp)
+        else:
+            os.rename(tmp, table_path)
 
     return (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -71,7 +71,15 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     """Running per-user event count / sum / max across micro-batches.
     A processing-time timeout (``IDLE_TIMEOUT_MS``) garbage-collects
     idle keys — long-running jobs don't accumulate state for users
-    that stopped producing events."""
+    that stopped producing events.
+
+    Eviction is a RESET, not a pause: a user returning after the idle
+    timeout restarts at zero, so emitted totals are per-activity-epoch
+    ("counts since the user was last idle >30 min"), not all-time.
+    Consumers needing all-time totals must fold epochs downstream (sum
+    per user over the emitted rows' maxima) or raise the timeout —
+    state then grows with total key cardinality, the documented
+    trade-off this GC exists to cap."""
     return (
         events.select("user_id", "value")
         .groupBy("user_id")

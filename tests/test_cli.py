@@ -97,7 +97,8 @@ def test_vacuum_and_curate_subcommands(spark, tmp_path, capsys):
 
     wh = str(tmp_path / "lake_cur")
     os.makedirs(wh)
-    # stale swap leftover
+    # stale swap leftover (base table present, so it is collectable)
+    os.makedirs(os.path.join(wh, "x"))
     stale = os.path.join(wh, "x.__tmp_dead")
     os.makedirs(stale)
     os.utime(stale, (time.time() - 90_000,) * 2)

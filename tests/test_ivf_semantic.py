@@ -75,3 +75,21 @@ def test_semantic_dedup_removes_pair_tails(spark, emb):
     assert kept == all_ids - removed
     # survivors of each pair (the lower id) stay
     assert all(min(p["id_a"], p["id_b"]) in kept or p["id_a"] in removed for p in pairs)
+
+
+def test_cosine_pairs_lsh_string_ids(spark, emb):
+    """The LSH pair kernel preserves the caller's id type."""
+    sem = emb.selectExpr("concat('doc-', vec_id) AS vec_id", "embedding")
+    base = {
+        (f"doc-{r['id_a']}", f"doc-{r['id_b']}", r["cos_sim"])
+        for r in cosine_pairs_lsh(emb, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cosine_pairs_lsh(sem, threshold=0.9).collect()
+    }
+    # NOTE: string ordering differs from numeric (doc-10 < doc-2), so
+    # compare as unordered pairs
+    norm = lambda s: {(frozenset((a, b)), c) for a, b, c in s}
+    assert norm(got) == norm(base)
+    assert all(isinstance(r, str) for pair in got for r in list(pair)[:2])

@@ -217,3 +217,27 @@ def test_stream_cdc_to_table_ops(spark, tmp_path):
     q.processAllAvailable(); q.stop()
     out = {r["id"]: r["val"] for r in spark.read.parquet(table).collect()}
     assert out == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_stream_cdc_conflicting_ops_fail_loudly(spark, tmp_path):
+    """Two ops for one key in one batch must error, not apply an
+    arbitrary winner (replays could pick differently)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from dataflow_python_etl_spark.streaming.pipeline import stream_cdc_to_table
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ])
+    src = str(tmp_path / "dup_in")
+    spark.createDataFrame([(7, "x", "I"), (7, None, "D")], schema).write.parquet(src)
+    q = stream_cdc_to_table(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "dup_table"), ["id"], str(tmp_path / "dup_ckpt"),
+    )
+    with pytest.raises(Exception, match="multiple source rows"):
+        q.processAllAvailable()
+    q.stop()

@@ -251,11 +251,35 @@ def test_vacuum_table_dir(tmp_path):
     wh = tmp_path / "lake"
     wh.mkdir()
     (wh / "good_table").mkdir()
+    (wh / "t").mkdir()  # base table exists -> its leftovers are removable
     stale = wh / "t.__tmp_dead01"
     fresh = wh / "t.__bak_live02"
+    orphan = wh / "lost.__bak_only03"  # base table MISSING -> never removed
     stale.mkdir()
     fresh.mkdir()
-    os.utime(stale, (time.time() - 100_000, time.time() - 100_000))
+    orphan.mkdir()
+    old = (time.time() - 100_000, time.time() - 100_000)
+    os.utime(stale, old)
+    os.utime(orphan, old)
     removed = vacuum_table_dir(str(wh), older_than_s=3600)
     assert removed == [str(stale)]
     assert fresh.exists() and (wh / "good_table").exists()
+    # the orphan backup may be the only surviving copy of `lost`
+    assert orphan.exists()
+
+
+def test_merge_df_null_condition_keeps_row(spark):
+    """A clause condition evaluating to NULL must not fire — and must
+    NOT drop the row from the kept filter (SQL three-valued logic)."""
+    from dataflow_python_etl_spark.operators.upsert import merge_df
+
+    target = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                                   "id: long, name: string, v: double")
+    # flag is NULL for key 1 -> delete must not fire, row must be KEPT
+    source = spark.createDataFrame([(1, None, 0.0), (2, "del", 0.0)],
+                                   "id: long, name: string, v: double")
+    out = merge_df(
+        target, source, ["id"],
+        when_matched_delete_condition=F.col("s.name") == "del",
+    ).collect()
+    assert {r["id"]: r["v"] for r in out} == {1: 10.0}
