@@ -1324,10 +1324,26 @@ CENTROIDS: list[list[float]] = _gen_centroids()
 
 
 def _centroid_assign_spark(vec):
+    # Single aggregate argmax over the zipped (score, index) array:
+    # the array_position(scores, array_max(scores)) spelling evaluates
+    # the interpreted K-cosine array TWICE per row (CLAUDE.md sibling-
+    # expression pitfall). Element values and the first-max tie rule
+    # are identical to the oracle's list_indexof(scores, list_max(..)),
+    # so hashes are unchanged — only the plan cost halves.
     scores = F.array(*[
         cosine(vec, F.array(*[F.lit(v) for v in c])) for c in CENTROIDS
     ])
-    return F.array_position(scores, F.array_max(scores))
+    return F.aggregate(
+        F.arrays_zip(
+            scores.alias("s"),
+            F.sequence(F.lit(1), F.lit(len(CENTROIDS))).alias("i"),
+        ),
+        F.struct(
+            F.lit(float("-inf")).alias("s"), F.lit(0).cast("integer").alias("i")
+        ),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        lambda acc: acc["i"].cast("long"),
+    )
 
 
 def _ivf_oracle_sql() -> str:
