@@ -41,3 +41,41 @@ def test_dup_clusters_match_union_find(spark):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_dup_clusters_random_graphs_match_union_find(spark):
+    """Randomized topologies: chains (deep diameter), stars, cliques,
+    and sparse random graphs all converge to the union-find answer —
+    the pointer-jump path must not cut corners on any shape."""
+    import random
+
+    rng = random.Random(20260813)
+    graphs = [
+        [(i, i + 1) for i in range(0, 30)],                      # 31-chain (deep)
+        [(0, i) for i in range(1, 20)],                          # star
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]      # clique
+        + [(10, 11), (12, 13), (13, 14)],                        # + islands
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(35)],
+    ]
+    for edges in graphs:
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+
+        pairs_df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+        got = {
+            r["node"]: r["cluster"] for r in dup_clusters(pairs_df).collect()
+        }
+        assert got == want, f"mismatch on graph with {len(edges)} edges"
