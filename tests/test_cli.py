@@ -118,3 +118,14 @@ def test_vacuum_and_curate_subcommands(spark, tmp_path, capsys):
     curated = spark.read.parquet(os.path.join(wh, "curated"))
     assert 0 < curated.count() < 500
     assert set(curated.columns) == {"doc_id", "text", "quality", "n_tokens"}
+
+
+def test_sql_subcommand_nanos_testdata(capsys):
+    """Single-file .parquet tables with TIMESTAMP(NANOS) columns route
+    through the catalog reader (plain spark.read.parquet would fail)."""
+    cli.main([
+        "sql", "--warehouse", "/root/testdata/sf0.001",
+        "--query", "SELECT count(*) AS n, count(ts) AS n_ts FROM events",
+    ])
+    out = capsys.readouterr().out
+    assert "n=1000" in out and "n_ts=1000" in out
