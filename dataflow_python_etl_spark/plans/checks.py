@@ -46,6 +46,17 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
 
 
+def final_plan_str(df: DataFrame, mode: str = "simple") -> str:
+    """Execute the DataFrame's own query execution JVM-side (no rows
+    cross to Python) and return the explain string — with AQE on, this
+    is the *finalized* adaptive plan (``isFinalPlan=true``), i.e. the
+    join strategies chosen from measured sizes rather than static
+    estimates. Used to pin "AQE still broadcasts without a hint"."""
+    jqe = df._jdf.queryExecution()  # type: ignore[attr-defined]
+    jqe.toRdd().count()
+    return df._sc._jvm.PythonSQLUtils.explainString(jqe, mode)  # type: ignore[attr-defined]
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators (excludes broadcast
     exchanges, which move only the small side)."""

@@ -152,9 +152,15 @@ def q04_mart_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # No forced F.broadcast hints: orders is fact-sized and customer
+    # scales with SF, so a hard hint is a guaranteed OOM at 100 TB.
+    # AQE converts these joins to broadcast at runtime whenever the
+    # built side is actually small — same plan at test scale, safe at
+    # cluster scale (pattern documented at operators/dedup.py:299-306;
+    # plan pinned AQE-broadcast at test SF in tests/test_plans.py).
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
         .select(
             "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
             "o_custkey", "o_orderstatus", "o_totalprice", "c_name", "c_mktsegment",
@@ -646,8 +652,11 @@ def q20_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
+        # customer scales with SF — no hard hint (AQE decides; see
+        # q04 comment). nation/region are bounded (25/5 rows) so the
+        # explicit broadcast hint is safe at any scale.
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

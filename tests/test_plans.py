@@ -7,6 +7,7 @@ import pytest
 from dataflow_python_etl_spark.plans.checks import (
     count_exchanges,
     explain_str,
+    final_plan_str,
     has_broadcast_join,
     has_pushed_filters,
     read_schema_columns,
@@ -38,18 +39,44 @@ def test_flagship_prunes_to_needed_columns(spark):
 
 
 def test_mart_denorm_broadcasts_dims(spark):
+    # No forced F.broadcast hints anywhere in q04 — orders is
+    # fact-sized and customer scales with SF, so a hard hint would
+    # OOM at 100 TB. Size-based planning must still pick broadcast at
+    # test scale, proving the hint was never needed.
     df = _q(spark, "q04_mart_denorm")
+    assert "ResolvedHint" not in explain_str(df, "extended"), "q04 must not carry broadcast hints"
     assert has_broadcast_join(df)
     # broadcast left joins: no shuffle of the fact table at all
     assert count_exchanges(df) == 0, explain_str(df, "simple")
 
 
+def test_mart_denorm_aqe_broadcasts_at_sf01(spark):
+    # Execute at sf0.1: the *finalized* adaptive plan must still join
+    # by broadcast, chosen from measured sizes, not hints — same plan
+    # at test scale, safe (shuffle join) at cluster scale.
+    df = QUERIES["q04_mart_denorm"].fn(spark, "/root/testdata/sf0.1")
+    s = final_plan_str(df)
+    assert "isFinalPlan=true" in s, s
+    assert "BroadcastHashJoin" in s, s
+
+
 def test_revenue_star_broadcasts_all_dims(spark):
+    # customer's hint is gone too (scales with SF); nation/region keep
+    # theirs (bounded at 25/5 rows at any SF).
     df = _q(spark, "q20_revenue_by_nation")
     assert has_broadcast_join(df)
     # lineitem⋈orders shuffles (both large); the dim joins must not
     # add exchanges beyond join + final agg
     assert count_exchanges(df) <= 3, explain_str(df, "simple")
+
+
+def test_revenue_star_aqe_broadcasts_customer_at_sf01(spark):
+    df = QUERIES["q20_revenue_by_nation"].fn(spark, "/root/testdata/sf0.1")
+    s = final_plan_str(df)
+    assert "isFinalPlan=true" in s, s
+    # all three dim joins broadcast in the finalized plan; the only
+    # shuffle joins allowed are lineitem⋈orders (+ the final agg)
+    assert s.count("BroadcastHashJoin") >= 3, s
 
 
 def test_top1_per_group_single_shuffle(spark):
