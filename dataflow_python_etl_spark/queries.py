@@ -1613,17 +1613,37 @@ def q43_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q44_approx_distinct",
-    None,  # HLL sketches are engine-specific → rows-only; accuracy is
-           # pinned against the exact count in tests/test_queries_extra.py
-    "Approximate distinct (HyperLogLog) per group — the 100 TB cardinality path",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS cnt,
+           TRUE AS err_ok
+    FROM events GROUP BY event_type
+    """,
+    "Approximate distinct (HyperLogLog) per group — the 100 TB cardinality "
+    "path. HLL sketches are engine-specific, so the raw estimate can't "
+    "hash-match DuckDB; instead the 3·rsd accuracy bound is computed "
+    "IN-PLAN (err_ok) and the oracle returns the exact count + literal "
+    "TRUE — the sketch's accuracy itself is driver-hash-verified.",
 )
 def q44_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rsd = 0.05
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd).alias("approx"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "cnt",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= F.lit(3 * rsd) * F.col("exact_users")
+            ).alias("err_ok"),
         )
     )
 
