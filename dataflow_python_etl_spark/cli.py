@@ -112,8 +112,21 @@ def run_sql(args) -> None:
     statement = args.query if args.query else Path(args.file).read_text()
     df = spark.sql(statement)
     if args.output:
+        # write-to-temp-and-swap like every other writer here: naming
+        # an input table as --output must not overwrite-while-reading,
+        # and a crash mid-write must not leave a half-written table
+        import os
+        import uuid
+
+        from dataflow_python_etl_spark.operators.upsert import swap_table_dir
+
         out = _table_path(args.warehouse, args.output)
-        df.write.mode("overwrite").parquet(out)
+        tmp = f"{out}.__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(out):
+            swap_table_dir(out, tmp)
+        else:
+            os.rename(tmp, out)
         print(f"{args.output}: {spark.read.parquet(out).count()} rows")
     else:
         for row in df.limit(args.limit).collect():

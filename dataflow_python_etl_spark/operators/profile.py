@@ -17,6 +17,24 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
 
+def profile_agg(df: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """The single wide aggregate behind :func:`profile_table`, exposed
+    so its plan (one scan, no extra exchanges) can be pinned in tests
+    before the driver-side collect happens."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, dtype in df.dtypes:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        # Spark cannot hash MapType (anywhere in the type tree), so the
+        # HLL aggregate would throw AnalysisException — count-only there
+        if "map<" not in dtype:
+            aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__dist"))
+        # min/max are meaningless for complex types; count-only there
+        if not dtype.startswith(("array", "map", "struct", "binary")):
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    return df.agg(*aggs)
+
+
 def profile_table(df: DataFrame, rsd: float = 0.02) -> DataFrame:
     """One row per column: (column, dtype, n_rows, n_nulls,
     null_frac, n_distinct_approx, min, max).
@@ -27,15 +45,7 @@ def profile_table(df: DataFrame, rsd: float = 0.02) -> DataFrame:
     single collected aggregate row.
     """
     spark = df.sparkSession
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c, dtype in df.dtypes:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__dist"))
-        # min/max are meaningless for complex types; count-only there
-        if not dtype.startswith(("array", "map", "struct", "binary")):
-            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
-            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
-    row = df.agg(*aggs).first()
+    row = profile_agg(df, rsd).first()
     n = row["__n"]
     out = []
     for c, dtype in df.dtypes:
@@ -47,7 +57,7 @@ def profile_table(df: DataFrame, rsd: float = 0.02) -> DataFrame:
                 n_rows=n,
                 n_nulls=nulls,
                 null_frac=round(nulls / n, 6) if n else 0.0,
-                n_distinct_approx=row[f"{c}__dist"],
+                n_distinct_approx=row.asDict().get(f"{c}__dist"),
                 min=row.asDict().get(f"{c}__min"),
                 max=row.asDict().get(f"{c}__max"),
             )

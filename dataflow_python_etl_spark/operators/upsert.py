@@ -37,6 +37,29 @@ def swap_table_dir(table_path: str, new_path: str) -> None:
     shutil.rmtree(bak)
 
 
+def recover_table_dir(table_path: str) -> bool:
+    """Crash recovery for :func:`swap_table_dir`'s rename window: if
+    the process died after the old table was renamed to ``.__bak_*``
+    but before the new one was moved in, the backup holds the ONLY
+    copy of the table. Restore the newest backup and return True;
+    return False when the table exists or there is nothing to recover.
+    Older backups (multiple crashes) are left for ``vacuum_table_dir``,
+    which can collect them once the base table exists again."""
+    import glob
+    import os
+
+    if os.path.isdir(table_path):
+        return False
+    baks = sorted(
+        (p for p in glob.glob(f"{glob.escape(table_path)}.__bak_*") if os.path.isdir(p)),
+        key=os.path.getmtime,
+    )
+    if not baks:
+        return False
+    shutil.move(baks[-1], table_path)
+    return True
+
+
 def upsert_df(
     existing: DataFrame,
     updates: DataFrame,

@@ -158,6 +158,7 @@ def stream_upsert_to_table(
 
         spark = batch_df.sparkSession
         deduped = batch_df.dropDuplicates(key_cols)
+        _guard_missing_table(table_path, batch_id)
         if not os.path.exists(table_path):
             deduped.write.parquet(table_path)
         else:
@@ -169,6 +170,34 @@ def stream_upsert_to_table(
         .outputMode("update")
         .start()
     )
+
+
+def _guard_missing_table(table_path: str, batch_id: int) -> None:
+    """A missing table MUST NOT be silently treated as empty on a
+    restarted sink: if a previous run died inside ``swap_table_dir``'s
+    rename window, the only copy of the table lives in a ``.__bak_*``
+    sibling, and merging this batch into an "empty" table would drop
+    every prior row — and, with the base path recreated, a later
+    vacuum would collect the backup holding the only copy. Restore the
+    backup when one exists; if none does but the checkpoint says we've
+    applied batches before (batch_id > 0), fail loudly rather than
+    resurrect the table from one batch."""
+    import os
+
+    from dataflow_python_etl_spark.operators.upsert import recover_table_dir
+
+    if os.path.exists(table_path):
+        return
+    if recover_table_dir(table_path):
+        return  # crashed mid-swap; replaying this batch is idempotent
+    if batch_id > 0:
+        raise RuntimeError(
+            f"streaming sink restart at batch {batch_id} but table "
+            f"{table_path} is missing and no .__bak_* backup exists — "
+            "refusing to rebuild the table from a single batch (prior "
+            "rows would be silently lost). Restore the table or start "
+            "a fresh checkpoint."
+        )
 
 
 def stream_cdc_to_table(
@@ -204,6 +233,7 @@ def stream_cdc_to_table(
 
         spark = batch_df.sparkSession
         data_cols = [c for c in batch_df.columns if c != op_col]
+        _guard_missing_table(table_path, batch_id)
         if os.path.exists(table_path):
             existing = spark.read.parquet(table_path)
         else:

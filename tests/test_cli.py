@@ -62,6 +62,15 @@ def test_sql_subcommand(spark, airline_fixtures, tmp_path, capsys):
         "--output", "dnis",
     ])
     assert spark.read.parquet(f"{wh}/dnis").count() == 7
+    # --output may name an INPUT table of the same statement: the
+    # temp-and-swap write must not hit overwrite-while-reading, and
+    # the result must be the pre-overwrite read
+    cli.main([
+        "sql", "--warehouse", wh,
+        "--query", "SELECT dni FROM dnis WHERE dni <> '11111111-1'",
+        "--output", "dnis",
+    ])
+    assert spark.read.parquet(f"{wh}/dnis").count() == 6
 
 
 def test_compact_subcommand(spark, tmp_path, capsys):

@@ -2,7 +2,7 @@
 
 from pyspark.sql import functions as F
 
-from dataflow_python_etl_spark.operators.profile import profile_table
+from dataflow_python_etl_spark.operators.profile import profile_agg, profile_table
 from dataflow_python_etl_spark.sources.catalog import read_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -34,8 +34,25 @@ def test_profile_events_single_job(spark):
     exact = events.select(F.countDistinct("user_id")).first()[0]
     approx = rows["user_id"]["n_distinct_approx"]
     assert abs(approx - exact) / exact < 0.1
-    # single aggregation: the plan has exactly one pass over events
-    plan = (
-        events.agg(F.count(F.lit(1)))._jdf.queryExecution().executedPlan().toString()
+    # single aggregation: PROFILE's OWN aggregate (not a stand-in)
+    # scans events exactly once and adds no exchange beyond the final
+    # single-row combine
+    from dataflow_python_etl_spark.plans.checks import count_exchanges, explain_str
+
+    agg = profile_agg(events)
+    s = explain_str(agg, "simple")
+    assert s.count("Scan parquet") == 1, s
+    assert count_exchanges(agg) == 1, s  # only the partial→final combine
+
+
+def test_profile_map_column(spark):
+    # MapType can't be hashed by Spark → HLL must be skipped, not throw
+    df = spark.createDataFrame(
+        [(1, {"a": "x"}), (2, {"b": "y"}), (3, None)],
+        "id: long, props: map<string,string>",
     )
-    assert plan.count("Scan parquet") == 1
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["props"]["n_nulls"] == 1
+    assert prof["props"]["n_distinct_approx"] is None
+    assert prof["props"]["min"] is None and prof["props"]["max"] is None
+    assert prof["id"]["n_distinct_approx"] == 3

@@ -219,6 +219,67 @@ def test_stream_cdc_to_table_ops(spark, tmp_path):
     assert out == {1: "a2", 3: "c", 4: "d"}
 
 
+def _cdc_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ])
+
+
+def test_stream_cdc_restart_restores_mid_swap_backup(spark, tmp_path):
+    """A sink restarted after a crash INSIDE swap_table_dir's rename
+    window (table moved to .__bak_*, tmp never moved in) must restore
+    the backup — not merge the batch into an 'empty' table and drop
+    every prior row."""
+    import os
+
+    from dataflow_python_etl_spark.streaming.pipeline import stream_cdc_to_table
+
+    schema = _cdc_schema()
+    src = str(tmp_path / "rb_in")
+    table = str(tmp_path / "rb_table")
+    ckpt = str(tmp_path / "rb_ckpt")
+    spark.createDataFrame([(1, "a", "I"), (2, "b", "I")], schema).write.parquet(src)
+    q = stream_cdc_to_table(spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt)
+    q.processAllAvailable(); q.stop()
+
+    # simulate the crash window: old table renamed aside, no new table
+    os.rename(table, f"{table}.__bak_deadbeef")
+    spark.createDataFrame([(3, "c", "I")], schema).write.mode("append").parquet(src)
+    q = stream_cdc_to_table(spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt)
+    q.processAllAvailable(); q.stop()
+    out = {r["id"]: r["val"] for r in spark.read.parquet(table).collect()}
+    assert out == {1: "a", 2: "b", 3: "c"}  # prior rows survived the crash
+
+
+def test_stream_cdc_restart_missing_table_fails_loudly(spark, tmp_path):
+    """Restart past batch 0 with the table gone and NO backup must
+    refuse to rebuild the table from a single batch."""
+    import shutil
+
+    import pytest
+
+    from dataflow_python_etl_spark.streaming.pipeline import stream_cdc_to_table
+
+    schema = _cdc_schema()
+    src = str(tmp_path / "rm_in")
+    table = str(tmp_path / "rm_table")
+    ckpt = str(tmp_path / "rm_ckpt")
+    spark.createDataFrame([(1, "a", "I")], schema).write.parquet(src)
+    q = stream_cdc_to_table(spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt)
+    q.processAllAvailable(); q.stop()
+
+    shutil.rmtree(table)
+    spark.createDataFrame([(2, "b", "I")], schema).write.mode("append").parquet(src)
+    q = stream_cdc_to_table(spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt)
+    with pytest.raises(Exception, match="refusing to rebuild"):
+        q.processAllAvailable()
+    q.stop()
+
+
 def test_stream_cdc_conflicting_ops_fail_loudly(spark, tmp_path):
     """Two ops for one key in one batch must error, not apply an
     arbitrary winner (replays could pick differently)."""
