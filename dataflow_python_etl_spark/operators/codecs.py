@@ -1,0 +1,206 @@
+"""Pure-numpy codecs for UNCOMPRESSED multimodal containers — the
+real-decode integration point behind ``operators.multimodal``'s
+kernels (SURVEY.md §2.4 multimodal).
+
+The sandbox has no image/audio libraries, but netpbm (P5/P6), BI_RGB
+24-bit BMP, and PCM WAV are plain headers over raw sample arrays —
+decodable with ``struct`` + ``numpy`` alone. Compressed formats
+(PNG/JPEG/MP3/...) still raise ``NotImplementedError``: guessing at
+entropy-coded bitstreams without a codec would be silently wrong.
+
+All functions are deterministic and total over their declared formats;
+malformed payloads raise ``ValueError`` (loud, per-row inside the
+mapInPandas kernels — a corrupt asset should fail the task, not emit
+garbage metadata).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PNM_MAGICS = (b"P5", b"P6")
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Best-effort container sniff by magic bytes. Returns a MIME-ish
+    tag for the formats this module can decode, else None."""
+    if payload[:2] == b"P6":
+        return "image/x-portable-pixmap"
+    if payload[:2] == b"P5":
+        return "image/x-portable-graymap"
+    if payload[:2] == b"BM":
+        return "image/bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
+    return None
+
+
+def _parse_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """(magic, width, height, maxval, raster_offset) for binary netpbm.
+    Handles arbitrary whitespace and ``#`` comments in the header."""
+    magic = payload[:2]
+    if magic not in _PNM_MAGICS:
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":  # comment runs to end of line
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("unterminated netpbm comment")
+                pos = nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval} (8-bit only)")
+    return magic, w, h, maxval, pos
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """P6 → (h, w, 3) uint8 RGB; P5 → (h, w) uint8 grayscale."""
+    magic, w, h, _maxval, off = _parse_pnm_header(payload)
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    if len(payload) - off < need:
+        raise ValueError(f"netpbm raster truncated: need {need} bytes")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → binary P6/P5 bytes."""
+    if pixels.ndim == 3 and pixels.shape[2] == 3:
+        magic = b"P6"
+        h, w = pixels.shape[:2]
+    elif pixels.ndim == 2:
+        magic = b"P5"
+        h, w = pixels.shape
+    else:
+        raise ValueError(f"expected (h,w,3) or (h,w), got {pixels.shape}")
+    header = magic + b"\n%d %d\n255\n" % (w, h)
+    return header + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 24-bit BMP → (h, w, 3) uint8 RGB.
+
+    Handles both bottom-up (positive height, the common case) and
+    top-down (negative height) row order, and the 4-byte row padding.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = stride * h
+    if len(payload) - data_offset < need:
+        raise ValueError(f"BMP raster truncated: need {need} bytes")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=need, offset=data_offset)
+    arr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        arr = arr[::-1]
+    return arr[:, :, ::-1]  # BGR on disk → RGB
+
+
+def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
+    """(format_tag, pixel array) for any decodable image container."""
+    fmt = sniff_format(payload)
+    if fmt in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        return fmt, decode_pnm(payload)
+    if fmt == "image/bmp":
+        return fmt, decode_bmp(payload)
+    raise NotImplementedError(
+        "no pure-numpy decoder for this payload (compressed or unknown "
+        "container) — plug Pillow/opencv here"
+    )
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width[, channels])."""
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize an empty image")
+    # pixel-center sampling: output pixel i maps to floor((i+.5)*in/out)
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return pixels[ys][:, xs]
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM RIFF/WAVE → (sample_rate, float64 mono samples centered at
+    0). 8-bit (unsigned) and 16-bit (signed LE) PCM; multi-channel is
+    mixed down by mean — the shape feature extraction wants."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_body, data_body = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt_body, 0)
+    bits = struct.unpack_from("<H", fmt_body, 14)[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM WAV is supported (format={audio_format}, bits={bits})"
+        )
+    if bits == 8:
+        samples = np.frombuffer(data_body, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        n = len(data_body) // 2
+        samples = np.frombuffer(data_body, dtype="<i2", count=n).astype(np.float64)
+    if n_channels > 1:
+        samples = samples[: (len(samples) // n_channels) * n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return sample_rate, samples
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Mono 16-bit PCM WAV bytes from an int16-range sample array
+    (test-fixture helper; also the shape a synthetic-audio source
+    would emit)."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )

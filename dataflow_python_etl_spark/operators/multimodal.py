@@ -2,13 +2,16 @@
 metadata, decoded / feature-extracted via Arrow-batched ``mapInPandas``
 (BASELINE.json north star; SURVEY.md §2.4).
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS: ``decode_image_meta`` raises ``NotImplementedError`` when asked
-for a real decode, and the default path produces a deterministic fake
-(metadata derived from the payload bytes). Everything around the stub
-— the schema contract, Arrow batch shape, partition-parallel
-``mapInPandas`` plumbing, and the typed metadata struct — is real and
-tested, so swapping in Pillow/ffmpeg later is a one-function change.
+The container has no image/audio libraries, so ``real_decode=True``
+covers exactly the UNCOMPRESSED containers that are decodable in pure
+numpy — netpbm (P5/P6), 24-bit BI_RGB BMP, PCM WAV — via
+``operators.codecs``; compressed formats (PNG/JPEG/MP3/...) still
+raise ``NotImplementedError`` (guessing at entropy-coded bitstreams
+without a codec would be silently wrong). The default path remains a
+deterministic fake so oracle comparisons over arbitrary payloads stay
+stable. The schema contract, Arrow batch shape, and
+partition-parallel ``mapInPandas`` plumbing are identical on both
+paths, so swapping in Pillow/ffmpeg later is a one-function change.
 """
 
 from __future__ import annotations
@@ -36,14 +39,23 @@ ASSET_META_SCHEMA = T.StructType(
 def decode_image_meta(payload: bytes, real_decode: bool = False) -> dict:
     """Decode one image payload to metadata.
 
-    ``real_decode=True`` is the integration point for an actual codec
-    (Pillow etc., not available in this environment).
+    ``real_decode=True`` REALLY decodes uncompressed containers
+    (P5/P6 netpbm, 24-bit BMP — pure numpy, see ``operators.codecs``)
+    and raises ``NotImplementedError`` for compressed ones (the
+    Pillow/opencv integration point).
     """
     if real_decode:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "plug Pillow/opencv here"
-        )
+        from dataflow_python_etl_spark.operators import codecs
+
+        fmt, pixels = codecs.decode_image(bytes(payload))
+        h, w = pixels.shape[:2]
+        return {
+            "n_bytes": len(payload),
+            "format": fmt,
+            "width": w,
+            "height": h,
+            "checksum": int(pixels.astype("int64").sum()) % 1_000_000_007,
+        }
     # Deterministic fake: metadata derived from payload bytes so tests
     # and oracle comparisons are stable.
     n = len(payload)
@@ -65,7 +77,9 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
-def extract_asset_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_asset_meta(
+    df: DataFrame, id_col: str = "doc_id", real_decode: bool = False
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow moves the binary column in columnar batches; the Python
@@ -76,7 +90,7 @@ def extract_asset_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_image_meta(p) for p in pdf["payload"]]
+            metas = [decode_image_meta(p, real_decode) for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "asset_id": pdf[id_col].astype("int64"),
@@ -103,15 +117,18 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_payload(payload: bytes, width: int, height: int, real_decode: bool = False) -> bytes:
-    """Resize one image payload. ``real_decode=True`` is the
-    integration point for an actual codec (Pillow etc., not in this
-    environment); the default is a deterministic fake that samples the
-    payload bytes down/up to ``width*height`` — byte count and content
-    are reproducible, so tests can pin the batch contract."""
+    """Resize one image payload. ``real_decode=True`` decodes P5/P6
+    netpbm and 24-bit BMP (pure numpy), nearest-neighbor resamples,
+    and re-encodes as netpbm; compressed formats raise
+    ``NotImplementedError`` (the Pillow integration point). The
+    default is a deterministic fake that samples the payload bytes
+    down/up to ``width*height`` — byte count and content are
+    reproducible, so tests can pin the batch contract."""
     if real_decode:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; plug Pillow here"
-        )
+        from dataflow_python_etl_spark.operators import codecs
+
+        _fmt, pixels = codecs.decode_image(bytes(payload))
+        return codecs.encode_ppm(codecs.resize_nearest(pixels, width, height))
     target = width * height
     n = len(payload)
     if n == 0:
@@ -120,7 +137,11 @@ def resize_payload(payload: bytes, width: int, height: int, real_decode: bool = 
 
 
 def resize_images(
-    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    real_decode: bool = False,
 ) -> DataFrame:
     """mapInPandas resize over binary payloads: one output row per
     asset, fixed-size payload out. Partition-parallel, no shuffle —
@@ -133,7 +154,10 @@ def resize_images(
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col].astype("int64"),
-                    "payload": [resize_payload(p, width, height) for p in pdf["payload"]],
+                    "payload": [
+                        resize_payload(p, width, height, real_decode)
+                        for p in pdf["payload"]
+                    ],
                     "width": width,
                     "height": height,
                 }
@@ -203,25 +227,36 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_audio_features(
-    df: DataFrame, window_bytes: int = 1024, id_col: str = "doc_id"
+    df: DataFrame,
+    window_bytes: int = 1024,
+    id_col: str = "doc_id",
+    real_decode: bool = False,
 ) -> DataFrame:
     """Windowed audio features over binary payloads — the audio leg of
     the multimodal family (image: :func:`resize_images`, video:
-    :func:`sample_frames`). Payload bytes are treated as 8-bit PCM
-    (centered at 128) and each ``window_bytes`` window yields RMS
-    energy, peak amplitude, and zero-crossing count — the numpy
-    kernel shape a real librosa/ffmpeg decode would feed. Fan-out
-    mapInPandas: no shuffle, one output row per window.
+    :func:`sample_frames`). By default payload bytes are treated as
+    8-bit PCM (centered at 128); ``real_decode=True`` parses the
+    payload as a PCM RIFF/WAVE container (8/16-bit, multichannel
+    mixed down — pure numpy, see ``operators.codecs``) and windows
+    the decoded samples (``window_bytes`` then counts SAMPLES). Each
+    window yields RMS energy, peak amplitude, and zero-crossing count
+    — the numpy kernel shape a real librosa/ffmpeg decode would feed.
+    Fan-out mapInPandas: no shuffle, one output row per window.
     """
     import numpy as np
+
+    from dataflow_python_etl_spark.operators import codecs
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, widx, rms, peak, zc = [], [], [], [], []
             for asset_id, payload in zip(pdf[id_col], pdf["payload"]):
-                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
-                    np.float64
-                ) - 128.0
+                if real_decode:
+                    _rate, samples = codecs.decode_wav(bytes(payload))
+                else:
+                    samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                        np.float64
+                    ) - 128.0
                 for w in range(0, len(samples) // window_bytes):
                     win = samples[w * window_bytes : (w + 1) * window_bytes]
                     ids.append(int(asset_id))

@@ -1,18 +1,112 @@
+import struct
+
+import numpy as np
 import pytest
 
+from dataflow_python_etl_spark.operators import codecs
 from dataflow_python_etl_spark.operators.multimodal import (
     decode_image_meta,
     extract_asset_meta,
+    resize_payload,
     with_binary_payload,
 )
 from dataflow_python_etl_spark.sources.catalog import read_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Golden bytes: a 2×2 P6 PPM — pixels (R,G,B) = red, green, blue, white
+PPM_2X2 = b"P6\n# test\n2 2\n255\n" + bytes(
+    [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+)
 
-def test_real_decode_is_stubbed():
+
+def _bmp_24(pixels_rgb: np.ndarray) -> bytes:
+    """Hand-packed bottom-up 24-bit BI_RGB BMP (golden-byte fixture)."""
+    h, w = pixels_rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in pixels_rgb[::-1]:  # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # RGB → BGR
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return file_header + info + bytes(raster)
+
+
+def test_compressed_formats_stay_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_image_meta(b"\x89PNG", real_decode=True)
+        decode_image_meta(b"\x89PNG\r\n\x1a\n....", real_decode=True)
+
+
+def test_real_decode_ppm_golden():
+    meta = decode_image_meta(PPM_2X2, real_decode=True)
+    assert meta["format"] == "image/x-portable-pixmap"
+    assert (meta["width"], meta["height"]) == (2, 2)
+    # checksum = sum of all pixel values: 3*255 + 255 + 255 + 255
+    assert meta["checksum"] == 255 * 6
+    pixels = codecs.decode_pnm(PPM_2X2)
+    assert pixels.shape == (2, 2, 3)
+    assert pixels[0, 0].tolist() == [255, 0, 0]
+    assert pixels[1, 1].tolist() == [255, 255, 255]
+
+
+def test_real_decode_bmp_golden():
+    rgb = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8
+    )
+    payload = _bmp_24(rgb)
+    meta = decode_image_meta(payload, real_decode=True)
+    assert meta["format"] == "image/bmp"
+    assert (meta["width"], meta["height"]) == (2, 2)
+    assert (codecs.decode_bmp(payload) == rgb).all()  # padding + BGR + bottom-up undone
+
+
+def test_real_resize_roundtrip():
+    # 2×2 → 4×4 nearest-neighbor: each source pixel becomes a 2×2 block
+    out = resize_payload(PPM_2X2, 4, 4, real_decode=True)
+    pixels = codecs.decode_pnm(out)
+    assert pixels.shape == (4, 4, 3)
+    src = codecs.decode_pnm(PPM_2X2)
+    for y in range(4):
+        for x in range(4):
+            assert (pixels[y, x] == src[y // 2, x // 2]).all()
+
+
+def test_real_decode_wav_golden():
+    # 16-bit mono: a known square wave → exact RMS/peak/zero-crossings
+    samples = np.tile([1000, 1000, -1000, -1000], 256).astype(np.int16)
+    payload = codecs.encode_wav(samples, sample_rate=8000)
+    rate, decoded = codecs.decode_wav(payload)
+    assert rate == 8000 and len(decoded) == 1024
+    assert (decoded == samples.astype(np.float64)).all()
+    # stereo mixdown: L/R average
+    stereo = np.empty(8, dtype=np.int16)
+    stereo[0::2] = [100, 200, 300, 400]
+    stereo[1::2] = [300, 400, 500, 600]
+    st_payload = codecs.encode_wav(stereo)
+    patched = st_payload.replace(
+        struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16),
+        struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16),
+    )
+    _, mono = codecs.decode_wav(patched)
+    assert mono.tolist() == [200.0, 300.0, 400.0, 500.0]
+
+
+def test_audio_features_real_wav_e2e(spark):
+    from dataflow_python_etl_spark.operators.multimodal import extract_audio_features
+
+    samples = np.tile([1000, 1000, -1000, -1000], 256).astype(np.int16)
+    payload = codecs.encode_wav(samples)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id: long, payload: binary")
+    rows = extract_audio_features(df, window_bytes=512, real_decode=True).collect()
+    assert len(rows) == 2  # 1024 samples / 512-sample windows
+    for r in rows:
+        assert r["rms"] == 1000.0
+        assert r["peak"] == 1000
+        assert r["zero_crossings"] == 255  # 512/4 cycles × 2 crossings − edge
 
 
 def test_extract_asset_meta(spark):
