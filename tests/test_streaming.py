@@ -229,6 +229,67 @@ def _cdc_schema():
     ])
 
 
+def test_stream_cdc_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-resume: crash AFTER a batch's table swap but BEFORE
+    its checkpoint commit (the at-least-once window) — simulated by
+    deleting the newest commit marker — must leave the table equal to
+    the batch twin after restart. The replayed merge re-applies the
+    same ops against the already-updated table: idempotent by key."""
+    import os
+
+    from dataflow_python_etl_spark.operators.upsert import merge_df
+    from dataflow_python_etl_spark.streaming.pipeline import stream_cdc_to_table
+    from pyspark.sql import functions as F
+
+    schema = _cdc_schema()
+    src = str(tmp_path / "ck_in")
+    table = str(tmp_path / "ck_table")
+    ckpt = str(tmp_path / "ck_ckpt")
+    batches = [
+        [(1, "a", "I"), (2, "b", "I")],
+        [(1, "a2", "U"), (3, "c", "I")],
+        [(2, None, "D"), (4, "d", "I")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one source file per micro-batch
+            .parquet(src)
+        )
+
+    q = stream_cdc_to_table(_stream(), table, ["id"], ckpt)
+    q.processAllAvailable(); q.stop()
+
+    # batch twin: the same merges applied in batch mode
+    expected = spark.createDataFrame(batches[0], schema).select("id", "val")
+    for rows in batches[1:]:
+        s = spark.createDataFrame(rows, schema)
+        expected = merge_df(
+            expected, s, ["id"],
+            when_matched_update={"val": F.col("s.val")},
+            when_matched_delete_condition=F.col("s.op") == "D",
+            when_not_matched_insert={"id": F.col("s.id"), "val": F.col("s.val")},
+            when_not_matched_insert_condition=F.col("s.op") != "D",
+        )
+    want = {r["id"]: r["val"] for r in expected.collect()}
+    assert {r["id"]: r["val"] for r in spark.read.parquet(table).collect()} == want
+
+    # crash window: the newest batch applied to the table, its commit
+    # marker lost — restart MUST replay it without corrupting the table
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    newest = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", newest))
+    crc = os.path.join(ckpt, "commits", f".{newest}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar would block the rewrite
+        os.remove(crc)
+    q = stream_cdc_to_table(_stream(), table, ["id"], ckpt)
+    q.processAllAvailable(); q.stop()
+    assert {r["id"]: r["val"] for r in spark.read.parquet(table).collect()} == want
+
+
 def test_stream_cdc_restart_restores_mid_swap_backup(spark, tmp_path):
     """A sink restarted after a crash INSIDE swap_table_dir's rename
     window (table moved to .__bak_*, tmp never moved in) must restore
