@@ -11,11 +11,21 @@ worker spin-up, parquet footer caches) and local run-to-run noise
 (±15% observed) don't swamp round-over-round comparisons. Warm-up
 runs of the flagship query and a tiny applyInPandas absorb JVM and
 Python-worker startup before anything is timed.
+
+A second scale point (sf0.01, when present next to the primary dir)
+turns "would this survive 100×" from plan-reading into a measured
+scaling exponent per query: ``log10(t_primary / t_small)`` for a 10×
+data step. Exponent ≈ 1 is linear; values well above 1 mean
+super-linear cost growth (a pair explosion, a skewed shuffle, a
+collected side growing with SF). Small local queries sit on a fixed
+scheduling floor (~0.2 s) so exponents below 1 are expected there;
+the flag only fires above SUPERLINEAR_EXPONENT.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -55,6 +65,22 @@ BENCH_QUERIES = [
 ]
 
 
+SUPERLINEAR_EXPONENT = 1.15  # >1.15 over a 10× data step = super-linear
+
+
+def _run_set(spark, sf_dir: str, unpersist_all) -> dict[str, float]:
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+            unpersist_all()  # release operator-internal shingle caches
+        results[name] = round(sorted(times)[1], 3)  # median of 3
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -70,29 +96,34 @@ def main() -> None:
 
     from dataflow_python_etl_spark.operators.dedup import unpersist_all
 
-    results: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - t0)
-            unpersist_all()  # release operator-internal shingle caches
-        dt = round(sorted(times)[1], 3)  # median of 3
-        results[name] = dt
-        total += dt
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-            }
+    results = _run_set(spark, sf_dir, unpersist_all)
+    total = round(sum(results.values()), 3)
+    report = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+
+    # Second scale point: sibling sf0.01 dir, one decade below the
+    # default primary. Skipped when absent or equal to the primary.
+    small_dir = str(Path(sf_dir).parent / "sf0.01")
+    if sf > 0.01 and Path(small_dir).is_dir():
+        small = _run_set(spark, small_dir, unpersist_all)
+        exponents = {
+            name: round(
+                math.log10(results[name] / small[name]) / math.log10(sf / 0.01), 3
+            )
+            for name in BENCH_QUERIES
+            if small.get(name)
+        }
+        report["queries_sf0.01"] = small
+        report["scaling_exponent"] = exponents
+        report["superlinear"] = sorted(
+            n for n, e in exponents.items() if e > SUPERLINEAR_EXPONENT
         )
-    )
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

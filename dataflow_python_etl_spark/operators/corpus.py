@@ -170,21 +170,49 @@ def cap_per_key(
     key_cols: list[str],
     n: int,
     order_cols: list[str],
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """At most ``n`` rows per key — the per-domain quota step of
     corpus curation (no single crawl domain may dominate the corpus).
 
     Deterministic: survivors are the first ``n`` by ``order_cols``
-    (pass an id column last for a total order). One shuffle on the
-    key; Spark's WindowGroupLimit pushes the rank filter map-side, so
-    only ~n rows per key per input partition reach the exchange. A
-    pathologically hot key still lands on one reducer — if one domain
-    is a large fraction of the corpus, pre-thin it with
-    :func:`~dataflow_python_etl_spark.queries.q50_deterministic_sample`'s
-    hash-sampling shape before the quota."""
+    (pass an id column last for a total order).
+
+    Default (``salt_buckets=None``): one shuffle on the key; Spark's
+    WindowGroupLimit pushes the rank filter map-side, so only ~n rows
+    per key per input partition reach the exchange. A pathologically
+    hot key (one domain = 90% of a crawl) still lands on ONE reducer,
+    which at 100 TB is a straggler/spill.
+
+    ``salt_buckets=S`` selects the two-phase variant for that case:
+
+    1. pre-rank within ``(key, salt)`` where salt = content hash of
+       ``order_cols`` mod S — the hot key spreads over S reducers,
+       each emitting at most ``n`` rows;
+    2. global re-rank within the key over the ≤ n·S survivors.
+
+    Identical output to the single-phase form: any row in a key's
+    global top-n is a fortiori in the top-n of its salt bucket (every
+    row ranked above it globally that shares its bucket is ranked
+    above it there too), so phase 1 never drops a survivor. The second
+    shuffle is bounded at n·S rows per key regardless of input skew.
+    Salt is content-derived (not random) so the plan stays
+    deterministic and re-runnable."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    order = [F.col(c) for c in order_cols]
+    if salt_buckets is not None:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets)
+        )
+        w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order)
+        df = (
+            df.withColumn("__salt", salt)
+            .withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") <= n)
+            .drop("__rn", "__salt")
+        )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n)

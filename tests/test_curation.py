@@ -93,6 +93,47 @@ def test_cap_per_key_quota(spark):
     ) == [0, 1, 2]
 
 
+def test_cap_per_key_salted_matches_and_balances(spark):
+    # 90%-one-key corpus: the case where single-phase cap_per_key
+    # funnels the whole hot key through one reducer.
+    hot = [("hot.com", i) for i in range(900)]
+    cold = [(f"c{i % 20}.org", 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(hot + cold, "domain: string, doc_id: long").repartition(8)
+    n, s = 5, 16
+
+    plain = cap_per_key(df, ["domain"], n, ["doc_id"])
+    salted = cap_per_key(df, ["domain"], n, ["doc_id"], salt_buckets=s)
+
+    # identical output: phase 1 never drops a global top-n survivor
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # two-phase plan: a window over (domain, __salt) then one over (domain)
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("windowpartitionspecdefinition") >= 2 or plan.count("Window") >= 2
+
+    # balance pin: replicate phase 1 and assert the hot key's rows
+    # reach the second shuffle spread over many salt buckets, each
+    # emitting at most n rows (bounded reducer input, n*s total).
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(s))
+    w1 = Window.partitionBy("domain", "__salt").orderBy("doc_id")
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= n)
+    )
+    per_bucket = (
+        phase1.where(F.col("domain") == "hot.com")
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(per_bucket) > 4  # hot key spread over many reducers
+    assert max(r["count"] for r in per_bucket) <= n
+    assert sum(r["count"] for r in per_bucket) <= n * s
+
+
 def test_resize_images_contract(spark):
     docs = spark.createDataFrame(
         [(1, "abcdefgh"), (2, "xy")], "doc_id: long, text: string"
