@@ -241,31 +241,11 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_perm: int = 32,
-    rows_per_band: int = 4,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
-
-    At scale this is the workhorse: candidate generation touches only
-    (band, band-signature) buckets instead of the full inverted index.
-    """
+def _band_frame(sig: DataFrame, id_col: str, num_perm: int, rows_per_band: int) -> DataFrame:
+    """(doc, band, sig): one row per document per band, the band's
+    sub-signature serialized as a join key."""
     num_bands = num_perm // rows_per_band
-    # The full-corpus shingle stream feeds ONLY the signature
-    # aggregation (single consumer — explode + native min aggregates,
-    # no cache fill needed); verification below re-derives shingles
-    # for candidate docs only. Small derived frames (signatures,
-    # candidates, candidate shingles) are cached: each has 2+
-    # consumers, and without a cache Spark re-evaluates the whole
-    # upstream subtree per consumer (measured 2× signature recompute
-    # in the band self-join alone).
-    sig = _persist(minhash_signatures(df, id_col, text_col, n, num_perm))
-    bands = sig.select(
+    return sig.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array(*[
@@ -283,6 +263,96 @@ def minhash_lsh_pairs(
             ])
         ).alias("bs"),
     ).select("doc", "bs.band", "bs.sig")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (doc, band, sig).
+
+    Write this once per corpus (partitioned/bucketed by (band, sig) in
+    a real lake) and every incoming batch dedups against it via
+    :func:`minhash_lsh_pairs_incremental` — signatures are computed
+    only for the DELTA, never recomputed for the indexed corpus."""
+    return _band_frame(
+        minhash_signatures(df, id_col, text_col, n, num_perm),
+        id_col,
+        num_perm,
+        rows_per_band,
+    )
+
+
+def _verify_jaccard(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    The shingle stream is materialized ONLY for candidate docs (the
+    semi join prunes the corpus before the explode ever runs), then
+    per-pair intersections come from posting lists (one shuffle,
+    narrow pair generation — see ``_posting_common``). Posting pairs
+    include doc pairs that share a shingle without being candidates;
+    the semi join with ``candidates`` keeps exactly the LSH pair set.
+    """
+    needed = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    docs_c = docs.join(needed.withColumnRenamed("doc", id_col), id_col, "left_semi")
+    sh_c = _persist(_doc_shingles(docs_c, id_col, text_col, n))
+    sizes = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    common = _posting_common(_postings(sh_c, None)).join(
+        candidates, ["doc_a", "doc_b"], "left_semi"
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        common.join(za, F.col("doc_a") == F.col("za.doc"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("za.sz") + F.col("zb.sz") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    At scale this is the workhorse: candidate generation touches only
+    (band, band-signature) buckets instead of the full inverted index.
+    """
+    # The full-corpus shingle stream feeds ONLY the signature
+    # aggregation (single consumer — explode + native min aggregates,
+    # no cache fill needed); verification re-derives shingles for
+    # candidate docs only. Small derived frames (signatures,
+    # candidates, candidate shingles) are cached: each has 2+
+    # consumers, and without a cache Spark re-evaluates the whole
+    # upstream subtree per consumer (measured 2× signature recompute
+    # in the band self-join alone).
+    sig = _persist(minhash_signatures(df, id_col, text_col, n, num_perm))
+    bands = _band_frame(sig, id_col, num_perm, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -304,36 +374,72 @@ def minhash_lsh_pairs(
     # F.broadcast would be a driver OOM at 100 TB. AQE converts these
     # joins to broadcast at runtime whenever the built side is actually
     # small — same plan at test scale, safe at cluster scale.
-    needed = (
-        candidates.select(F.col("doc_a").alias("doc"))
-        .union(candidates.select("doc_b"))
-        .distinct()
-    )
-    # The shingle stream is materialized ONLY for candidate docs (the
-    # semi join prunes the corpus before the explode ever runs), then
-    # per-pair intersections come from posting lists (one shuffle,
-    # narrow pair generation — see _posting_common). Posting pairs
-    # include doc pairs that share a shingle without being LSH
-    # candidates; the semi join with `candidates` keeps exactly the
-    # LSH pair set.
-    docs_c = df.join(needed.withColumnRenamed("doc", id_col), id_col, "left_semi")
-    sh_c = _persist(_doc_shingles(docs_c, id_col, text_col, n))
-    sizes = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    common = _posting_common(_postings(sh_c, None)).join(
-        candidates, ["doc_a", "doc_b"], "left_semi"
-    )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    return (
-        common.join(za, F.col("doc_a") == F.col("za.doc"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc"))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("za.sz") + F.col("zb.sz") - F.col("common")), 6),
+    return _verify_jaccard(df, candidates, id_col, text_col, n, threshold)
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus: pairs
+    (doc_a, doc_b, jaccard) where at least one side is a new doc —
+    both new-vs-corpus hits and new-vs-new hits within the batch.
+
+    This is the ingest-time shape of near-dup removal at 100 TB: the
+    corpus's ``minhash_band_index`` is computed once and persisted as
+    a table; each incoming crawl batch signs only ITS OWN documents
+    (O(batch) map work) and probes the index with a (band, sig) join
+    — the petabyte corpus is never re-shingled. Verification
+    re-derives shingles for HIT corpus docs only (semi-join-pruned),
+    so corpus-side I/O scales with the batch's duplication rate, not
+    the corpus size.
+
+    ``index`` defaults to building the band index from ``corpus``
+    in-plan (convenience for tests/small runs); pass the stored index
+    in production. Ids must be unique across corpus ∪ batch; pairs are
+    emitted with doc_a < doc_b, matching :func:`minhash_lsh_pairs` on
+    the union corpus restricted to pairs touching a new doc.
+    """
+    if index is None:
+        index = minhash_band_index(corpus, id_col, text_col, n, num_perm, rows_per_band)
+    new_bands = _persist(
+        _band_frame(
+            minhash_signatures(new_docs, id_col, text_col, n, num_perm),
+            id_col,
+            num_perm,
+            rows_per_band,
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
+    nb = new_bands.alias("nb")
+    ix = index.alias("ix")
+    # new-vs-corpus: probe the stored index. A corpus doc can also
+    # appear in the batch stream only if ids collide, which the
+    # contract forbids, so no self-pair guard is needed here.
+    cand_old = nb.join(
+        ix,
+        (F.col("nb.band") == F.col("ix.band")) & (F.col("nb.sig") == F.col("ix.sig")),
+    ).select(
+        F.least(F.col("ix.doc"), F.col("nb.doc")).alias("doc_a"),
+        F.greatest(F.col("ix.doc"), F.col("nb.doc")).alias("doc_b"),
+    )
+    # new-vs-new: the batch can duplicate itself
+    b2 = new_bands.alias("b2")
+    cand_new = nb.join(
+        b2,
+        (F.col("nb.band") == F.col("b2.band"))
+        & (F.col("nb.sig") == F.col("b2.sig"))
+        & (F.col("nb.doc") < F.col("b2.doc")),
+    ).select(F.col("nb.doc").alias("doc_a"), F.col("b2.doc").alias("doc_b"))
+    candidates = _persist(cand_old.union(cand_new).distinct())
+    all_docs = corpus.select(id_col, text_col).union(new_docs.select(id_col, text_col))
+    return _verify_jaccard(all_docs, candidates, id_col, text_col, n, threshold)
 
 
 def simhash(

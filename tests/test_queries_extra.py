@@ -79,3 +79,40 @@ def test_simhash_near_dups_have_close_hashes(spark):
     dists = [hamming(sim[p["doc_a"]], sim[p["doc_b"]]) for p in pairs]
     # near-dups cluster well below the random-pair expectation of 32 bits
     assert sum(dists) / len(dists) < 16
+
+
+def test_minhash_incremental_matches_full_rebuild(spark):
+    """Ingest-time dedup: splitting the corpus into (indexed corpus,
+    new batch) and probing the stored band index must find exactly the
+    pairs the full-rebuild minhash_lsh_pairs finds on the union that
+    touch a new doc — via an index computed once, with signatures only
+    for the batch."""
+    from dataflow_python_etl_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        unpersist_all,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    new_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    full = minhash_lsh_pairs(docs)
+    expected = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in full.collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    unpersist_all()
+
+    index = minhash_band_index(corpus)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs_incremental(corpus, batch, index).collect()
+    }
+    unpersist_all()
+    assert got == expected
+    assert expected  # the split must actually exercise cross + in-batch hits
