@@ -1,0 +1,148 @@
+"""Training-sequence preparation: document chunking and sequence
+packing (SURVEY.md §2.4 extension family — the step between a curated
+corpus and a tokenizer/dataloader).
+
+- ``chunk_documents``: split each document's token stream into
+  overlapping fixed-size windows. Pure JVM expressions (split →
+  filtered start sequence → slice inside one generator), so the text
+  column is scanned once per document, never per chunk, and the
+  operator is a zero-shuffle map over the corpus at any scale.
+- ``pack_sequences``: greedy next-fit bin-packing of chunks into
+  training sequences of at most ``budget_tokens``. Packing has
+  sequential state (the running fill), so it runs per PARTITION via
+  an Arrow ``mapInPandas`` kernel over deterministically range-
+  partitioned input — embarrassingly parallel, one pass, no shuffle
+  beyond the initial range partitioning; bin ids are globally unique
+  by construction (partition_id << 32 | local bin).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from dataflow_python_etl_spark.functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+) -> DataFrame:
+    """(id, chunk_id, token_start, n_tokens, chunk_text): overlapping
+    token windows of ``chunk_tokens``, stepping by
+    ``chunk_tokens − overlap_tokens``.
+
+    Window rule: starts are 0, step, 2·step, …; a start whose window
+    would be fully contained in the previous one (start + overlap ≥
+    doc length, i.e. it contributes only already-covered tokens) is
+    not emitted, so the final chunk may be short but is never
+    redundant. Documents with no tokens produce no chunks.
+
+    Catalyst shape: the token array is computed in a projection BELOW
+    the Generate and consumed only by the generator, so the split runs
+    once per document (a sibling projection would re-run it per output
+    chunk — the measured pitfall in docs/SCALE.md); per-chunk values
+    (slice, size, join) are built inside the generator's struct.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: (s == F.lit(0)) | (s + F.lit(overlap_tokens) < n),
+    )
+    gen = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice(F.col("__toks"), s + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return (
+        base.where(n > 0)
+        .select(F.col(id_col), F.posexplode(gen).alias("chunk_id", "c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("c.start").alias("token_start"),
+            F.size("c.toks").alias("n_tokens"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget_tokens: int,
+    count_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every chunk to a training sequence (``seq_id``) such
+    that each sequence's total ``count_col`` is ≤ ``budget_tokens``
+    (greedy next-fit in ``order_cols`` order). Output = input columns
+    + ``seq_id`` (long).
+
+    Rows larger than the budget are REJECTED loudly (truncation is a
+    chunking decision, not a packing one — re-chunk with
+    ``chunk_tokens ≤ budget``).
+
+    Scale shape: packing state is a single running counter, so the
+    corpus is range-partitioned by ``order_cols`` (deterministic,
+    contiguous key ranges) and each partition packs independently in
+    one Arrow pass — next-fit quality within a partition, zero
+    coordination across partitions. The only cross-partition effect
+    is at most one under-filled final sequence PER PARTITION, which
+    for 10⁴-row-plus partitions is noise. Bin ids are unique without
+    coordination: ``partition_id << 32 | local_bin``.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order_cols = order_cols or chunks.columns[:1]
+    # fresh StructType: .add() on df.schema would mutate the cached
+    # schema object of the input DataFrame
+    out_schema = StructType(list(chunks.schema.fields) + [StructField("seq_id", LongType())])
+    oversize = F.col(count_col) > budget_tokens
+    guarded = chunks.where(
+        F.when(
+            oversize,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pack_sequences: row exceeds budget {budget_tokens}: "),
+                    F.col(count_col).cast("string"),
+                    F.lit(" tokens"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    parts = guarded.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *order_cols
+    ).sortWithinPartitions(*order_cols)
+
+    def _pack(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        local_bin, fill = 0, 0
+        for pdf in it:
+            seq_ids = []
+            for c in pdf[count_col]:
+                if fill + int(c) > budget_tokens:
+                    local_bin += 1
+                    fill = 0
+                fill += int(c)
+                seq_ids.append((pid << 32) | local_bin)
+            out = pdf.copy()
+            out["seq_id"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
+            yield out
+
+    return parts.mapInPandas(_pack, out_schema)
