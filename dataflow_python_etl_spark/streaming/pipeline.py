@@ -262,3 +262,112 @@ def stream_cdc_to_table(
         .outputMode("update")
         .start()
     )
+
+
+def stream_dedup_ingest(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Online near-dup-filtered corpus ingestion: each micro-batch of
+    documents is deduped against the ALREADY-INGESTED corpus (and
+    itself) via the persisted MinHash band index, and only survivors
+    are appended — the streaming composition of
+    :func:`~dataflow_python_etl_spark.operators.dedup.minhash_lsh_pairs_incremental`.
+
+    Work per batch scales with the BATCH, not the corpus: signatures
+    are computed for batch docs only, the (band, sig) probe touches
+    matching index buckets only, and verification re-shingles hit
+    corpus docs only (semi-join-pruned). The corpus itself is never
+    re-signed — the property that makes continuous 100 TB ingestion
+    viable.
+
+    Survivor rule matches the batch operators: a batch doc is dropped
+    if it near-dups any ingested corpus doc, or an earlier (lower-id)
+    doc in its own batch. Crash safety: the index is appended FIRST,
+    then the corpus, and batch docs already present in the corpus are
+    anti-joined away on replay — so a crash between the two appends
+    re-processes the doc (duplicate index rows only re-propose the
+    same candidate pair, which the pair ``distinct`` collapses), while
+    a crash after both appends replays to a no-op. Ids must be unique
+    across the stream's lifetime.
+    """
+    import os
+
+    from dataflow_python_etl_spark.operators.dedup import (
+        _band_frame,
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+        unpersist_all,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        if os.path.exists(corpus_path):
+            corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
+            # replay guard: docs already ingested (a crashed/replayed
+            # batch) must not re-append
+            batch = batch.join(corpus, id_col, "left_anti")
+            index = (
+                spark.read.parquet(index_path)
+                if os.path.exists(index_path)
+                else _band_frame(
+                    minhash_signatures(corpus, id_col, text_col, n, num_perm),
+                    id_col,
+                    num_perm,
+                    rows_per_band,
+                )
+            )
+            pairs = minhash_lsh_pairs_incremental(
+                corpus, batch, index, id_col, text_col, n, num_perm, rows_per_band, threshold
+            )
+            # a new doc is removed when it pairs with ANYTHING already
+            # decided: a corpus doc (either side of the pair — the
+            # corpus is immutable) or a lower-id doc of its own batch
+            # (doc_b of a new-new pair). Corpus-side pair members are
+            # never removed.
+            new_ids = batch.select(F.col(id_col).alias("__nid"))
+            b_new = pairs.join(
+                new_ids, pairs["doc_b"] == F.col("__nid"), "left_semi"
+            ).select(F.col("doc_b").alias(id_col))
+            a_new_b_corpus = (
+                pairs.join(new_ids, pairs["doc_b"] == F.col("__nid"), "left_anti")
+                .join(new_ids, pairs["doc_a"] == F.col("__nid"), "left_semi")
+                .select(F.col("doc_a").alias(id_col))
+            )
+            removals = b_new.union(a_new_b_corpus).distinct()
+        else:
+            corpus = None
+            from dataflow_python_etl_spark.operators.dedup import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(
+                batch, id_col, text_col, n, num_perm, rows_per_band, threshold
+            )
+            removals = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        # materialize before the appends so both writes see one
+        # consistent survivor set (and the LSH caches can be freed)
+        survivors = batch.join(removals, id_col, "left_anti").localCheckpoint(eager=True)
+        bands = _band_frame(
+            minhash_signatures(survivors, id_col, text_col, n, num_perm),
+            id_col,
+            num_perm,
+            rows_per_band,
+        )
+        bands.write.mode("append").parquet(index_path)
+        survivors.write.mode("append").parquet(corpus_path)
+        unpersist_all()
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

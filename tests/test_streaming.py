@@ -363,3 +363,57 @@ def test_stream_cdc_conflicting_ops_fail_loudly(spark, tmp_path):
     with pytest.raises(Exception, match="multiple source rows"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
+    """Continuous corpus ingestion: in-batch dups, cross-batch dups
+    (vs the persisted corpus/index), and id-order-independent removal
+    of new docs that match the immutable corpus."""
+    from dataflow_python_etl_spark.streaming.pipeline import stream_dedup_ingest
+
+    schema = "doc_id: long, text: string"
+    mk = lambda *rows: spark.createDataFrame(list(rows), schema)  # noqa: E731
+    texts = {
+        "a": "the quick brown fox jumps over the lazy dog near the old river bank today",
+        "b": "completely different words describe an unrelated subject in every single token here now",
+        "c": "yet another fully distinct sentence carrying no overlap with previous documents at all",
+        "d": "a fourth unique passage whose shingles match nothing else in the corpus stream",
+    }
+    src = str(tmp_path / "docs_in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: doc 2 is an in-batch copy of doc 1
+    mk((1, texts["a"]), (2, texts["a"]), (3, texts["b"])).write.parquet(src)
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus,
+        index,
+        ckpt,
+    )
+    q.processAllAvailable()
+    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 3}
+
+    # batch 2: 11 copies corpus doc 3 (cross-batch dup), 12 unique,
+    # 13 copies 12 in-batch. Also 0 copies corpus doc 1 despite having
+    # a LOWER id than every corpus doc — must still be dropped.
+    mk(
+        (0, texts["a"]), (11, texts["b"]), (12, texts["c"]), (13, texts["c"])
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 3, 12}
+
+    # batch 3: replayed ids (already ingested) are anti-joined away,
+    # fresh non-dup doc lands
+    mk((12, texts["c"]), (14, texts["d"])).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(corpus).collect()
+    assert {r["doc_id"] for r in rows} == {1, 3, 12, 14}
+    assert len(rows) == 4  # replay guard: no duplicate corpus rows
+
+    # the persisted index covers exactly the corpus survivors
+    assert {r["doc"] for r in spark.read.parquet(index).collect()} == {1, 3, 12, 14}
