@@ -311,6 +311,16 @@ def stream_dedup_ingest(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
+        if not os.path.exists(corpus_path) and batch_id > 0:
+            # same failure class as _guard_missing_table: a restarted
+            # sink whose corpus vanished must not silently rebuild the
+            # corpus from one batch (every prior survivor would be
+            # lost AND replayed ids would re-enter as "new")
+            raise RuntimeError(
+                f"stream_dedup_ingest restart at batch {batch_id} but corpus "
+                f"{corpus_path} is missing — refusing to rebuild from a "
+                "single batch; restore the corpus or start a fresh checkpoint."
+            )
         if os.path.exists(corpus_path):
             corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
             # replay guard: docs already ingested (a crashed/replayed

@@ -417,3 +417,43 @@ def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
 
     # the persisted index covers exactly the corpus survivors
     assert {r["doc"] for r in spark.read.parquet(index).collect()} == {1, 3, 12, 14}
+
+
+def test_stream_dedup_ingest_refuses_missing_corpus_on_restart(spark, tmp_path):
+    """A restarted dedup-ingest sink whose corpus dir vanished must
+    fail loudly, not rebuild the corpus from one batch."""
+    import shutil
+
+    from dataflow_python_etl_spark.streaming.pipeline import stream_dedup_ingest
+
+    text = "some long enough unique sentence with plenty of distinct tokens in it"
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, text)], "doc_id: long, text: string").write.parquet(src)
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus,
+        index,
+        ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()
+    shutil.rmtree(corpus)
+    spark.createDataFrame([(2, text + " two")], "doc_id: long, text: string").write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus,
+        index,
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        raise AssertionError("expected the restarted sink to fail")
+    except Exception as e:
+        assert "refusing to rebuild" in str(e)
+    finally:
+        q.stop()
