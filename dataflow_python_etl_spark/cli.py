@@ -32,7 +32,16 @@ _RESOURCES = Path(__file__).parent / "resources"
 
 
 def _table_path(warehouse: str, name: str) -> str:
-    return os.path.join(warehouse, name)
+    """Resolve a table name in the warehouse. A name without its own
+    dir resolves to an existing single-file ``<name>.parquet`` table
+    (the driver's testdata shape) when one exists, so writers replace
+    THAT table instead of creating a sibling dir the registration
+    loop would shadow with the stale file."""
+    p = os.path.join(warehouse, name)
+    single = p + ".parquet"
+    if not os.path.exists(p) and os.path.exists(single):
+        return single
+    return p
 
 
 def run_ingest(args) -> None:
@@ -112,21 +121,14 @@ def run_sql(args) -> None:
     statement = args.query if args.query else Path(args.file).read_text()
     df = spark.sql(statement)
     if args.output:
-        # write-to-temp-and-swap like every other writer here: naming
-        # an input table as --output must not overwrite-while-reading,
-        # and a crash mid-write must not leave a half-written table
-        import os
-        import uuid
-
-        from dataflow_python_etl_spark.operators.upsert import swap_table_dir
+        # write-to-temp-and-swap like every other writer: naming an
+        # input table as --output must not overwrite-while-reading, a
+        # crash mid-write must not leave a half-written table, and a
+        # single-file target (testdata *.parquet) swaps the same way
+        from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
         out = _table_path(args.warehouse, args.output)
-        tmp = f"{out}.__tmp_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(out):
-            swap_table_dir(out, tmp)
-        else:
-            os.rename(tmp, out)
+        write_and_swap(df, out)
         print(f"{args.output}: {spark.read.parquet(out).count()} rows")
     else:
         for row in df.limit(args.limit).collect():
@@ -140,7 +142,7 @@ def run_compact(args) -> None:
     files with write-and-swap (readers never see a missing table)."""
     import math
 
-    from dataflow_python_etl_spark.operators.upsert import swap_table_dir
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
     spark = get_spark("compact")
     path = _table_path(args.warehouse, args.table)
@@ -148,9 +150,7 @@ def run_compact(args) -> None:
     total_bytes = sum(p.stat().st_size for p in files)
     n_out = max(1, math.ceil(total_bytes / args.target_file_mb / 1024 / 1024))
     df = spark.read.parquet(path)
-    tmp = f"{path}.__tmp_compact"
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    swap_table_dir(path, tmp)
+    write_and_swap(df.repartition(n_out), path)
     print(f"{args.table}: {len(files)} files ({total_bytes} B) -> {n_out} files")
 
 

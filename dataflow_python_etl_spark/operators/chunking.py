@@ -81,8 +81,8 @@ def chunk_documents(
 def pack_sequences(
     chunks: DataFrame,
     budget_tokens: int,
+    order_cols: list[str],
     count_col: str = "n_tokens",
-    order_cols: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign every chunk to a training sequence (``seq_id``) such
@@ -90,9 +90,14 @@ def pack_sequences(
     (greedy next-fit in ``order_cols`` order). Output = input columns
     + ``seq_id`` (long).
 
-    Rows larger than the budget are REJECTED loudly (truncation is a
-    chunking decision, not a packing one — re-chunk with
-    ``chunk_tokens ≤ budget``).
+    ``order_cols`` must be a TOTAL order over the rows (e.g.
+    ``["doc_id", "chunk_id"]`` for :func:`chunk_documents` output) —
+    it is required, not defaulted, because packing under a partial
+    order is nondeterministic: ties would pack in shuffle-arrival
+    order, so reruns (or a retried task) would emit different
+    sequences. Rows larger than the budget are REJECTED loudly
+    (truncation is a chunking decision, not a packing one — re-chunk
+    with ``chunk_tokens ≤ budget``).
 
     Scale shape: packing state is a single running counter, so the
     corpus is range-partitioned by ``order_cols`` (deterministic,
@@ -105,7 +110,8 @@ def pack_sequences(
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
-    order_cols = order_cols or chunks.columns[:1]
+    if not order_cols:
+        raise ValueError("pack_sequences requires a total-order order_cols")
     # fresh StructType: .add() on df.schema would mutate the cached
     # schema object of the input DataFrame
     out_schema = StructType(list(chunks.schema.fields) + [StructField("seq_id", LongType())])

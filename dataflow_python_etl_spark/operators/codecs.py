@@ -162,6 +162,13 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # a silently-short slice would decode a fraction of the
+            # audio and emit garbage features; fail loudly instead
+            raise ValueError(
+                f"WAV truncated: chunk {cid!r} declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_body = body
@@ -170,6 +177,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_body is None or data_body is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt_body) < 16:
+        raise ValueError(f"WAV fmt chunk too short: {len(fmt_body)} bytes")
     audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt_body, 0)
     bits = struct.unpack_from("<H", fmt_body, 14)[0]
     if audio_format != 1 or bits not in (8, 16):

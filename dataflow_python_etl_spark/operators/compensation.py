@@ -96,12 +96,8 @@ def apply_compensation(
     backup-then-replace (see ``operators.upsert.swap_table_dir``) so a
     mid-swap failure never loses the table.
     """
-    import uuid
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
-    from dataflow_python_etl_spark.operators.upsert import swap_table_dir
-
-    tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
     df = spark.read.parquet(table_path)
-    with_compensation(df, today=today).write.mode("overwrite").parquet(tmp)
-    swap_table_dir(table_path, tmp)
+    write_and_swap(with_compensation(df, today=today), table_path)
     return spark.read.parquet(table_path)

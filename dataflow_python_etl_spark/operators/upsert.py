@@ -21,12 +21,16 @@ from pyspark.sql import functions as F
 
 def swap_table_dir(table_path: str, new_path: str) -> None:
     """Replace ``table_path`` with ``new_path`` without a window where
-    the table is gone: the old directory is renamed aside first, the
-    new one moved in, and only then is the backup deleted. If the move
+    the table is gone: the old table is renamed aside first, the new
+    one moved in, and only then is the backup deleted. If the move
     fails mid-way the backup is restored, so a crash never leaves
-    readers with a missing table. (Local-FS implementation; on HDFS/S3
-    this maps to rename / committed overwrite.)
+    readers with a missing table. Handles both directory tables and
+    single-file ``*.parquet`` tables (the driver's testdata shape).
+    (Local-FS implementation; on HDFS/S3 this maps to rename /
+    committed overwrite.)
     """
+    import os
+
     bak = f"{table_path}.__bak_{uuid.uuid4().hex[:8]}"
     shutil.move(table_path, bak)
     try:
@@ -34,7 +38,32 @@ def swap_table_dir(table_path: str, new_path: str) -> None:
     except BaseException:
         shutil.move(bak, table_path)  # restore; table never lost
         raise
-    shutil.rmtree(bak)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    else:
+        os.remove(bak)
+
+
+def write_and_swap(df: DataFrame, table_path: str) -> None:
+    """THE one overwrite path: write ``df`` as parquet to a
+    ``.__tmp_*`` sibling, then replace ``table_path`` — via
+    :func:`swap_table_dir` when the target exists (readers never see
+    a missing table; naming an input table as the output cannot
+    overwrite-while-reading), plain rename when it doesn't.
+
+    Every writer in the repo goes through this single implementation
+    because :func:`vacuum_table_dir` and :func:`recover_table_dir`
+    depend on the exact ``.__tmp_`` / ``.__bak_`` naming conventions —
+    five hand-rolled copies of this triple had already drifted (one
+    crashed on single-file targets)."""
+    import os
+
+    tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(table_path):
+        swap_table_dir(table_path, tmp)
+    else:
+        os.rename(tmp, table_path)
 
 
 def recover_table_dir(table_path: str) -> bool:
@@ -48,10 +77,10 @@ def recover_table_dir(table_path: str) -> bool:
     import glob
     import os
 
-    if os.path.isdir(table_path):
+    if os.path.exists(table_path):
         return False
     baks = sorted(
-        (p for p in glob.glob(f"{glob.escape(table_path)}.__bak_*") if os.path.isdir(p)),
+        glob.glob(f"{glob.escape(table_path)}.__bak_*"),  # dir or single-file table
         key=os.path.getmtime,
     )
     if not baks:
@@ -103,6 +132,43 @@ def upsert_df(
     keys = updates.select(*key_cols).distinct()
     kept = existing.join(keys, on=key_cols, how="left_anti")
     return kept.unionByName(updates)
+
+
+def _guard_duplicate_source_keys(
+    source: DataFrame, key_cols: list[str], label: str
+) -> DataFrame:
+    """Distributed duplicate-source-key rejection shared by every
+    MERGE implementation: duplicate fully-non-null source keys would
+    apply a nondeterministic one-of-N update, so they fail loudly.
+
+    The guard lives in a FILTER over the window output (a dead
+    projected column would be pruned by Catalyst, silently removing
+    the check); null keys are exempt — they never match a target row,
+    so duplicates among them are not ambiguous. The window partitions
+    on the same key the MERGE join shuffles on, so the exchange is
+    reused (plan-pinned)."""
+    from pyspark.sql import Window
+
+    n_dup = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    key_non_null = F.lit(True)
+    for k in key_cols:
+        key_non_null = key_non_null & F.col(k).isNotNull()
+    return (
+        source.withColumn("__n_dup", n_dup)
+        .where(
+            F.when(
+                (F.col("__n_dup") > 1) & key_non_null,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{label}: multiple source rows for key ("),
+                        F.concat_ws(", ", *[F.col(k).cast("string") for k in key_cols]),
+                        F.lit(")"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("__n_dup")
+    )
 
 
 def merge_df(
@@ -167,32 +233,7 @@ def merge_df(
             raise ValueError(f"insert assignments missing target columns: {sorted(missing)}")
 
     if fail_on_duplicate_source_keys:
-        from pyspark.sql import Window
-
-        n_dup = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
-        key_non_null = F.lit(True)
-        for k in key_cols:
-            key_non_null = key_non_null & F.col(k).isNotNull()
-        # the guard lives in a FILTER over the window output (a dead
-        # projected column would be pruned by Catalyst, silently
-        # removing the check); null keys are exempt — they never match
-        # a target row, so duplicates among them are not ambiguous
-        source = (
-            source.withColumn("__n_dup", n_dup)
-            .where(
-                F.when(
-                    (F.col("__n_dup") > 1) & key_non_null,
-                    F.raise_error(
-                        F.concat(
-                            F.lit("merge_df: multiple source rows for key ("),
-                            F.concat_ws(", ", *[F.col(k).cast("string") for k in key_cols]),
-                            F.lit(")"),
-                        )
-                    ).cast("boolean"),
-                ).otherwise(F.lit(True))
-            )
-            .drop("__n_dup")
-        )
+        source = _guard_duplicate_source_keys(source, key_cols, "merge_df")
 
     t = target.withColumn("__t_present", F.lit(True)).alias("t")
     s = source.withColumn("__s_present", F.lit(True)).alias("s")
@@ -255,9 +296,7 @@ def merge_table(
     disappears — callers keep the same contract)."""
     existing = spark.read.parquet(table_path)
     merged = merge_df(existing, source, key_cols, **clauses)
-    tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    swap_table_dir(table_path, tmp)
+    write_and_swap(merged, table_path)
     return spark.read.parquet(table_path)
 
 
@@ -311,27 +350,8 @@ def merge_table_transactional(
             raise ValueError(f"insert assignments missing target columns: {sorted(missing)}")
 
     if fail_on_duplicate_source_keys:
-        from pyspark.sql import Window
-
-        n_dup = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
-        key_non_null = F.lit(True)
-        for k in key_cols:
-            key_non_null = key_non_null & F.col(k).isNotNull()
-        source = (
-            source.withColumn("__n_dup", n_dup)
-            .where(
-                F.when(
-                    (F.col("__n_dup") > 1) & key_non_null,
-                    F.raise_error(
-                        F.concat(
-                            F.lit("merge_table_transactional: multiple source rows for key ("),
-                            F.concat_ws(", ", *[F.col(k).cast("string") for k in key_cols]),
-                            F.lit(")"),
-                        )
-                    ).cast("boolean"),
-                ).otherwise(F.lit(True))
-            )
-            .drop("__n_dup")
+        source = _guard_duplicate_source_keys(
+            source, key_cols, "merge_table_transactional"
         )
 
     cond = None
@@ -364,9 +384,7 @@ def upsert_table(
     (Spark cannot overwrite a path it is lazily reading)."""
     existing = spark.read.parquet(table_path)
     merged = upsert_df(existing, updates, key_cols, allow_schema_evolution)
-    tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    swap_table_dir(table_path, tmp)
+    write_and_swap(merged, table_path)
     return spark.read.parquet(table_path)
 
 
@@ -392,10 +410,10 @@ def vacuum_table_dir(warehouse: str, older_than_s: float = 24 * 3600) -> list[st
     for name in os.listdir(warehouse):
         m = pat.match(name)
         full = os.path.join(warehouse, name)
-        if not m or not os.path.isdir(full) or os.path.getmtime(full) >= cutoff:
+        if not m or os.path.getmtime(full) >= cutoff:
             continue
         base = os.path.join(warehouse, m.group("base"))
-        if not os.path.isdir(base):
+        if not os.path.exists(base):
             print(
                 f"vacuum: NOT removing {full} — base table {base} is missing; "
                 "this may be the only surviving copy (crashed mid-swap). "
@@ -403,6 +421,9 @@ def vacuum_table_dir(warehouse: str, older_than_s: float = 24 * 3600) -> list[st
                 file=sys.stderr,
             )
             continue
-        shutil.rmtree(full, ignore_errors=True)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:  # single-file table leftovers
+            os.remove(full)
         removed.append(full)
     return sorted(removed)

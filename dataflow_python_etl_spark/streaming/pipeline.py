@@ -225,11 +225,10 @@ def stream_cdc_to_table(
     """
     from pyspark.sql import functions as F
 
-    from dataflow_python_etl_spark.operators.upsert import merge_df, swap_table_dir
+    from dataflow_python_etl_spark.operators.upsert import merge_df, write_and_swap
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
-        import uuid as _uuid
 
         spark = batch_df.sparkSession
         data_cols = [c for c in batch_df.columns if c != op_col]
@@ -249,12 +248,7 @@ def stream_cdc_to_table(
             when_not_matched_insert={c: F.col(f"s.{c}") for c in data_cols},
             when_not_matched_insert_condition=F.col(f"s.{op_col}") != "D",
         )
-        tmp = f"{table_path}.__tmp_{_uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(table_path):
-            swap_table_dir(table_path, tmp)
-        else:
-            os.rename(tmp, table_path)
+        write_and_swap(merged, table_path)
 
     return (
         stream_df.writeStream.foreachBatch(apply_batch)
@@ -282,12 +276,16 @@ def stream_dedup_ingest(
     are appended — the streaming composition of
     :func:`~dataflow_python_etl_spark.operators.dedup.minhash_lsh_pairs_incremental`.
 
-    Work per batch scales with the BATCH, not the corpus: signatures
-    are computed for batch docs only, the (band, sig) probe touches
-    matching index buckets only, and verification re-shingles hit
-    corpus docs only (semi-join-pruned). The corpus itself is never
-    re-signed — the property that makes continuous 100 TB ingestion
-    viable.
+    The EXPENSIVE work per batch scales with the BATCH: signatures
+    are computed for batch docs only, and verification re-shingles
+    only HIT corpus docs (semi-join-pruned) — the corpus is never
+    re-signed. Two per-batch costs do still scan corpus-sized data,
+    honestly: the replay-guard anti-join reads the corpus's id column
+    (column-pruned scan), and the (band, sig) probe reads the whole
+    band index (this local-FS writer appends unpartitioned parquet; a
+    lake deployment should bucket the index by (band, sig) so the
+    probe becomes a co-located join, and can replace the anti-join
+    with an ingest-watermark filter when ids are monotone).
 
     Survivor rule matches the batch operators: a batch doc is dropped
     if it near-dups any ingested corpus doc, or an earlier (lower-id)
@@ -326,16 +324,19 @@ def stream_dedup_ingest(
             # replay guard: docs already ingested (a crashed/replayed
             # batch) must not re-append
             batch = batch.join(corpus, id_col, "left_anti")
-            index = (
-                spark.read.parquet(index_path)
-                if os.path.exists(index_path)
-                else _band_frame(
+            if not os.path.exists(index_path):
+                # rebuild the FULL corpus index and PERSIST it before
+                # use: an in-plan rebuild used once and not written
+                # would leave index_path holding only this batch's
+                # bands, silently blinding every later batch to every
+                # pre-loss corpus doc (poisoned-index failure mode)
+                _band_frame(
                     minhash_signatures(corpus, id_col, text_col, n, num_perm),
                     id_col,
                     num_perm,
                     rows_per_band,
-                )
-            )
+                ).write.parquet(index_path)
+            index = spark.read.parquet(index_path)
             pairs = minhash_lsh_pairs_incremental(
                 corpus, batch, index, id_col, text_col, n, num_perm, rows_per_band, threshold
             )

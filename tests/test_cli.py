@@ -138,3 +138,31 @@ def test_sql_subcommand_nanos_testdata(capsys):
     ])
     out = capsys.readouterr().out
     assert "n=1000" in out and "n_ts=1000" in out
+
+
+def test_sql_output_onto_single_file_table(spark, tmp_path, capsys):
+    """--output naming an existing single-file .parquet table must
+    swap-replace THAT table (not crash, not create a shadowed sibling
+    dir), and the swap leaves no tmp/bak leftovers."""
+    import os
+    import shutil
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    shutil.copy("/root/testdata/sf0.001/region.parquet", os.path.join(wh, "region.parquet"))
+    cli.main([
+        "sql", "--warehouse", wh,
+        "--query", "SELECT r_regionkey, upper(r_name) AS r_name FROM region",
+        "--output", "region",
+    ])
+    out = capsys.readouterr().out
+    assert "region: 5 rows" in out
+    # the single-file table was replaced in place (now a dir is fine,
+    # but it must live at the resolved .parquet path with no leftovers)
+    entries = sorted(os.listdir(wh))
+    assert entries == ["region.parquet"]
+    got = spark.read.parquet(os.path.join(wh, "region.parquet"))
+    assert got.count() == 5
+    assert {r["r_name"] for r in got.collect()} == {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    }

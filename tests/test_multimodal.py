@@ -123,3 +123,16 @@ def test_extract_asset_meta(spark):
         assert 1 <= r["width"] <= 640
         # deterministic checksum reproducible in plain python
         assert r["checksum"] == decode_image_meta(texts[r["asset_id"]].encode())["checksum"]
+
+
+def test_decode_wav_rejects_truncated_payload():
+    import pytest
+
+    samples = np.tile([1000, -1000], 64).astype(np.int16)
+    payload = codecs.encode_wav(samples, sample_rate=8000)
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_wav(payload[: len(payload) - 40])  # data chunk cut short
+    # fmt chunk shorter than the 16-byte PCM header: ValueError, not struct.error
+    short_fmt = payload[:12] + b"fmt " + struct.pack("<I", 4) + payload[20:24]
+    with pytest.raises(ValueError):
+        codecs.decode_wav(short_fmt)
