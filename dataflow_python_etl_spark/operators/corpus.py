@@ -220,6 +220,48 @@ def cap_per_key(
     )
 
 
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Leakage-proof train/val/test assignment: adds a ``split``
+    column where every row of a group lands in the SAME split, chosen
+    by the portable md5 hash of the group key.
+
+    Row-level random splits leak near-duplicates across train and
+    eval; pass a duplicate-cluster id (:func:`dup_clusters`), a domain
+    (``url_domain``), or any contamination boundary as ``group_col``
+    and the whole group moves together. Deterministic across runs,
+    partitionings, and engines (md5 — same family as the dedup
+    operators), zero-shuffle (pure map-side projection), and stable
+    under corpus growth: a group's split never changes when other
+    groups are added, because assignment depends only on the group key
+    and ``seed``.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    # uniform in [0, 1): 60-bit portable hash of (seed ++ key)
+    u = md5_hash60(
+        F.concat(F.lit(seed + ":"), F.col(group_col).cast("string"))
+    ) / F.lit(float(1 << 60))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
 def semantic_dedup(
     docs: DataFrame,
     embeddings: DataFrame,
