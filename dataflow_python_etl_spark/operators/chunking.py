@@ -44,9 +44,14 @@ def chunk_documents(
 
     Catalyst shape: the token array is computed in a projection BELOW
     the Generate and consumed only by the generator, so the split runs
-    once per document (a sibling projection would re-run it per output
-    chunk — the measured pitfall in docs/SCALE.md); per-chunk values
-    (slice, size, join) are built inside the generator's struct.
+    EXACTLY once per document (plan-pinned): a sibling projection
+    would re-run it per output chunk (the measured pitfall in
+    docs/SCALE.md), and a ``where(size > 0)`` empty-doc pre-filter
+    would make Catalyst re-derive the split a second time inside the
+    pushed Filter — instead, empty docs are excluded by the start
+    filter itself (posexplode of an empty array emits no rows).
+    Per-chunk values (slice, size, join) are built inside the
+    generator's struct.
     """
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be < chunk_tokens")
@@ -56,7 +61,7 @@ def chunk_documents(
     n = F.size("__toks")
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
-        lambda s: (s == F.lit(0)) | (s + F.lit(overlap_tokens) < n),
+        lambda s: ((s == F.lit(0)) & (n > 0)) | (s + F.lit(overlap_tokens) < n),
     )
     gen = F.transform(
         starts,
@@ -66,8 +71,7 @@ def chunk_documents(
         ),
     )
     return (
-        base.where(n > 0)
-        .select(F.col(id_col), F.posexplode(gen).alias("chunk_id", "c"))
+        base.select(F.col(id_col), F.posexplode(gen).alias("chunk_id", "c"))
         .select(
             id_col,
             "chunk_id",

@@ -122,3 +122,37 @@ def test_correlated_subquery_is_decorrelated(spark):
     df = _q(spark, "q46_correlated_subquery")
     s = explain_str(df, "simple")
     assert "Join" in s and "Aggregate" in s
+
+
+def test_split_by_group_zero_exchange_jvm_only(spark):
+    """The dataset split is a pure map-side projection: no shuffle,
+    no Python in the data path — it costs one expression per row at
+    any corpus size."""
+    from dataflow_python_etl_spark.operators.corpus import split_by_group
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = split_by_group(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    plan = explain_str(out)
+    assert count_exchanges(out) == 0
+    assert "EvalPython" not in plan
+
+
+def test_chunk_documents_single_generate_no_python(spark):
+    """Chunking is one Generate over a projection that computes the
+    token array once per document — the sibling-projection shape that
+    re-runs split() per output chunk must not come back, and the whole
+    operator stays JVM-side."""
+    from dataflow_python_etl_spark.operators.chunking import chunk_documents
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, chunk_tokens=64, overlap_tokens=8)
+    plan = explain_str(out)
+    assert count_exchanges(out) == 0
+    assert "EvalPython" not in plan
+    assert plan.count("posexplode") == 1
+    # the token split is evaluated EXACTLY once (in the projection
+    # below the Generate) — not re-run per chunk by a sibling
+    # projection, and not re-derived inside a pushed empty-doc Filter
+    assert plan.count("split(") == 1, plan
