@@ -398,3 +398,100 @@ def ivf_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted file: corpus rows with their cell
+    assignment and precomputed norm, written ``partitionBy(cid)``.
+
+    :func:`ivf_topk` re-assigns every corpus row on every call — fine
+    for one-shot analytics, wrong for a serving corpus queried
+    repeatedly. This index pays the assignment map ONCE; after that
+    :func:`ivf_topk_indexed` reads only the probed cells via partition
+    pruning (a cell = a parquet partition directory), so each query
+    batch scans ~n_probe/K of the corpus instead of 100% of it.
+    """
+    kcells_seq = F.sequence(F.lit(1), F.lit(len(centroids)))
+    argmax_cell = F.aggregate(
+        F.arrays_zip(
+            _centroid_dots(F.col("cvec"), centroids).alias("s"), kcells_seq.alias("i")
+        ),
+        F.struct(F.lit(float("-inf")).alias("s"), F.lit(0).cast("integer").alias("i")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        lambda acc: acc["i"],
+    )
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cvec"),
+        )
+        .withColumn("cid", argmax_cell)
+        .withColumn("cn", l2_norm(F.col("cvec")))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over a :func:`build_ivf_index` table: identical results
+    to :func:`ivf_topk` (pinned in tests), but the corpus scan is
+    PARTITION-PRUNED to the probed cells.
+
+    The probe cell set is collected to the driver — bounded by
+    contract: ≤ n_probe × |queries| ≤ K distinct cells, and the query
+    batch is structurally small (same contract under which
+    :func:`ivf_topk` broadcasts it). The resulting ``cid IN (...)``
+    filter prunes at the file-listing level, which a join could only
+    achieve via runtime DPP.
+    """
+    kcells = len(centroids)
+    n_probe = min(n_probe, kcells)
+    dots = _centroid_dots(as_double_array(vec_col), centroids)
+    ranked = F.array_sort(
+        F.arrays_zip(dots.alias("s"), F.sequence(F.lit(1), F.lit(kcells)).alias("i")),
+        lambda l, r: F.when(l["s"] > r["s"], -1)
+        .when(l["s"] < r["s"], 1)
+        .otherwise((l["i"] - r["i"]).cast("int")),
+    )
+    probes = F.slice(F.transform(ranked, lambda x: x["i"]), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qvec"),
+        F.explode(probes).alias("cid"),
+    ).withColumn("qn", l2_norm(F.col("qvec")))
+
+    probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    c = spark.read.parquet(index_path).where(F.col("cid").isin(probe_cids))
+
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

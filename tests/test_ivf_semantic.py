@@ -93,3 +93,36 @@ def test_cosine_pairs_lsh_string_ids(spark, emb):
     norm = lambda s: {(frozenset((a, b)), c) for a, b, c in s}
     assert norm(got) == norm(base)
     assert all(isinstance(r, str) for pair in got for r in list(pair)[:2])
+
+
+def test_ivf_indexed_matches_inline_and_prunes(spark, emb, centroids, tmp_path):
+    """The persisted IVF index returns exactly ivf_topk's results at
+    every n_probe, and its corpus scan is partition-pruned to the
+    probed cells (cid is a partition column, filtered pre-scan)."""
+    import os
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, centroids, path)
+    # one partition dir per non-empty cell
+    cells = [d for d in os.listdir(path) if d.startswith("cid=")]
+    assert 1 < len(cells) <= len(centroids)
+
+    queries = emb.where(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos_sim"])
+    for n_probe in (1, 2, len(centroids)):
+        inline = ivf_topk(emb, queries, centroids, k=3, n_probe=n_probe).collect()
+        indexed = ivf_topk_indexed(
+            spark, path, queries, centroids, k=3, n_probe=n_probe
+        ).collect()
+        assert sorted(map(key, indexed)) == sorted(map(key, inline)), n_probe
+
+    # pruning pin: with n_probe=1 the scan's partition filter keeps
+    # only the probed cells, not the whole index
+    df = ivf_topk_indexed(spark, path, queries, centroids, k=3, n_probe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
