@@ -304,6 +304,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     cosine_threshold: float = 0.9,
     max_shingle_df: int | None = 64,
+    quota_salt_buckets: int | None = None,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
@@ -314,7 +315,8 @@ def curate_corpus(
     4. semantic near-dup removal (embedding cosine over LSH buckets —
        paraphrases; skipped when ``embeddings`` is None);
     5. per-domain quota (``cap_per_key``; skipped when ``domain_col``
-       is None).
+       is None; set ``quota_salt_buckets`` when one domain dominates
+       the crawl — see the two-phase variant's docstring).
 
     Order matters at scale: each stage shrinks the corpus the next
     (more expensive) stage sees — the regex gate is a map, Jaccard
@@ -355,7 +357,9 @@ def curate_corpus(
         )
         out = semantic_dedup(out, emb_pruned, id_col=id_col, threshold=cosine_threshold)
     if domain_col is not None:
-        out = cap_per_key(out, [domain_col], max_per_domain, [id_col])
+        out = cap_per_key(
+            out, [domain_col], max_per_domain, [id_col], quota_salt_buckets
+        )
     return out.select(
         F.col(id_col),
         F.col(text_col),

@@ -80,3 +80,49 @@ def test_pack_sequences_deterministic(spark):
         for r in pack_sequences(chunks, 128, order_cols=["doc_id", "chunk_id"]).collect()
     }
     assert a == b
+
+
+def test_chunk_documents_properties_randomized(spark):
+    """Property sweep over arbitrary token streams: coverage (every
+    token index falls in some chunk), window exactness, no redundant
+    tails, and correct handling of whitespace-only docs — for many
+    (doc length, chunk, overlap) combinations at once."""
+    import random
+
+    rng = random.Random(20260813)
+    cases = []
+    did = 0
+    for chunk, overlap in [(4, 0), (5, 2), (8, 7), (16, 4), (64, 16)]:
+        for n_tok in [0, 1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 63, 64, 65, 200]:
+            did += 1
+            text = " ".join(f"t{rng.randint(0, 9)}x{i}" for i in range(n_tok))
+            cases.append((did, chunk, overlap, n_tok, text))
+    df = spark.createDataFrame(
+        [(i, t) for i, _, _, _, t in cases], "doc_id: long, text: string"
+    )
+    by_case = {i: (c, o, n, t) for i, c, o, n, t in cases}
+    for chunk, overlap in [(4, 0), (5, 2), (8, 7), (16, 4), (64, 16)]:
+        ids = [i for i, (c, o, _, _) in by_case.items() if (c, o) == (chunk, overlap)]
+        sub = df.where(F.col("doc_id").isin(ids))
+        rows = chunk_documents(sub, chunk_tokens=chunk, overlap_tokens=overlap).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append(r)
+        for i in ids:
+            _, _, n_tok, text = by_case[i]
+            toks = text.split()
+            chunks = sorted(got.get(i, []), key=lambda r: r["chunk_id"])
+            if n_tok == 0:
+                assert chunks == []
+                continue
+            step = chunk - overlap
+            covered = set()
+            for j, r in enumerate(chunks):
+                assert r["chunk_id"] == j and r["token_start"] == j * step
+                body = r["chunk_text"].split()
+                assert body == toks[r["token_start"] : r["token_start"] + chunk]
+                assert r["n_tokens"] == len(body)
+                covered.update(range(r["token_start"], r["token_start"] + len(body)))
+                if j > 0:  # non-redundant: contributes unseen tokens
+                    assert r["token_start"] + overlap < n_tok
+            assert covered == set(range(n_tok))  # full coverage, no gaps
