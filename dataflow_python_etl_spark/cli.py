@@ -154,6 +154,18 @@ def run_compact(args) -> None:
     print(f"{args.table}: {len(files)} files ({total_bytes} B) -> {n_out} files")
 
 
+def run_zorder(args) -> None:
+    """Z-order-cluster a warehouse table (multi-column data skipping;
+    see operators/zorder.py)."""
+    from dataflow_python_etl_spark.operators.zorder import zorder_table
+
+    spark = get_spark("zorder")
+    path = _table_path(args.warehouse, args.table)
+    cols = args.by.split(",")
+    zorder_table(spark, path, cols, bits=args.bits)
+    print(f"{args.table}: z-ordered by {cols}")
+
+
 def run_profile(args) -> None:
     """Single-pass per-column profile of a warehouse table (the
     data-quality gate before trusting a new drop)."""
@@ -247,6 +259,13 @@ def main(argv: list[str] | None = None) -> None:
     pk.add_argument("--table", required=True)
     pk.add_argument("--target-file-mb", type=int, default=128)
     pk.set_defaults(fn=run_compact)
+
+    pz = sub.add_parser("zorder", help="cluster a table by z-order for multi-column skipping")
+    pz.add_argument("--warehouse", required=True)
+    pz.add_argument("--table", required=True)
+    pz.add_argument("--by", required=True, help="comma-separated columns (≥2)")
+    pz.add_argument("--bits", type=int, default=8)
+    pz.set_defaults(fn=run_zorder)
 
     pp = sub.add_parser("profile", help="single-pass per-column stats of a table")
     pp.add_argument("--warehouse", required=True)
