@@ -287,6 +287,76 @@ def minhash_band_index(
     )
 
 
+class BandIndexStore:
+    """Lifecycle of a PERSISTED MinHash band index, bucketed by
+    (band, sig).
+
+    The plain-parquet index forces every (band, sig) probe to shuffle
+    BOTH sides of the join — at 100 TB the index side is the corpus ×
+    num_bands, so that shuffle grows forever while the batch side stays
+    bounded. Bucketing the index by its probe key amortizes the index
+    shuffle into the (append-time) write: the probe becomes a
+    co-located join where only the BATCH side moves (plan-pinned in
+    tests/test_band_index.py — exactly one ``Exchange
+    hashpartitioning(band, sig)`` remains, on the batch side).
+
+    ``path`` keeps the files at a caller-chosen location (external
+    table); the bucket spec lives in the session catalog. Appends
+    preserve the bucket spec (Spark validates it), so incremental
+    ingest (:func:`minhash_lsh_pairs_incremental`,
+    ``streaming.pipeline.stream_dedup_ingest``) keeps the co-located
+    probe across batches.
+    """
+
+    def __init__(
+        self,
+        spark,
+        table: str,
+        path: str | None = None,
+        n_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.path = path
+        self.n_buckets = n_buckets
+
+    def exists(self) -> bool:
+        import os
+
+        if not self.spark.catalog.tableExists(self.table):
+            return False
+        if self.path is not None and not os.path.exists(self.path):
+            return False
+        return True
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.table)
+
+    def append(self, bands: DataFrame) -> None:
+        from dataflow_python_etl_spark.sources.sinks import write_bucketed
+
+        write_bucketed(
+            bands,
+            self.table,
+            ["band", "sig"],
+            n_buckets=self.n_buckets,
+            mode="append",
+            path=self.path,
+        )
+
+    def drop(self) -> None:
+        """Drop the catalog entry AND stale files (rebuild/test path).
+        A catalog row pointing at a vanished dir would make every
+        append fail; a dir without a catalog row would be silently
+        shadowed by the recreated table."""
+        import os
+        import shutil
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        if self.path is not None and os.path.exists(self.path):
+            shutil.rmtree(self.path)
+
+
 def _verify_jaccard(
     docs: DataFrame,
     candidates: DataFrame,
@@ -294,6 +364,7 @@ def _verify_jaccard(
     text_col: str,
     n: int,
     threshold: float,
+    dedup_ids: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
 
@@ -303,6 +374,14 @@ def _verify_jaccard(
     narrow pair generation — see ``_posting_common``). Posting pairs
     include doc pairs that share a shingle without being candidates;
     the semi join with ``candidates`` keeps exactly the LSH pair set.
+
+    ``dedup_ids`` collapses duplicate (id, text) rows AFTER the
+    candidate pruning (so the extra shuffle is bounded by the
+    candidate count, never corpus-sized). The incremental ingest path
+    needs it: a crash-replayed batch can legitimately appear on BOTH
+    sides of corpus ∪ batch, and a doubled doc would double its
+    posting rows — inflating ``common`` and ``sz`` and corrupting
+    every Jaccard score it touches.
     """
     needed = (
         candidates.select(F.col("doc_a").alias("doc"))
@@ -310,6 +389,8 @@ def _verify_jaccard(
         .distinct()
     )
     docs_c = docs.join(needed.withColumnRenamed("doc", id_col), id_col, "left_semi")
+    if dedup_ids:
+        docs_c = docs_c.dropDuplicates([id_col])
     sh_c = _persist(_doc_shingles(docs_c, id_col, text_col, n))
     sizes = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     common = _posting_common(_postings(sh_c, None)).join(
@@ -439,7 +520,14 @@ def minhash_lsh_pairs_incremental(
     ).select(F.col("nb.doc").alias("doc_a"), F.col("b2.doc").alias("doc_b"))
     candidates = _persist(cand_old.union(cand_new).distinct())
     all_docs = corpus.select(id_col, text_col).union(new_docs.select(id_col, text_col))
-    return _verify_jaccard(all_docs, candidates, id_col, text_col, n, threshold)
+    # dedup_ids: tolerate a crash-replayed batch already present in the
+    # corpus (same id on both sides of the union) — see _verify_jaccard.
+    # Identity candidates (a band match of a doc against its own corpus
+    # copy) are excluded by _posting_common's a < b, so a replayed doc
+    # never "near-dups itself" into a removal.
+    return _verify_jaccard(
+        all_docs, candidates, id_col, text_col, n, threshold, dedup_ids=True
+    )
 
 
 def simhash(

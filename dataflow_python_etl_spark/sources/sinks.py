@@ -31,14 +31,22 @@ def write_partitioned(
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int = 32,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    """Bucketed catalog table; multi-column bucket keys co-locate a
+    composite join key (e.g. the LSH (band, sig) probe). ``path`` makes
+    it an EXTERNAL table so the files live at a caller-chosen location
+    while the bucket spec lives in the catalog."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode(mode).bucketBy(n_buckets, cols[0], *cols[1:])
     if sort_col:
         w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 

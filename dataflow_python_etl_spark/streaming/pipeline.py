@@ -258,6 +258,30 @@ def stream_cdc_to_table(
     )
 
 
+def _guard_replay(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    replay_guard: str,
+    wm: dict | None,
+) -> DataFrame:
+    """Drop already-ingested ids from a micro-batch.
+
+    ``anti_join``: correct for arbitrary ids, but the guard itself
+    scans the corpus's id column every batch — a cost that grows with
+    the corpus forever. ``watermark``: when ids are monotone, the same
+    guarantee is a pure JVM filter against the last committed
+    ``max_id`` — the returned plan never references the corpus at all
+    (plan-pinned in tests/test_ingest_watermark.py: zero exchanges,
+    no corpus scan).
+    """
+    if replay_guard == "watermark":
+        if wm is not None:
+            return batch.where(F.col(id_col) > F.lit(wm["max_id"]))
+        return batch
+    return batch.join(corpus, id_col, "left_anti")
+
+
 def stream_dedup_ingest(
     stream_docs: DataFrame,
     corpus_path: str,
@@ -269,6 +293,9 @@ def stream_dedup_ingest(
     num_perm: int = 32,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    index_table: str | None = None,
+    index_buckets: int = 32,
+    replay_guard: str = "anti_join",
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Online near-dup-filtered corpus ingestion: each micro-batch of
     documents is deduped against the ALREADY-INGESTED corpus (and
@@ -279,32 +306,109 @@ def stream_dedup_ingest(
     The EXPENSIVE work per batch scales with the BATCH: signatures
     are computed for batch docs only, and verification re-shingles
     only HIT corpus docs (semi-join-pruned) — the corpus is never
-    re-signed. Two per-batch costs do still scan corpus-sized data,
-    honestly: the replay-guard anti-join reads the corpus's id column
-    (column-pruned scan), and the (band, sig) probe reads the whole
-    band index (this local-FS writer appends unpartitioned parquet; a
-    lake deployment should bucket the index by (band, sig) so the
-    probe becomes a co-located join, and can replace the anti-join
-    with an ingest-watermark filter when ids are monotone).
+    re-signed. Two knobs remove the remaining corpus-sized per-batch
+    costs:
+
+    - ``index_table``: persist the band index as a catalog table
+      BUCKETED by (band, sig)
+      (:class:`~dataflow_python_etl_spark.operators.dedup.BandIndexStore`).
+      The probe then co-locates on the index's layout — only the
+      batch's bands shuffle; the index side has no Exchange
+      (plan-pinned in tests/test_band_index.py). ``index_path``
+      becomes the external table's file location.
+    - ``replay_guard="watermark"``: for MONOTONE doc ids, replace the
+      corpus-sized replay anti-join with a pure filter
+      ``id > max_ingested_id`` against a tiny atomically-swapped
+      watermark file — no corpus scan at all in the guard
+      (plan-pinned). Corpus appends go to a per-batch hive partition
+      (``ingest_batch=<id>``) written with dynamic partition
+      OVERWRITE, so a crash-replayed batch rewrites its own partition
+      instead of appending duplicates; a replay arriving after the
+      watermark committed (batch_id == recorded) is a pure no-op.
 
     Survivor rule matches the batch operators: a batch doc is dropped
     if it near-dups any ingested corpus doc, or an earlier (lower-id)
-    doc in its own batch. Crash safety: the index is appended FIRST,
-    then the corpus, and batch docs already present in the corpus are
-    anti-joined away on replay — so a crash between the two appends
-    re-processes the doc (duplicate index rows only re-propose the
-    same candidate pair, which the pair ``distinct`` collapses), while
-    a crash after both appends replays to a no-op. Ids must be unique
+    doc in its own batch. Crash safety (both guards): the index is
+    appended FIRST, then the corpus, then (watermark mode) the
+    watermark. A crash between index and corpus appends re-processes
+    the doc — duplicate index rows only re-propose the same candidate
+    pair, which the pair ``distinct`` collapses. A crash between
+    corpus append and watermark write replays the batch against a
+    corpus that already contains it: the verification de-duplicates
+    ids (see ``_verify_jaccard(dedup_ids=True)``), identity pairs are
+    excluded, so the replay converges to the identical survivor set
+    and the partition overwrite is idempotent. Ids must be unique
     across the stream's lifetime.
     """
+    import json
     import os
 
     from dataflow_python_etl_spark.operators.dedup import (
+        BandIndexStore,
         _band_frame,
         minhash_lsh_pairs_incremental,
         minhash_signatures,
         unpersist_all,
     )
+
+    if replay_guard not in ("anti_join", "watermark"):
+        raise ValueError(f"replay_guard must be anti_join|watermark, got {replay_guard!r}")
+
+    wm_path = corpus_path + ".__ingest_watermark"
+
+    def _read_wm() -> dict | None:
+        if not os.path.exists(wm_path):
+            return None
+        with open(wm_path) as f:
+            return json.load(f)
+
+    def _write_wm(batch_id: int, max_id) -> None:
+        # tmp + atomic rename: a torn watermark would silently re-admit
+        # (or worse, permanently skip) ids on the next restart
+        tmp = wm_path + ".__tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "max_id": max_id}, f)
+        os.replace(tmp, wm_path)
+
+    def _store(spark: SparkSession) -> BandIndexStore | None:
+        if index_table is None:
+            return None
+        return BandIndexStore(spark, index_table, path=index_path, n_buckets=index_buckets)
+
+    def _index_exists(spark: SparkSession) -> bool:
+        st = _store(spark)
+        return st.exists() if st is not None else os.path.exists(index_path)
+
+    def _index_read(spark: SparkSession) -> DataFrame:
+        st = _store(spark)
+        return st.read() if st is not None else spark.read.parquet(index_path)
+
+    def _index_append(spark: SparkSession, bands: DataFrame) -> None:
+        st = _store(spark)
+        if st is not None:
+            st.append(bands)
+        else:
+            bands.write.mode("append").parquet(index_path)
+
+    def _index_rebuild(spark: SparkSession, bands: DataFrame) -> None:
+        st = _store(spark)
+        if st is not None:
+            st.drop()  # clear a stale catalog row / partial dir first
+            st.append(bands)
+        else:
+            bands.write.parquet(index_path)
+
+    def _corpus_append(survivors: DataFrame, batch_id: int) -> None:
+        if replay_guard == "watermark":
+            (
+                survivors.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(corpus_path)
+            )
+        else:
+            survivors.write.mode("append").parquet(corpus_path)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -319,24 +423,28 @@ def stream_dedup_ingest(
                 f"{corpus_path} is missing — refusing to rebuild from a "
                 "single batch; restore the corpus or start a fresh checkpoint."
             )
+        wm = _read_wm() if replay_guard == "watermark" else None
+        if wm is not None and batch_id == wm["batch_id"]:
+            return  # this exact batch fully committed — replay is a no-op
         if os.path.exists(corpus_path):
             corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
-            # replay guard: docs already ingested (a crashed/replayed
-            # batch) must not re-append
-            batch = batch.join(corpus, id_col, "left_anti")
-            if not os.path.exists(index_path):
+            batch = _guard_replay(batch, corpus, id_col, replay_guard, wm)
+            if not _index_exists(spark):
                 # rebuild the FULL corpus index and PERSIST it before
                 # use: an in-plan rebuild used once and not written
-                # would leave index_path holding only this batch's
+                # would leave the index holding only this batch's
                 # bands, silently blinding every later batch to every
                 # pre-loss corpus doc (poisoned-index failure mode)
-                _band_frame(
-                    minhash_signatures(corpus, id_col, text_col, n, num_perm),
-                    id_col,
-                    num_perm,
-                    rows_per_band,
-                ).write.parquet(index_path)
-            index = spark.read.parquet(index_path)
+                _index_rebuild(
+                    spark,
+                    _band_frame(
+                        minhash_signatures(corpus, id_col, text_col, n, num_perm),
+                        id_col,
+                        num_perm,
+                        rows_per_band,
+                    ),
+                )
+            index = _index_read(spark)
             pairs = minhash_lsh_pairs_incremental(
                 corpus, batch, index, id_col, text_col, n, num_perm, rows_per_band, threshold
             )
@@ -363,6 +471,17 @@ def stream_dedup_ingest(
                 batch, id_col, text_col, n, num_perm, rows_per_band, threshold
             )
             removals = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        max_ingested = None
+        if replay_guard == "watermark":
+            # highest id this batch DECIDED (survivor or dup — a dropped
+            # dup is a decision too; re-admitting it later would flip it)
+            max_ingested = batch.agg(F.max(id_col)).first()[0]
+            if max_ingested is None:
+                # every id already covered by the watermark (source-level
+                # replay): record completion, touch nothing else
+                _write_wm(batch_id, wm["max_id"])
+                unpersist_all()  # LSH caches registered before the filter emptied
+                return
         # materialize before the appends so both writes see one
         # consistent survivor set (and the LSH caches can be freed)
         survivors = batch.join(removals, id_col, "left_anti").localCheckpoint(eager=True)
@@ -372,8 +491,10 @@ def stream_dedup_ingest(
             num_perm,
             rows_per_band,
         )
-        bands.write.mode("append").parquet(index_path)
-        survivors.write.mode("append").parquet(corpus_path)
+        _index_append(spark, bands)
+        _corpus_append(survivors, batch_id)
+        if replay_guard == "watermark":
+            _write_wm(batch_id, max_ingested)
         unpersist_all()
 
     return (
