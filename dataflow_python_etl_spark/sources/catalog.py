@@ -45,18 +45,39 @@ def _ns_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TimestampType.
+
+    Parquet micros with ``isAdjustedToUTC=false`` land as NTZ under
+    Spark 4's default ``inferTimestampNTZ``; the engine (and the
+    DuckDB oracle, whose naive timestamps are epoch'd as UTC) treats
+    every testdata timestamp as a UTC instant. With the session
+    timezone pinned to UTC (session.py) this cast is exactly that
+    interpretation, and keeps downstream epoch/window math on the
+    LTZ type every query was written against.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, df[c].cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One named parquet table from a scale-factor directory.
 
-    Nanosecond-precision timestamp columns (e.g. ``events.ts``) are
-    read via ``spark.sql.legacy.parquet.nanosAsLong`` and converted to
-    micro-precision TimestampType (the testdata's nanos are all
-    micro-aligned, so the conversion is lossless).
+    Nanosecond-precision timestamp columns are read via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and converted to
+    micro-precision TimestampType (the nanos testdata generations are
+    micro-aligned, so the conversion is lossless); NTZ micro columns
+    are cast to TimestampType (see :func:`_ntz_to_ltz`).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_ltz(spark.read.parquet(path))
     from pyspark.sql import functions as F
 
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
@@ -67,7 +88,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return df
+    return _ntz_to_ltz(df)
 
 
 def load_tables(

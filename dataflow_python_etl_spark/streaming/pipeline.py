@@ -413,11 +413,19 @@ def stream_dedup_ingest(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
-        if not os.path.exists(corpus_path) and batch_id > 0:
+        if (
+            not os.path.exists(corpus_path)
+            and batch_id > 0
+            and (_index_exists(spark) or os.path.exists(wm_path))
+        ):
             # same failure class as _guard_missing_table: a restarted
             # sink whose corpus vanished must not silently rebuild the
             # corpus from one batch (every prior survivor would be
-            # lost AND replayed ids would re-enter as "new")
+            # lost AND replayed ids would re-enter as "new").
+            # batch_id alone is NOT evidence of prior ingestion — an
+            # empty batch 0 writes nothing — so require a ingest
+            # artifact (index or watermark; the index is appended
+            # BEFORE the corpus, so any ingest leaves one).
             raise RuntimeError(
                 f"stream_dedup_ingest restart at batch {batch_id} but corpus "
                 f"{corpus_path} is missing — refusing to rebuild from a "
@@ -478,8 +486,11 @@ def stream_dedup_ingest(
             max_ingested = batch.agg(F.max(id_col)).first()[0]
             if max_ingested is None:
                 # every id already covered by the watermark (source-level
-                # replay): record completion, touch nothing else
-                _write_wm(batch_id, wm["max_id"])
+                # replay): record completion, touch nothing else. An
+                # empty FIRST batch (wm is None) has no watermark to
+                # carry forward — skip the write rather than invent one.
+                if wm is not None:
+                    _write_wm(batch_id, wm["max_id"])
                 unpersist_all()  # LSH caches registered before the filter emptied
                 return
         # materialize before the appends so both writes see one
