@@ -47,13 +47,16 @@ def zorder_key(
     from pyspark.ml.feature import Bucketizer
 
     n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column approxQuantile = ONE job building every
+    # column's sketch in a single (column-pruned) pass over the table
+    # — k separate calls would cost k full scans at 100 TB for
+    # sketches one pass can build together.
+    cast_cols = [F.col(c).cast("double").alias(c) for c in cols]
+    all_splits = df.select(*cast_cols).approxQuantile(list(cols), probs, 0.001)
     out = df
     rank_cols = []
-    for c in cols:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        splits = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
-            c, probs, 0.001
-        )
+    for c, splits in zip(cols, all_splits):
         # strictly increasing splits only (duplicate quantiles on
         # low-cardinality columns collapse buckets, which is fine)
         uniq = sorted(set(splits))
@@ -67,7 +70,14 @@ def zorder_key(
     # interleave: bit b of rank_i lands at position b*len(cols)+i
     z = F.lit(0).cast("long")
     for i, rc in enumerate(rank_cols):
-        r = F.col(rc).cast("long")
+        # handleInvalid='keep' parks NaN/null rows in bucket index
+        # n_valid_buckets — one PAST the last quantile bucket, which
+        # can need bits+1 bits when no splits collapsed. Clamp into
+        # the representable range so such rows cluster with the TOP
+        # bucket (they'd otherwise alias to rank 0 through the
+        # interleave mask and drag the lowest hyper-rectangle's
+        # min/max envelope across every NaN row's file).
+        r = F.least(F.col(rc).cast("long"), F.lit(n_buckets - 1))
         for b in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(r.bitwiseAND(F.lit(1 << b)), b * (len(cols) - 1) + i)

@@ -114,3 +114,49 @@ def test_zorder_cli_subcommand(spark, tmp_path, capsys):
     cli.main(["zorder", "--warehouse", wh, "--table", "t", "--by", "x,y"])
     assert "z-ordered" in capsys.readouterr().out
     assert spark.read.parquet(os.path.join(wh, "t")).count() == 5000
+
+
+def test_zorder_sketch_is_single_pass(spark, monkeypatch):
+    """All per-column quantile sketches must come from ONE
+    approxQuantile call (one job / one scan), however many z-order
+    columns there are — k calls would be k full table passes at
+    100 TB."""
+    df = spark.createDataFrame(
+        [(i, i % 17, (i * 7) % 23, i % 5) for i in range(2000)],
+        "id: long, x: long, y: long, w: long",
+    )
+    cls = type(df)  # the concrete (classic) DataFrame class
+    calls = []
+    orig = cls.approxQuantile
+
+    def counting(self, col, probs, eps):
+        calls.append(col)
+        return orig(self, col, probs, eps)
+
+    monkeypatch.setattr(cls, "approxQuantile", counting)
+    zorder_key(df, ["x", "y", "w"], bits=4)
+    assert len(calls) == 1, calls
+    assert calls[0] == ["x", "y", "w"]
+
+
+def test_zorder_nan_rows_get_representable_rank(spark):
+    """NaN/null rows (Bucketizer handleInvalid='keep' parks them one
+    bucket PAST the quantile range) must clamp into the top bucket —
+    not alias to rank 0 through the interleave mask and poison the
+    lowest hyper-rectangle's envelope."""
+    rows = [(float(i % 100), float((i * 13) % 100)) for i in range(4000)]
+    rows += [(float("nan"), 50.0), (None, 50.0)]
+    df = spark.createDataFrame(rows, "x: double, y: double")
+    keyed, zcol = zorder_key(df, ["x", "y"], bits=4)
+    out = keyed.collect()
+    assert len(out) == len(rows)
+    # x contributes bits at even positions; extract each row's x-rank
+    def x_rank(z):
+        return sum(((z >> (2 * b)) & 1) << b for b in range(4))
+
+    ranks = {}
+    for r in out:
+        key = "nan" if r["x"] is None or r["x"] != r["x"] else "num"
+        ranks.setdefault(key, set()).add(x_rank(r[zcol]))
+    assert ranks["nan"] == {15}  # top bucket, NOT 0
+    assert 0 in ranks["num"]  # real low values still rank low
