@@ -27,6 +27,28 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# Portable BPE-ish pre-tokenization: lowercase runs, digit runs, and
+# single non-alnum marks — the segmentation q38 counts and the
+# tokenizer-budget twin of whitespace tokens (a real BPE vocab splits
+# further, but this regex is deterministic and engine-portable, so the
+# oracle can mirror it). Classes are disjoint and contain no
+# whitespace, so re-tokenizing a space-joined subtoken stream yields
+# the same subtokens (chunk_text round-trips under bpe chunking).
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """array<string> of BPE-ish subword tokens (see ``BPE_RE``).
+    Matches are non-empty by construction — no empty-string filter
+    needed (unlike whitespace ``tokens``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_RE), F.lit(0))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

@@ -22,7 +22,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-from dataflow_python_etl_spark.functions.text import tokens
+from dataflow_python_etl_spark.functions.text import bpe_tokens, tokens
 
 
 def chunk_documents(
@@ -31,10 +31,21 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 512,
     overlap_tokens: int = 64,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """(id, chunk_id, token_start, n_tokens, chunk_text): overlapping
     token windows of ``chunk_tokens``, stepping by
     ``chunk_tokens − overlap_tokens``.
+
+    ``token_mode="bpe"`` budgets windows in the portable BPE-ish
+    subword units of q38 (``functions.text.bpe_tokens``) instead of
+    whitespace words — whitespace counts understate real tokenizer
+    budgets by 1.3–1.5× on punctuated text, so sequences packed from
+    whitespace-budgeted chunks can overflow the actual training
+    context window. Both modes are the same single-Generate JVM plan
+    (pinned); BPE chunk_text space-joins the subtokens, which
+    re-tokenizes to the identical subtoken stream (``BPE_RE`` classes
+    are disjoint and whitespace-free).
 
     Window rule: starts are 0, step, 2·step, …; a start whose window
     would be fully contained in the previous one (start + overlap ≥
@@ -55,8 +66,13 @@ def chunk_documents(
     """
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be < chunk_tokens")
+    if token_mode not in ("whitespace", "bpe"):
+        raise ValueError(f"token_mode must be whitespace|bpe, got {token_mode!r}")
     step = chunk_tokens - overlap_tokens
-    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    if token_mode == "bpe":
+        toks = bpe_tokens(text_col)
+    else:
+        toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     base = docs.select(F.col(id_col), toks.alias("__toks"))
     n = F.size("__toks")
     starts = F.filter(

@@ -400,6 +400,34 @@ def ivf_topk(
     )
 
 
+def _assigned(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(neighbor_id, cvec, cn, cid) rows: each vector with its nearest
+    centroid cell and precomputed norm — the IVF inverted-file shape
+    shared by the full build and the incremental append."""
+    kcells_seq = F.sequence(F.lit(1), F.lit(len(centroids)))
+    argmax_cell = F.aggregate(
+        F.arrays_zip(
+            _centroid_dots(F.col("cvec"), centroids).alias("s"), kcells_seq.alias("i")
+        ),
+        F.struct(F.lit(float("-inf")).alias("s"), F.lit(0).cast("integer").alias("i")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        lambda acc: acc["i"],
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cvec"),
+        )
+        .withColumn("cid", argmax_cell)
+        .withColumn("cn", l2_norm(F.col("cvec")))
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -416,27 +444,91 @@ def build_ivf_index(
     :func:`ivf_topk_indexed` reads only the probed cells via partition
     pruning (a cell = a parquet partition directory), so each query
     batch scans ~n_probe/K of the corpus instead of 100% of it.
+    Growing corpora extend the index with
+    :func:`append_to_ivf_index` — no full rebuild per refresh.
     """
-    kcells_seq = F.sequence(F.lit(1), F.lit(len(centroids)))
-    argmax_cell = F.aggregate(
-        F.arrays_zip(
-            _centroid_dots(F.col("cvec"), centroids).alias("s"), kcells_seq.alias("i")
-        ),
-        F.struct(F.lit(float("-inf")).alias("s"), F.lit(0).cast("integer").alias("i")),
-        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
-        lambda acc: acc["i"],
-    )
     (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double_array(vec_col).alias("cvec"),
-        )
-        .withColumn("cid", argmax_cell)
-        .withColumn("cn", l2_norm(F.col("cvec")))
+        _assigned(corpus, centroids, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(path)
     )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a :func:`build_ivf_index` table: assign
+    ONLY the new vectors (an O(batch) map against the same frozen
+    centroids) and append them to their cell partitions.
+
+    The existing index is never read or rewritten — the dynamic-
+    partition append adds files inside the touched ``cid=`` dirs only,
+    so a growing serving corpus pays per-refresh cost proportional to
+    the DELTA, mirroring the dedup family's incremental twin
+    (``minhash_lsh_pairs_incremental``). Because the centroids are
+    frozen, the combined index is bit-identical to a full rebuild over
+    corpus ∪ batch (pinned in tests at every n_probe); what drifts
+    over many appends is cell BALANCE, not correctness — watch it with
+    :func:`ivf_index_stats` and re-fit + rebuild when ``stale``.
+
+    Caller contract: ``new_vectors`` ids must not already be in the
+    index (same unique-id contract as the dedup ingest).
+    """
+    (
+        _assigned(new_vectors, centroids, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def ivf_index_stats(
+    spark,
+    path: str,
+    n_cells: int,
+    imbalance_threshold: float = 3.0,
+) -> dict:
+    """Cell-balance staleness check for a persisted IVF index.
+
+    ``imbalance`` = largest cell ÷ ideal cell size (total/n_cells);
+    its ceiling is ``n_cells`` (one cell holding everything), so pick
+    ``imbalance_threshold < n_cells`` — the default 3 means "the hot
+    cell costs 3× what a probe should".
+
+    One column-pruned aggregate over the partition column (``cid`` is
+    hive-partition metadata — the scan lists files, it does not read
+    vector data). An index is ``stale`` when the largest cell exceeds
+    ``imbalance_threshold ×`` the ideal share — after enough drifted
+    appends the hot cell dominates probe cost (each probe reads whole
+    cells) and recall (one cell swallows the space), and the fix is a
+    re-fit + :func:`build_ivf_index` rebuild, NOT more appends.
+    Empty cells are reported too (k chosen too high, or drift away
+    from an old centroid).
+    """
+    counts = {
+        r["cid"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    mean = total / n_cells if n_cells else 0.0
+    max_cell = max(counts.values(), default=0)
+    imbalance = (max_cell / mean) if mean else 0.0
+    return {
+        "total": total,
+        "cells": len(counts),
+        "empty_cells": n_cells - len(counts),
+        "max_cell": max_cell,
+        "imbalance": round(imbalance, 3),
+        "stale": imbalance > imbalance_threshold,
+    }
 
 
 def ivf_topk_indexed(

@@ -1301,7 +1301,7 @@ def q37_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+from dataflow_python_etl_spark.functions.text import BPE_RE as _BPE_RE  # noqa: E402  (single source of the q38 segmentation)
 
 @_q(
     "q38_bpe_token_count",

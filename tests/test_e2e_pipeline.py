@@ -74,3 +74,49 @@ def test_full_training_data_pipeline(spark):
                        for r in curated_rows if r["doc_id"] in n_chunks_per_doc)
     assert toks_in_chunks == toks_curated + overlap_mass
     unpersist_all()
+
+
+def test_bpe_budget_chunk_pack_conserves_subtokens(spark):
+    """BPE-budget variant of the chunk→pack stages: windows and packing
+    budgets are counted in q38's portable subword units, and subtoken
+    mass is conserved EXACTLY through both stages (doc subtokens =
+    chunk subtokens − re-counted overlap mass)."""
+    from dataflow_python_etl_spark.functions.text import bpe_token_count
+
+    OVERLAP, WINDOW, BPE_BUDGET = 8, 64, 96
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    doc_counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", bpe_token_count("text").alias("n")).collect()
+    }
+
+    chunks = pack_sequences(
+        chunk_documents(docs, chunk_tokens=WINDOW, overlap_tokens=OVERLAP, token_mode="bpe"),
+        BPE_BUDGET,
+        order_cols=["doc_id", "chunk_id"],
+    )
+    rows = chunks.collect()
+    assert rows
+
+    # n_tokens IS the subtoken count of the chunk text (round-trip:
+    # space-joined subtokens re-tokenize to themselves)
+    recount = chunks.where(
+        F.size(F.regexp_extract_all("chunk_text", F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0)))
+        != F.col("n_tokens")
+    ).count()
+    assert recount == 0
+
+    # per-sequence budget holds in SUBTOKEN units
+    per_seq = chunks.groupBy("seq_id").agg(F.sum("n_tokens").alias("tot"))
+    assert per_seq.where(F.col("tot") > BPE_BUDGET).count() == 0
+
+    # exact conservation per document
+    per_doc = {}
+    for r in rows:
+        a = per_doc.setdefault(r["doc_id"], [0, 0])
+        a[0] += r["n_tokens"]
+        a[1] += 1
+    for doc_id, (mass, n_chunks) in per_doc.items():
+        assert mass == doc_counts[doc_id] + OVERLAP * (n_chunks - 1), doc_id
+    # every doc with ≥1 subtoken is chunked, nothing else
+    assert set(per_doc) == {d for d, n in doc_counts.items() if n > 0}

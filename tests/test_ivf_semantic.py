@@ -126,3 +126,62 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, emb, centroids, tmp_path):
     df = ivf_topk_indexed(spark, path, queries, centroids, k=3, n_probe=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_ivf_append_equals_full_rebuild(spark, emb, centroids, tmp_path):
+    """Incremental index maintenance: build on part A, append part B →
+    identical query results to a full rebuild over A ∪ B, at EVERY
+    n_probe (frozen centroids make the two indexes row-identical)."""
+    from dataflow_python_etl_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    part_a = emb.where(F.col("vec_id") % 3 != 0)
+    part_b = emb.where(F.col("vec_id") % 3 == 0)
+    inc = str(tmp_path / "ivf_inc")
+    full = str(tmp_path / "ivf_full")
+    build_ivf_index(part_a, centroids, inc)
+    append_to_ivf_index(part_b, centroids, inc)
+    build_ivf_index(emb, centroids, full)
+
+    queries = emb.where(F.col("vec_id") < 8)
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos_sim"])  # noqa: E731
+    for n_probe in range(1, len(centroids) + 1):
+        got = sorted(
+            map(key, ivf_topk_indexed(spark, inc, queries, centroids, k=3, n_probe=n_probe).collect())
+        )
+        want = sorted(
+            map(key, ivf_topk_indexed(spark, full, queries, centroids, k=3, n_probe=n_probe).collect())
+        )
+        assert got == want and got, n_probe
+
+
+def test_ivf_index_staleness(spark, emb, centroids, tmp_path):
+    """Balanced index → not stale; a drifted append flooding one cell
+    → stale flips, telling the caller to re-fit instead of appending
+    further."""
+    from dataflow_python_etl_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_stats,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, centroids, path)
+    before = ivf_index_stats(spark, path, n_cells=len(centroids))
+    assert before["total"] == emb.count()
+    assert not before["stale"], before
+
+    # drift: a large batch of near-identical vectors lands in ONE cell
+    dim = len(emb.first()["embedding"])
+    hot = spark.range(10_000, 10_000 + 9 * before["total"]).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0 if i == 0 else 0.01) for i in range(dim)]).alias("embedding"),
+    )
+    append_to_ivf_index(hot, centroids, path)
+    after = ivf_index_stats(spark, path, n_cells=len(centroids))
+    assert after["total"] == before["total"] * 10
+    assert after["max_cell"] >= 9 * before["total"]
+    assert after["stale"], after

@@ -138,21 +138,25 @@ def test_split_by_group_zero_exchange_jvm_only(spark):
     assert "EvalPython" not in plan
 
 
-def test_chunk_documents_single_generate_no_python(spark):
+@pytest.mark.parametrize("token_mode,tokenizer_fn", [
+    ("whitespace", "split("), ("bpe", "regexp_extract_all(")
+])
+def test_chunk_documents_single_generate_no_python(spark, token_mode, tokenizer_fn):
     """Chunking is one Generate over a projection that computes the
     token array once per document — the sibling-projection shape that
-    re-runs split() per output chunk must not come back, and the whole
-    operator stays JVM-side."""
+    re-runs the tokenizer per output chunk must not come back, and the
+    whole operator stays JVM-side. Pinned for BOTH token modes."""
     from dataflow_python_etl_spark.operators.chunking import chunk_documents
     from dataflow_python_etl_spark.sources.catalog import read_table
 
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    out = chunk_documents(docs, chunk_tokens=64, overlap_tokens=8)
+    out = chunk_documents(docs, chunk_tokens=64, overlap_tokens=8, token_mode=token_mode)
     plan = explain_str(out)
     assert count_exchanges(out) == 0
     assert "EvalPython" not in plan
     assert plan.count("posexplode") == 1
-    # the token split is evaluated EXACTLY once (in the projection
-    # below the Generate) — not re-run per chunk by a sibling
-    # projection, and not re-derived inside a pushed empty-doc Filter
-    assert plan.count("split(") == 1, plan
+    # the tokenizer expression is evaluated EXACTLY once (in the
+    # projection below the Generate) — not re-run per chunk by a
+    # sibling projection, and not re-derived inside a pushed
+    # empty-doc Filter
+    assert plan.count(tokenizer_fn) == 1, plan
