@@ -116,12 +116,15 @@ def main() -> None:
     small_dir = str(Path(sf_dir).parent / "sf0.01")
     if sf > 0.01 and Path(small_dir).is_dir():
         small = _run_set(spark, small_dir, unpersist_all)
+        # both sides of the ratio must be nonzero: a median that
+        # rounds to 0.0 on EITHER scale would make log10 raise and
+        # kill the whole report
         exponents = {
             name: round(
                 math.log10(results[name] / small[name]) / math.log10(sf / 0.01), 3
             )
             for name in BENCH_QUERIES
-            if small.get(name)
+            if small.get(name) and results.get(name)
         }
         report["queries_sf0.01"] = small
         report["scaling_exponent"] = exponents

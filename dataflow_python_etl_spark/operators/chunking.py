@@ -120,13 +120,25 @@ def pack_sequences(
     with ``chunk_tokens ≤ budget``).
 
     Scale shape: packing state is a single running counter, so the
-    corpus is range-partitioned by ``order_cols`` (deterministic,
-    contiguous key ranges) and each partition packs independently in
-    one Arrow pass — next-fit quality within a partition, zero
-    coordination across partitions. The only cross-partition effect
-    is at most one under-filled final sequence PER PARTITION, which
-    for 10⁴-row-plus partitions is noise. Bin ids are unique without
-    coordination: ``partition_id << 32 | local_bin``.
+    corpus is range-partitioned by ``order_cols`` (contiguous key
+    ranges) and each partition packs independently in one Arrow pass
+    — next-fit quality within a partition, zero coordination across
+    partitions. The only cross-partition effect is at most one
+    under-filled final sequence PER PARTITION, which for 10⁴-row-plus
+    partitions is noise. Bin ids are unique without coordination:
+    ``partition_id << 32 | local_bin``.
+
+    Determinism: WITHIN a run (including task retries) output is
+    stable — ``repartitionByRange`` boundaries are fixed once sampled,
+    and each partition packs in total ``order_cols`` order. ACROSS
+    separate runs, the range sampler may draw different partition
+    BOUNDARIES for the same data, so sequences near a boundary can
+    regroup (ids and membership shift; every sequence still respects
+    the budget and order). Rerun-identical grouping needs a
+    content-derived partitioner — partition on
+    ``pmod(hash(first order col), N)`` yourself before calling with
+    ``num_partitions=None`` — at the cost of losing contiguous
+    next-fit ranges across documents.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 

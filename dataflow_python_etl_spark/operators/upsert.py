@@ -44,8 +44,14 @@ def swap_table_dir(table_path: str, new_path: str) -> None:
         os.remove(bak)
 
 
-def write_and_swap(df: DataFrame, table_path: str) -> None:
-    """THE one overwrite path: write ``df`` as parquet to a
+def write_and_swap(
+    df: DataFrame,
+    table_path: str,
+    fmt: str = "parquet",
+    options: dict | None = None,
+) -> None:
+    """THE one overwrite path: write ``df`` (any datasource format —
+    parquet default, json/orc/csv via ``fmt``/``options``) to a
     ``.__tmp_*`` sibling, then replace ``table_path`` — via
     :func:`swap_table_dir` when the target exists (readers never see
     a missing table; naming an input table as the output cannot
@@ -55,11 +61,15 @@ def write_and_swap(df: DataFrame, table_path: str) -> None:
     because :func:`vacuum_table_dir` and :func:`recover_table_dir`
     depend on the exact ``.__tmp_`` / ``.__bak_`` naming conventions —
     five hand-rolled copies of this triple had already drifted (one
-    crashed on single-file targets)."""
+    crashed on single-file targets; a sixth copy in ``sources/
+    formats.py`` is now this function's ``fmt`` parameter)."""
     import os
 
     tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.format(fmt).save(tmp)
     if os.path.exists(table_path):
         swap_table_dir(table_path, tmp)
     else:

@@ -9,34 +9,18 @@ are first-class here: both are built-in Spark datasources — the JVM
 scans them with pushdown/pruning exactly like parquet, no Python in
 the data path.
 
-Write paths go through :func:`operators.upsert.write_and_swap`-style
-temp-and-swap semantics via ``_swap_write`` so a crash mid-write never
-leaves a half-written table (same ``.__tmp_``/``.__bak_`` conventions
-vacuum/recover understand).
+Write paths delegate to :func:`operators.upsert.write_and_swap`
+(``fmt=``) — ONE implementation of the ``.__tmp_``/``.__bak_``
+temp-and-swap contract, so a crash mid-write never leaves a
+half-written table and vacuum/recover see the same naming everywhere.
 """
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-
-def _swap_write(df: DataFrame, path: str, fmt: str, options: dict | None = None) -> None:
-    import os
-
-    from dataflow_python_etl_spark.operators.upsert import swap_table_dir
-
-    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
-    w = df.write.mode("overwrite")
-    for k, v in (options or {}).items():
-        w = w.option(k, v)
-    w.format(fmt).save(tmp)
-    if os.path.exists(path):
-        swap_table_dir(path, tmp)
-    else:
-        os.rename(tmp, path)
+from dataflow_python_etl_spark.operators.upsert import write_and_swap as _swap_write
 
 
 def read_jsonl(

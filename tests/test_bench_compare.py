@@ -1,0 +1,46 @@
+"""The bench regression gate itself (pure python — no Spark)."""
+
+from tools.bench_compare import compare
+
+
+def _r(queries, total=None, **extra):
+    return {"queries": queries, "value": total or sum(queries.values()), **extra}
+
+
+def test_no_regression_within_band():
+    old = _r({"q1": 1.0, "q2": 0.2})
+    new = _r({"q1": 1.2, "q2": 0.26})  # 1.2x / 1.3x but tiny absolute
+    regs, _ = compare(old, new, 1.30, 0.15)
+    assert regs == []
+
+
+def test_real_regression_fails():
+    old = _r({"q1": 1.0, "q2": 0.2})
+    new = _r({"q1": 1.6, "q2": 0.2})
+    regs, _ = compare(old, new, 1.30, 0.15)
+    assert len(regs) >= 1 and "q1" in regs[0]
+
+
+def test_subsecond_jitter_not_flagged():
+    # "2x" on a 0.1s query is scheduler noise, not a plan change
+    regs, _ = compare(_r({"q": 0.1}), _r({"q": 0.2}), 1.30, 0.15)
+    assert regs == []
+
+
+def test_new_and_retired_queries_are_notes_not_failures():
+    regs, notes = compare(_r({"a": 1.0}), _r({"b": 1.0}), 1.30, 0.15)
+    assert regs == [] or all("TOTAL" not in r and "a" not in r.split(":")[0] for r in regs)
+    assert any("new query b" in n for n in notes)
+    assert any("retired query a" in n for n in notes)
+
+
+def test_superlinear_flag_fails():
+    old = _r({"q": 1.0})
+    new = _r({"q": 1.0}, superlinear=["q"], scaling_exponent={"q": 1.4})
+    regs, _ = compare(old, new, 1.30, 0.15)
+    assert any("superlinear" in r for r in regs)
+
+
+def test_improvements_are_notes():
+    _, notes = compare(_r({"q": 2.0}), _r({"q": 1.0}), 1.30, 0.15)
+    assert any("improved" in n for n in notes)

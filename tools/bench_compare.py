@@ -1,0 +1,96 @@
+"""Round-over-round bench regression gate.
+
+Compares two ``bench.py`` reports per query and FAILS (exit 1) on any
+real regression, so a de-optimized plan fails a check instead of
+waiting for a judge's eyeball:
+
+    python tools/bench_compare.py BENCH_r03.json BENCH_r04.json
+    python bench.py 2>/dev/null | python tools/bench_compare.py BENCH_r03.json -
+
+A query regresses when BOTH hold:
+
+- ratio:    new > --threshold × old   (default 1.30 — outside the
+            measured ±15% local-mode variance band with margin)
+- absolute: new − old > --abs-floor   (default 0.15 s — sub-second
+            queries sit on a scheduling floor where ratios are noise;
+            a "2×" on 0.2 s is 0.2 s of jitter, not a plan change)
+
+Queries present in only one report are listed informationally (new or
+retired bench entries), never failed on. The total is compared with
+the same ratio; improvements are reported so wins are visible too.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    if path == "-":
+        # tolerate Spark log lines around the single JSON line
+        for line in sys.stdin:
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        raise SystemExit("bench_compare: no JSON line on stdin")
+    with open(path) as f:
+        d = json.load(f)
+    # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
+    return d.get("parsed") or d
+
+
+def compare(
+    old: dict, new: dict, threshold: float, abs_floor: float
+) -> tuple[list[str], list[str]]:
+    """(regressions, notes) — regressions non-empty means FAIL."""
+    regressions, notes = [], []
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    for name in sorted(set(oq) | set(nq)):
+        if name not in oq:
+            notes.append(f"new query {name}: {nq[name]:.3f}s (no baseline)")
+            continue
+        if name not in nq:
+            notes.append(f"retired query {name} (was {oq[name]:.3f}s)")
+            continue
+        o, n = float(oq[name]), float(nq[name])
+        if n > threshold * o and n - o > abs_floor:
+            regressions.append(
+                f"{name}: {o:.3f}s -> {n:.3f}s ({n / o:.2f}x, +{n - o:.3f}s)"
+            )
+        elif o > threshold * n and o - n > abs_floor:
+            notes.append(f"{name} improved: {o:.3f}s -> {n:.3f}s ({n / o:.2f}x)")
+    ot, nt = float(old.get("value", 0)), float(new.get("value", 0))
+    if ot and nt and nt > threshold * ot and nt - ot > abs_floor:
+        regressions.append(f"TOTAL: {ot:.3f}s -> {nt:.3f}s ({nt / ot:.2f}x)")
+    elif ot and nt:
+        notes.append(f"total: {ot:.3f}s -> {nt:.3f}s ({nt / ot:.2f}x)")
+    for name in new.get("superlinear", []):
+        regressions.append(
+            f"{name}: superlinear scaling exponent "
+            f"{new.get('scaling_exponent', {}).get(name)}"
+        )
+    return regressions, notes
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old", help="baseline bench JSON (e.g. BENCH_r03.json)")
+    ap.add_argument("new", help="candidate bench JSON, or - for stdin")
+    ap.add_argument("--threshold", type=float, default=1.30)
+    ap.add_argument("--abs-floor", type=float, default=0.15)
+    args = ap.parse_args(argv)
+    regressions, notes = compare(
+        load(args.old), load(args.new), args.threshold, args.abs_floor
+    )
+    for n in notes:
+        print(f"note  {n}")
+    for r in regressions:
+        print(f"REGRESSION  {r}")
+    print(f"{len(regressions)} regressions")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
