@@ -192,3 +192,71 @@ def test_stream_restart_rebuilds_vanished_bucketed_index(spark, tmp_path):
     run()
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2, 11}
     BandIndexStore(spark, "t_bix_vanish", path=index).drop()
+
+
+def test_hot_bucket_probe_skew_split_balances_tasks(spark):
+    """The crawl worst case: a 90%-duplicate batch lands every dup in
+    ONE (band, sig) bucket, so the probe join has a single hot key.
+    MEASURED pin: with AQE skew-join (session default; thresholds
+    lowered here to fire at test bytes), the hot bucket's join rows
+    spread across tasks near-uniformly — vs the control run (skew
+    join off) where one task eats essentially the whole probe. Same
+    output either way."""
+    import random
+
+    from dataflow_python_etl_spark.operators.dedup import minhash_signatures
+
+    hot = (
+        "the same duplicated crawl boilerplate sentence repeated across "
+        "the entire mirror set again"
+    )
+    rng = random.Random(5)
+    uniq = lambda: " ".join(f"tok{rng.randrange(10**6)}" for _ in range(14))  # noqa: E731
+    corpus = _docs(
+        spark, [(i, hot) for i in range(180)] + [(200 + i, uniq()) for i in range(20)]
+    )
+    batch = _docs(
+        spark, [(1000 + i, hot) for i in range(45)] + [(2000 + i, uniq()) for i in range(5)]
+    )
+    ix = _band_frame(minhash_signatures(corpus, "doc_id", "text", 3, 32), "doc_id", 32, 4).alias("ix")
+    nb = _band_frame(minhash_signatures(batch, "doc_id", "text", 3, 32), "doc_id", 32, 4).alias("nb")
+    probe = nb.join(
+        ix, (F.col("nb.band") == F.col("ix.band")) & (F.col("nb.sig") == F.col("ix.sig"))
+    )
+
+    def run(skew_conf):
+        base = {
+            # at 100 TB the index side is never broadcastable — see at-scale pin above
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        conf = {**base, **skew_conf}
+        prev = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            dist = probe.withColumn("pid", F.spark_partition_id()).groupBy("pid").count().collect()
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        rows = sorted((r["count"] for r in dist), reverse=True)
+        return rows, sum(rows)
+
+    control, total_c = run({"spark.sql.adaptive.skewJoin.enabled": "false"})
+    balanced, total_b = run({
+        # fire the session-default skew-join at test-sized bytes
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    })
+    # identical join output; hot bucket = 45 x 180 x 8 bands of it
+    assert total_c == total_b and total_b > 45 * 180
+    # control: the hot key is one task holding ~everything
+    assert control[0] / total_c > 0.85, control[:5]
+    # skew split: several real tasks, and the biggest holds at most
+    # half (AQE's post-split coalescing can re-merge small splits, so
+    # the pin is "hot key demonstrably divided", not a fixed fan-out)
+    assert len(balanced) >= 4, balanced
+    assert balanced[0] / total_b <= 0.5, balanced[:8]
+    assert balanced[0] < control[0] / 2, (balanced[0], control[0])
