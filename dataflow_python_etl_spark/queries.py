@@ -1828,8 +1828,78 @@ def q50_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q51_bpe_chunk_accounting",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_RE}')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n, unnest(range(0, greatest(n, 1), 56)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(least(64, n - start)) AS BIGINT) AS chunk_tokens
+    FROM s
+    WHERE (start = 0 AND n > 0) OR (start + 8 < n)
+    GROUP BY doc_id
+    """,
+    "BPE-budget chunking accounting (operators.chunking.chunk_documents "
+    "token_mode='bpe', window 64 / overlap 8): per-doc chunk count and "
+    "total chunk-token mass, mirrored in SQL from the window-start rule "
+    "(starts 0, 56, ...; a start is emitted unless its window only "
+    "re-covers the previous one). Puts the chunking operator itself on "
+    "the hash gate, not just pytest",
+)
+def q51_bpe_chunk_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_tokens=64,
+        overlap_tokens=8,
+        token_mode="bpe",
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+    )
+
+
+_SPLIT_U = "(" + _md5h60_sql("'split-v1:' || source") + ") / 1152921504606846976.0"
+
+
+@_q(
+    "q52_leakage_split",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_SPLIT_U} < 0.8 THEN 'train'
+                WHEN {_SPLIT_U} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "Leakage-proof group-cohesive dataset split "
+    "(operators.corpus.split_by_group on the source domain): every doc "
+    "of a domain lands in the same split via the portable 60-bit md5 "
+    "hash, so the assignment is identical across engines, runs, and "
+    "corpus growth — mirrored exactly in DuckDB, putting the split "
+    "operator on the hash gate",
+)
+def q52_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import split_by_group
+
+    return split_by_group(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q50.
+# (what the driver's grading window walks) always matches q01..q52.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()
