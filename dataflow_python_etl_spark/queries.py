@@ -1898,8 +1898,35 @@ def q52_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q53_domain_quota",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    "Per-domain quota (operators.corpus.cap_per_key) run in its SALTED "
+    "two-phase form (salt_buckets=8, the hot-key 100 TB spelling) against "
+    "a plain single-window oracle — the 'provably identical output' "
+    "argument of the salted rewrite, verified by value hash instead of "
+    "only argued in the docstring",
+)
+def q53_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import cap_per_key
+
+    return cap_per_key(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        ["source"],
+        20,
+        ["doc_id"],
+        salt_buckets=8,
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q52.
+# (what the driver's grading window walks) always matches q01..q53.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()
