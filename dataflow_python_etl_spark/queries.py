@@ -809,10 +809,18 @@ def _md5h60_sql(expr: str) -> str:
     )
 
 
-def _minhash_oracle_sql(num_perm: int = 32, rows_per_band: int = 4, threshold: float = 0.5) -> str:
+def _minhash_oracle_sql(
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    extra_where: str = "",
+) -> str:
     """Mirror dedup.minhash_lsh_pairs bit-for-bit: same portable base
     hash, same (a_i, b_i) affine family (dedup.MINHASH_AB literals),
-    same banding, same exact-Jaccard verification."""
+    same banding, same exact-Jaccard verification. ``extra_where``
+    (prefixed ``AND ...``) restricts the final pair set — q54 uses it
+    to mirror the incremental operator's pairs-touching-the-batch
+    contract."""
     p = DD.P_MOD
     mins = ", ".join(
         f"min((bh * {a}::BIGINT + {b}::BIGINT) % {p}) AS h{i}"
@@ -863,7 +871,7 @@ def _minhash_oracle_sql(num_perm: int = 32, rows_per_band: int = 4, threshold: f
     FROM co
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
-    WHERE round(cmn * 1.0 / (sa.s + sb.s - cmn), 6) >= {threshold}
+    WHERE round(cmn * 1.0 / (sa.s + sb.s - cmn), 6) >= {threshold}{extra_where}
     """
 
 
@@ -1925,8 +1933,28 @@ def q53_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q54_incremental_minhash_pairs",
+    _minhash_oracle_sql(
+        extra_where=" AND (doc_a % 10 >= 8 OR doc_b % 10 >= 8)"
+    ),
+    "Incremental batch-vs-corpus MinHash dedup "
+    "(operators.dedup.minhash_lsh_pairs_incremental): corpus = 80% of "
+    "documents (doc_id % 10 < 8), batch = the rest; the operator signs "
+    "ONLY the batch and probes the corpus band index, and must equal the "
+    "full-corpus LSH pair set restricted to pairs touching >=1 batch doc "
+    "— the equivalence previously pytest-only, now value-hash-verified "
+    "against the same DuckDB CTE family as q25",
+)
+def q54_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    return DD.minhash_lsh_pairs_incremental(corpus, batch, None, "doc_id", "text")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q53.
+# (what the driver's grading window walks) always matches q01..q54.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()
