@@ -1953,8 +1953,73 @@ def q54_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return DD.minhash_lsh_pairs_incremental(corpus, batch, None, "doc_id", "text")
 
 
+_LINES_SQL = "list_filter(string_split(text, chr(10)), x -> trim(x) != '')"
+
+
+@_q(
+    "q55_repetition_metrics",
+    f"""
+    WITH l AS (SELECT doc_id, {_LINES_SQL} AS lines, text FROM documents)
+    SELECT doc_id,
+           round(CASE WHEN len(lines) > 0
+                 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+                 ELSE 0.0 END, 6) AS dup_lines,
+           round(CASE WHEN list_sum(list_transform(lines, x -> length(x))) > 0
+                 THEN (list_sum(list_transform(lines, x -> length(x)))
+                       - list_sum(list_transform(list_distinct(lines), x -> length(x))))
+                      * 1.0 / list_sum(list_transform(lines, x -> length(x)))
+                 ELSE 0.0 END, 6) AS dup_chars,
+           round(CASE WHEN len(lines) > 0
+                 THEN len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                      * 1.0 / len(lines)
+                 ELSE 0.0 END, 6) AS ellipsis_lines,
+           round(CASE WHEN len(regexp_split_to_array(text, '\\s+')) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[#…•*>|]', '', 'g')))
+                      * 1.0 / len(regexp_split_to_array(text, '\\s+'))
+                 ELSE 0.0 END, 6) AS symbol_ratio
+    FROM l
+    """,
+    "Gopher-style repetition/boilerplate metrics "
+    "(functions.text.dup_line_fraction / dup_line_char_fraction / "
+    "ellipsis_line_fraction / symbol_word_ratio) — the q47 quality "
+    "gate's signals, individually value-hash-verified against a DuckDB "
+    "list-expression mirror",
+)
+def q55_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.dup_line_fraction("text").alias("dup_lines"),
+        TX.dup_line_char_fraction("text").alias("dup_chars"),
+        TX.ellipsis_line_fraction("text").alias("ellipsis_lines"),
+        TX.symbol_word_ratio("text").alias("symbol_ratio"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    expr = "text"
+    for pattern, token in TX._PII_PATTERNS:
+        sql_pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS scrubbed FROM documents"
+
+
+@_q(
+    "q56_pii_scrub",
+    _pii_oracle_sql(),
+    "PII scrubbing (functions.text.pii_scrub): the exact chained "
+    "regexp_replace tree (emails, IPs, SSNs, phones, card-like digit "
+    "runs -> typed placeholders) mirrored pattern-for-pattern in DuckDB "
+    "(RE2-compatible patterns by construction — no lookarounds), so the "
+    "scrubbed TEXT itself is value-hash-verified, not just row counts",
+)
+def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.pii_scrub("text").alias("scrubbed")
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q54.
+# (what the driver's grading window walks) always matches q01..q56.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()
