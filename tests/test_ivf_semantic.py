@@ -185,3 +185,73 @@ def test_ivf_index_staleness(spark, emb, centroids, tmp_path):
     assert after["total"] == before["total"] * 10
     assert after["max_cell"] >= 9 * before["total"]
     assert after["stale"], after
+
+
+def test_ivf_sq8_index_recall_and_size(spark, emb, centroids, tmp_path):
+    """SQ8 inverted file: ~4x smaller on disk, asymmetric scoring
+    within quantization error of full precision, recall vs the fp64
+    index pinned at n_probe=K (where both are exhaustive)."""
+    import os
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    fp, q8 = str(tmp_path / "fp"), str(tmp_path / "q8")
+    build_ivf_index(emb, centroids, fp)
+    build_ivf_index(emb, centroids, q8, quantize="int8")
+
+    def nbytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert nbytes(q8) < 0.5 * nbytes(fp), (nbytes(q8), nbytes(fp))
+
+    queries = emb.where(F.col("vec_id") < 10)
+    K = len(centroids)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ivf_topk_indexed(spark, fp, queries, centroids, k=3, n_probe=K).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ivf_topk_indexed(spark, q8, queries, centroids, k=3, n_probe=K).collect()
+    }
+    recall = len(set(exact) & set(quant)) / len(exact)
+    assert recall >= 0.9, recall
+    for k in set(exact) & set(quant):
+        assert abs(exact[k] - quant[k]) < 0.01, (k, exact[k], quant[k])
+
+
+def test_ivf_sq8_append_matches_rebuild(spark, emb, centroids, tmp_path):
+    """Incremental append keeps SQ8 parity: append(int8) ≡ full
+    rebuild(int8) for the combined corpus; a mismatched-precision
+    append fails on schema merge instead of silently mixing."""
+    import pytest
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    part_a = emb.where(F.col("vec_id") % 3 != 0)
+    part_b = emb.where(F.col("vec_id") % 3 == 0)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_ivf_index(part_a, centroids, inc, quantize="int8")
+    append_to_ivf_index(part_b, centroids, inc, quantize="int8")
+    build_ivf_index(emb, centroids, full, quantize="int8")
+    queries = emb.where(F.col("vec_id") < 8)
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos_sim"])  # noqa: E731
+    for n_probe in (1, len(centroids)):
+        got = sorted(map(key, ivf_topk_indexed(spark, inc, queries, centroids, k=3, n_probe=n_probe).collect()))
+        want = sorted(map(key, ivf_topk_indexed(spark, full, queries, centroids, k=3, n_probe=n_probe).collect()))
+        assert got == want and got, n_probe
+    with pytest.raises(Exception):  # fp64 rows into an int8 index
+        append_to_ivf_index(part_b, centroids, inc)
+        spark.read.parquet(inc).select("qvec", "cvec").collect()
