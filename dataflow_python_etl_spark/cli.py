@@ -26,6 +26,8 @@ import argparse
 import os
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from dataflow_python_etl_spark.session import get_spark
 
 _RESOURCES = Path(__file__).parent / "resources"
@@ -219,6 +221,77 @@ def run_curate(args) -> None:
     print(f"{args.table}: {n_in} docs -> {args.output}: {n_out} survivors")
 
 
+def run_chunk(args) -> None:
+    """Chunk + pack a documents-shaped table into training sequences
+    (the curate -> chunk -> pack -> split chain's middle stages)."""
+    from dataflow_python_etl_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    spark = get_spark("chunk")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table)).select(
+        "doc_id", "text"
+    )
+    chunks = chunk_documents(
+        docs,
+        chunk_tokens=args.chunk_tokens,
+        overlap_tokens=args.overlap_tokens,
+        token_mode=args.token_mode,
+    )
+    if args.budget:
+        chunks = pack_sequences(chunks, args.budget, order_cols=["doc_id", "chunk_id"])
+    dest = _table_path(args.warehouse, args.output)
+    chunks.write.mode("overwrite").parquet(dest)
+    out = spark.read.parquet(dest)
+    n_seq = out.select("seq_id").distinct().count() if args.budget else 0
+    packed = f", {n_seq} sequences" if args.budget else ""
+    print(f"{args.table}: chunked to {args.output}: {out.count()} chunks{packed}")
+
+
+def run_split(args) -> None:
+    """Leakage-proof group-cohesive train/val/test split of a table."""
+    from dataflow_python_etl_spark.operators.corpus import split_by_group
+
+    spark = get_spark("split")
+    df = spark.read.parquet(_table_path(args.warehouse, args.table))
+    fractions = {}
+    for part in args.fractions.split(","):
+        name, frac = part.split("=")
+        fractions[name] = float(frac)
+    out = split_by_group(df, args.group_col, fractions)
+    dest = _table_path(args.warehouse, args.output)
+    out.write.mode("overwrite").partitionBy("split").parquet(dest)
+    counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(dest)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"{args.table}: split to {args.output}: {counts}")
+
+
+def run_dedup(args) -> None:
+    """Near-dup pair report (MinHash LSH) over a documents table —
+    the batch twin of the streaming dedup ingest."""
+    from dataflow_python_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        unpersist_all,
+    )
+
+    spark = get_spark("dedup")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table)).select(
+        "doc_id", "text"
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
+    dest = _table_path(args.warehouse, args.output)
+    pairs.write.mode("overwrite").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    unpersist_all()
+    print(f"{args.table}: {n} near-dup pairs (threshold {args.threshold}) -> {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -286,6 +359,31 @@ def main(argv: list[str] | None = None) -> None:
     pu.add_argument("--max-per-domain", type=int, default=1000)
     pu.add_argument("--min-quality", type=float, default=0.3)
     pu.set_defaults(fn=run_curate)
+
+    ph = sub.add_parser("chunk", help="chunk (+optionally pack) documents into training sequences")
+    ph.add_argument("--warehouse", required=True)
+    ph.add_argument("--table", required=True)
+    ph.add_argument("--output", default="chunks")
+    ph.add_argument("--chunk-tokens", type=int, default=512)
+    ph.add_argument("--overlap-tokens", type=int, default=64)
+    ph.add_argument("--token-mode", choices=["whitespace", "bpe"], default="bpe")
+    ph.add_argument("--budget", type=int, default=None, help="pack into sequences of <= N tokens")
+    ph.set_defaults(fn=run_chunk)
+
+    pl = sub.add_parser("split", help="leakage-proof group-cohesive train/val/test split")
+    pl.add_argument("--warehouse", required=True)
+    pl.add_argument("--table", required=True)
+    pl.add_argument("--output", default="splits")
+    pl.add_argument("--group-col", required=True)
+    pl.add_argument("--fractions", default="train=0.8,val=0.1,test=0.1")
+    pl.set_defaults(fn=run_split)
+
+    pd = sub.add_parser("dedup", help="MinHash-LSH near-dup pair report over a documents table")
+    pd.add_argument("--warehouse", required=True)
+    pd.add_argument("--table", required=True)
+    pd.add_argument("--output", default="dup_pairs")
+    pd.add_argument("--threshold", type=float, default=0.5)
+    pd.set_defaults(fn=run_dedup)
 
     args = p.parse_args(argv)
     if args.cmd == "sql" and not (args.query or args.file):

@@ -166,3 +166,41 @@ def test_sql_output_onto_single_file_table(spark, tmp_path, capsys):
     assert {r["r_name"] for r in got.collect()} == {
         "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
     }
+
+
+def test_cli_chunk_split_dedup(spark, tmp_path, capsys):
+    """The training-prep chain is drivable from the CLI: chunk+pack,
+    leakage-proof split, near-dup pair report."""
+    import os
+
+    from dataflow_python_etl_spark import cli
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.write.parquet(os.path.join(wh, "documents"))
+
+    cli.main([
+        "chunk", "--warehouse", wh, "--table", "documents",
+        "--chunk-tokens", "64", "--overlap-tokens", "8", "--budget", "96",
+    ])
+    assert "chunks" in capsys.readouterr().out
+    chunks = spark.read.parquet(os.path.join(wh, "chunks"))
+    assert chunks.count() > 0 and "seq_id" in chunks.columns
+
+    cli.main([
+        "split", "--warehouse", wh, "--table", "chunks", "--group-col", "doc_id",
+    ])
+    assert "train" in capsys.readouterr().out
+    splits = spark.read.parquet(os.path.join(wh, "splits"))
+    from pyspark.sql import functions as F
+    assert splits.groupBy("doc_id").agg(
+        F.count_distinct("split").alias("k")
+    ).where(F.col("k") > 1).count() == 0
+
+    cli.main(["dedup", "--warehouse", wh, "--table", "documents"])
+    assert "near-dup pairs" in capsys.readouterr().out
+    assert spark.read.parquet(os.path.join(wh, "dup_pairs")).columns == [
+        "doc_a", "doc_b", "jaccard",
+    ]
