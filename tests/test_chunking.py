@@ -126,3 +126,46 @@ def test_chunk_documents_properties_randomized(spark):
                 if j > 0:  # non-redundant: contributes unseen tokens
                     assert r["token_start"] + overlap < n_tok
             assert covered == set(range(n_tok))  # full coverage, no gaps
+
+
+def test_bpe_chunk_text_roundtrips(spark):
+    """The q51 foundation as a property: for arbitrary text, the BPE
+    chunk_text (space-joined subtokens) re-tokenizes to exactly its
+    own subtoken run — BPE_RE's classes are disjoint and
+    whitespace-free, so joining with spaces is lossless in token
+    space."""
+    from hypothesis import given, settings, strategies as st
+
+    import re
+
+    from dataflow_python_etl_spark.functions.text import BPE_RE
+
+    pat = re.compile(BPE_RE)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]), max_size=120))
+    def check(text):
+        toks = pat.findall(text.lower()) if False else pat.findall(text)
+        joined = " ".join(toks)
+        assert pat.findall(joined) == toks
+
+    check()
+
+
+def test_bpe_chunk_spark_matches_python_re(spark):
+    """Spark's regexp_extract_all over BPE_RE agrees with Python re on
+    the real documents table — the cross-engine base q51/q38 rest on."""
+    import re
+
+    from dataflow_python_etl_spark.functions.text import BPE_RE, bpe_tokens
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    pat = re.compile(BPE_RE)
+    rows = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text", bpe_tokens("text").alias("toks"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert list(r["toks"]) == pat.findall(r["text"]), r["doc_id"]

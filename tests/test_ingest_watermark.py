@@ -193,3 +193,37 @@ def test_watermark_empty_first_batch(spark, tmp_path):
     _docs(spark, [(1, TEXTS["a"])]).write.mode("append").parquet(src)
     _run_once(spark, src, corpus, str(tmp_path / "index"), str(tmp_path / "ckpt"))
     assert _corpus_ids(spark, corpus) == [1]
+
+
+def test_watermark_and_bucketed_index_compose(spark, tmp_path):
+    """The full 100 TB configuration: bucketed (band, sig) index table
+    AND the monotone-id watermark guard together — same survivor set
+    as the default (anti-join + plain-parquet-index) path."""
+    batches = [
+        [(1, TEXTS["a"]), (2, TEXTS["a"]), (3, TEXTS["b"])],
+        [(11, TEXTS["b"]), (12, TEXTS["c"]), (13, TEXTS["c"])],
+        [(14, TEXTS["d"])],
+    ]
+    out = {}
+    for mode, kwargs in (
+        ("default", {}),
+        ("scale", {"replay_guard": "watermark", "index_table": "t_wm_bix", "index_buckets": 4}),
+    ):
+        src = str(tmp_path / f"in_{mode}")
+        corpus = str(tmp_path / f"corpus_{mode}")
+        _docs(spark, batches[0]).write.parquet(src)
+        q = stream_dedup_ingest(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            corpus,
+            str(tmp_path / f"index_{mode}"),
+            str(tmp_path / f"ckpt_{mode}"),
+            **kwargs,
+        )
+        q.processAllAvailable()
+        for rows in batches[1:]:
+            _docs(spark, rows).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        q.stop()
+        out[mode] = _corpus_ids(spark, corpus)
+    spark.sql("DROP TABLE IF EXISTS t_wm_bix")
+    assert out["scale"] == out["default"] == [1, 3, 12, 14]
