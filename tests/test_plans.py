@@ -160,3 +160,24 @@ def test_chunk_documents_single_generate_no_python(spark, token_mode, tokenizer_
     # sibling projection, and not re-derived inside a pushed
     # empty-doc Filter
     assert plan.count(tokenizer_fn) == 1, plan
+
+
+def test_q51_chunk_accounting_plan(spark):
+    """The chunk-accounting oracle query keeps chunking's shape: one
+    Generate, one exchange (the doc_id aggregation), no Python."""
+    df = QUERIES["q51_bpe_chunk_accounting"].fn(spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 1, plan
+    assert plan.count("Generate") == 1 and "EvalPython" not in plan, plan
+
+
+def test_q53_salted_quota_plan(spark):
+    """Two-phase salted quota: exactly two exchanges ((key, salt) then
+    key), and BOTH phases' rank filters pushed map-side via
+    WindowGroupLimit — the skew-safe shape with bounded second
+    shuffle."""
+    df = QUERIES["q53_domain_quota"].fn(spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 2, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "EvalPython" not in plan, plan
