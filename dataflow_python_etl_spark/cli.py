@@ -292,6 +292,30 @@ def run_dedup(args) -> None:
     print(f"{args.table}: {n} near-dup pairs (threshold {args.threshold}) -> {args.output}")
 
 
+def run_bpe(args) -> None:
+    """Learn BPE merges from a documents table and write the encoded
+    corpus (bpe_tokens / n_bpe_tokens) plus a merges table."""
+    from dataflow_python_etl_spark.operators.tokenizer import (
+        apply_bpe,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    spark = get_spark("bpe")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table)).select(
+        "doc_id", "text"
+    )
+    wf = word_frequencies(docs, top_words=args.top_words)
+    merges = learn_bpe_merges(wf, n_merges=args.merges)
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank: long, a: string, b: string"
+    ).write.mode("overwrite").parquet(_table_path(args.warehouse, args.output + "_merges"))
+    dest = _table_path(args.warehouse, args.output)
+    apply_bpe(docs, merges).write.mode("overwrite").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    print(f"{args.table}: learned {len(merges)} merges; encoded {n} docs -> {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -384,6 +408,14 @@ def main(argv: list[str] | None = None) -> None:
     pd.add_argument("--output", default="dup_pairs")
     pd.add_argument("--threshold", type=float, default=0.5)
     pd.set_defaults(fn=run_dedup)
+
+    pb = sub.add_parser("bpe", help="learn BPE merges and encode a documents table")
+    pb.add_argument("--warehouse", required=True)
+    pb.add_argument("--table", required=True)
+    pb.add_argument("--output", default="bpe_encoded")
+    pb.add_argument("--merges", type=int, default=200)
+    pb.add_argument("--top-words", type=int, default=None)
+    pb.set_defaults(fn=run_bpe)
 
     args = p.parse_args(argv)
     if args.cmd == "sql" and not (args.query or args.file):

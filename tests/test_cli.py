@@ -204,3 +204,22 @@ def test_cli_chunk_split_dedup(spark, tmp_path, capsys):
     assert spark.read.parquet(os.path.join(wh, "dup_pairs")).columns == [
         "doc_a", "doc_b", "jaccard",
     ]
+
+
+def test_cli_bpe(spark, tmp_path, capsys):
+    import os
+
+    from dataflow_python_etl_spark import cli
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    read_table(spark, "/root/testdata/sf0.001", "documents").limit(60).write.parquet(
+        os.path.join(wh, "documents")
+    )
+    cli.main(["bpe", "--warehouse", wh, "--table", "documents", "--merges", "30"])
+    assert "learned" in capsys.readouterr().out
+    enc = spark.read.parquet(os.path.join(wh, "bpe_encoded"))
+    assert enc.count() == 60 and "n_bpe_tokens" in enc.columns
+    merges = spark.read.parquet(os.path.join(wh, "bpe_encoded_merges"))
+    assert merges.count() > 0 and merges.columns == ["rank", "a", "b"]
