@@ -262,6 +262,47 @@ def split_by_group(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus REBALANCING
+    step (downsample the dominant language/domain, keep the tail):
+    each row survives iff ``u(key) < rates[stratum]``, where ``u`` is
+    the portable 60-bit md5 hash of ``(seed, key)`` mapped to [0, 1).
+
+    Zero-shuffle map plan (one hash + one CASE per row — safe over
+    every byte at 100 TB), reproducible across engines/runs/
+    partitionings (same md5 family as :func:`split_by_group` — the
+    DuckDB oracle mirrors it exactly), and stable under corpus
+    growth: a row's fate depends only on its key, stratum, and seed.
+    Unlike ``df.sampleBy``, which draws from a per-partition RNG
+    stream and changes membership whenever partitioning changes, this
+    is content-addressed. Strata absent from ``rates`` fall back to
+    ``default_rate`` (0 = drop — allowlist semantics).
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    u = md5_hash60(
+        F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))
+    ) / F.lit(float(1 << 60))
+    rate = None
+    for name, r in rates.items():
+        branch = F.when(F.col(strata_col) == name, F.lit(r))
+        rate = branch if rate is None else rate.when(F.col(strata_col) == name, F.lit(r))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    return df.where(u < rate)
+
+
 def semantic_dedup(
     docs: DataFrame,
     embeddings: DataFrame,

@@ -2018,8 +2018,38 @@ def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_U = "(" + _md5h60_sql("'strat-v1:' || doc_id::VARCHAR") + ") / 1152921504606846976.0"
+
+
+@_q(
+    "q57_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_STRAT_U} < CASE lang WHEN 'en' THEN 0.2
+                                 WHEN 'zh' THEN 0.9
+                                 ELSE 0.5 END
+    """,
+    "Deterministic per-stratum corpus rebalancing "
+    "(operators.corpus.stratified_sample): downsample dominant 'en' to "
+    "20%, boost tail 'zh' to 90%, 50% elsewhere — content-addressed "
+    "(portable md5 of the doc id), so membership is identical across "
+    "engines, runs, and partitionings, unlike sampleBy's RNG streams; "
+    "mirrored exactly in DuckDB",
+)
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang",
+        {"en": 0.2, "zh": 0.9},
+        "doc_id",
+        default_rate=0.5,
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q56.
+# (what the driver's grading window walks) always matches q01..q57.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()

@@ -79,3 +79,46 @@ def test_dup_clusters_random_graphs_match_union_find(spark):
             r["node"]: r["cluster"] for r in dup_clusters(pairs_df).collect()
         }
         assert got == want, f"mismatch on graph with {len(edges)} edges"
+
+
+def test_stratified_sample_semantics(spark):
+    """Content-addressed per-stratum sampling: rebalanced rates land
+    near target, membership is rerun/partitioning-stable, unknown
+    strata follow default_rate (0 = allowlist drop)."""
+    from dataflow_python_etl_spark.operators.corpus import stratified_sample
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "lang")
+    out = stratified_sample(docs, "lang", {"en": 0.2, "zh": 0.9}, "doc_id")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # default_rate=0: strata not in rates vanish entirely
+    assert set(per) <= {"en", "zh"}
+    assert abs(per["en"] / totals["en"] - 0.2) < 0.12
+    assert abs(per["zh"] / totals["zh"] - 0.9) < 0.12
+    # rerun + repartition → identical membership (content-addressed)
+    again = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(17), "lang", {"en": 0.2, "zh": 0.9}, "doc_id"
+    ).collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # zero-shuffle map plan
+    from dataflow_python_etl_spark.plans.checks import count_exchanges, explain_str
+    assert count_exchanges(out) == 0
+    assert "EvalPython" not in explain_str(out)
+
+
+def test_stratified_sample_validation(spark):
+    import pytest
+
+    from dataflow_python_etl_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id: long, lang: string")
+    with pytest.raises(ValueError, match="rate for"):
+        stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_sample(df, "lang", {"en": 0.5}, "doc_id", default_rate=-0.1)
