@@ -1,0 +1,136 @@
+"""Character n-gram language-model perplexity scoring — the CCNet /
+Gopher-style corpus-quality signal: score each document by how
+"language-like" its character stream is under a model fitted on the
+corpus itself (or a trusted reference corpus).
+
+Spark-first shape, all JVM:
+
+- **fit** (:func:`fit_char_ngram_lm`): one explode + map-side-combined
+  groupBy over (lang, ngram) — the same single-shuffle shape as exact
+  dedup — then add-alpha smoothing in a projection. The model IS a
+  DataFrame (lang, ngram, logp); nothing corpus-sized ever reaches
+  the driver. ``top_k`` optionally caps the model per language with a
+  deterministic (count desc, ngram asc) cut for broadcastability at
+  extreme vocab sizes.
+- **score** (:func:`score_with_lm`): explode each document's n-grams,
+  broadcast-join the model, aggregate mean log-prob per document —
+  one shuffle (the per-doc agg, map-side combined), unseen n-grams
+  hit the smoothing floor via ``coalesce``. No Python anywhere.
+
+Deterministic and engine-portable (counts + IEEE double arithmetic),
+so the whole fit+score pipeline is mirrored in the DuckDB oracle
+(q58) and value-hash-verified end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngrams(text_col: str, n: int) -> F.Column:
+    """All character n-grams of the lowercased text as array<string>
+    (empty for texts shorter than n). A single transform over a
+    sequence — the lowercased text is evaluated inside one expression
+    tree, so the CollapseProject N-sibling pitfall cannot apply."""
+    t = F.lower(F.col(text_col))
+    # the length guard matters: Spark's sequence(1, stop) with stop<1
+    # generates a DESCENDING [1, 0, ...], not an empty array, which
+    # would emit junk grams for texts shorter than n
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fit_char_ngram_lm(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    alpha: float = 0.5,
+    top_k: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit per-language add-alpha n-gram models.
+
+    Returns ``(model, floors)``:
+    - ``model``: (lang, ngram, logp) with
+      ``logp = ln((count + alpha) / (total + alpha * vocab))`` where
+      ``vocab`` is the corpus-wide distinct n-gram count (shared
+      across languages so scores are comparable);
+    - ``floors``: (lang, floor_logp) — the same formula at count 0,
+      applied to n-grams unseen in that language at scoring time.
+
+    ``top_k`` keeps only the most frequent ``top_k`` n-grams per
+    language (deterministic count-desc, ngram-asc cut) — mass-bounded
+    like the BPE ``top_words`` cap; dropped tail n-grams score at the
+    floor, which barely moves document means.
+    """
+    grams = docs.select(
+        F.col(lang_col).alias("lang"), F.explode(_ngrams(text_col, n)).alias("ngram")
+    )
+    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select("ngram").distinct().count()
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("ngram").asc())
+        counts = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= top_k)
+            .drop("__rn")
+        )
+    model = counts.join(totals, "lang").select(
+        "lang",
+        "ngram",
+        F.log((F.col("c") + F.lit(alpha)) / (F.col("total") + F.lit(alpha * vocab))).alias(
+            "logp"
+        ),
+    )
+    floors = totals.select(
+        "lang",
+        F.log(F.lit(alpha) / (F.col("total") + F.lit(alpha * vocab))).alias("floor_logp"),
+    )
+    return model, floors
+
+
+def score_with_lm(
+    docs: DataFrame,
+    model: DataFrame,
+    floors: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, lang, avg_logp): mean log-probability of each document's
+    character n-grams under its OWN language's model (higher = more
+    language-like; gibberish and wrong-language text score low —
+    threshold or rank on this as a curation gate).
+
+    Documents with no n-grams (shorter than ``n``) are dropped —
+    there is nothing to score. The model side broadcasts (bounded by
+    vocab, not corpus); the only shuffle is the per-document mean,
+    map-side combined.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.explode(_ngrams(text_col, n)).alias("ngram"),
+    )
+    scored = (
+        grams.join(F.broadcast(model), ["lang", "ngram"], "left")
+        .join(F.broadcast(floors), "lang")
+        .select(
+            id_col,
+            "lang",
+            F.coalesce(F.col("logp"), F.col("floor_logp")).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col, "lang").agg(
+        F.round(F.avg("lp"), 6).alias("avg_logp")
+    )

@@ -2048,8 +2048,54 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q58_lm_perplexity",
+    """
+    WITH g AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                   i -> substr(lower(text), i, 3))) AS ngram
+        FROM documents
+    ),
+    counts AS (SELECT lang, ngram, count(*) AS c FROM g GROUP BY 1, 2),
+    vocab AS (SELECT count(DISTINCT ngram) AS v FROM counts),
+    totals AS (SELECT lang, sum(c) AS total FROM counts GROUP BY 1),
+    model AS (
+        SELECT lang, ngram, ln((c + 0.5) / (total + 0.5 * v)) AS logp
+        FROM counts JOIN totals USING (lang), vocab
+    ),
+    floors AS (
+        SELECT lang, ln(0.5 / (total + 0.5 * v)) AS floor_logp
+        FROM totals, vocab
+    )
+    SELECT g.doc_id, g.lang,
+           round(avg(coalesce(m.logp, f.floor_logp)), 6) AS avg_logp
+    FROM g
+    LEFT JOIN model m ON m.lang = g.lang AND m.ngram = g.ngram
+    JOIN floors f ON f.lang = g.lang
+    GROUP BY 1, 2
+    """,
+    "Character-trigram LM perplexity scoring (operators.lm — the "
+    "CCNet/Gopher corpus-quality signal): fit per-language add-alpha "
+    "models on the corpus (one explode + groupBy; the model is a "
+    "DataFrame, never driver-sized) and score every document's mean "
+    "log-prob under its own language's model (broadcast join + "
+    "map-side-combined mean; unseen grams hit the smoothing floor). "
+    "Fit AND score mirrored end-to-end in DuckDB — deterministic "
+    "counts + IEEE doubles make even the ln() pipeline hash-stable "
+    "at 6 decimals",
+)
+def q58_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.lm import fit_char_ngram_lm, score_with_lm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model, floors = fit_char_ngram_lm(docs)
+    return score_with_lm(docs, model, floors)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q57.
+# (what the driver's grading window walks) always matches q01..q58.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()

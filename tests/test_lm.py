@@ -1,0 +1,78 @@
+"""Character n-gram LM perplexity scoring (operators/lm.py)."""
+
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.operators.lm import (
+    _ngrams,
+    fit_char_ngram_lm,
+    score_with_lm,
+)
+from dataflow_python_etl_spark.sources.catalog import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ngrams_short_text_guard(spark):
+    """Spark's sequence(1, stop<1) is DESCENDING, not empty — the
+    guard must yield [] for texts shorter than n, exactly n-grams
+    otherwise."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abc"), (4, "abcd"), (5, None)],
+        "id: long, text: string",
+    )
+    rows = {r["id"]: r["g"] for r in df.select("id", _ngrams("text", 3).alias("g")).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["abc"]
+    assert rows[4] == ["abc", "bcd"]
+    assert rows[5] == []  # null text -> otherwise-branch empty; explode drops it
+
+
+def test_lm_discriminates_own_language(spark):
+    """The signal works: most documents score higher under their own
+    language's model than under a swapped-language model."""
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    model, floors = fit_char_ngram_lm(docs)
+    own = {r["doc_id"]: r["avg_logp"] for r in score_with_lm(docs, model, floors).collect()}
+    swapped = docs.withColumn(
+        "lang", F.when(F.col("lang") == "en", F.lit("zh")).otherwise(F.lit("en"))
+    )
+    wrong = {r["doc_id"]: r["avg_logp"] for r in score_with_lm(swapped, model, floors).collect()}
+    assert len(own) == docs.count()
+    better = sum(1 for k in own if own[k] > wrong[k])
+    assert better / len(own) > 0.6, better
+
+
+def test_lm_top_k_cap_and_floor(spark):
+    """top_k caps the model per language (deterministic cut); dropped
+    tail grams score at the floor, so capped scores are <= uncapped
+    and every score stays finite."""
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    full_model, floors = fit_char_ngram_lm(docs)
+    cap_model, _ = fit_char_ngram_lm(docs, top_k=100)
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in cap_model.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 100 for n in per_lang.values())
+    full = {r["doc_id"]: r["avg_logp"] for r in score_with_lm(docs, full_model, floors).collect()}
+    capped = {r["doc_id"]: r["avg_logp"] for r in score_with_lm(docs, cap_model, floors).collect()}
+    assert set(full) == set(capped)
+    for k in full:
+        assert capped[k] <= full[k] + 1e-9  # tail grams only lose mass
+
+
+def test_lm_score_plan_shape(spark):
+    """Scoring is one broadcast join + one map-side-combined mean: a
+    single exchange, no Python."""
+    from dataflow_python_etl_spark.plans.checks import count_exchanges, explain_str
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    model, floors = fit_char_ngram_lm(docs)
+    # materialize the model so its own fit exchanges don't count here
+    m = model.localCheckpoint(eager=True)
+    f = floors.localCheckpoint(eager=True)
+    out = score_with_lm(docs, m, f)
+    plan = explain_str(out, "simple")
+    assert count_exchanges(out) == 1, plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
