@@ -316,6 +316,56 @@ def run_bpe(args) -> None:
     print(f"{args.table}: learned {len(merges)} merges; encoded {n} docs -> {args.output}")
 
 
+def run_ivf(args) -> None:
+    """IVF ANN index lifecycle over an embeddings table: build (fit
+    centroids + write the cell-partitioned inverted file), append new
+    vectors, report cell-balance staleness, or query top-k."""
+    import json
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        fit_ivf_centroids,
+        ivf_index_stats,
+        ivf_topk_indexed,
+    )
+
+    spark = get_spark("ivf")
+    index = _table_path(args.warehouse, args.index)
+    cents_path = index + "_centroids"
+
+    def _load_centroids():
+        rows = spark.read.parquet(cents_path).orderBy("cid").collect()
+        return [list(r["centroid"]) for r in rows]
+
+    if args.action == "build":
+        emb = spark.read.parquet(_table_path(args.warehouse, args.table))
+        cents = fit_ivf_centroids(emb, k=args.k)
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid: long, centroid: array<double>"
+        ).write.mode("overwrite").parquet(cents_path)
+        build_ivf_index(emb, cents, index, quantize="int8" if args.int8 else None)
+        print(f"{args.table}: built {args.index} with k={args.k}"
+              + (" (int8)" if args.int8 else ""))
+    elif args.action == "append":
+        emb = spark.read.parquet(_table_path(args.warehouse, args.table))
+        append_to_ivf_index(
+            emb, _load_centroids(), index, quantize="int8" if args.int8 else None
+        )
+        print(f"{args.table}: appended to {args.index}")
+    elif args.action == "stats":
+        stats = ivf_index_stats(spark, index, n_cells=len(_load_centroids()))
+        print(json.dumps(stats))
+    else:  # query
+        queries = spark.read.parquet(_table_path(args.warehouse, args.table))
+        out = ivf_topk_indexed(
+            spark, index, queries, _load_centroids(), k=args.topk, n_probe=args.n_probe
+        )
+        dest = _table_path(args.warehouse, args.output)
+        out.write.mode("overwrite").parquet(dest)
+        print(f"{args.index}: {spark.read.parquet(dest).count()} neighbor rows -> {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -408,6 +458,18 @@ def main(argv: list[str] | None = None) -> None:
     pd.add_argument("--output", default="dup_pairs")
     pd.add_argument("--threshold", type=float, default=0.5)
     pd.set_defaults(fn=run_dedup)
+
+    pi2 = sub.add_parser("ivf", help="IVF ANN index: build/append/stats/query")
+    pi2.add_argument("action", choices=["build", "append", "stats", "query"])
+    pi2.add_argument("--warehouse", required=True)
+    pi2.add_argument("--index", default="ivf_index")
+    pi2.add_argument("--table", default=None, help="embeddings (build/append) or queries (query) table")
+    pi2.add_argument("--output", default="neighbors")
+    pi2.add_argument("--k", type=int, default=8, help="number of cells (build)")
+    pi2.add_argument("--topk", type=int, default=3)
+    pi2.add_argument("--n-probe", type=int, default=1)
+    pi2.add_argument("--int8", action="store_true", help="SQ8-quantize the inverted file")
+    pi2.set_defaults(fn=run_ivf)
 
     pb = sub.add_parser("bpe", help="learn BPE merges and encode a documents table")
     pb.add_argument("--warehouse", required=True)

@@ -223,3 +223,33 @@ def test_cli_bpe(spark, tmp_path, capsys):
     assert enc.count() == 60 and "n_bpe_tokens" in enc.columns
     merges = spark.read.parquet(os.path.join(wh, "bpe_encoded_merges"))
     assert merges.count() > 0 and merges.columns == ["rank", "a", "b"]
+
+
+def test_cli_ivf_lifecycle(spark, tmp_path, capsys):
+    """build -> stats -> append -> query, including the SQ8 flag."""
+    import json
+    import os
+
+    from dataflow_python_etl_spark import cli
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    from pyspark.sql import functions as F
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(os.path.join(wh, "emb_a"))
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(os.path.join(wh, "emb_b"))
+    emb.where(F.col("vec_id") < 5).write.parquet(os.path.join(wh, "queries"))
+
+    cli.main(["ivf", "build", "--warehouse", wh, "--table", "emb_a", "--k", "4", "--int8"])
+    assert "built" in capsys.readouterr().out
+    cli.main(["ivf", "stats", "--warehouse", wh])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["cells"] <= 4 and not stats["stale"]
+    cli.main(["ivf", "append", "--warehouse", wh, "--table", "emb_b", "--int8"])
+    assert "appended" in capsys.readouterr().out
+    cli.main(["ivf", "query", "--warehouse", wh, "--table", "queries", "--n-probe", "4"])
+    assert "neighbor rows" in capsys.readouterr().out
+    out = spark.read.parquet(os.path.join(wh, "neighbors"))
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim"]
+    assert out.groupBy("query_id").count().where(F.col("count") > 3).count() == 0
