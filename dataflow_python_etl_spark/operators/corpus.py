@@ -346,12 +346,20 @@ def curate_corpus(
     cosine_threshold: float = 0.9,
     max_shingle_df: int | None = 64,
     quota_salt_buckets: int | None = None,
+    lm_bottom_fraction: float | None = None,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
     1. PII scrub (typed placeholders — before anything downstream can
        memorize raw identifiers);
     2. quality gate (composite heuristic ≥ ``min_quality``);
+    2b. optional LM perplexity gate (``lm_bottom_fraction``): fit the
+       char-trigram model on the quality survivors (per ``lang_col``
+       stratum, or one global model) and drop each stratum's bottom
+       fraction by mean log-prob — the CCNet recipe. Runs BEFORE the
+       pair phase so the expensive dedup sees fewer docs. Documents
+       too short to score (< 3 chars) are dropped by this gate.
     3. syntactic near-dup removal (capped n-gram Jaccard — copy-edits);
     4. semantic near-dup removal (embedding cosine over LSH buckets —
        paraphrases; skipped when ``embeddings`` is None);
@@ -370,6 +378,8 @@ def curate_corpus(
     keep_cols = [F.col(id_col), pii_scrub(text_col).alias(text_col)]
     if domain_col is not None:
         keep_cols.append(F.col(domain_col))
+    if lang_col is not None and lang_col != domain_col:
+        keep_cols.append(F.col(lang_col))
     scrubbed = docs.select(*keep_cols)
 
     # Same barrier as clean_corpus: the gated projection (5-regex
@@ -381,6 +391,35 @@ def curate_corpus(
             F.col("quality") >= min_quality
         )
     )
+    if lm_bottom_fraction is not None:
+        if not 0.0 < lm_bottom_fraction < 1.0:
+            raise ValueError(
+                f"lm_bottom_fraction must be in (0, 1), got {lm_bottom_fraction}"
+            )
+        from pyspark.sql import Window
+
+        from dataflow_python_etl_spark.operators.lm import (
+            fit_char_ngram_lm,
+            score_with_lm,
+        )
+
+        lang_expr = F.col(lang_col) if lang_col is not None else F.lit("all")
+        lm_docs = gated.select(F.col(id_col), lang_expr.alias("lang"), F.col(text_col))
+        model, floors = fit_char_ngram_lm(lm_docs, lang_col="lang", text_col=text_col)
+        scores = score_with_lm(
+            lm_docs, model, floors, id_col=id_col, lang_col="lang", text_col=text_col
+        )
+        # per-stratum cutoff at the requested fraction; keep >= cutoff
+        # (the approx percentile is deterministic for a given dataset)
+        cut = F.expr(f"percentile_approx(avg_logp, {lm_bottom_fraction})").over(
+            Window.partitionBy("lang")
+        )
+        keep = (
+            scores.withColumn("__cut", cut)
+            .where(F.col("avg_logp") >= F.col("__cut"))
+            .select(F.col(id_col))
+        )
+        gated = register_cache(gated.join(keep, id_col, "left_semi"))
     pairs = ngram_jaccard_pairs(
         gated, id_col=id_col, text_col=text_col,
         threshold=jaccard_threshold, max_shingle_df=max_shingle_df,

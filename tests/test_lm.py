@@ -76,3 +76,29 @@ def test_lm_score_plan_shape(spark):
     assert count_exchanges(out) == 1, plan
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_curate_lm_gate(spark):
+    """curate_corpus(lm_bottom_fraction=...) drops each language's
+    lowest-logp tail before the pair phase; default None is unchanged
+    (the capstone e2e covers that path)."""
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    docs = read_table(spark, SF_DIR, "documents")
+    base = {r["doc_id"] for r in curate_corpus(docs).collect()}
+    unpersist_all()
+    gated = {r["doc_id"] for r in curate_corpus(
+        docs, lm_bottom_fraction=0.25, lang_col="lang"
+    ).collect()}
+    unpersist_all()
+    # not necessarily a subset: LM-dropping a pair's lower-id doc can
+    # let its duplicate partner survive the dedup stage — so pin the
+    # magnitude, not membership (roughly the bottom quarter went)
+    assert len(gated) < 0.9 * len(base)
+    assert len(gated) > 0.4 * len(base)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lm_bottom_fraction"):
+        curate_corpus(docs, lm_bottom_fraction=1.5)
