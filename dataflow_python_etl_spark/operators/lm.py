@@ -69,10 +69,18 @@ def fit_char_ngram_lm(
     like the BPE ``top_words`` cap; dropped tail n-grams score at the
     floor, which barely moves document means.
     """
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
     grams = docs.select(
         F.col(lang_col).alias("lang"), F.explode(_ngrams(text_col, n)).alias("ngram")
     )
-    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("c"))
+    # registered cache: counts feeds the vocab action, totals, and the
+    # model projection — uncached, the corpus-sized explode+groupBy
+    # subtree evaluates once per consumer (the CollapseProject /
+    # multi-consumer pitfall); the vocab count below fills the cache
+    counts = register_cache(
+        grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("c"))
+    )
     vocab = counts.select("ngram").distinct().count()
     totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
     if top_k is not None:
