@@ -465,6 +465,65 @@ def minhash_lsh_pairs(
     return _verify_jaccard(df, candidates, id_col, text_col, n, threshold)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` —
+    EXACT (not approximate) when ``max_hamming < n_bands``, by the
+    pigeonhole principle: two signatures differing in ≤ k bits must
+    agree exactly on at least one of k+1 disjoint bit-blocks, so
+    candidate generation over (band, band-bits) buckets misses
+    nothing. Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Scale shape mirrors MinHash banding: one narrow map computes the
+    signature (shuffle-free), bands explode ×``n_bands``, candidates
+    form only inside identical-band buckets, and verification is a
+    single JVM ``bit_count(xor)`` on the signatures carried through
+    the band frame — no second pass over the text, no posting lists.
+    The arithmetic ``>> shift & mask`` band extraction is sign-safe
+    (the mask discards the extended bits) and matches the DuckDB
+    oracle expression bit-for-bit (q59).
+    """
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"exactness needs 0 <= max_hamming < n_bands, got {max_hamming}/{n_bands}"
+        )
+    if bits % n_bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into {n_bands} bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col, bits)
+    bands = sig.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    ).withColumn(
+        "val", F.expr(f"shiftright(simhash, band * {width}) & {mask}")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs_incremental(
     corpus: DataFrame,
     new_docs: DataFrame,

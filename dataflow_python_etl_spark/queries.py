@@ -2094,8 +2094,37 @@ def q58_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_with_lm(docs, model, floors)
 
 
+@_q(
+    "q59_simhash_pairs",
+    f"""
+    WITH s AS ({_simhash_oracle_sql()}),
+    b AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * 16)) & 65535 AS val
+        FROM s, LATERAL (SELECT unnest(range(0, 4)) AS band) u
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM b x JOIN b y
+      ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    """,
+    "SimHash Hamming-distance pair search "
+    "(operators.dedup.simhash_pairs, radius 3 over 4 bands): EXACT by "
+    "pigeonhole — signatures within hamming 3 must agree on one of 4 "
+    "disjoint 16-bit blocks, so banded candidates miss nothing (pinned "
+    "against brute force in pytest); verification is one "
+    "bit_count(xor), no second text pass. Completes the SimHash tier "
+    "from fingerprint (q26) to pair search, hash-verified",
+)
+def q59_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, n_bands=4
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q58.
+# (what the driver's grading window walks) always matches q01..q59.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()
