@@ -68,10 +68,22 @@ BENCH_QUERIES = [
 
 SUPERLINEAR_EXPONENT = 1.15  # >1.15 over a 10× data step = super-linear
 
+# Round-4+ operators, timed and exponent-checked like the headline set
+# but reported under "extended"/"extended_sf0.01" and NOT added to the
+# headline total — the total stays comparable round-over-round against
+# BASELINE.md and prior BENCH_r{N}.json records.
+EXTENDED_QUERIES = [
+    "q51_bpe_chunk_accounting",
+    "q54_incremental_minhash_pairs",
+    "q57_stratified_sample",
+    "q58_lm_perplexity",
+    "q59_simhash_pairs",
+]
 
-def _run_set(spark, sf_dir: str, unpersist_all) -> dict[str, float]:
+
+def _run_set(spark, sf_dir: str, unpersist_all, names=None) -> dict[str, float]:
     results: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names or BENCH_QUERIES:
         times = []
         for i in range(4):
             t0 = time.perf_counter()
@@ -102,12 +114,14 @@ def main() -> None:
     from dataflow_python_etl_spark.operators.dedup import unpersist_all
 
     results = _run_set(spark, sf_dir, unpersist_all)
+    extended = _run_set(spark, sf_dir, unpersist_all, EXTENDED_QUERIES)
     total = round(sum(results.values()), 3)
     report = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "extended": extended,
         "sf": sf,
     }
 
@@ -126,6 +140,15 @@ def main() -> None:
             for name in BENCH_QUERIES
             if small.get(name) and results.get(name)
         }
+        small_ext = _run_set(spark, small_dir, unpersist_all, EXTENDED_QUERIES)
+        exponents.update({
+            name: round(
+                math.log10(extended[name] / small_ext[name]) / math.log10(sf / 0.01), 3
+            )
+            for name in EXTENDED_QUERIES
+            if small_ext.get(name) and extended.get(name)
+        })
+        report["extended_sf0.01"] = small_ext
         report["queries_sf0.01"] = small
         report["scaling_exponent"] = exponents
         report["superlinear"] = sorted(

@@ -46,7 +46,10 @@ def compare(
 ) -> tuple[list[str], list[str]]:
     """(regressions, notes) — regressions non-empty means FAIL."""
     regressions, notes = [], []
-    oq, nq = old.get("queries", {}), new.get("queries", {})
+    # extended (non-headline) queries are compared the same way but
+    # never contribute to the total
+    oq = {**old.get("queries", {}), **old.get("extended", {})}
+    nq = {**new.get("queries", {}), **new.get("extended", {})}
     for name in sorted(set(oq) | set(nq)):
         if name not in oq:
             notes.append(f"new query {name}: {nq[name]:.3f}s (no baseline)")
