@@ -497,7 +497,11 @@ def simhash_pairs(
         raise ValueError(f"bits ({bits}) must divide evenly into {n_bands} bands")
     width = bits // n_bands
     mask = (1 << width) - 1
-    sig = simhash(df, id_col, text_col, bits)
+    # registered cache: the self-join consumes the band frame twice,
+    # and the signature expression (per token: 1 md5 + `bits` affine
+    # updates, interpreted HOFs) is the dominant cost — uncached it
+    # evaluates once per side (measured 6.6 s -> ~4 s at sf0.1)
+    sig = _persist(simhash(df, id_col, text_col, bits))
     bands = sig.select(
         F.col(id_col).alias("doc"),
         "simhash",
