@@ -2087,11 +2087,11 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at 6 decimals",
 )
 def q58_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataflow_python_etl_spark.operators.lm import fit_char_ngram_lm, score_with_lm
+    from dataflow_python_etl_spark.operators.lm import fit_and_score
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    model, floors = fit_char_ngram_lm(docs)
-    return score_with_lm(docs, model, floors)
+    # fit-and-score share ONE cached n-gram explode (the model corpus
+    # IS the scored corpus here); see lm.fit_and_score
+    return fit_and_score(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
 
 
 @_q(
