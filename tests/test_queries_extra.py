@@ -156,3 +156,41 @@ def test_simhash_pairs_validation(spark):
         simhash_pairs(docs, max_hamming=8, n_bands=8)
     with pytest.raises(ValueError, match="divide evenly"):
         simhash_pairs(docs, max_hamming=3, n_bands=7)
+
+
+def test_simhash_pairs_exact_on_random_corpora(spark):
+    """Pigeonhole exactness as a randomized property: for arbitrary
+    small corpora (including near-identical docs engineered to land
+    within small Hamming radii), banded pairs == brute force."""
+    import itertools
+    import random
+
+    from dataflow_python_etl_spark.operators.dedup import simhash, simhash_pairs
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        base = [rng.choice(vocab) for _ in range(20)]
+        rows = []
+        for i in range(24):
+            words = list(base)
+            # perturb a few positions: small signature distances
+            for _ in range(rng.randrange(0, 6)):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            rows.append((i, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+
+        def ham(a, b):
+            return bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+
+        brute = sorted(
+            (a, b, ham(a, b))
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if ham(a, b) <= 6
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(docs, max_hamming=6, n_bands=8).collect()
+        )
+        assert got == brute, trial
