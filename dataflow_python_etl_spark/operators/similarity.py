@@ -482,12 +482,17 @@ def build_ivf_index(
     scoring in :func:`ivf_topk_indexed` (auto-detected from the index
     schema), recall floor pinned in tests.
     """
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
     if quantize not in (None, "int8"):
         raise ValueError(f"quantize must be None|'int8', got {quantize!r}")
     assigned = _assigned(corpus, centroids, id_col, vec_col)
     if quantize == "int8":
         assigned = _quantize_int8(assigned)
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    # temp-and-swap (not bare overwrite): a crash mid-rebuild must not
+    # leave a missing/partial index for concurrent ivf_topk_indexed
+    # readers — same contract as every other writer in the repo
+    write_and_swap(assigned, path, partition_by=["cid"])
 
 
 def append_to_ivf_index(

@@ -49,6 +49,7 @@ def write_and_swap(
     table_path: str,
     fmt: str = "parquet",
     options: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """THE one overwrite path: write ``df`` (any datasource format —
     parquet default, json/orc/csv via ``fmt``/``options``) to a
@@ -69,6 +70,8 @@ def write_and_swap(
     w = df.write.mode("overwrite")
     for k, v in (options or {}).items():
         w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
     w.format(fmt).save(tmp)
     if os.path.exists(table_path):
         swap_table_dir(table_path, tmp)

@@ -255,3 +255,30 @@ def test_ivf_sq8_append_matches_rebuild(spark, emb, centroids, tmp_path):
     with pytest.raises(Exception):  # fp64 rows into an int8 index
         append_to_ivf_index(part_b, centroids, inc)
         spark.read.parquet(inc).select("qvec", "cvec").collect()
+
+
+def test_ivf_rebuild_is_swap_safe(spark, emb, centroids, tmp_path):
+    """Rebuilding over an existing index goes through the canonical
+    temp-and-swap: identical results, no .__tmp_/.__bak_ leftovers
+    (vacuum-clean), partition pruning still applies."""
+    import glob
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, centroids, path)
+    queries = emb.where(F.col("vec_id") < 5)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk_indexed(spark, path, queries, centroids, k=3, n_probe=2).collect()
+    )
+    build_ivf_index(emb, centroids, path)  # rebuild over existing
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk_indexed(spark, path, queries, centroids, k=3, n_probe=2).collect()
+    )
+    assert got == want
+    assert not glob.glob(f"{path}.__*")  # swap left nothing behind
