@@ -73,7 +73,9 @@ def run_mart(args) -> None:
     pasajero = spark.read.parquet(_table_path(args.warehouse, "pasajero"))
     vuelo = spark.read.parquet(_table_path(args.warehouse, "vuelo"))
     out = build_mart(venta, pasajero, vuelo)
-    out.write.mode("overwrite").parquet(_table_path(args.warehouse, args.output))
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(out, _table_path(args.warehouse, args.output))
     print(f"{args.output}: {spark.read.parquet(_table_path(args.warehouse, args.output)).count()} rows")
 
 
@@ -215,7 +217,9 @@ def run_curate(args) -> None:
         min_quality=args.min_quality,
     )
     dest = _table_path(args.warehouse, args.output)
-    out.write.mode("overwrite").parquet(dest)
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(out, dest)
     n_in = docs.count()
     n_out = spark.read.parquet(dest).count()
     print(f"{args.table}: {n_in} docs -> {args.output}: {n_out} survivors")
@@ -242,7 +246,9 @@ def run_chunk(args) -> None:
     if args.budget:
         chunks = pack_sequences(chunks, args.budget, order_cols=["doc_id", "chunk_id"])
     dest = _table_path(args.warehouse, args.output)
-    chunks.write.mode("overwrite").parquet(dest)
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(chunks, dest)
     out = spark.read.parquet(dest)
     n_seq = out.select("seq_id").distinct().count() if args.budget else 0
     packed = f", {n_seq} sequences" if args.budget else ""
@@ -261,7 +267,9 @@ def run_split(args) -> None:
         fractions[name] = float(frac)
     out = split_by_group(df, args.group_col, fractions)
     dest = _table_path(args.warehouse, args.output)
-    out.write.mode("overwrite").partitionBy("split").parquet(dest)
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(out, dest, partition_by=["split"])
     counts = {
         r["split"]: r["n"]
         for r in spark.read.parquet(dest)
@@ -286,7 +294,9 @@ def run_dedup(args) -> None:
     )
     pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
     dest = _table_path(args.warehouse, args.output)
-    pairs.write.mode("overwrite").parquet(dest)
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(pairs, dest)
     n = spark.read.parquet(dest).count()
     unpersist_all()
     print(f"{args.table}: {n} near-dup pairs (threshold {args.threshold}) -> {args.output}")
@@ -307,11 +317,17 @@ def run_bpe(args) -> None:
     )
     wf = word_frequencies(docs, top_words=args.top_words)
     merges = learn_bpe_merges(wf, n_merges=args.merges)
-    spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank: long, a: string, b: string"
-    ).write.mode("overwrite").parquet(_table_path(args.warehouse, args.output + "_merges"))
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank: long, a: string, b: string",
+        ),
+        _table_path(args.warehouse, args.output + "_merges"),
+    )
     dest = _table_path(args.warehouse, args.output)
-    apply_bpe(docs, merges).write.mode("overwrite").parquet(dest)
+    write_and_swap(apply_bpe(docs, merges), dest)
     n = spark.read.parquet(dest).count()
     print(f"{args.table}: learned {len(merges)} merges; encoded {n} docs -> {args.output}")
 
@@ -341,9 +357,15 @@ def run_ivf(args) -> None:
     if args.action == "build":
         emb = spark.read.parquet(_table_path(args.warehouse, args.table))
         cents = fit_ivf_centroids(emb, k=args.k)
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid: long, centroid: array<double>"
-        ).write.mode("overwrite").parquet(cents_path)
+        from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+        write_and_swap(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cid: long, centroid: array<double>",
+            ),
+            cents_path,
+        )
         build_ivf_index(emb, cents, index, quantize="int8" if args.int8 else None)
         print(f"{args.table}: built {args.index} with k={args.k}"
               + (" (int8)" if args.int8 else ""))
@@ -361,8 +383,10 @@ def run_ivf(args) -> None:
         out = ivf_topk_indexed(
             spark, index, queries, _load_centroids(), k=args.topk, n_probe=args.n_probe
         )
+        from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
         dest = _table_path(args.warehouse, args.output)
-        out.write.mode("overwrite").parquet(dest)
+        write_and_swap(out, dest)
         print(f"{args.index}: {spark.read.parquet(dest).count()} neighbor rows -> {args.output}")
 
 
