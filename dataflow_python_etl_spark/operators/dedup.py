@@ -93,6 +93,39 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def normalize_text(col) -> "F.Column":
+    """Aggressive content normalization for fuzzy-exact dedup (the C4
+    recipe): lowercase, strip everything but letters/digits/spaces,
+    collapse whitespace runs, trim. Two docs differing only in case,
+    punctuation, or spacing normalize identically. Pure JVM regex
+    chain — zero-shuffle, whole-stage-codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def dedup_normalized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fuzzy-exact dedup: group by the md5 of the NORMALIZED text
+    (:func:`normalize_text`), keep the min-id survivor — the tier
+    between byte-exact dedup and n-gram Jaccard: catches case /
+    punctuation / whitespace variants of the same document at exact-
+    dedup cost (one map + one map-side-combined groupBy shuffle;
+    hashing keeps the shuffle key 32 bytes however long the text is).
+    Returns (id, content_key, n_variants) per surviving document.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_variants"))
+        .select(id_col, "content_key", "n_variants")
+    )
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc, shingle) with per-doc-distinct shingles.
 

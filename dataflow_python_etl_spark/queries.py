@@ -2123,8 +2123,31 @@ def q59_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
+@_q(
+    "q60_normalized_dedup",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_key
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, content_key,
+           count(*) AS n_variants
+    FROM norm GROUP BY content_key
+    """,
+    "Fuzzy-exact dedup (operators.dedup.dedup_normalized, the C4 "
+    "recipe): group by md5 of the case/punctuation/whitespace-"
+    "normalized text, min-id survivor — the tier between byte-exact "
+    "(q23) and n-gram Jaccard (q24), at exact-dedup cost; the "
+    "normalization chain and md5 are mirrored bit-for-bit in DuckDB",
+)
+def q60_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_normalized(_t(spark, sf_dir, "documents"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q59.
+# (what the driver's grading window walks) always matches q01..q60.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()

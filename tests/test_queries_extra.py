@@ -194,3 +194,33 @@ def test_simhash_pairs_exact_on_random_corpora(spark):
             for r in simhash_pairs(docs, max_hamming=6, n_bands=8).collect()
         )
         assert got == brute, trial
+
+
+def test_dedup_normalized_collapses_variants(spark):
+    """Case / punctuation / whitespace variants normalize to one
+    content key with the min-id survivor; genuinely different texts
+    stay apart. The plan is exact-dedup shaped: one exchange, no
+    Python."""
+    from dataflow_python_etl_spark.operators.dedup import dedup_normalized
+    from dataflow_python_etl_spark.plans.checks import count_exchanges, explain_str
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!  This is FINE."),
+            (2, "hello world this is fine"),
+            (3, "HELLO   WORLD: this is \"fine\""),
+            (4, "a different document entirely"),
+            (5, "hello world this is fine though"),  # extra word: distinct
+        ],
+        "doc_id: long, text: string",
+    )
+    out = dedup_normalized(docs)
+    rows = {r["doc_id"]: r["n_variants"] for r in out.collect()}
+    assert rows == {1: 3, 4: 1, 5: 1}
+    # plan pin on a real parquet scan (a local relation adds its own
+    # parallelize exchange): map-side partial agg -> ONE shuffle
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    real = dedup_normalized(read_table(spark, "/root/testdata/sf0.001", "documents"))
+    assert count_exchanges(real) == 1
+    assert "EvalPython" not in explain_str(real)
