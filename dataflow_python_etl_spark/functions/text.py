@@ -178,6 +178,29 @@ def _lines(col: Column | str) -> Column:
     return F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
 
 
+def dedup_lines(col: Column | str) -> Column:
+    """Text with repeated (exact, non-empty) lines removed, keeping
+    each line's FIRST occurrence — the in-document twin of the
+    corpus dedup tiers: scraped pages repeat nav menus / cookie
+    banners per section, and repeated boilerplate both wastes tokens
+    and skews n-gram statistics.
+
+    One expression tree: keep line i iff ``array_position(lines,
+    lines[i]) == i`` (array_position returns the FIRST index, so later
+    duplicates fail the check). Zero-shuffle, no Python; the measured
+    removal fraction is exactly ``dup_line_fraction``.
+    """
+    lines = _lines(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(lines), F.lit(1)))
+    kept = F.when(F.size(lines) > 0,
+        F.transform(
+            F.filter(idx, lambda i: F.array_position(lines, F.element_at(lines, i)) == i),
+            lambda i: F.element_at(lines, i),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_join(kept, "\n")
+
+
 def dup_line_fraction(col: Column | str) -> Column:
     """Fraction of non-empty lines that are duplicates of an earlier
     line (Gopher-style repetition signal: boilerplate navigation,

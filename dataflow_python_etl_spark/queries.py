@@ -2146,8 +2146,38 @@ def q60_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_normalized(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "q61_line_dedup",
+    f"""
+    WITH l AS (SELECT doc_id, {_LINES_SQL} AS lines FROM documents),
+    k AS (
+        SELECT doc_id, lines,
+               list_filter(range(1, len(lines) + 1),
+                           i -> list_position(lines, lines[i]) = i) AS keep
+        FROM l
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(keep, i -> lines[i]), chr(10)) AS cleaned,
+           CAST(len(lines) - len(keep) AS BIGINT) AS n_removed
+    FROM k
+    """,
+    "In-document repeated-line removal (functions.text.dedup_lines — "
+    "boilerplate/nav-menu stripping, first occurrence kept): one "
+    "first-index HOF expression, zero-shuffle; the CLEANED TEXT itself "
+    "is value-hash-verified against the DuckDB list-expression mirror",
+)
+def q61_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.trim(x) != "")
+    return docs.select(
+        "doc_id",
+        TX.dedup_lines("text").alias("cleaned"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("long").alias("n_removed"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q60.
+# (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()

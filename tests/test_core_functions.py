@@ -122,3 +122,24 @@ class TestNormalizerProperties:
         df = spark.createDataFrame([("not a date",), ("",), ("2020-13-45",)], "d: string")
         vals = [r["d"] for r in df.select(normalize_date("d").alias("d")).collect()]
         assert vals == [None, None, None]
+
+
+def test_dedup_lines(spark):
+    """First occurrence kept, later exact repeats dropped, empties
+    squeezed out; n_removed matches dup_line_fraction's numerator."""
+    from dataflow_python_etl_spark.functions.text import dedup_lines
+
+    rows = [
+        (1, "nav menu\ncontent A\nnav menu\ncontent B\n\nnav menu"),
+        (2, "only\nunique\nlines"),
+        (3, ""),
+        (4, None),
+        (5, "x\nx\nx\nx"),
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    got = {r["id"]: r["c"] for r in df.select("id", dedup_lines("text").alias("c")).collect()}
+    assert got[1] == "nav menu\ncontent A\ncontent B"
+    assert got[2] == "only\nunique\nlines"
+    assert got[3] == ""
+    assert got[4] == ""  # null text -> empty (same policy as _ngrams)
+    assert got[5] == "x"
