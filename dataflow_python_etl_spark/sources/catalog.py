@@ -112,11 +112,13 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     ``src/data_ingest.py:130-132``, operator O6).
 
     Spark cannot overwrite a path it is lazily reading from
-    (SURVEY.md §7.3.4) — callers replacing a table they derived from
-    must write to a temp path and swap, which
-    ``operators.compensation.apply_compensation`` does.
+    (SURVEY.md §7.3.4), and a crash mid-overwrite must not leave a
+    half-written table — both handled by routing through THE one
+    temp-and-swap implementation.
     """
-    df.write.mode("overwrite").parquet(path)
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(df, path)
 
 
 def write_table_as(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
@@ -125,7 +127,9 @@ def write_table_as(df: DataFrame, path: str, fmt: str = "parquet", **options) ->
     predicate pushdown and column pruning; json/csv are interchange
     sinks — scans over them read every byte, so they are for export,
     not for the 100 TB query path."""
-    df.write.mode("overwrite").format(fmt).options(**options).save(path)
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(df, path, fmt=fmt, options=dict(options))
 
 
 def read_table_as(

@@ -88,6 +88,8 @@ def ingest_csv(
     """Ingest one CSV to a parquet table: CREATE_IF_NEEDED +
     WRITE_TRUNCATE ≡ ``mode('overwrite')`` (reference
     ``src/data_ingest.py:121-132``, operator O6)."""
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
     df = read_typed_csv(spark, path, schema, sep=sep)
-    df.write.mode("overwrite").parquet(out_path)
+    write_and_swap(df, out_path)  # truncate semantics, crash-safe swap
     return spark.read.parquet(out_path)
