@@ -315,7 +315,9 @@ def run_bpe(args) -> None:
     docs = spark.read.parquet(_table_path(args.warehouse, args.table)).select(
         "doc_id", "text"
     )
-    wf = word_frequencies(docs, top_words=args.top_words)
+    wf = word_frequencies(
+        docs, top_words=None if args.uncapped_words else args.top_words
+    )
     merges = learn_bpe_merges(wf, n_merges=args.merges)
     from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
@@ -500,7 +502,18 @@ def main(argv: list[str] | None = None) -> None:
     pb.add_argument("--table", required=True)
     pb.add_argument("--output", default="bpe_encoded")
     pb.add_argument("--merges", type=int, default=200)
-    pb.add_argument("--top-words", type=int, default=None)
+    pb.add_argument(
+        "--top-words",
+        type=int,
+        default=1_000_000,
+        help="cap on the driver-collected word table (default 1M)",
+    )
+    pb.add_argument(
+        "--uncapped-words",
+        action="store_true",
+        help="explicitly disable the --top-words cap (driver memory is then "
+        "bounded only by |distinct words| — unsafe on web-scale corpora)",
+    )
     pb.set_defaults(fn=run_bpe)
 
     args = p.parse_args(argv)

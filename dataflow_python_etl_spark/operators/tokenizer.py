@@ -26,18 +26,28 @@ from dataflow_python_etl_spark.functions.text import tokens
 
 END = "</w>"  # end-of-word marker: merges cannot cross word boundaries
 
+# Default heavy-hitters cap on the driver-collected word table. At web
+# scale the distinct-"word" population (URLs, hashes, typos) runs to
+# billions of rows; the top ~1M words carry nearly all token mass, so
+# the capped table learns materially identical merges while bounding
+# driver memory BY DEFAULT. Uncapped is an explicit opt-in
+# (``top_words=None``) for small curated corpora.
+DEFAULT_TOP_WORDS = 1_000_000
+
 
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text", top_words: int | None = None
+    docs: DataFrame, text_col: str = "text", top_words: int | None = DEFAULT_TOP_WORDS
 ) -> DataFrame:
     """(word, freq) over whitespace tokens — the single corpus pass.
 
     ``top_words`` caps the table with an exact frequency cut (sort +
-    limit, id tie-break for determinism). BPE merge quality depends on
-    mass, not tail words; at 100 TB the top ~1M words carry nearly all
-    token mass, so the cap bounds driver memory without changing the
-    learned merges materially.
+    limit, word tie-break for determinism) and defaults to
+    :data:`DEFAULT_TOP_WORDS` so the downstream driver-side collect in
+    :func:`learn_bpe_merges` is bounded unless the caller explicitly
+    passes ``top_words=None``.
     """
+    if top_words is not None and top_words <= 0:
+        raise ValueError("top_words must be positive (or None to disable the cap)")
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     wf = (
         docs.select(F.explode(toks).alias("word"))
@@ -157,14 +167,24 @@ def apply_bpe(
     )
 
     def _enc(it: Iterator) -> Iterator:
+        import re
+
         import pandas as pd
+
+        # Same segmentation as word_frequencies' Spark-side split on
+        # Java \s+ (ASCII [ \t\n\x0B\f\r]) — Python str.split() would
+        # split on Unicode whitespace (e.g. U+00A0) and encode words
+        # the frequency pass never learned merges for.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         cache: dict[str, list[str]] = {}
         for pdf in it:
             toks_col, n_col = [], []
             for text in pdf[text_col]:
                 toks: list[str] = []
-                for w in (text or "").split():
+                for w in ws.split(text or ""):
+                    if not w:
+                        continue
                     enc = cache.get(w)
                     if enc is None:
                         enc = _encode_word(w, ranks)

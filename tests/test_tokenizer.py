@@ -83,3 +83,45 @@ def test_apply_bpe_unseen_word_falls_back_to_chars(spark):
 def test_learn_merges_validation():
     with pytest.raises(ValueError, match="n_merges"):
         learn_bpe_merges([("ab", 2)], n_merges=-1)
+
+
+def test_default_word_table_is_capped(spark):
+    """The DEFAULT induction path is driver-bounded: word_frequencies
+    caps at DEFAULT_TOP_WORDS unless the caller explicitly opts out
+    with top_words=None, and the cap reaches the physical plan."""
+    import inspect
+
+    from dataflow_python_etl_spark.operators.tokenizer import DEFAULT_TOP_WORDS
+    from dataflow_python_etl_spark.plans.checks import explain_str
+
+    assert DEFAULT_TOP_WORDS == 1_000_000
+    sig = inspect.signature(word_frequencies)
+    assert sig.parameters["top_words"].default == DEFAULT_TOP_WORDS
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = explain_str(word_frequencies(docs), "simple")
+    assert "1000000" in plan, plan  # the limit is in the executed plan
+    # uncapped is explicit opt-in only
+    assert "1000000" not in explain_str(
+        word_frequencies(docs, top_words=None), "simple"
+    )
+    with pytest.raises(ValueError, match="top_words"):
+        word_frequencies(docs, top_words=0)
+
+
+def test_segmentation_matches_between_passes(spark):
+    """apply_bpe splits on the SAME ASCII whitespace class as the
+    Spark-side word_frequencies split (Java \\s+): a U+00A0-joined
+    token is ONE word on both sides, not two."""
+    nb = "x\u00a0y"  # NO-BREAK SPACE inside the "word"
+    docs = spark.createDataFrame([(1, f"{nb} {nb}")], "doc_id: long, text: string")
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert wf == {nb: 2}
+    # merges learned over that single word apply at encode time
+    merges = learn_bpe_merges(list(wf.items()), n_merges=3, min_freq=2)
+    rows = apply_bpe(docs, merges).collect()
+    joined = "".join(rows[0]["bpe_tokens"])
+    assert joined == nb + END + nb + END
+    # with enough merges the whole word collapses to few tokens —
+    # impossible if encode had split on Unicode whitespace
+    assert rows[0]["n_bpe_tokens"] < 8
