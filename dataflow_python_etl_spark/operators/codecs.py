@@ -1,12 +1,17 @@
-"""Pure-numpy codecs for UNCOMPRESSED multimodal containers — the
+"""Pure-stdlib/numpy codecs for multimodal containers — the
 real-decode integration point behind ``operators.multimodal``'s
 kernels (SURVEY.md §2.4 multimodal).
 
 The sandbox has no image/audio libraries, but netpbm (P5/P6), BI_RGB
 24-bit BMP, and PCM WAV are plain headers over raw sample arrays —
-decodable with ``struct`` + ``numpy`` alone. Compressed formats
-(PNG/JPEG/MP3/...) still raise ``NotImplementedError``: guessing at
-entropy-coded bitstreams without a codec would be silently wrong.
+decodable with ``struct`` + ``numpy`` alone — and PNG's DEFLATE layer
+is stdlib ``zlib``, so non-interlaced 8-bit PNG (gray, gray+alpha,
+RGB, RGBA, and palette) decodes here too: chunk walk + CRC check,
+one ``zlib.decompress``, then numpy scanline unfiltering (filters
+0–4 per the W3C PNG spec / RFC 2083 §6). Entropy-coded formats with
+no stdlib decompressor (JPEG/MP3/...) still raise
+``NotImplementedError``: guessing at their bitstreams without a
+codec would be silently wrong.
 
 All functions are deterministic and total over their declared formats;
 malformed payloads raise ``ValueError`` (loud, per-row inside the
@@ -17,10 +22,12 @@ garbage metadata).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 _PNM_MAGICS = (b"P5", b"P6")
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -32,6 +39,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "image/x-portable-graymap"
     if payload[:2] == b"BM":
         return "image/bmp"
+    if payload[:8] == PNG_SIGNATURE:
+        return "image/png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
     return None
@@ -128,6 +137,195 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return arr[:, :, ::-1]  # BGR on disk → RGB
 
 
+# PNG color type → samples per pixel (8-bit depth only; type 3 indexes
+# the PLTE palette and expands to RGB after unfiltering).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, body) for each chunk, verifying lengths and CRCs.
+    Truncation and corruption raise ValueError (loud, per the module
+    contract) rather than yielding a partial image."""
+    pos = 8
+    saw_iend = False
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"PNG truncated: chunk {ctype!r} declares {length} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
+        body = payload[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, body
+        if ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if not saw_iend:
+        raise ValueError("PNG truncated: missing IEND chunk")
+
+
+def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over a scanline (spec §6.6)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering → (h, w*bpp) uint8.
+
+    Filter 0 (None) and 2 (Up) are whole-row vectorized; 1 (Sub) is a
+    per-lane cumulative sum (recon[x] = Σ filt mod 256); 3 (Average)
+    and 4 (Paeth) have a true left-neighbor dependency, so they walk
+    pixels within the row with numpy ops over the bpp channel lane.
+    """
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG raster size mismatch: got {len(raw)} bytes, "
+            f"expected {h * (1 + stride)}"
+        )
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, rows = data[:, 0], data[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, filt = int(filters[y]), rows[y]
+        if f == 0:
+            recon = filt.copy()
+        elif f == 1:  # Sub: left neighbor, per channel lane
+            recon = (
+                np.cumsum(filt.reshape(w, bpp).astype(np.uint64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: previous scanline, fully vectorized
+            recon = filt + prev  # uint8 wraps mod 256 by construction
+        elif f == 3:  # Average of left and up, sequential in x
+            recon = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for x in range(0, stride, bpp):
+                px = filt[x : x + bpp] + ((left + prev[x : x + bpp]) >> 1).astype(
+                    np.uint8
+                )
+                recon[x : x + bpp] = px
+                left = px.astype(np.uint16)
+        elif f == 4:  # Paeth, sequential in x
+            recon = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint8)
+            upleft = np.zeros(bpp, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                px = filt[x : x + bpp] + _paeth_predictor(left, up, upleft)
+                recon[x : x + bpp] = px
+                left, upleft = px, up
+        else:
+            raise ValueError(f"PNG scanline {y}: invalid filter type {f}")
+        out[y] = recon
+        prev = recon
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → uint8 pixels: gray → (h, w),
+    gray+alpha → (h, w, 2), RGB → (h, w, 3), RGBA → (h, w, 4);
+    palette (color type 3) expands through PLTE to (h, w, 3).
+
+    Pure stdlib ``zlib`` + numpy: chunk walk with CRC verification,
+    one decompress of the concatenated IDAT stream, scanline
+    unfiltering per the spec. Interlaced (Adam7), 16-bit, and
+    sub-byte depths raise ``NotImplementedError`` (decodable in
+    principle, not needed for the pipeline's fixtures); corrupt or
+    truncated payloads raise ``ValueError``.
+    """
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    trns: bytes | None = None
+    idat: list[bytes] = []
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing or malformed IHDR chunk")
+    if not idat:
+        raise ValueError("PNG has no IDAT chunks")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w == 0 or h == 0:
+        raise ValueError(f"PNG has empty dimensions {w}x{h}")
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"invalid PNG compression/filter method ({comp}/{filt})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG is not supported")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG is supported (depth={depth})")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color}")
+    bpp = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
+    flat = _png_unfilter(raw, w, h, bpp)
+    if color == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing or malformed PLTE chunk")
+        if trns is not None:
+            raise NotImplementedError(
+                "palette PNG with tRNS transparency is not supported"
+            )
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = flat.reshape(h, w)
+        if int(idx.max()) >= len(palette):
+            raise ValueError("palette PNG index out of PLTE range")
+        return palette[idx]
+    if bpp == 1:
+        return flat.reshape(h, w)
+    return flat.reshape(h, w, bpp)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 pixels → non-interlaced 8-bit PNG bytes ((h,w) gray,
+    (h,w,2) gray+alpha, (h,w,3) RGB, (h,w,4) RGBA). Deterministic:
+    filter 0 on every scanline, fixed zlib level. Fixture generator
+    and sink-side sibling of :func:`decode_png` (same role
+    :func:`encode_wav` plays for audio)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color, bpp = 0, 1
+    elif px.ndim == 3 and px.shape[2] in (2, 3, 4):
+        color = {2: 4, 3: 2, 4: 6}[px.shape[2]]
+        bpp = px.shape[2]
+    else:
+        raise ValueError(f"expected (h,w[,2|3|4]) uint8, got {px.shape}")
+    h, w = px.shape[:2]
+    raw = np.zeros((h, 1 + w * bpp), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * bpp)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """(format_tag, pixel array) for any decodable image container."""
     fmt = sniff_format(payload)
@@ -135,6 +333,8 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_pnm(payload)
     if fmt == "image/bmp":
         return fmt, decode_bmp(payload)
+    if fmt == "image/png":
+        return fmt, decode_png(payload)
     raise NotImplementedError(
         "no pure-numpy decoder for this payload (compressed or unknown "
         "container) — plug Pillow/opencv here"

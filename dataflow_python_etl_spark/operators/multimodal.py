@@ -3,11 +3,13 @@ metadata, decoded / feature-extracted via Arrow-batched ``mapInPandas``
 (BASELINE.json north star; SURVEY.md §2.4).
 
 The container has no image/audio libraries, so ``real_decode=True``
-covers exactly the UNCOMPRESSED containers that are decodable in pure
-numpy — netpbm (P5/P6), 24-bit BI_RGB BMP, PCM WAV — via
-``operators.codecs``; compressed formats (PNG/JPEG/MP3/...) still
-raise ``NotImplementedError`` (guessing at entropy-coded bitstreams
-without a codec would be silently wrong). The default path remains a
+covers exactly the containers decodable with stdlib + numpy — netpbm
+(P5/P6), 24-bit BI_RGB BMP, PCM WAV, and non-interlaced 8-bit PNG
+(zlib DEFLATE + numpy scanline unfiltering) — via
+``operators.codecs``; formats whose entropy coding has no stdlib
+decompressor (JPEG/MP3/...) still raise ``NotImplementedError``
+(guessing at their bitstreams without a codec would be silently
+wrong). The default path remains a
 deterministic fake so oracle comparisons over arbitrary payloads stay
 stable. The schema contract, Arrow batch shape, and
 partition-parallel ``mapInPandas`` plumbing are identical on both
@@ -39,10 +41,11 @@ ASSET_META_SCHEMA = T.StructType(
 def decode_image_meta(payload: bytes, real_decode: bool = False) -> dict:
     """Decode one image payload to metadata.
 
-    ``real_decode=True`` REALLY decodes uncompressed containers
-    (P5/P6 netpbm, 24-bit BMP — pure numpy, see ``operators.codecs``)
-    and raises ``NotImplementedError`` for compressed ones (the
-    Pillow/opencv integration point).
+    ``real_decode=True`` REALLY decodes supported containers
+    (P5/P6 netpbm, 24-bit BMP, non-interlaced 8-bit PNG — stdlib +
+    numpy, see ``operators.codecs``) and raises
+    ``NotImplementedError`` for the rest (the Pillow/opencv
+    integration point).
     """
     if real_decode:
         from dataflow_python_etl_spark.operators import codecs
@@ -118,17 +121,22 @@ RESIZED_SCHEMA = T.StructType(
 
 def resize_payload(payload: bytes, width: int, height: int, real_decode: bool = False) -> bytes:
     """Resize one image payload. ``real_decode=True`` decodes P5/P6
-    netpbm and 24-bit BMP (pure numpy), nearest-neighbor resamples,
-    and re-encodes as netpbm; compressed formats raise
-    ``NotImplementedError`` (the Pillow integration point). The
-    default is a deterministic fake that samples the payload bytes
-    down/up to ``width*height`` — byte count and content are
-    reproducible, so tests can pin the batch contract."""
+    netpbm, 24-bit BMP, and non-interlaced 8-bit PNG (stdlib+numpy),
+    nearest-neighbor resamples, and re-encodes — netpbm for gray/RGB,
+    PNG for alpha-bearing pixels (netpbm cannot carry alpha); formats
+    without a stdlib decompressor raise ``NotImplementedError`` (the
+    Pillow integration point). The default is a deterministic fake
+    that samples the payload bytes down/up to ``width*height`` — byte
+    count and content are reproducible, so tests can pin the batch
+    contract."""
     if real_decode:
         from dataflow_python_etl_spark.operators import codecs
 
         _fmt, pixels = codecs.decode_image(bytes(payload))
-        return codecs.encode_ppm(codecs.resize_nearest(pixels, width, height))
+        resized = codecs.resize_nearest(pixels, width, height)
+        if resized.ndim == 3 and resized.shape[2] in (2, 4):
+            return codecs.encode_png(resized)
+        return codecs.encode_ppm(resized)
     target = width * height
     n = len(payload)
     if n == 0:

@@ -37,7 +37,11 @@ def _bmp_24(pixels_rgb: np.ndarray) -> bytes:
 
 
 def test_compressed_formats_stay_stubbed():
+    # JPEG has no stdlib decompressor — still honestly gated
     with pytest.raises(NotImplementedError):
+        decode_image_meta(b"\xff\xd8\xff\xe0....", real_decode=True)
+    # PNG is now REALLY decoded; a truncated one fails loudly instead
+    with pytest.raises(ValueError, match="truncated"):
         decode_image_meta(b"\x89PNG\r\n\x1a\n....", real_decode=True)
 
 
