@@ -10,10 +10,11 @@ corpus and a tokenizer/dataloader).
 - ``pack_sequences``: greedy next-fit bin-packing of chunks into
   training sequences of at most ``budget_tokens``. Packing has
   sequential state (the running fill), so it runs per PARTITION via
-  an Arrow ``mapInPandas`` kernel over deterministically range-
-  partitioned input — embarrassingly parallel, one pass, no shuffle
-  beyond the initial range partitioning; bin ids are globally unique
-  by construction (partition_id << 32 | local bin).
+  an Arrow ``mapInPandas`` kernel over content-hash-partitioned
+  input — embarrassingly parallel, one pass, no shuffle beyond the
+  initial partitioning; bin ids are globally unique by construction
+  (partition_id << 32 | local bin) and the whole assignment is
+  identical across separate runs (no sampled boundaries anywhere).
 """
 
 from __future__ import annotations
@@ -120,30 +121,42 @@ def pack_sequences(
     with ``chunk_tokens ≤ budget``).
 
     Scale shape: packing state is a single running counter, so the
-    corpus is range-partitioned by ``order_cols`` (contiguous key
-    ranges) and each partition packs independently in one Arrow pass
-    — next-fit quality within a partition, zero coordination across
-    partitions. The only cross-partition effect is at most one
-    under-filled final sequence PER PARTITION, which for 10⁴-row-plus
-    partitions is noise. Bin ids are unique without coordination:
+    corpus is partitioned by a CONTENT HASH of the leading
+    ``order_cols`` entry (``pmod(murmur3(key), N)`` — all chunks of a
+    document land together) and each partition packs independently in
+    total ``order_cols`` order in one Arrow pass — next-fit quality
+    within a partition, zero coordination across partitions. The only
+    cross-partition effect is at most one under-filled final sequence
+    PER PARTITION, which for 10⁴-row-plus partitions is noise. Bin
+    ids are unique without coordination:
     ``partition_id << 32 | local_bin``.
 
-    Determinism: WITHIN a run (including task retries) output is
-    stable — ``repartitionByRange`` boundaries are fixed once sampled,
-    and each partition packs in total ``order_cols`` order. ACROSS
-    separate runs, the range sampler may draw different partition
-    BOUNDARIES for the same data, so sequences near a boundary can
-    regroup (ids and membership shift; every sequence still respects
-    the budget and order). Rerun-identical grouping needs a
-    content-derived partitioner — partition on
-    ``pmod(hash(first order col), N)`` yourself before calling with
-    ``num_partitions=None`` — at the cost of losing contiguous
-    next-fit ranges across documents.
+    Determinism: the (row → seq_id) assignment is IDENTICAL across
+    reruns, task retries, and upstream repartitionings, because every
+    input to it is content-derived: the partition index is a fixed
+    hash of the leading order key (no sampled range boundaries — the
+    pre-round-5 ``repartitionByRange`` drew boundaries from a sample
+    of the input layout, so separate runs could regroup sequences
+    near a boundary), the within-partition order is the total
+    ``order_cols`` sort, and ``num_partitions`` is pinned explicitly
+    into the shuffle (AQE does not re-coalesce a user-specified
+    count). Cross-run identity holds for the same data and the same
+    ``num_partitions`` (defaulted from ``spark.sql.shuffle.partitions``
+    — pass it explicitly when comparing across differently-configured
+    sessions). The trade vs range partitioning: partitions no longer
+    hold globally contiguous key ranges, which next-fit does not need
+    — it only needs a stable total order within each partition.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
     if not order_cols:
         raise ValueError("pack_sequences requires a total-order order_cols")
+    if num_partitions is None:
+        num_partitions = int(
+            chunks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
     # fresh StructType: .add() on df.schema would mutate the cached
     # schema object of the input DataFrame
     out_schema = StructType(list(chunks.schema.fields) + [StructField("seq_id", LongType())])
@@ -160,9 +173,12 @@ def pack_sequences(
             ).cast("boolean"),
         ).otherwise(F.lit(True))
     )
-    parts = guarded.repartitionByRange(
-        *([num_partitions] if num_partitions else []), *order_cols
-    ).sortWithinPartitions(*order_cols)
+    # partition index = pmod(murmur3(leading key), N): content-derived,
+    # so identical across runs; hashing ONLY the leading column keeps
+    # all chunks of one document in one partition (packing locality)
+    parts = guarded.repartition(num_partitions, F.col(order_cols[0])).sortWithinPartitions(
+        *order_cols
+    )
 
     def _pack(it: Iterator) -> Iterator:
         import pandas as pd

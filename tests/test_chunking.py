@@ -82,6 +82,101 @@ def test_pack_sequences_deterministic(spark):
     assert a == b
 
 
+def test_pack_sequences_layout_invariant(spark):
+    """The (row → seq_id) assignment must not depend on the UPSTREAM
+    physical layout — the exact nondeterminism the sampled
+    repartitionByRange had (boundaries drawn from the input sample).
+    Same data through three very different layouts → identical
+    packing, partition count pinned explicitly."""
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(150)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=0)
+
+    def assignment(df):
+        return {
+            (r["doc_id"], r["chunk_id"]): r["seq_id"]
+            for r in pack_sequences(
+                df, 128, order_cols=["doc_id", "chunk_id"], num_partitions=8
+            ).collect()
+        }
+
+    base = assignment(chunks)
+    assert base
+    scrambled = assignment(
+        chunks.orderBy(F.rand(seed=7)).repartition(3)
+    )  # arrival order + partitioning both perturbed
+    coalesced = assignment(chunks.coalesce(1))
+    assert base == scrambled == coalesced
+
+
+def test_pack_sequences_identical_across_sessions(tmp_path):
+    """THE cross-run pin: two separate Spark sessions (separate JVMs,
+    separate processes) produce byte-identical (doc_id, chunk_id,
+    seq_id) assignments. Runs the same packing in two subprocesses
+    and compares an md5 over the sorted assignment."""
+    import subprocess
+    import sys
+
+    script = """
+import hashlib
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from dataflow_python_etl_spark.operators.chunking import chunk_documents, pack_sequences
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+    "doc_id", "text"
+).limit(120)
+chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=0)
+rows = pack_sequences(chunks, 128, order_cols=["doc_id", "chunk_id"]).collect()
+h = hashlib.md5()
+for t in sorted((r["doc_id"], r["chunk_id"], r["seq_id"]) for r in rows):
+    h.update(repr(t).encode())
+print("ASSIGNMENT_MD5=" + h.hexdigest())
+spark.stop()
+"""
+    digests = []
+    for _ in range(2):
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("ASSIGNMENT_MD5=")
+        ]
+        assert line, proc.stdout[-2000:]
+        digests.append(line[0])
+    assert digests[0] == digests[1]
+
+
+def test_pack_sequences_plan_shape(spark):
+    """Single content-hash exchange feeding one Arrow stage — no
+    sampled range partitioning, no row-at-a-time Python."""
+    from dataflow_python_etl_spark.plans.checks import count_exchanges, explain_str
+
+    docs = (
+        read_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 50)  # limit() would add its own exchange
+    )
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=0)
+    packed = pack_sequences(chunks, 128, order_cols=["doc_id", "chunk_id"])
+    plan = explain_str(packed, "simple")
+    assert count_exchanges(packed) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning" in plan.lower(), plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan.replace(
+        "ArrowEvalPython", ""
+    ), plan
+
+
 def test_chunk_documents_properties_randomized(spark):
     """Property sweep over arbitrary token streams: coverage (every
     token index falls in some chunk), window exactness, no redundant
