@@ -27,6 +27,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Loud ceiling on the broadcast model size, in ROWS. A (lang, ngram,
+# logp) row is ~50 bytes in the broadcast hashed relation, so 20M rows
+# ≈ 1 GB on every executor — already generous; past it the explicit
+# broadcast() hint does not "flip to shuffle", it drives the driver
+# and executors toward the 8 GB broadcast hard limit / OOM. The guard
+# turns that cliff into an actionable error (fit with top_k, or raise
+# max_broadcast_rows deliberately).
+DEFAULT_MAX_BROADCAST_ROWS = 20_000_000
+
+
+def _guard_model_broadcast(model: DataFrame, max_rows: int | None) -> None:
+    """Raise if the model exceeds ``max_rows`` — checked with a
+    limit-bounded count so the probe job short-circuits instead of
+    scanning the full table."""
+    if max_rows is None:
+        return
+    if model.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"LM model exceeds max_broadcast_rows={max_rows}: broadcasting it "
+            "would replicate >~1 GB to every executor. Refit with "
+            "fit_char_ngram_lm(top_k=...) to cap the per-language vocab, or "
+            "pass a higher max_broadcast_rows / None to opt in explicitly."
+        )
+
 
 def _ngrams(text_col: str, n: int) -> F.Column:
     """All character n-grams of the lowercased text as array<string>
@@ -53,6 +77,7 @@ def fit_and_score(
     text_col: str = "text",
     n: int = 3,
     alpha: float = 0.5,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Fit on the corpus AND score every document in one pass over
     the n-gram stream: the (id, lang, ngram) explode is computed once
@@ -60,7 +85,10 @@ def fit_and_score(
     scoring join — separately, :func:`fit_char_ngram_lm` +
     :func:`score_with_lm` each explode the corpus (measured 7.8 s →
     5.9 s on the q58 shape at sf0.1). Use the separate functions when
-    the model corpus differs from the scored corpus."""
+    the model corpus differs from the scored corpus. The model-side
+    broadcast is guarded by ``max_broadcast_rows`` exactly as in
+    :func:`score_with_lm` (the count probe reads the registered
+    cache, so the guard costs one cache scan, not a recompute)."""
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
     grams = register_cache(
@@ -86,6 +114,7 @@ def fit_and_score(
         "lang",
         F.log(F.lit(alpha) / (F.col("total") + F.lit(alpha * vocab))).alias("floor_logp"),
     )
+    _guard_model_broadcast(model, max_broadcast_rows)
     scored = (
         grams.join(F.broadcast(model), ["lang", "ngram"], "left")
         .join(F.broadcast(floors), "lang")
@@ -162,6 +191,7 @@ def score_with_lm(
     lang_col: str = "lang",
     text_col: str = "text",
     n: int = 3,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """(id, lang, avg_logp): mean log-probability of each document's
     character n-grams under its OWN language's model (higher = more
@@ -171,8 +201,13 @@ def score_with_lm(
     Documents with no n-grams (shorter than ``n``) are dropped —
     there is nothing to score. The model side broadcasts (bounded by
     vocab, not corpus); the only shuffle is the per-document mean,
-    map-side combined.
+    map-side combined. A model larger than ``max_broadcast_rows``
+    fails LOUDLY before the join (see
+    :data:`DEFAULT_MAX_BROADCAST_ROWS`) instead of silently pushing
+    the broadcast toward its 8 GB cliff — refit with ``top_k`` or
+    raise the cap deliberately.
     """
+    _guard_model_broadcast(model, max_broadcast_rows)
     grams = docs.select(
         F.col(id_col),
         F.col(lang_col).alias("lang"),

@@ -378,8 +378,13 @@ def stream_dedup_ingest(
     doc in its own batch. Crash safety (both guards): the index is
     appended FIRST, then the corpus, then (watermark mode) the
     watermark. A crash between index and corpus appends re-processes
-    the doc — duplicate index rows only re-propose the same candidate
-    pair, which the pair ``distinct`` collapses. A crash between
+    the doc — duplicate index rows re-propose the same candidate
+    pair, which is harmless because candidates are aggregated per
+    pair in the posting-list join (``_posting_common``'s pair
+    groupBy) and every downstream consumer reaches the corpus via
+    semi-joins, which are idempotent under duplicate probe rows (no
+    bare ``distinct`` is needed, and since round 4 none exists on
+    this path). A crash between
     corpus append and watermark write replays the batch against a
     corpus that already contains it: the verification de-duplicates
     ids (see ``_verify_jaccard(dedup_ids=True)``), identity pairs are

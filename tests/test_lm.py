@@ -1,5 +1,6 @@
 """Character n-gram LM perplexity scoring (operators/lm.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataflow_python_etl_spark.operators.lm import (
@@ -102,3 +103,37 @@ def test_curate_lm_gate(spark):
 
     with pytest.raises(ValueError, match="lm_bottom_fraction"):
         curate_corpus(docs, lm_bottom_fraction=1.5)
+
+
+def test_lm_broadcast_guard(spark):
+    """A model above max_broadcast_rows fails LOUDLY before the
+    broadcast join; top_k-capped models pass under the same limit;
+    None opts out explicitly."""
+    from dataflow_python_etl_spark.operators.lm import (
+        DEFAULT_MAX_BROADCAST_ROWS,
+        fit_and_score,
+        fit_char_ngram_lm,
+        score_with_lm,
+    )
+
+    assert DEFAULT_MAX_BROADCAST_ROWS == 20_000_000
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text").limit(80)
+    model, floors = fit_char_ngram_lm(docs)
+    n_model = model.count()
+    assert n_model > 10
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        score_with_lm(docs, model, floors, max_broadcast_rows=n_model - 1).collect()
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        fit_and_score(docs, max_broadcast_rows=5)
+
+    # a top_k refit brings the model under the same cap (per advice in
+    # the error message) and scoring proceeds
+    small_model, small_floors = fit_char_ngram_lm(docs, top_k=3)
+    n_small = small_model.count()
+    assert n_small < n_model
+    ok = score_with_lm(docs, small_model, small_floors, max_broadcast_rows=n_small)
+    assert ok.count() > 0
+    # explicit opt-out still works on the oversized model
+    out = score_with_lm(docs, model, floors, max_broadcast_rows=None)
+    assert out.count() > 0
