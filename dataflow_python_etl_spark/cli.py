@@ -344,6 +344,7 @@ def run_ivf(args) -> None:
         append_to_ivf_index,
         build_ivf_index,
         fit_ivf_centroids,
+        fit_pq_codebooks,
         ivf_index_stats,
         ivf_topk_indexed,
     )
@@ -351,6 +352,11 @@ def run_ivf(args) -> None:
     spark = get_spark("ivf")
     index = _table_path(args.warehouse, args.index)
     cents_path = index + "_centroids"
+
+    def _quantize_flag():
+        if args.int8 and args.pq:
+            raise SystemExit("ivf: --int8 and --pq are mutually exclusive")
+        return "int8" if args.int8 else "pq" if args.pq else None
 
     def _load_centroids():
         rows = spark.read.parquet(cents_path).orderBy("cid").collect()
@@ -368,14 +374,18 @@ def run_ivf(args) -> None:
             ),
             cents_path,
         )
-        build_ivf_index(emb, cents, index, quantize="int8" if args.int8 else None)
+        quant = _quantize_flag()
+        books = (
+            fit_pq_codebooks(emb, m=args.pq_m, ksub=args.pq_ksub)
+            if quant == "pq"
+            else None
+        )
+        build_ivf_index(emb, cents, index, quantize=quant, pq_codebooks=books)
         print(f"{args.table}: built {args.index} with k={args.k}"
-              + (" (int8)" if args.int8 else ""))
+              + (f" ({quant})" if quant else ""))
     elif args.action == "append":
         emb = spark.read.parquet(_table_path(args.warehouse, args.table))
-        append_to_ivf_index(
-            emb, _load_centroids(), index, quantize="int8" if args.int8 else None
-        )
+        append_to_ivf_index(emb, _load_centroids(), index, quantize=_quantize_flag())
         print(f"{args.table}: appended to {args.index}")
     elif args.action == "stats":
         stats = ivf_index_stats(spark, index, n_cells=len(_load_centroids()))
@@ -495,6 +505,13 @@ def main(argv: list[str] | None = None) -> None:
     pi2.add_argument("--topk", type=int, default=3)
     pi2.add_argument("--n-probe", type=int, default=1)
     pi2.add_argument("--int8", action="store_true", help="SQ8-quantize the inverted file")
+    pi2.add_argument(
+        "--pq", action="store_true",
+        help="product-quantize the inverted file (M-byte codes; smaller than "
+        "SQ8 at coarser error; codebooks persist as an index sidecar)",
+    )
+    pi2.add_argument("--pq-m", type=int, default=32, help="PQ subspaces (build --pq)")
+    pi2.add_argument("--pq-ksub", type=int, default=64, help="PQ codebook size (build --pq)")
     pi2.set_defaults(fn=run_ivf)
 
     pb = sub.add_parser("bpe", help="learn BPE merges and encode a documents table")

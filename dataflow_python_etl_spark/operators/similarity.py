@@ -18,8 +18,9 @@ the DuckDB oracle can reproduce bucket assignment bit-for-bit.
 
 Constructions are the standard public ones: random-hyperplane LSH for
 cosine similarity (Charikar 2002), inverted-file (IVF) coarse
+quantization, SQ8 scalar quantization, and per-subspace product
 quantization for ANN (Jégou/Douze/Schmid, "Product quantization for
-nearest neighbor search", 2011 — coarse-quantizer stage only).
+nearest neighbor search", TPAMI 2011).
 """
 
 from __future__ import annotations
@@ -458,6 +459,163 @@ def _quantize_int8(assigned: DataFrame) -> DataFrame:
     )
 
 
+# --- Product quantization (PQ) tier ---------------------------------------
+#
+# Jégou/Douze/Schmid 2011: split each D-dim vector into M subvectors of
+# D/M dims; per subspace, fit a small codebook (k-means) and store only
+# the per-subspace code — M bytes per vector. This is the memory regime
+# below SQ8: int8 still costs D bytes/vector, PQ costs M (< D) bytes at
+# a coarser (codebook-bounded) reconstruction error.
+
+PQ_SIDECAR = "_pq_codebooks.json"  # "_"-prefixed: Spark scans skip it
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 100_000,
+    max_iter: int = 20,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Fit the M per-subspace PQ codebooks: shape (m, ksub, D/m).
+
+    Driver-side numpy Lloyd iterations over a BOUNDED sample
+    (``orderBy(id) LIMIT sample_rows`` — deterministic, unlike a bare
+    ``limit``): codebooks converge on ~10⁵ points the same way IVF
+    centroids do, so the collect is sample-bounded by contract (the
+    same rationale as the Arrow query-matrix collect above). Vectors
+    are fit RAW (not normalized): scoring approximates
+    ``dot(query, x_raw)`` and divides by the stored true norm.
+
+    ``ksub`` ≤ 128 so codes fit ``tinyint``; entries round to 6
+    decimals (short stable plan literals, cross-engine reproducible).
+    Seeded init + fixed iteration order ⇒ deterministic across runs.
+    """
+    if ksub < 2 or ksub > 128:
+        raise ValueError(f"ksub must be in [2, 128] (tinyint codes), got {ksub}")
+    rows = (
+        df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] < ksub:
+        raise ValueError(
+            f"need at least ksub={ksub} sample vectors to fit PQ, got {X.shape}"
+        )
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        S = X[:, mi * dsub : (mi + 1) * dsub]
+        C = S[rng.choice(len(S), size=ksub, replace=False)].copy()
+        for _ in range(max_iter):
+            # ||s-c||² = ||s||² - 2 s·c + ||c||²; the ||s||² term is
+            # constant per row, so argmin needs only the last two
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+                else:  # empty cluster: re-seed at the worst-fit point
+                    C[c] = S[(d2.min(axis=1)).argmax()]
+        books.append([[round(float(x), 6) for x in row] for row in C])
+    return books
+
+
+def _pq_shape(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if any(len(cb) != ksub or any(len(c) != dsub for c in cb) for cb in codebooks):
+        raise ValueError("ragged PQ codebooks")
+    return m, ksub, dsub
+
+
+def _quantize_pq(assigned: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode each vector as M tinyint codes (nearest codebook entry
+    per subspace). Pure JVM expressions: per subspace, argmin L2 ==
+    argmax of (dot(sub, c) − ||c||²/2) with the ||c||²/2 term folded
+    to a literal — the same single-pass aggregate-argmax used for
+    cell assignment (first index wins ties). One-time map-side build
+    cost: M·ksub short dots per row."""
+    m, ksub, dsub = _pq_shape(codebooks)
+    codes = []
+    for mi, cb in enumerate(codebooks):
+        sub = F.slice(F.col("cvec"), mi * dsub + 1, dsub)
+        scores = F.array(
+            *[
+                dot(sub, F.array(*[F.lit(x) for x in c]))
+                - F.lit(sum(x * x for x in c) / 2.0)
+                for c in cb
+            ]
+        )
+        code = F.aggregate(
+            F.arrays_zip(
+                scores.alias("s"), F.sequence(F.lit(1), F.lit(ksub)).alias("i")
+            ),
+            F.struct(
+                F.lit(float("-inf")).alias("s"), F.lit(0).cast("integer").alias("i")
+            ),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+            lambda acc: acc["i"] - 1,
+        )
+        codes.append(code.cast("tinyint"))
+    return assigned.select(
+        "neighbor_id", "cid", "cn", F.array(*codes).alias("pq_codes")
+    )
+
+
+def _pq_reconstruct(codes_col: F.Column, codebooks: list[list[list[float]]]) -> F.Column:
+    """Dequantize M codes back to a D-dim array<double> by literal
+    codebook lookup (element_at over an array-of-arrays literal per
+    subspace) — the scoring side then reuses the plain ``dot``."""
+    parts = []
+    for mi, cb in enumerate(codebooks):
+        lut = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+        parts.append(
+            F.element_at(lut, F.element_at(codes_col, mi + 1).cast("int") + 1)
+        )
+    return F.flatten(F.array(*parts))
+
+
+def _write_pq_sidecar(path: str, codebooks: list[list[list[float]]]) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, PQ_SIDECAR + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(codebooks, f)
+    os.replace(tmp, os.path.join(path, PQ_SIDECAR))
+
+
+def load_pq_codebooks(path: str) -> list[list[list[float]]]:
+    """Read the codebook sidecar a ``quantize='pq'`` build wrote into
+    the index dir (named with a ``_`` prefix, so corpus scans never
+    see it). Loud if absent — a PQ index without its codebooks is
+    undecodable."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, PQ_SIDECAR)
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"PQ index at {path} has no {PQ_SIDECAR} sidecar — it was not "
+            "built by build_ivf_index(quantize='pq'), or the sidecar was lost "
+            "(rebuild the index)"
+        )
+    with open(sidecar) as f:
+        return json.load(f)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -465,6 +623,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: str | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> None:
     """Persist the IVF inverted file: corpus rows with their cell
     assignment and precomputed norm, written ``partitionBy(cid)``.
@@ -480,19 +639,44 @@ def build_ivf_index(
     ``quantize="int8"`` stores SQ8 vectors instead of fp64 (see
     :func:`_quantize_int8`): ~4-8× smaller inverted file, asymmetric
     scoring in :func:`ivf_topk_indexed` (auto-detected from the index
-    schema), recall floor pinned in tests.
+    schema), recall floor pinned in tests. ``quantize="pq"`` stores
+    M-byte product-quantization codes (``pq_codebooks`` required —
+    fit with :func:`fit_pq_codebooks`; persisted as a sidecar in the
+    index dir so append/query stay self-describing): the regime where
+    even int8×D is too big — at 100 TB the probe is I/O-bound on the
+    inverted file, and PQ cuts bytes/vector from D to M at a coarser,
+    codebook-bounded error (recall floor pinned in tests).
     """
     from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
-    if quantize not in (None, "int8"):
-        raise ValueError(f"quantize must be None|'int8', got {quantize!r}")
+    if quantize not in (None, "int8", "pq"):
+        raise ValueError(f"quantize must be None|'int8'|'pq', got {quantize!r}")
     assigned = _assigned(corpus, centroids, id_col, vec_col)
     if quantize == "int8":
         assigned = _quantize_int8(assigned)
+    elif quantize == "pq":
+        if pq_codebooks is None:
+            raise ValueError(
+                "quantize='pq' requires pq_codebooks (fit_pq_codebooks)"
+            )
+        assigned = _quantize_pq(assigned, pq_codebooks)
     # temp-and-swap (not bare overwrite): a crash mid-rebuild must not
     # leave a missing/partial index for concurrent ivf_topk_indexed
     # readers — same contract as every other writer in the repo
     write_and_swap(assigned, path, partition_by=["cid"])
+    if quantize == "pq":
+        # sidecar lands AFTER the swap: a crash in between leaves a PQ
+        # index that fails LOUDLY at load_pq_codebooks (undecodable ≠
+        # silently wrong); rebuild to recover
+        _write_pq_sidecar(path, pq_codebooks)
+
+
+def _index_quantize_mode(columns: list[str]) -> str | None:
+    if "qvec" in columns:
+        return "int8"
+    if "pq_codes" in columns:
+        return "pq"
+    return None
 
 
 def append_to_ivf_index(
@@ -507,28 +691,88 @@ def append_to_ivf_index(
     ONLY the new vectors (an O(batch) map against the same frozen
     centroids) and append them to their cell partitions.
 
-    The existing index is never read or rewritten — the dynamic-
-    partition append adds files inside the touched ``cid=`` dirs only,
-    so a growing serving corpus pays per-refresh cost proportional to
-    the DELTA, mirroring the dedup family's incremental twin
-    (``minhash_lsh_pairs_incremental``). Because the centroids are
-    frozen, the combined index is bit-identical to a full rebuild over
-    corpus ∪ batch (pinned in tests at every n_probe); what drifts
-    over many appends is cell BALANCE, not correctness — watch it with
-    :func:`ivf_index_stats` and re-fit + rebuild when ``stale``.
+    The existing index is never rewritten — the delta is staged to a
+    HIDDEN tmp dir inside the index (``.``-prefixed, so concurrent
+    readers never see it) and its completed parquet files are then
+    moved into the ``cid=`` dirs — so a growing serving corpus pays
+    per-refresh cost proportional to the DELTA, mirroring the dedup
+    family's incremental twin (``minhash_lsh_pairs_incremental``).
+    Because the centroids are frozen, the combined index is
+    bit-identical to a full rebuild over corpus ∪ batch (pinned in
+    tests at every n_probe); what drifts over many appends is cell
+    BALANCE, not correctness — watch it with :func:`ivf_index_stats`
+    and re-fit + rebuild when ``stale``.
+
+    Crash safety: a crash while WRITING leaves only the hidden stage
+    dir (readers unaffected); a crash mid-MOVE leaves a complete-file
+    subset of the delta visible plus the unmoved remainder in the
+    stage dir. Because ids would duplicate, re-running the append is
+    NOT the recovery — the next append REFUSES while a leftover stage
+    dir exists, and the error says how to recover (finish moving the
+    leftover files, or delete the stage dir and rebuild).
 
     Caller contract: ``new_vectors`` ids must not already be in the
     index (same unique-id contract as the dedup ingest), and
-    ``quantize`` must match the index's build setting (schemas differ;
-    a mixed append fails on schema merge rather than silently mixing
-    precisions).
+    ``quantize`` must MATCH the index's build setting — validated
+    against the existing index schema here, loudly, because a
+    path-based parquet append performs no write-time schema check and
+    a later un-merged read would silently adopt one footer's schema.
+    ``quantize='pq'`` re-encodes with the index's own sidecar
+    codebooks, so code/codebook drift is impossible by construction.
     """
-    if quantize not in (None, "int8"):
-        raise ValueError(f"quantize must be None|'int8', got {quantize!r}")
+    import os
+    import shutil
+    import uuid
+
+    if quantize not in (None, "int8", "pq"):
+        raise ValueError(f"quantize must be None|'int8'|'pq', got {quantize!r}")
+    spark = new_vectors.sparkSession
+    try:
+        existing_cols = spark.read.parquet(path).schema.fieldNames()
+    except Exception as e:
+        raise ValueError(
+            f"cannot append to missing/unreadable IVF index at {path}: "
+            "run build_ivf_index first"
+        ) from e
+    index_mode = _index_quantize_mode(existing_cols)
+    if index_mode != quantize:
+        raise ValueError(
+            f"quantize mismatch: index at {path} was built with "
+            f"quantize={index_mode!r}, append requested {quantize!r} — a mixed "
+            "append would write rows later reads silently misinterpret"
+        )
+    leftovers = [d for d in os.listdir(path) if d.startswith(".__append_tmp_")]
+    if leftovers:
+        raise ValueError(
+            f"IVF index at {path} has leftover append stage dir(s) "
+            f"{leftovers} from a crashed append. Recover first: move any "
+            "cid=*/ parquet files still inside them into the matching index "
+            "partitions (completing the interrupted move), or delete the "
+            "stage dirs and rebuild the index — then retry. Re-running the "
+            "append blindly would duplicate the already-moved ids."
+        )
+
     assigned = _assigned(new_vectors, centroids, id_col, vec_col)
     if quantize == "int8":
         assigned = _quantize_int8(assigned)
-    assigned.write.mode("append").partitionBy("cid").parquet(path)
+    elif quantize == "pq":
+        assigned = _quantize_pq(assigned, load_pq_codebooks(path))
+    stage = os.path.join(path, f".__append_tmp_{uuid.uuid4().hex}")
+    assigned.write.partitionBy("cid").parquet(stage)
+    for cell in sorted(os.listdir(stage)):
+        src_dir = os.path.join(stage, cell)
+        if not (cell.startswith("cid=") and os.path.isdir(src_dir)):
+            continue  # _SUCCESS etc.
+        dst_dir = os.path.join(path, cell)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fname in sorted(os.listdir(src_dir)):
+            if fname.startswith((".", "_")):
+                continue
+            dst = os.path.join(dst_dir, fname)
+            if os.path.exists(dst):  # job-UUID filenames make this ~impossible
+                raise ValueError(f"append target file already exists: {dst}")
+            os.rename(os.path.join(src_dir, fname), dst)
+    shutil.rmtree(stage)
 
 
 def ivf_index_stats(
@@ -615,7 +859,15 @@ def ivf_topk_indexed(
     probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
     c = spark.read.parquet(index_path).where(F.col("cid").isin(probe_cids))
 
-    if "qvec" in c.columns:
+    if "pq_codes" in c.columns:
+        # PQ index (build_ivf_index(quantize='pq')): reconstruct each
+        # probed vector from its M codes by literal codebook lookup,
+        # then asymmetric dot against the full-precision query. cn is
+        # the TRUE pre-quantization norm (as in SQ8), so the only
+        # error is the per-subspace codebook distortion.
+        rvec = _pq_reconstruct(F.col("pq_codes"), load_pq_codebooks(index_path))
+        sim = F.round(dot(F.col("__q"), rvec) / (F.col("qn") * F.col("cn")), 6)
+    elif "qvec" in c.columns:
         # SQ8 index (build_ivf_index(quantize='int8')): asymmetric
         # scoring — full-precision query against dequantized corpus,
         # dot(q, dequant(c)) = qscale · Σ qᵢ·intᵢ. cn is the TRUE

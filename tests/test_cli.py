@@ -253,3 +253,38 @@ def test_cli_ivf_lifecycle(spark, tmp_path, capsys):
     out = spark.read.parquet(os.path.join(wh, "neighbors"))
     assert out.columns == ["query_id", "neighbor_id", "cos_sim"]
     assert out.groupBy("query_id").count().where(F.col("count") > 3).count() == 0
+
+
+def test_cli_ivf_pq(spark, tmp_path, capsys):
+    """build --pq writes the sidecar-bearing PQ index; append re-uses
+    the sidecar; query scores through reconstruction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark import cli
+    from dataflow_python_etl_spark.operators.similarity import PQ_SIDECAR
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(os.path.join(wh, "emb_a"))
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(os.path.join(wh, "emb_b"))
+    emb.where(F.col("vec_id") < 5).write.parquet(os.path.join(wh, "queries"))
+
+    cli.main(["ivf", "build", "--warehouse", wh, "--table", "emb_a", "--k", "4",
+              "--pq", "--pq-m", "16", "--pq-ksub", "32"])
+    assert "(pq)" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(wh, "ivf_index", PQ_SIDECAR))
+    cli.main(["ivf", "append", "--warehouse", wh, "--table", "emb_b", "--pq"])
+    assert "appended" in capsys.readouterr().out
+    cli.main(["ivf", "query", "--warehouse", wh, "--table", "queries", "--n-probe", "4"])
+    assert "neighbor rows" in capsys.readouterr().out
+    out = spark.read.parquet(os.path.join(wh, "neighbors"))
+    assert out.count() > 0
+    import pytest
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(["ivf", "build", "--warehouse", wh, "--table", "emb_a",
+                  "--int8", "--pq"])
