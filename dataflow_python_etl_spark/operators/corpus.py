@@ -348,19 +348,36 @@ def curate_corpus(
     quota_salt_buckets: int | None = None,
     lm_bottom_fraction: float | None = None,
     lang_col: str | None = None,
+    line_dedup: bool = False,
+    normalized_dedup: bool = False,
+    simhash_max_hamming: int | None = None,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
     1. PII scrub (typed placeholders — before anything downstream can
        memorize raw identifiers);
+    1b. optional in-document line dedup (``line_dedup``): repeated
+       non-empty lines collapse to their first occurrence
+       (``functions.text.dedup_lines`` — nav menus, cookie banners)
+       INSIDE the same zero-shuffle projection as the scrub, so the
+       quality score and every later tier see the cleaned text;
     2. quality gate (composite heuristic ≥ ``min_quality``);
-    2b. optional LM perplexity gate (``lm_bottom_fraction``): fit the
-       char-trigram model on the quality survivors (per ``lang_col``
+    2b. optional normalized (fuzzy-exact) dedup
+       (``normalized_dedup``): case/punctuation/whitespace variants
+       collapse to the min-id survivor (``dedup_normalized``) at
+       exact-dedup cost — the cheapest corpus-level tier, so it runs
+       before the LM gate and the pair phases shrink further;
+    2c. optional LM perplexity gate (``lm_bottom_fraction``): fit the
+       char-trigram model on the survivors so far (per ``lang_col``
        stratum, or one global model) and drop each stratum's bottom
        fraction by mean log-prob — the CCNet recipe. Runs BEFORE the
        pair phase so the expensive dedup sees fewer docs. Documents
        too short to score (< 3 chars) are dropped by this gate.
     3. syntactic near-dup removal (capped n-gram Jaccard — copy-edits);
+    3b. optional SimHash tier (``simhash_max_hamming``): Hamming-
+       banded near-dup pairs (EXACT by pigeonhole for distance <
+       8 bands) remove the higher id of each pair — catches small-edit
+       near-dups whose Jaccard sits under ``jaccard_threshold``;
     4. semantic near-dup removal (embedding cosine over LSH buckets —
        paraphrases; skipped when ``embeddings`` is None);
     5. per-domain quota (``cap_per_key``; skipped when ``domain_col``
@@ -368,14 +385,20 @@ def curate_corpus(
        the crawl — see the two-phase variant's docstring).
 
     Order matters at scale: each stage shrinks the corpus the next
-    (more expensive) stage sees — the regex gate is a map, Jaccard
-    touches only shingle-sharing survivors, the vector pass only
-    quality survivors. Returns (id, scrubbed text, quality,
-    n_tokens) survivors.
+    (more expensive) stage sees — the regex gate is a map, normalized
+    dedup is one hash shuffle, Jaccard touches only shingle-sharing
+    survivors, the vector pass only quality survivors. Returns (id,
+    scrubbed text, quality, n_tokens) survivors. Every tier reuses
+    the standalone operator it names, so composing those operators in
+    this documented order reproduces this function's output exactly
+    (pinned in tests).
     """
-    from dataflow_python_etl_spark.functions.text import pii_scrub
+    from dataflow_python_etl_spark.functions.text import dedup_lines, pii_scrub
 
-    keep_cols = [F.col(id_col), pii_scrub(text_col).alias(text_col)]
+    txt = pii_scrub(text_col)
+    if line_dedup:
+        txt = dedup_lines(txt)
+    keep_cols = [F.col(id_col), txt.alias(text_col)]
     if domain_col is not None:
         keep_cols.append(F.col(domain_col))
     if lang_col is not None and lang_col != domain_col:
@@ -391,6 +414,15 @@ def curate_corpus(
             F.col("quality") >= min_quality
         )
     )
+    if normalized_dedup:
+        from dataflow_python_etl_spark.operators.dedup import (
+            dedup_normalized as _dedup_normalized,
+        )
+
+        keep_norm = _dedup_normalized(gated, id_col=id_col, text_col=text_col).select(
+            id_col
+        )
+        gated = register_cache(gated.join(keep_norm, id_col, "left_semi"))
     if lm_bottom_fraction is not None:
         if not 0.0 < lm_bottom_fraction < 1.0:
             raise ValueError(
@@ -427,6 +459,17 @@ def curate_corpus(
     out = gated.join(
         pairs.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
     )
+    if simhash_max_hamming is not None:
+        from dataflow_python_etl_spark.operators.dedup import (
+            simhash_pairs as _simhash_pairs,
+        )
+
+        sh = _simhash_pairs(
+            out, id_col=id_col, text_col=text_col, max_hamming=simhash_max_hamming
+        )
+        out = out.join(
+            sh.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
+        )
     if embeddings is not None:
         # prune the vector table to current survivors FIRST — the
         # O(bucket²) scoring pass must only see documents that passed

@@ -217,3 +217,95 @@ def test_extract_audio_features_windows(spark):
     assert set(rows) == {(1, 0), (1, 1)}  # empty payload -> no rows
     assert rows[(1, 0)]["rms"] == 0.0 and rows[(1, 0)]["peak"] == 0
     assert rows[(1, 1)]["peak"] == 128 and rows[(1, 1)]["zero_crossings"] == 3
+
+
+def test_curate_corpus_tiered_dedup_variant(spark):
+    """Round-5 capstone variant: line-dedup + normalized-dedup +
+    SimHash tiers selected. Exact-output pin: composing the standalone
+    operators in the documented order reproduces curate_corpus
+    byte-for-byte (full row hash, text included), and the synthetic
+    planted variants resolve exactly as specified."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.functions.text import (
+        dedup_lines,
+        pii_scrub,
+        token_count,
+    )
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus, quality_score
+    from dataflow_python_etl_spark.operators.dedup import (
+        dedup_normalized,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        unpersist_all,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    got = curate_corpus(
+        docs,
+        line_dedup=True,
+        normalized_dedup=True,
+        simhash_max_hamming=3,
+    )
+    got_rows = got.collect()
+    unpersist_all()
+    assert 0 < len(got_rows) < docs.count()
+    assert set(got.columns) == {"doc_id", "text", "quality", "n_tokens"}
+    assert got.is_cached is False  # still one lazy plan
+
+    # independent composition of the standalone operators, documented
+    # order: scrub -> line dedup -> quality -> normalized -> jaccard
+    # -> simhash -> final projection
+    base = docs.select(
+        F.col("doc_id"), dedup_lines(pii_scrub("text")).alias("text")
+    ).withColumn("quality", quality_score("text")).where(F.col("quality") >= 0.3)
+    base = base.join(
+        dedup_normalized(base).select("doc_id"), "doc_id", "left_semi"
+    )
+    jp = ngram_jaccard_pairs(base, threshold=0.5, max_shingle_df=64)
+    base = base.join(
+        jp.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    sp = simhash_pairs(base, max_hamming=3)
+    base = base.join(
+        sp.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    want_rows = base.select(
+        "doc_id", "text", "quality", token_count("text").cast("long").alias("n_tokens")
+    ).collect()
+    unpersist_all()
+
+    def digest(rows):
+        h = hashlib.md5()
+        for t in sorted((r["doc_id"], r["text"], r["quality"], r["n_tokens"]) for r in rows):
+            h.update(repr(t).encode())
+        return h.hexdigest()
+
+    assert digest(got_rows) == digest(want_rows)
+
+    # planted variants: a case/punct variant of doc A dies in the
+    # normalized tier; in-doc repeated lines collapse; both effects
+    # visible in the exact output text
+    body = "the quick brown fox jumps over the lazy dog and runs far away home"
+    synth = spark.createDataFrame(
+        [
+            (1, body + "\nrepeat line\nrepeat line\nrepeat line"),
+            # normalized variant of doc 1 AFTER its line tier runs:
+            # same words, different case/punctuation/line spam
+            (2, (body + "\nREPEAT LINE!!!\nREPEAT LINE!!!").upper()),
+            (3, "an entirely different document about boats and rivers ok"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate_corpus(
+            synth, min_quality=0.0, line_dedup=True, normalized_dedup=True
+        ).collect()
+    }
+    unpersist_all()
+    assert set(out) == {1, 3}  # doc 2 collapsed onto min-id survivor 1
+    assert out[1].count("repeat line") == 1  # line tier collapsed repeats
