@@ -969,7 +969,7 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_oracle_sql(threshold: float = 0.45) -> str:
     """Mirror the banded random-projection LSH (similarity.PLANES) in
     SQL so bucket assignment is reproduced bit-for-bit."""
     band_exprs = []
@@ -1001,7 +1001,7 @@ def _lsh_oracle_sql() -> str:
         JOIN v va ON va.vec_id = id_a
         JOIN v vb ON vb.vec_id = id_b
     )
-    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
     """
 
 
@@ -2174,6 +2174,33 @@ def q61_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.dedup_lines("text").alias("cleaned"),
         (F.size(lines) - F.size(F.array_distinct(lines))).cast("long").alias("n_removed"),
     )
+
+
+@_q(
+    "q62_semantic_dedup",
+    f"""
+    WITH pairs AS ({_lsh_oracle_sql(threshold=0.45)}),
+    removals AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN removals r ON d.doc_id = r.id_b
+    WHERE r.id_b IS NULL
+    """,
+    "Embedding-cosine near-dup removal end-to-end "
+    "(operators.corpus.semantic_dedup): RP-LSH candidate pairs over "
+    "the embeddings (same fixed-hyperplane family the q28 oracle "
+    "reproduces bit-for-bit), higher id of each pair >= threshold "
+    "removed, survivors anti-joined back onto the documents — the "
+    "semantic tier of the dedup family (paraphrases that Jaccard/"
+    "MinHash/SimHash never see), hash-verified end-to-end",
+)
+def q62_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+    ).select("doc_id", "source")
 
 
 # The registry is re-inserted in numeric key order so dict iteration

@@ -1,0 +1,157 @@
+"""Third-scale-point probe for the heaviest document-table queries.
+
+``bench.py`` measures each query at sf0.01 and sf0.1 and flags
+super-linear scaling from that single decade. The driver ships no
+larger scale factor, so this probe builds one: it replicates the
+sf0.1 ``documents`` table R ∈ {1, 2, 4}× into a temp dir and times
+the target queries at each size, then fits the log-log scaling
+exponent by least squares over the three points — two decades of
+evidence instead of one for the queries whose exponents are the
+set's highest (q54/q58/q59 per BENCH_r04).
+
+Replication is NOT naive duplication: each replica maps the text
+through a per-replica alphabet rotation (a deterministic bijection on
+[a-z]/[A-Z]/[0-9]). A bijection applied uniformly preserves shingle
+equality WITHIN a replica, so every replica carries exactly the
+original's near-dup pair structure, while cross-replica copies of the
+same document share (almost) no shingles and produce no pairs — the
+pair workload therefore grows linearly in R by construction, and a
+measured super-linear exponent indicts the PLAN, not the data. This
+is a bench-only synthetic (documented as such in docs/SCALE.md);
+oracle correctness always runs on the driver's parquet unmodified.
+
+Usage: python tools/scale_probe.py [query ...]   (default q54 q58 q59)
+Prints one JSON line: {"points": {"1": {...}}, "exponent": {...},
+"superlinear": [...]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DEFAULT_QUERIES = ["q54_incremental_minhash_pairs", "q58_lm_perplexity", "q59_simhash_pairs"]
+REPLICAS = [1, 2, 4]
+SUPERLINEAR_EXPONENT = 1.15  # same gate as bench.py, now over 3 points
+ID_STRIDE = 10_000_000  # replica r: doc_id + r * ID_STRIDE
+
+
+def _rotation(r: int) -> dict[int, int] | None:
+    """Per-replica bijection: rotate each of [a-z], [A-Z], [0-9] by r."""
+    if r == 0:
+        return None
+    table: dict[int, int] = {}
+    for alphabet in (string.ascii_lowercase, string.ascii_uppercase, string.digits):
+        n = len(alphabet)
+        for i, c in enumerate(alphabet):
+            table[ord(c)] = ord(alphabet[(i + r) % n])
+    return table
+
+
+def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
+    """Write ``documents.parquet`` with ``replicas``× the source rows
+    (pandas/pyarrow only — no second Spark JVM during generation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{src_dir}/documents.parquet").to_pandas()
+    parts = []
+    for r in range(replicas):
+        part = src.copy()
+        part["doc_id"] = part["doc_id"] + r * ID_STRIDE
+        rot = _rotation(r)
+        if rot is not None:
+            part["text"] = part["text"].map(lambda t: t.translate(rot))
+        parts.append(part)
+    import pandas as pd
+
+    out = pd.concat(parts, ignore_index=True)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                   f"{out_dir}/documents.parquet")
+    return len(out)
+
+
+def _fit_exponent(ns: list[int], ts: list[float]) -> float:
+    """Least-squares slope of log t against log n."""
+    import math
+
+    xs = [math.log(n) for n in ns]
+    ys = [math.log(t) for t in ts]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return round(num / den, 3)
+
+
+def main() -> int:
+    queries = sys.argv[1:] or DEFAULT_QUERIES
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+    from dataflow_python_etl_spark.queries import QUERIES
+    from dataflow_python_etl_spark.session import get_spark
+
+    unknown = [q for q in queries if q not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="scale-probe", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        dirs: dict[int, str] = {}
+        rows: dict[int, int] = {}
+        for r in REPLICAS:
+            d = f"{root}/x{r}"
+            rows[r] = build_replicated(src_dir, d, r)
+            dirs[r] = d
+
+        points: dict[str, dict[str, float]] = {str(r): {} for r in REPLICAS}
+        for name in queries:
+            fn = QUERIES[name].fn
+            for r in REPLICAS:
+                times = []
+                for i in range(3):  # run 0 = codegen warm-up, then 2 timed
+                    t0 = time.perf_counter()
+                    fn(spark, dirs[r]).count()
+                    if i > 0:
+                        times.append(time.perf_counter() - t0)
+                    unpersist_all()
+                points[str(r)][name] = round(min(times), 3)
+
+        exponent = {
+            name: _fit_exponent(
+                [rows[r] for r in REPLICAS],
+                [points[str(r)][name] for r in REPLICAS],
+            )
+            for name in queries
+        }
+        report = {
+            "probe": "replicated-documents",
+            "src": src_dir,
+            "rows": {str(r): rows[r] for r in REPLICAS},
+            "points": points,
+            "exponent": exponent,
+            "superlinear": sorted(
+                n for n, e in exponent.items() if e > SUPERLINEAR_EXPONENT
+            ),
+        }
+        print(json.dumps(report))
+        return 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
