@@ -8,10 +8,13 @@ decodable with ``struct`` + ``numpy`` alone — and PNG's DEFLATE layer
 is stdlib ``zlib``, so non-interlaced 8-bit PNG (gray, gray+alpha,
 RGB, RGBA, and palette) decodes here too: chunk walk + CRC check,
 one ``zlib.decompress``, then numpy scanline unfiltering (filters
-0–4 per the W3C PNG spec / RFC 2083 §6). Entropy-coded formats with
-no stdlib decompressor (JPEG/MP3/...) still raise
-``NotImplementedError``: guessing at their bitstreams without a
-codec would be silently wrong.
+0–4 per the W3C PNG spec / RFC 2083 §6). Baseline sequential JPEG
+(ITU-T T.81: SOF0/SOF1, 8-bit huffman) is likewise self-contained —
+canonical huffman tables from the file's own DHT segments, numpy
+IDCT — so it decodes here too. Formats still outside public-spec
+reach without a codec library (progressive JPEG, MP3, video) raise
+``NotImplementedError``: guessing at their bitstreams would be
+silently wrong.
 
 All functions are deterministic and total over their declared formats;
 malformed payloads raise ``ValueError`` (loud, per-row inside the
@@ -41,6 +44,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "image/bmp"
     if payload[:8] == PNG_SIGNATURE:
         return "image/png"
+    if payload[:2] == b"\xff\xd8":
+        return "image/jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
     return None
@@ -326,6 +331,541 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# JPEG — ITU-T T.81 baseline sequential (SOF0/SOF1), pure stdlib + numpy
+# ---------------------------------------------------------------------------
+
+# Zigzag scan: raster index of each coefficient position (T.81 Fig. 5).
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Base quantization tables (T.81 Annex K.1/K.2, the reference visual-
+# quality tables every encoder scales), stored in RASTER order.
+_JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthogonal 8×8 DCT-II matrix A with A[u,x] = ½·C(u)·cos((2x+1)uπ/16):
+    forward F = A·f·Aᵀ, inverse f = Aᵀ·F·A (T.81 §A.3.3)."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per the canonical generation of T.81
+    Annex C (codes assigned in value order, doubling per length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-peek decode LUT: sym[peek16], nbits[peek16]. nbits = 0
+    marks an invalid prefix (corrupt stream → loud ValueError)."""
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    nbits = np.zeros(1 << 16, dtype=np.uint8)
+    for v, (code, length) in _huff_canonical(bits, vals).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym[lo:hi] = v
+        nbits[lo:hi] = length
+    return sym, nbits
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a destuffed entropy-coded segment."""
+
+    __slots__ = ("d", "p", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data + b"\xff\xff\xff\xff"  # peek padding (1-bits)
+        self.p = 0
+        self.n = len(data) * 8
+
+    def peek16(self) -> int:
+        byte, sh = self.p >> 3, self.p & 7
+        chunk = int.from_bytes(self.d[byte : byte + 4], "big")
+        return (chunk >> (16 - sh)) & 0xFFFF
+
+    def take(self, k: int) -> int:
+        if self.p + k > self.n:
+            raise ValueError("JPEG entropy stream truncated")
+        v = self.peek16() >> (16 - k) if k else 0
+        self.p += k
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DC/AC magnitude decode (T.81 Fig. F.12): top bit 0 → negative."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_segments(payload: bytes):
+    """Yield (marker, body) for each header segment up to SOS; then
+    ('scan', (header_body, entropy_intervals)) and stop. Entropy data
+    is destuffed (FF00 → FF) and split at restart markers."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            return
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            intervals: list[bytes] = []
+            cur = bytearray()
+            p = pos + 2 + length
+            while p < len(payload):
+                b = payload[p]
+                if b != 0xFF:
+                    cur.append(b)
+                    p += 1
+                    continue
+                nxt = payload[p + 1] if p + 1 < len(payload) else None
+                if nxt == 0x00:  # stuffed FF
+                    cur.append(0xFF)
+                    p += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
+                    intervals.append(bytes(cur))
+                    cur = bytearray()
+                    p += 2
+                else:  # a real marker ends the scan
+                    break
+            intervals.append(bytes(cur))
+            yield "scan", (body, intervals)
+            return
+        yield marker, body
+        pos += 2 + length
+    raise ValueError("JPEG truncated: no SOS/EOI marker")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0/SOF1, 8-bit, huffman) → uint8
+    pixels: 1 component → (h, w) gray, 3 components → (h, w, 3) RGB
+    (JFIF YCbCr, BT.601 full range). Arbitrary sampling factors
+    (4:4:4 / 4:2:2 / 4:2:0 / ...) with pixel-replication chroma
+    upsampling; restart intervals honored.
+
+    Pure stdlib + numpy: huffman decode via a 16-bit-peek LUT per
+    table, dequantize in zigzag order, orthogonal-matrix IDCT per
+    block. Progressive (SOF2), arithmetic coding, 12-bit precision,
+    hierarchical modes, and 4-component (CMYK) images raise
+    ``NotImplementedError``; corrupt or truncated payloads raise
+    ``ValueError``. The slow path is the per-block Python loop — fine
+    for the mapInPandas kernels' Arrow-batched fixtures; plug
+    libjpeg-turbo here for production raster volume.
+    """
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    for marker, body in _jpeg_segments(payload):
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {pq}")
+                n = 64 * (2 if pq else 1)
+                raw = body[p + 1 : p + 1 + n]
+                if len(raw) != n:
+                    raise ValueError("DQT table truncated")
+                vals = np.frombuffer(raw, dtype=">u2" if pq else np.uint8)
+                qtables[tq] = vals.astype(np.float64)  # zigzag order
+                p += 1 + n
+        elif marker == 0xC4:  # DHT — possibly several tables
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("DHT table truncated")
+                htables[(tc, th)] = _huff_decode_lut(bits, vals)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"only 8-bit JPEG (got {prec}-bit)")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG (CMYK?) unsupported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            sof = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) is not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (non-baseline mode) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == "scan":
+            scan = body
+        # APPn / COM / others: skipped
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS segment")
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise ValueError(f"JPEG has empty dimensions {w}x{h}")
+    sos_body, intervals = scan
+    ns = sos_body[0]
+    if ns != len(comps):
+        raise NotImplementedError("multi-scan JPEG is not supported")
+    tables_for: dict[int, tuple] = {}
+    for i in range(ns):
+        cs, tt = sos_body[1 + 2 * i], sos_body[2 + 2 * i]
+        tables_for[cs] = (tt >> 4, tt & 0xF)
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        if c["h"] < 1 or c["v"] < 1:
+            raise ValueError("invalid JPEG sampling factors")
+        if c["tq"] not in qtables:
+            raise ValueError(f"JPEG references undefined quant table {c['tq']}")
+        c["plane"] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        dc_id, ac_id = tables_for[c["id"]]
+        if (0, dc_id) not in htables or (1, ac_id) not in htables:
+            raise ValueError("JPEG scan references undefined huffman table")
+        c["dc"] = htables[(0, dc_id)]
+        c["ac"] = htables[(1, ac_id)]
+        # dequant table aligned to zigzag positions, dezigzagged once
+        deq = np.zeros(64)
+        deq[_JPEG_ZIGZAG] = qtables[c["tq"]]
+        c["deq_raster"] = deq
+
+    def _decode_block(r: _JpegBitReader, comp: dict, pred: int) -> tuple[np.ndarray, int]:
+        coef = np.zeros(64)
+        sym_lut, len_lut = comp["dc"]
+        peek = r.peek16()
+        nb = int(len_lut[peek])
+        if nb == 0:
+            raise ValueError("invalid JPEG huffman prefix (DC)")
+        r.take(nb)
+        s = int(sym_lut[peek])
+        diff = _jpeg_extend(r.take(s), s) if s else 0
+        pred += diff
+        coef[0] = pred
+        sym_lut, len_lut = comp["ac"]
+        k = 1
+        while k < 64:
+            peek = r.peek16()
+            nb = int(len_lut[peek])
+            if nb == 0:
+                raise ValueError("invalid JPEG huffman prefix (AC)")
+            r.take(nb)
+            rs = int(sym_lut[peek])
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run overruns block")
+            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(r.take(size), size)
+            k += 1
+        block = coef.reshape(8, 8) * comp["deq_raster"].reshape(8, 8)
+        return _JPEG_DCT.T @ block @ _JPEG_DCT, pred
+
+    total_mcus = mcus_x * mcus_y
+    per_interval = restart_interval or total_mcus
+    mcu = 0
+    for interval in intervals:
+        if mcu >= total_mcus:
+            break
+        r = _JpegBitReader(interval)
+        preds = {c["id"]: 0 for c in comps}
+        for _ in range(min(per_interval, total_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block, preds[c["id"]] = _decode_block(r, c, preds[c["id"]])
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+    if mcu < total_mcus:
+        raise ValueError(
+            f"JPEG truncated: decoded {mcu} of {total_mcus} MCUs"
+        )
+
+    planes = []
+    for c in comps:
+        p = c["plane"] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_encode_tables() -> tuple[dict, dict, list, list]:
+    """Fixed-length canonical huffman tables for the fixture encoder:
+    12 DC categories at 4 bits, all 162 AC symbols at 9 bits. Valid
+    prefix codes (the all-ones codeword stays unused), deliberately
+    NOT the typo-prone Annex K lists — the decoder reads whatever DHT
+    the file carries, so the roundtrip exercises the same generic
+    path real-world tables go through."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0] * 8 + [len(ac_vals)] + [0] * 7
+    return (
+        _huff_canonical(dc_bits, dc_vals),
+        _huff_canonical(ac_bits, ac_vals),
+        dc_bits + dc_vals,
+        ac_bits + ac_vals,
+    )
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1-bits
+
+    def restart(self, n: int) -> None:
+        self.pad_to_byte()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])  # RSTn, not stuffed
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.out)
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (raster order)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA):
+        t = np.floor((base * scale + 50) / 100)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 pixels ((h,w) gray or (h,w,3) RGB) → baseline JPEG bytes.
+
+    Fixture generator and sink-side sibling of :func:`decode_jpeg`
+    (the role :func:`encode_png`/:func:`encode_wav` play for their
+    formats): Annex-K quant tables at IJG ``quality`` scaling,
+    4:4:4 by default or 4:2:0 (``subsample=True``, box-filtered
+    chroma), single interleaved scan; ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs (with the spec's DC
+    predictor reset). Deterministic.
+    """
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError(f"expected uint8 pixels, got {px.dtype}")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError(f"expected (h,w) or (h,w,3), got {px.shape}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    qy, qc = _jpeg_quality_tables(quality)
+    dc_code, ac_code, dc_spec, ac_spec = _jpeg_encode_tables()
+
+    if gray:
+        ycc = px.astype(np.float64)[..., None]
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "q": qy}]
+    else:
+        f = px.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        ycc = np.stack(
+            [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            ],
+            axis=-1,
+        )
+        cf = 2 if subsample else 1
+        comps = [
+            {"id": 1, "h": cf, "v": cf, "tq": 0, "q": qy},
+            {"id": 2, "h": 1, "v": 1, "tq": 1, "q": qc},
+            {"id": 3, "h": 1, "v": 1, "tq": 1, "q": qc},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    for i, c in enumerate(comps):
+        cw, ch = w * c["h"] // hmax, h * c["v"] // vmax
+        plane = ycc[..., i]
+        if (c["h"], c["v"]) != (hmax, vmax):  # box-filter downsample
+            fy, fx = vmax // c["v"], hmax // c["h"]
+            py, px_ = -(-h // fy) * fy, -(-w // fx) * fx
+            padded = np.pad(plane, ((0, py - h), (0, px_ - w)), mode="edge")
+            plane = padded.reshape(py // fy, fy, px_ // fx, fx).mean(axis=(1, 3))
+            cw, ch = plane.shape[1], plane.shape[0]
+        # pad the plane out to whole MCUs by edge replication
+        th, tw = mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
+        c["plane"] = np.pad(plane, ((0, th - ch), (0, tw - cw)), mode="edge") - 128.0
+
+    def _cat(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    wtr = _JpegBitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wtr.restart(rst)
+            rst += 1
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    block = c["plane"][y0 : y0 + 8, x0 : x0 + 8]
+                    coef = _JPEG_DCT @ block @ _JPEG_DCT.T
+                    q = np.round(coef / c["q"].reshape(8, 8)).astype(np.int64)
+                    zz = q.reshape(64)[_JPEG_ZIGZAG]
+                    diff = int(zz[0]) - preds[c["id"]]
+                    preds[c["id"]] = int(zz[0])
+                    s = _cat(diff)
+                    wtr.put(*dc_code[s])
+                    if s:
+                        wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    nz = np.nonzero(zz[1:])[0]
+                    last = int(nz[-1]) + 1 if len(nz) else 0
+                    for k in range(1, last + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            wtr.put(*ac_code[0xF0])
+                            run -= 16
+                        s = _cat(v)
+                        wtr.put(*ac_code[(run << 4) | s])
+                        wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if last < 63:
+                        wtr.put(*ac_code[0x00])  # EOB
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0x00]) + bytes(qy[_JPEG_ZIGZAG].astype(np.uint8))
+    if not gray:
+        dqt += bytes([0x01]) + bytes(qc[_JPEG_ZIGZAG].astype(np.uint8))
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(dc_spec) + bytes([0x10]) + bytes(ac_spec)
+    if not gray:
+        dht += bytes([0x01]) + bytes(dc_spec) + bytes([0x11]) + bytes(ac_spec)
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for c in comps:
+        tid = 0 if c["id"] == 1 else 1
+        sos += bytes([c["id"], (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """(format_tag, pixel array) for any decodable image container."""
     fmt = sniff_format(payload)
@@ -335,6 +875,8 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_bmp(payload)
     if fmt == "image/png":
         return fmt, decode_png(payload)
+    if fmt == "image/jpeg":
+        return fmt, decode_jpeg(payload)
     raise NotImplementedError(
         "no pure-numpy decoder for this payload (compressed or unknown "
         "container) — plug Pillow/opencv here"

@@ -42,10 +42,10 @@ def decode_image_meta(payload: bytes, real_decode: bool = False) -> dict:
     """Decode one image payload to metadata.
 
     ``real_decode=True`` REALLY decodes supported containers
-    (P5/P6 netpbm, 24-bit BMP, non-interlaced 8-bit PNG — stdlib +
-    numpy, see ``operators.codecs``) and raises
-    ``NotImplementedError`` for the rest (the Pillow/opencv
-    integration point).
+    (P5/P6 netpbm, 24-bit BMP, non-interlaced 8-bit PNG, baseline
+    sequential JPEG — stdlib + numpy, see ``operators.codecs``) and
+    raises ``NotImplementedError`` for the rest (progressive JPEG,
+    video — the Pillow/opencv integration point).
     """
     if real_decode:
         from dataflow_python_etl_spark.operators import codecs
@@ -121,11 +121,11 @@ RESIZED_SCHEMA = T.StructType(
 
 def resize_payload(payload: bytes, width: int, height: int, real_decode: bool = False) -> bytes:
     """Resize one image payload. ``real_decode=True`` decodes P5/P6
-    netpbm, 24-bit BMP, and non-interlaced 8-bit PNG (stdlib+numpy),
-    nearest-neighbor resamples, and re-encodes — netpbm for gray/RGB,
-    PNG for alpha-bearing pixels (netpbm cannot carry alpha); formats
-    without a stdlib decompressor raise ``NotImplementedError`` (the
-    Pillow integration point). The default is a deterministic fake
+    netpbm, 24-bit BMP, non-interlaced 8-bit PNG, and baseline JPEG
+    (stdlib+numpy), nearest-neighbor resamples, and re-encodes —
+    netpbm for gray/RGB, PNG for alpha-bearing pixels (netpbm cannot
+    carry alpha); formats outside public-spec reach raise
+    ``NotImplementedError`` (the Pillow integration point). The default is a deterministic fake
     that samples the payload bytes down/up to ``width*height`` — byte
     count and content are reproducible, so tests can pin the batch
     contract."""

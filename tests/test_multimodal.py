@@ -37,12 +37,15 @@ def _bmp_24(pixels_rgb: np.ndarray) -> bytes:
 
 
 def test_compressed_formats_stay_stubbed():
-    # JPEG has no stdlib decompressor — still honestly gated
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG is now REALLY decoded; a garbage body fails loudly
+    with pytest.raises(ValueError):
         decode_image_meta(b"\xff\xd8\xff\xe0....", real_decode=True)
     # PNG is now REALLY decoded; a truncated one fails loudly instead
     with pytest.raises(ValueError, match="truncated"):
         decode_image_meta(b"\x89PNG\r\n\x1a\n....", real_decode=True)
+    # video containers remain honestly gated
+    with pytest.raises(NotImplementedError):
+        decode_image_meta(b"\x00\x00\x00\x18ftypmp42....", real_decode=True)
 
 
 def test_real_decode_ppm_golden():
