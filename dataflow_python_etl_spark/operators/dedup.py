@@ -686,3 +686,64 @@ def simhash(
         bit_values, F.lit(0).cast("long"), lambda acc, v: acc + v
     )
     return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share
+    n-gram shingles with an evaluation/benchmark set — the train/test
+    overlap check every LLM data pipeline runs before training (the
+    n-gram collision methodology popularized by the GPT-3 appendix
+    and Gopher/Llama data cards).
+
+    Returns ``(id, n_shingles, n_overlap, overlap_frac)`` for every
+    corpus document with at least ``min_overlap`` distinct shingles
+    also present in ANY eval document; downstream either drops these
+    rows or thresholds on ``overlap_frac``.
+
+    100 TB shape: the corpus side is a narrow projection + shingle
+    explode (per-doc ``array_distinct`` in-array, so no ``distinct()``
+    shuffle) feeding a BROADCAST join against the eval set's distinct
+    grams — the eval set is benchmark-sized (thousands of docs), so
+    the corpus stream itself never shuffles; only the HIT rows (a tiny
+    fraction) reach the per-doc aggregation. Per-doc set sizes come
+    from a second shuffle-free scan; its join with the hit frame is
+    deliberately UNHINTED (like the curation removal-set joins): the
+    hit side's size scales with the contamination rate, so AQE picks
+    the actually-smaller side at runtime instead of a hint hard-coding
+    an assumption. Nothing corpus-sized crosses an exchange.
+    """
+    eval_text = eval_text_col or text_col
+    eval_grams = (
+        eval_docs.select(
+            F.explode(F.array_distinct(shingles(eval_text, n))).alias("shingle")
+        ).distinct()
+    )
+    corpus_sh = _doc_shingles(corpus, id_col, text_col, n)
+    hits = corpus_sh.join(F.broadcast(eval_grams), "shingle")
+    # corpus shingles are per-doc distinct already (array_distinct
+    # before the explode), so a plain count IS the set-overlap size
+    overlap = hits.groupBy("doc").agg(F.count(F.lit(1)).alias("n_overlap"))
+    sizes = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.array_distinct(shingles(text_col, n))).alias("n_shingles"),
+    )
+    return (
+        overlap.where(F.col("n_overlap") >= min_overlap)
+        .join(sizes, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
+            ).alias("overlap_frac"),
+        )
+    )

@@ -181,3 +181,16 @@ def test_q53_salted_quota_plan(spark):
     assert count_exchanges(df) == 2, plan
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_q63_contamination_corpus_never_shuffles(spark):
+    # The corpus stream must flow Scan → Generate → BroadcastHashJoin
+    # (eval grams broadcast) with the ONLY non-broadcast exchanges
+    # being (a) the eval side's benchmark-sized distinct and (b) the
+    # per-doc aggregation of HIT rows. No corpus-sized exchange.
+    df = _q(spark, "q63_contamination_check")
+    s = explain_str(df, "simple")
+    assert "BroadcastExchange" in s, s
+    # exactly 2 shuffle exchanges: eval-gram distinct + hit-row agg
+    assert count_exchanges(df) == 2, s
+    assert "EvalPython" not in s, "shingling must stay JVM-side"
