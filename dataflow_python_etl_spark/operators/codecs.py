@@ -46,6 +46,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "image/png"
     if payload[:2] == b"\xff\xd8":
         return "image/jpeg"
+    if payload[:6] in _GIF_MAGICS:
+        return "image/gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
     return None
@@ -866,6 +868,263 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a) — LZW is fully specified in the public spec;
+# no external decompressor needed.
+# ---------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
+    """GIF-variant LZW (LSB-first variable-width codes, CLEAR/END,
+    deferred-clear tolerated) → index stream of ``expected`` pixels."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"invalid GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    pos, total = 0, len(data) * 8
+    data_pad = data + b"\x00\x00\x00"
+    while pos + width <= total and len(out) < expected:
+        byte, sh = pos >> 3, pos & 7
+        chunk = int.from_bytes(data_pad[byte : byte + 3], "little")
+        code = (chunk >> sh) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a composite code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError(
+            f"GIF LZW stream truncated: {len(out)} of {expected} pixels"
+        )
+    return bytes(out[:expected])
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at ``pos``; returns
+    (data, position after the 0-length terminator)."""
+    chunks = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated inside sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(payload):
+            raise ValueError("GIF sub-block truncated")
+        chunks.append(payload[pos : pos + n])
+        pos += n
+    return b"".join(chunks), pos
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """All frames of a GIF87a/89a → list of (h, w, 3) uint8 RGB (or
+    (h, w, 4) RGBA when a frame declares a transparent index).
+
+    Pure stdlib + numpy: LZW per the spec's variable-width LSB-first
+    coding, global/local palettes, interlaced row ordering, graphic-
+    control transparency. Each frame must cover the full logical
+    screen with disposal "none"/"overwrite" (the shape a frame-sample
+    pipeline stores); partial-canvas composites raise
+    ``NotImplementedError`` rather than compositing incorrectly.
+    Corrupt or truncated payloads raise ``ValueError``.
+    """
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated in logical screen descriptor")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("GIF truncated in extension header")
+            label = payload[pos + 1]
+            body, pos = _gif_subblocks(payload, pos + 2)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                disposal = (body[0] >> 2) & 0x7
+                if disposal > 2:
+                    raise NotImplementedError(
+                        "GIF restore-to-previous disposal is not supported"
+                    )
+                transparent = body[3] if body[0] & 0x01 else None
+            continue
+        if b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("GIF truncated in image descriptor")
+            left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise NotImplementedError(
+                    "partial-canvas GIF frames (compositing) are not supported"
+                )
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated before LZW data")
+            min_code = payload[pos]
+            data, pos = _gif_subblocks(payload, pos + 1)
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, data, fw * fh), np.uint8
+            ).reshape(fh, fw)
+            if ipacked & 0x40:  # interlaced: reorder rows
+                order = np.concatenate(
+                    [np.arange(start, fh, step) for start, step in _GIF_INTERLACE_PASSES]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            if int(idx.max()) >= len(pal):
+                raise ValueError("GIF index out of palette range")
+            rgb = pal[idx]
+            if transparent is not None:
+                alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+                rgb = np.dstack([rgb, alpha])
+            frames.append(rgb)
+            transparent = None
+            continue
+        raise ValueError(f"unknown GIF block 0x{b:02x} at byte {pos}")
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF → (h, w, 3|4) uint8 (see
+    :func:`decode_gif_frames`)."""
+    return decode_gif_frames(payload)[0]
+
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray],
+    delay_cs: int = 10,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w, 3) uint8 frame(s) with ≤256 distinct colors → GIF89a
+    bytes (lossless — the fixture/sink sibling of
+    :func:`decode_gif_frames`). Multi-frame input becomes an animated
+    GIF with ``delay_cs`` centiseconds per frame. The LZW stream uses
+    the spec's CLEAR-before-width-growth idiom (fixed code width —
+    compression-free but unconditionally valid), so the decoder's
+    table-growth path is still exercised by third-party streams while
+    fixtures stay simple and deterministic.
+    """
+    if isinstance(frames, np.ndarray) and frames.ndim == 3:
+        frames = [frames]
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError(f"every frame must be ({h}, {w}, 3), got {f.shape}")
+    # one global palette across frames
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 distinct colors, got {len(palette)}")
+    pal_bits = max(int(np.ceil(np.log2(max(len(palette), 2)))), 1)
+    pal_n = 1 << pal_bits
+    pal_bytes = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal_bytes[: len(palette)] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
+    out += pal_bytes.tobytes()
+
+    min_code = max(pal_bits, 2)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    # emit CLEAR every `span` symbols so the decoder's table never
+    # reaches the width-growth point: fixed-width, always-valid LZW
+    span = (1 << width) - (clear + 2)
+
+    per_frame = np.split(inverse.astype(np.int64), len(frames))
+    for fi, idx in enumerate(per_frame):
+        out += b"\x21\xf9" + bytes([4]) + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0x00])
+        if interlace:
+            rows = idx.reshape(h, w)
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in _GIF_INTERLACE_PASSES]
+            )
+            idx = rows[order].reshape(-1)
+        out += bytes([min_code])
+        acc = 0
+        nbits = 0
+        stream = bytearray()
+
+        def put(code: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        put(clear)
+        for i, v in enumerate(idx):
+            if i and i % span == 0:
+                put(clear)
+            put(int(v))
+        put(end)
+        if nbits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out += bytes([len(block)]) + bytes(block)
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """(format_tag, pixel array) for any decodable image container."""
     fmt = sniff_format(payload)
@@ -877,6 +1136,8 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_png(payload)
     if fmt == "image/jpeg":
         return fmt, decode_jpeg(payload)
+    if fmt == "image/gif":
+        return fmt, decode_gif(payload)
     raise NotImplementedError(
         "no pure-numpy decoder for this payload (compressed or unknown "
         "container) — plug Pillow/opencv here"
