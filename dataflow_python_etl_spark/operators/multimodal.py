@@ -189,23 +189,58 @@ def sample_frames(
     n_frames: int = 4,
     frame_ms: int = 1000,
     id_col: str = "doc_id",
+    real_decode: bool = False,
 ) -> DataFrame:
     """Video frame sampling as a fan-out mapInPandas: each binary
-    payload (a 'video') yields ``n_frames`` evenly spaced frame rows
-    (frame_idx, ts_ms, frame bytes). The generator shape — one input
-    batch to a LARGER output batch — is the part worth pinning: a real
-    ffmpeg kernel swaps in per chunk without touching the plan.
+    payload (a 'video') yields up to ``n_frames`` evenly spaced frame
+    rows (frame_idx, ts_ms, frame bytes). The generator shape — one
+    input batch to a LARGER output batch — is the part worth pinning:
+    a real ffmpeg kernel swaps in per chunk without touching the plan.
 
-    The fake 'decoder' slices the payload into ``n_frames`` equal
-    chunks; a zero-length payload yields no frames (mirrors a corrupt
-    video being skipped, and tests pin that rows can disappear)."""
+    ``real_decode=True`` REALLY decodes animated GIF (the one moving-
+    picture container with a pure-stdlib decoder, see
+    ``operators.codecs.decode_gif_frames``), samples ``n_frames``
+    evenly across the animation, and re-encodes each sampled frame
+    (netpbm for RGB, PNG when a transparency plane is present);
+    other containers (mp4/webm/...) raise ``NotImplementedError`` —
+    the ffmpeg integration point. The default fake 'decoder' slices
+    the payload into ``n_frames`` equal chunks; a zero-length payload
+    yields no frames (mirrors a corrupt video being skipped, and
+    tests pin that rows can disappear)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dataflow_python_etl_spark.operators import codecs
+
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for asset_id, payload in zip(pdf[id_col], pdf["payload"]):
                 n = len(payload)
                 if n == 0:
+                    continue
+                if real_decode:
+                    if codecs.sniff_format(bytes(payload)) != "image/gif":
+                        raise NotImplementedError(
+                            "real frame sampling currently decodes animated "
+                            "GIF only — plug ffmpeg here for mp4/webm"
+                        )
+                    decoded = codecs.decode_gif_frames(bytes(payload))
+                    picks = np.unique(
+                        np.linspace(
+                            0, len(decoded) - 1, min(n_frames, len(decoded))
+                        ).round().astype(int)
+                    )
+                    for k, fi in enumerate(picks):
+                        px = decoded[fi]
+                        ids.append(int(asset_id))
+                        idxs.append(k)
+                        tss.append(int(fi) * frame_ms)
+                        frames.append(
+                            codecs.encode_png(px)
+                            if px.ndim == 3 and px.shape[2] == 4
+                            else codecs.encode_ppm(px)
+                        )
                     continue
                 step = max(n // n_frames, 1)
                 for k in range(min(n_frames, n)):

@@ -155,3 +155,29 @@ def test_multimodal_kernel_wiring():
     meta = decode_image_meta(encode_gif(img), real_decode=True)
     assert meta["format"] == "image/gif"
     assert (meta["width"], meta["height"]) == (28, 20)
+
+
+def test_spark_frame_sampling_real_gif(spark):
+    from dataflow_python_etl_spark.operators.multimodal import sample_frames
+
+    img = _img(h=12, w=16)
+    anim = [np.roll(img, k, axis=0) for k in range(6)]
+    payload = encode_gif(anim, delay_cs=4)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sample_frames(df, n_frames=3, frame_ms=40, real_decode=True).collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    # evenly spaced across the 6 source frames: 0, 2/3 rounds, 5
+    assert [r.ts_ms for r in rows] == [0, 80, 200] or [r.ts_ms for r in rows] == [0, 120, 200]
+    # each sampled frame decodes back to the exact source frame
+    for r in rows:
+        src = anim[r.ts_ms // 40]
+        assert np.array_equal(codecs.decode_pnm(bytes(r.frame)), src)
+    # non-GIF containers stay gated in real mode
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"\x00\x00\x00\x18ftypmp42" + bytes(64)))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        sample_frames(bad, n_frames=2, real_decode=True).collect()
