@@ -351,6 +351,8 @@ def curate_corpus(
     line_dedup: bool = False,
     normalized_dedup: bool = False,
     simhash_max_hamming: int | None = None,
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_min_overlap: int = 1,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
@@ -362,6 +364,13 @@ def curate_corpus(
        INSIDE the same zero-shuffle projection as the scrub, so the
        quality score and every later tier see the cleaned text;
     2. quality gate (composite heuristic ≥ ``min_quality``);
+    2a. optional benchmark decontamination (``decontaminate_against``):
+       documents sharing ≥ ``decontaminate_min_overlap`` 3-gram
+       shingles with the supplied eval/benchmark set are dropped
+       (``dedup.contamination_check`` — corpus-side broadcast join,
+       nothing corpus-sized shuffles). Runs before every dedup tier so
+       a contaminated document can never survive as the min-id
+       representative of its duplicate cluster;
     2b. optional normalized (fuzzy-exact) dedup
        (``normalized_dedup``): case/punctuation/whitespace variants
        collapse to the min-id survivor (``dedup_normalized``) at
@@ -414,6 +423,17 @@ def curate_corpus(
             F.col("quality") >= min_quality
         )
     )
+    if decontaminate_against is not None:
+        from dataflow_python_etl_spark.operators.dedup import contamination_check
+
+        contaminated = contamination_check(
+            gated,
+            decontaminate_against,
+            id_col=id_col,
+            text_col=text_col,
+            min_overlap=decontaminate_min_overlap,
+        ).select(id_col)
+        gated = register_cache(gated.join(contaminated, id_col, "left_anti"))
     if normalized_dedup:
         from dataflow_python_etl_spark.operators.dedup import (
             dedup_normalized as _dedup_normalized,

@@ -309,3 +309,58 @@ def test_curate_corpus_tiered_dedup_variant(spark):
     unpersist_all()
     assert set(out) == {1, 3}  # doc 2 collapsed onto min-id survivor 1
     assert out[1].count("repeat line") == 1  # line tier collapsed repeats
+
+
+def test_curate_corpus_decontamination_tier(spark):
+    """Round-5: the decontamination tier drops exactly the documents
+    contamination_check flags, before any dedup tier — composing the
+    standalone operators reproduces curate_corpus exactly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.functions.text import pii_scrub, token_count
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus, quality_score
+    from dataflow_python_etl_spark.operators.dedup import (
+        contamination_check,
+        ngram_jaccard_pairs,
+        unpersist_all,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    eval_set = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+
+    got = curate_corpus(corpus, decontaminate_against=eval_set)
+    got_rows = got.collect()
+    unpersist_all()
+
+    base = corpus.select(
+        F.col("doc_id"), pii_scrub("text").alias("text")
+    ).withColumn("quality", quality_score("text")).where(F.col("quality") >= 0.3)
+    flagged = contamination_check(base, eval_set).select("doc_id")
+    base = base.join(flagged, "doc_id", "left_anti")
+    jp = ngram_jaccard_pairs(base, threshold=0.5, max_shingle_df=64)
+    base = base.join(
+        jp.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    want_rows = base.select(
+        "doc_id", "text", "quality", token_count("text").cast("long").alias("n_tokens")
+    ).collect()
+    unpersist_all()
+
+    def digest(rows):
+        h = hashlib.md5()
+        for t in sorted((r["doc_id"], r["text"], r["quality"], r["n_tokens"]) for r in rows):
+            h.update(repr(t).encode())
+        return h.hexdigest()
+
+    assert 0 < len(got_rows) < corpus.count()
+    assert digest(got_rows) == digest(want_rows)
+
+    # and the tier really bit: at least one quality-surviving doc was
+    # dropped for contamination alone
+    n_without = curate_corpus(corpus).count()
+    unpersist_all()
+    assert len(got_rows) < n_without
