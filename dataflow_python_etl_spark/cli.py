@@ -402,6 +402,35 @@ def run_ivf(args) -> None:
         print(f"{args.index}: {spark.read.parquet(dest).count()} neighbor rows -> {args.output}")
 
 
+def run_decontaminate(args) -> None:
+    """Benchmark decontamination: split a documents table into a clean
+    corpus and a flagged report by n-gram collision with an eval
+    table (operators.dedup.contamination_check — corpus side never
+    shuffles; see the operator docstring for the 100 TB shape)."""
+    from dataflow_python_etl_spark.operators.dedup import contamination_check
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    spark = get_spark("decontaminate")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+    ev = spark.read.parquet(_table_path(args.warehouse, args.eval_table))
+    flagged = contamination_check(docs, ev, min_overlap=args.min_overlap)
+    report = _table_path(args.warehouse, args.output + "_flagged")
+    # write the report FIRST, then anti-join against the written ids:
+    # both outputs derive from one consistent flag set even if the
+    # (lazy) flag plan would otherwise evaluate twice
+    write_and_swap(flagged, report)
+    flagged_ids = spark.read.parquet(report).select("doc_id")
+    clean = docs.join(flagged_ids, "doc_id", "left_anti")
+    dest = _table_path(args.warehouse, args.output)
+    write_and_swap(clean, dest)
+    n_flag = flagged_ids.count()
+    n_clean = spark.read.parquet(dest).count()
+    print(
+        f"{args.table}: {n_flag} contaminated docs flagged (>= {args.min_overlap} "
+        f"shared shingles with {args.eval_table}), {n_clean} clean -> {args.output}"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow_python_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -513,6 +542,16 @@ def main(argv: list[str] | None = None) -> None:
     pi2.add_argument("--pq-m", type=int, default=32, help="PQ subspaces (build --pq)")
     pi2.add_argument("--pq-ksub", type=int, default=64, help="PQ codebook size (build --pq)")
     pi2.set_defaults(fn=run_ivf)
+
+    pdc = sub.add_parser(
+        "decontaminate", help="drop docs sharing n-gram shingles with an eval table"
+    )
+    pdc.add_argument("--warehouse", required=True)
+    pdc.add_argument("--table", required=True)
+    pdc.add_argument("--eval-table", required=True)
+    pdc.add_argument("--output", default="decontaminated")
+    pdc.add_argument("--min-overlap", type=int, default=1)
+    pdc.set_defaults(fn=run_decontaminate)
 
     pb = sub.add_parser("bpe", help="learn BPE merges and encode a documents table")
     pb.add_argument("--warehouse", required=True)

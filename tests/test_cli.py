@@ -288,3 +288,36 @@ def test_cli_ivf_pq(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="mutually exclusive"):
         cli.main(["ivf", "build", "--warehouse", wh, "--table", "emb_a",
                   "--int8", "--pq"])
+
+
+def test_cli_decontaminate(spark, tmp_path, capsys):
+    """Round-5: decontamination is drivable from the CLI — flagged
+    report + clean corpus, and clean ∪ flagged == input exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark import cli
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.where(F.col("doc_id") % 25 != 0).write.parquet(os.path.join(wh, "corpus"))
+    docs.where(F.col("doc_id") % 25 == 0).write.parquet(os.path.join(wh, "evalset"))
+
+    cli.main([
+        "decontaminate", "--warehouse", wh,
+        "--table", "corpus", "--eval-table", "evalset",
+    ])
+    out = capsys.readouterr().out
+    assert "contaminated docs flagged" in out
+
+    corpus = spark.read.parquet(os.path.join(wh, "corpus"))
+    clean = spark.read.parquet(os.path.join(wh, "decontaminated"))
+    flagged = spark.read.parquet(os.path.join(wh, "decontaminated_flagged"))
+    assert flagged.count() > 0 and clean.count() > 0
+    assert clean.count() + flagged.count() == corpus.count()
+    # disjoint and exhaustive over doc_id
+    assert clean.join(flagged, "doc_id", "inner").count() == 0
+    assert set(flagged.columns) == {"doc_id", "n_shingles", "n_overlap", "overlap_frac"}
