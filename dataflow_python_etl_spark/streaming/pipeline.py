@@ -343,6 +343,8 @@ def stream_dedup_ingest(
     index_table: str | None = None,
     index_buckets: int = 32,
     replay_guard: str = "anti_join",
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_min_overlap: int = 1,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Online near-dup-filtered corpus ingestion: each micro-batch of
     documents is deduped against the ALREADY-INGESTED corpus (and
@@ -375,7 +377,13 @@ def stream_dedup_ingest(
 
     Survivor rule matches the batch operators: a batch doc is dropped
     if it near-dups any ingested corpus doc, or an earlier (lower-id)
-    doc in its own batch. Crash safety (both guards): the index is
+    doc in its own batch. ``decontaminate_against`` additionally drops
+    any batch doc sharing ≥ ``decontaminate_min_overlap`` n-gram
+    shingles with the supplied benchmark set BEFORE signing (the
+    streaming twin of ``curate_corpus(decontaminate_against=…)``):
+    the eval gram set is checkpointed once at stream build and each
+    batch broadcast-joins it, so the gate's per-batch cost scales
+    with the batch. Crash safety (both guards): the index is
     appended FIRST, then the corpus, then (watermark mode) the
     watermark. A crash between index and corpus appends re-processes
     the doc — duplicate index rows re-propose the same candidate
@@ -405,6 +413,23 @@ def stream_dedup_ingest(
 
     if replay_guard not in ("anti_join", "watermark"):
         raise ValueError(f"replay_guard must be anti_join|watermark, got {replay_guard!r}")
+
+    # Streaming decontamination gate: the eval set's distinct gram set
+    # is materialized ONCE at stream build (localCheckpoint — a plain
+    # registered cache would be evicted by the per-batch
+    # unpersist_all), then every batch broadcast-joins against it —
+    # the per-batch cost scales with the batch, never the eval set.
+    eval_grams = None
+    if decontaminate_against is not None:
+        from dataflow_python_etl_spark.functions.text import shingles as _shingles
+
+        eval_grams = (
+            decontaminate_against.select(
+                F.explode(F.array_distinct(_shingles(text_col, n))).alias("shingle")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     wm_path = corpus_path + ".__ingest_watermark"
 
@@ -486,6 +511,24 @@ def stream_dedup_ingest(
         wm = _read_wm() if replay_guard == "watermark" else None
         if wm is not None and batch_id == wm["batch_id"]:
             return  # this exact batch fully committed — replay is a no-op
+        if eval_grams is not None:
+            # same candidate shape as dedup.contamination_check, minus
+            # the size scan (min_overlap thresholds the raw hit count):
+            # a contaminated doc is dropped BEFORE signing, so it never
+            # enters the index or corpus — deterministic, so crash
+            # replays re-drop it and the convergence argument above is
+            # untouched
+            from dataflow_python_etl_spark.operators.dedup import _doc_shingles
+
+            hits = (
+                _doc_shingles(batch, id_col, text_col, n)
+                .join(F.broadcast(eval_grams), "shingle")
+                .groupBy("doc")
+                .agg(F.count(F.lit(1)).alias("__n_ov"))
+                .where(F.col("__n_ov") >= decontaminate_min_overlap)
+                .select(F.col("doc").alias(id_col))
+            )
+            batch = batch.join(hits, id_col, "left_anti")
         if os.path.exists(corpus_path):
             corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
             batch = _guard_replay(batch, corpus, id_col, replay_guard, wm)

@@ -227,3 +227,36 @@ def test_watermark_and_bucketed_index_compose(spark, tmp_path):
         out[mode] = _corpus_ids(spark, corpus)
     spark.sql("DROP TABLE IF EXISTS t_wm_bix")
     assert out["scale"] == out["default"] == [1, 3, 12, 14]
+
+
+def test_streaming_decontamination_gate(spark, tmp_path):
+    """Round-5: decontaminate_against drops contaminated batch docs
+    BEFORE signing — they never reach the corpus OR the index — while
+    clean docs still dedup normally; and the gate composes with the
+    watermark guard."""
+    # eval set shares TEXTS["a"]'s shingles; doc 1 is contaminated
+    eval_set = _docs(spark, [(1000, TEXTS["a"])])
+    batches = [
+        [(1, TEXTS["a"]), (2, TEXTS["b"]), (3, TEXTS["b"])],  # 1 contaminated, 3 dups 2
+        [(11, TEXTS["c"]), (12, TEXTS["a"])],  # 12 contaminated
+    ]
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    _docs(spark, batches[0]).write.parquet(src)
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        replay_guard="watermark",
+        decontaminate_against=eval_set,
+    )
+    q.processAllAvailable()
+    _docs(spark, batches[1]).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert _corpus_ids(spark, corpus) == [2, 11]
+    # the contaminated docs never entered the index either
+    idx_ids = {r["doc"] for r in spark.read.parquet(index).select("doc").collect()}
+    assert idx_ids == {2, 11}
