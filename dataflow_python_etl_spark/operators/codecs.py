@@ -50,6 +50,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "image/gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
+    if payload[:4] == b"fLaC":
+        return "audio/flac"
     return None
 
 
@@ -1197,6 +1199,397 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         samples = samples[: (len(samples) // n_channels) * n_channels]
         samples = samples.reshape(-1, n_channels).mean(axis=1)
     return sample_rate, samples
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639 / xiph spec) — rice coding + integer predictors are
+# fully specified; no external decompressor needed.
+# ---------------------------------------------------------------------------
+
+FLAC_MAGIC = b"fLaC"
+
+# Fixed-predictor coefficients, orders 0-4 (RFC 9639 §9.2.2).
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def crc8_flac(data: bytes) -> int:
+    """CRC-8 with polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC
+    frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def crc16_flac(data: bytes) -> int:
+    """CRC-16 with polynomial 0x8005, init 0 — the FLAC frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitReader:
+    """MSB-first bit reader over the frame byte stream."""
+
+    __slots__ = ("d", "p")
+
+    def __init__(self, data: bytes, bit_pos: int = 0):
+        self.d = data
+        self.p = bit_pos
+
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        end = self.p + k
+        if end > len(self.d) * 8:
+            raise ValueError("FLAC bitstream truncated")
+        first = self.p >> 3
+        last = (end - 1) >> 3
+        chunk = int.from_bytes(self.d[first : last + 1], "big")
+        v = (chunk >> (((last + 1) << 3) - end)) & ((1 << k) - 1)
+        self.p = end
+        return v
+
+    def take_signed(self, k: int) -> int:
+        v = self.take(k)
+        return v - (1 << k) if k and v >= (1 << (k - 1)) else v
+
+    def take_unary(self) -> int:
+        n = 0
+        while True:
+            if self.p >= len(self.d) * 8:
+                raise ValueError("FLAC bitstream truncated in unary code")
+            bit = (self.d[self.p >> 3] >> (7 - (self.p & 7))) & 1
+            self.p += 1
+            if bit:
+                return n
+            n += 1
+
+    def align(self) -> None:
+        self.p = (self.p + 7) & ~7
+
+
+def _flac_utf8_number(r: _FlacBitReader) -> int:
+    """The UTF-8-style variable-length frame/sample number."""
+    first = r.take(8)
+    if first < 0x80:
+        return first
+    n = 0
+    probe = first
+    while probe & 0x40:
+        n += 1
+        probe <<= 1
+    if n == 0 or n > 6:
+        raise ValueError("invalid FLAC frame-number coding")
+    val = first & (0x3F >> n)
+    for _ in range(n):
+        c = r.take(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC frame-number continuation byte")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+_FLAC_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_residuals(r: _FlacBitReader, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual section (RFC 9639 §9.2.7)."""
+    method = r.take(2)
+    if method > 1:
+        raise ValueError(f"invalid FLAC residual method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = r.take(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise ValueError("FLAC partition count does not divide block size")
+    out: list[int] = []
+    for part in range(nparts):
+        n = blocksize // nparts - (order if part == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        k = r.take(plen)
+        if k == escape:  # raw residuals at explicit width
+            width = r.take(5)
+            out.extend(r.take_signed(width) for _ in range(n))
+        else:
+            for _ in range(n):
+                q = r.take_unary()
+                u = (q << k) | r.take(k)
+                out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(r: _FlacBitReader, blocksize: int, bps: int) -> list[int]:
+    if r.take(1):
+        raise ValueError("invalid FLAC subframe padding bit")
+    stype = r.take(6)
+    wasted = 0
+    if r.take(1):  # wasted-bits flag: unary count - 1
+        wasted = r.take_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        samples = [r.take_signed(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [r.take_signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        warm = [r.take_signed(bps) for _ in range(order)]
+        res = _flac_residuals(r, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        samples = list(warm)
+        for e in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(e + pred)
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 31) + 1
+        warm = [r.take_signed(bps) for _ in range(order)]
+        prec = r.take(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision escape")
+        shift = r.take_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [r.take_signed(prec) for _ in range(order)]
+        res = _flac_residuals(r, blocksize, order)
+        samples = list(warm)
+        for e in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs)) >> shift
+            samples.append(e + pred)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+    """FLAC → (sample_rate, float64 mono samples centered at 0) — the
+    lossless-audio sibling of :func:`decode_wav` (same return shape:
+    multichannel mixes down by mean).
+
+    Pure stdlib + numpy per RFC 9639: STREAMINFO parse, frame-header
+    CRC-8 and frame CRC-16 verification, constant/verbatim/fixed/LPC
+    subframes, 4- and 5-bit rice partitions with raw escapes, wasted
+    bits, and left/right/mid-side stereo decorrelation. Corrupt or
+    truncated payloads raise ``ValueError``. The per-sample predictor
+    loop is Python — fine for Arrow-batched feature kernels; plug
+    libFLAC here for bulk audio volume.
+    """
+    if payload[:4] != FLAC_MAGIC:
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) != length:
+            raise ValueError("FLAC metadata block truncated")
+        if hdr & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    else:
+        raise ValueError("FLAC metadata truncated (no last-block flag)")
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("FLAC missing or malformed STREAMINFO")
+    si = int.from_bytes(streaminfo[10:18], "big")
+    sample_rate = si >> 44
+    n_channels = ((si >> 41) & 0x7) + 1
+    bps_stream = ((si >> 36) & 0x1F) + 1
+    total_samples = si & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("FLAC STREAMINFO declares sample rate 0")
+
+    channels_out: list[list[int]] = [[] for _ in range(n_channels)]
+    got = 0
+    while pos < len(payload) and (total_samples == 0 or got < total_samples):
+        frame_start = pos
+        r = _FlacBitReader(payload, pos * 8)
+        sync = r.take(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"bad FLAC frame sync at byte {pos}")
+        r.take(1)  # reserved
+        r.take(1)  # blocking strategy
+        bs_code = r.take(4)
+        sr_code = r.take(4)
+        ch_code = r.take(4)
+        ss_code = r.take(3)
+        r.take(1)  # reserved
+        _flac_utf8_number(r)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block-size code 0")
+        elif bs_code == 6:
+            blocksize = r.take(8) + 1
+        elif bs_code == 7:
+            blocksize = r.take(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            r.take(8)
+        elif sr_code in (13, 14):
+            r.take(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample-rate code 15")
+        bps = _FLAC_SAMPLE_SIZES.get(ss_code, bps_stream if ss_code == 0 else None)
+        if bps is None:
+            raise ValueError(f"reserved FLAC sample-size code {ss_code}")
+        header_len = (r.p + 7) // 8 - frame_start
+        expect_crc8 = crc8_flac(payload[frame_start : frame_start + header_len])
+        if r.take(8) != expect_crc8:
+            raise ValueError("FLAC frame-header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            nch = ch_code + 1
+            if nch != n_channels:
+                raise ValueError("FLAC frame channel count differs from STREAMINFO")
+            subs = [_flac_subframe(r, blocksize, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if n_channels != 2:
+                raise ValueError("FLAC stereo decorrelation in non-stereo stream")
+            # the difference channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(r, blocksize, bps)
+                side = _flac_subframe(r, blocksize, bps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(r, blocksize, bps + 1)
+                right = _flac_subframe(r, blocksize, bps)
+                subs = [[rr + s for rr, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _flac_subframe(r, blocksize, bps)
+                side = _flac_subframe(r, blocksize, bps + 1)
+                left = [(2 * m + (s & 1) + s) >> 1 for m, s in zip(mid, side)]
+                subs = [left, [l - s for l, s in zip(left, side)]]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        r.align()
+        body_end = r.p // 8
+        expect_crc16 = crc16_flac(payload[frame_start:body_end])
+        if r.take(16) != expect_crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = r.p // 8
+        for ch, s in zip(channels_out, subs):
+            ch.extend(s)
+        got += blocksize
+
+    if total_samples and got < total_samples:
+        raise ValueError(f"FLAC truncated: {got} of {total_samples} samples")
+    arr = np.array(channels_out, dtype=np.float64)
+    if total_samples:
+        arr = arr[:, :total_samples]
+    mono = arr.mean(axis=0) if n_channels > 1 else arr[0]
+    return sample_rate, mono
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int = 16_000, block_size: int = 4096
+) -> bytes:
+    """Mono int16-range samples → FLAC bytes using VERBATIM subframes
+    (valid, compression-free — the fixture/sink sibling of
+    :func:`decode_flac`, mirroring what :func:`encode_wav` is to
+    :func:`decode_wav`; rice/predictor coding paths are exercised by
+    independently hand-built frames in the tests)."""
+    pcm = np.asarray(samples, dtype=np.int64)
+    if pcm.ndim != 1:
+        raise ValueError(f"expected mono samples, got shape {pcm.shape}")
+    if len(pcm) == 0:
+        raise ValueError("cannot encode zero samples")
+    if pcm.min() < -(1 << 15) or pcm.max() >= (1 << 15):
+        raise ValueError("samples must fit int16")
+    bps = 16
+    si = (sample_rate << 44) | (0 << 41) | ((bps - 1) << 36) | len(pcm)
+    streaminfo = (
+        struct.pack(">HH", block_size, block_size)
+        + b"\x00\x00\x00" * 2
+        + si.to_bytes(8, "big")
+        + bytes(16)  # unset MD5 (all-zero = unknown, per spec)
+    )
+    out = bytearray(FLAC_MAGIC)
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    class W:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, v: int, k: int):
+            self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+            self.n += k
+            while self.n >= 8:
+                self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+        def align(self):
+            if self.n:
+                self.put(0, 8 - self.n)
+
+    for fi in range(0, len(pcm), block_size):
+        block = pcm[fi : fi + block_size]
+        w = W()
+        w.put(0x3FFE, 14)
+        w.put(0, 1)
+        w.put(0, 1)
+        w.put(7, 4)  # block size: 16-bit at end of header
+        w.put(0, 4)  # sample rate: from STREAMINFO
+        w.put(0, 4)  # 1 channel
+        w.put(4, 3)  # 16 bps
+        w.put(0, 1)
+        frame_no = fi // block_size
+        if frame_no < 0x80:
+            w.put(frame_no, 8)
+        else:  # 2-byte UTF-8 form covers fixture sizes
+            w.put(0xC0 | (frame_no >> 6), 8)
+            w.put(0x80 | (frame_no & 0x3F), 8)
+        w.put(len(block) - 1, 16)
+        w.align()
+        hdr = bytes(w.buf)
+        hdr += bytes([crc8_flac(hdr)])
+        body = W()
+        body.put(0, 1)
+        body.put(1, 6)  # VERBATIM
+        body.put(0, 1)
+        for s in block:
+            body.put(int(s), bps)
+        body.align()
+        frame = hdr + bytes(body.buf)
+        frame += crc16_flac(frame).to_bytes(2, "big")
+        out += frame
+    return bytes(out)
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, float64 mono samples) for any decodable audio
+    container — the audio dispatcher mirroring :func:`decode_image`."""
+    fmt = sniff_format(payload)
+    if fmt == "audio/wav":
+        return decode_wav(payload)
+    if fmt == "audio/flac":
+        return decode_flac(payload)
+    raise NotImplementedError(
+        "no pure-numpy decoder for this audio payload (entropy-coded or "
+        "unknown container, e.g. MP3/AAC) — plug ffmpeg/libsndfile here"
+    )
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:

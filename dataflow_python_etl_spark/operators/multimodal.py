@@ -278,10 +278,11 @@ def extract_audio_features(
     """Windowed audio features over binary payloads — the audio leg of
     the multimodal family (image: :func:`resize_images`, video:
     :func:`sample_frames`). By default payload bytes are treated as
-    8-bit PCM (centered at 128); ``real_decode=True`` parses the
-    payload as a PCM RIFF/WAVE container (8/16-bit, multichannel
-    mixed down — pure numpy, see ``operators.codecs``) and windows
-    the decoded samples (``window_bytes`` then counts SAMPLES). Each
+    8-bit PCM (centered at 128); ``real_decode=True`` decodes the
+    payload as PCM RIFF/WAVE (8/16-bit, multichannel mixed down) or
+    FLAC (rice/LPC per RFC 9639) — pure numpy, see
+    ``operators.codecs.decode_audio`` — and windows the decoded
+    samples (``window_bytes`` then counts SAMPLES). Each
     window yields RMS energy, peak amplitude, and zero-crossing count
     — the numpy kernel shape a real librosa/ffmpeg decode would feed.
     Fan-out mapInPandas: no shuffle, one output row per window.
@@ -295,7 +296,7 @@ def extract_audio_features(
             ids, widx, rms, peak, zc = [], [], [], [], []
             for asset_id, payload in zip(pdf[id_col], pdf["payload"]):
                 if real_decode:
-                    _rate, samples = codecs.decode_wav(bytes(payload))
+                    _rate, samples = codecs.decode_audio(bytes(payload))
                 else:
                     samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
                         np.float64
