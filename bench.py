@@ -78,6 +78,8 @@ EXTENDED_QUERIES = [
     "q57_stratified_sample",
     "q58_lm_perplexity",
     "q59_simhash_pairs",
+    "q62_semantic_dedup",
+    "q63_contamination_check",
 ]
 
 
