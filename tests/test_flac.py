@@ -230,3 +230,21 @@ def test_audio_feature_kernel_flac_equals_wav(spark):
     # identical samples through two containers → identical features
     assert sorted(by_asset[1]) == sorted(by_asset[2])
     assert len(by_asset[1]) == 4
+
+
+def test_flac_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(-(1 << 15), (1 << 15) - 1), min_size=1, max_size=700),
+        st.sampled_from([64, 100, 4096]),
+    )
+    def prop(vals, bs):
+        sig = np.array(vals, dtype=np.int64)
+        rate, out = decode_flac(encode_flac(sig, sample_rate=44100, block_size=bs))
+        assert rate == 44100
+        assert np.array_equal(out, sig.astype(np.float64))
+
+    prop()

@@ -181,3 +181,23 @@ def test_spark_frame_sampling_real_gif(spark):
     )
     with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         sample_frames(bad, n_frames=2, real_decode=True).collect()
+
+
+def test_gif_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(1, 40), st.integers(1, 40), st.integers(2, 256),
+        st.booleans(), st.integers(0, 2**32 - 1),
+    )
+    def prop(h, w, colors, interlace, seed):
+        rng = np.random.default_rng(seed)
+        # palette of `colors` distinct RGB values, image indexes them
+        pal = rng.choice(256 ** 3, size=colors, replace=False)
+        pal = np.stack([pal >> 16, (pal >> 8) & 255, pal & 255], -1).astype(np.uint8)
+        img = pal[rng.integers(0, colors, (h, w))]
+        assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+
+    prop()
