@@ -80,6 +80,7 @@ EXTENDED_QUERIES = [
     "q59_simhash_pairs",
     "q62_semantic_dedup",
     "q63_contamination_check",
+    "q64_span_dedup",
 ]
 
 

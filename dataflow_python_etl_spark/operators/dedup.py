@@ -747,3 +747,65 @@ def contamination_check(
             ).alias("overlap_frac"),
         )
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document exact-substring (span) dedup — the sequence-
+    level tier from "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022): any run of ≥ ``n`` tokens appearing in
+    two or more documents is removed from EVERY document (the paper's
+    remove-all-copies policy; doc-level tiers like MinHash keep one
+    representative of whole near-dup documents, this removes the
+    boilerplate/quotation spans those tiers cannot see). Within-doc
+    repeats are out of scope (``functions.text.dedup_lines`` covers
+    the line-level case).
+
+    Returns ``(id, cleaned, n_tokens_removed)`` where ``cleaned`` is
+    the surviving tokens joined by single spaces (whitespace
+    normalizes — the same contract as the n-gram operators).
+
+    Spark-first shape instead of the paper's monolithic suffix array:
+    token n-gram starts keyed by md5 (map-side, no python), one
+    map-side-combined aggregation finds grams spanning ≥2 documents,
+    a semi-join keeps only duplicated starts (its small side is
+    unhinted — AQE broadcasts when the duplication rate is low), and
+    the per-document removal mask is a JVM higher-order filter: token
+    j survives iff no duplicated start q lies in (j-n, j]. The mask
+    is O(tokens × starts) per document — starts are duplicated-span
+    starts only, bounded by tokens, and upstream chunking bounds
+    document length at 100 TB; nothing here is all-pairs.
+    """
+    toks = tokens(text_col)
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(shingles(text_col, n)).alias("pos0", "sh"),
+    ).select("doc", (F.col("pos0") + 1).alias("i"), F.md5("sh").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    starts = (
+        grams.join(dup, "gh", "left_semi")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("i")).alias("starts"))
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).join(
+        starts.withColumnRenamed("doc", id_col), id_col, "left"
+    )
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, j: ~F.exists(st, lambda q: (q <= j + 1) & (q > j + 1 - n)),
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("cleaned"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

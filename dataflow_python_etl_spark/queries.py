@@ -2240,6 +2240,52 @@ def q63_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q64_span_dedup",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS gh
+        FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i)
+        WHERE len(toks) >= 8
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    st AS (
+        SELECT doc_id, list(DISTINCT i) AS starts
+        FROM g JOIN dup USING (gh) GROUP BY doc_id
+    ),
+    j AS (
+        SELECT t.doc_id, t.toks, coalesce(s.starts, []) AS starts
+        FROM tok t LEFT JOIN st s USING (doc_id)
+    ),
+    k AS (
+        SELECT doc_id, toks,
+               list_filter(range(1, len(toks) + 1),
+                   j -> len(list_filter(starts, q -> q <= j AND q > j - 8)) = 0
+               ) AS kept
+        FROM j
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_transform(kept, j -> toks[j]), ' '), '')
+               AS cleaned,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM k
+    """,
+    "Cross-document exact-substring (span) dedup "
+    "(operators.dedup.dedup_spans, Lee et al. 2022): every >=8-token "
+    "run appearing in >=2 documents is removed from ALL documents — "
+    "the sequence-level tier doc-level MinHash cannot see. Token "
+    "8-gram starts keyed by md5, one aggregation finds cross-doc "
+    "grams, a semi-join keeps duplicated starts, and the removal mask "
+    "is a JVM higher-order filter; the CLEANED TEXT itself is "
+    "value-hash-verified against the DuckDB list-expression mirror",
+)
+def q64_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

@@ -224,3 +224,43 @@ def test_dedup_normalized_collapses_variants(spark):
     real = dedup_normalized(read_table(spark, "/root/testdata/sf0.001", "documents"))
     assert count_exchanges(real) == 1
     assert "EvalPython" not in explain_str(real)
+
+
+def test_span_dedup_planted(spark):
+    """Round-5 sequence-level tier: a >=8-token run shared by two docs
+    is cut from BOTH (Lee et al. remove-all-copies), shorter shared
+    runs and unique text survive, fully-duplicated docs come out
+    empty (not null), and the mask plan stays JVM-side."""
+    from dataflow_python_etl_spark.operators.dedup import dedup_spans
+    from dataflow_python_etl_spark.plans.checks import explain_str
+
+    span = "one two three four five six seven eight"        # 8 tokens
+    short = "alpha beta gamma"                               # < n, safe
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {span} outro"),
+            (2, f"{span} trailing words here"),
+            (3, f"unique text with {short} inside it okay"),
+            (4, f"other copy of {short} but too short to cut"),
+            (5, span),                                       # fully dup
+        ],
+        "doc_id: long, text: string",
+    )
+    out = dedup_spans(docs, n=8)
+    rows = {r["doc_id"]: (r["cleaned"], r["n_tokens_removed"]) for r in out.collect()}
+    assert rows[1] == ("intro outro", 8)
+    assert rows[2] == ("trailing words here", 8)
+    assert rows[3] == (f"unique text with {short} inside it okay", 0)
+    assert rows[4] == (f"other copy of {short} but too short to cut", 0)
+    assert rows[5] == ("", 8)                                # empty, not null
+    assert "EvalPython" not in explain_str(out)
+
+    # overlapping spans merge: doc pair sharing a 10-token run removes
+    # all 10 tokens (3 overlapping 8-gram starts), not 8
+    long_span = span + " nine ten"
+    docs2 = spark.createDataFrame(
+        [(1, f"x {long_span} y"), (2, f"p {long_span} q")],
+        "doc_id: long, text: string",
+    )
+    rows2 = {r["doc_id"]: r["n_tokens_removed"] for r in dedup_spans(docs2, n=8).collect()}
+    assert rows2 == {1: 10, 2: 10}
