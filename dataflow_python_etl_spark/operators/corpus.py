@@ -353,6 +353,7 @@ def curate_corpus(
     simhash_max_hamming: int | None = None,
     decontaminate_against: DataFrame | None = None,
     decontaminate_min_overlap: int = 1,
+    span_dedup_n: int | None = None,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
@@ -363,6 +364,21 @@ def curate_corpus(
        (``functions.text.dedup_lines`` — nav menus, cookie banners)
        INSIDE the same zero-shuffle projection as the scrub, so the
        quality score and every later tier see the cleaned text;
+    1c. optional cross-document span dedup (``span_dedup_n``): every
+       run of ≥ that many tokens appearing in ≥2 documents is cut
+       from ALL documents (``dedup.dedup_spans`` — the Lee et al.
+       sequence-level tier). Runs BEFORE the quality gate so the
+       quality score, the LM gate, and every doc-level dedup tier see
+       the span-cleaned text. A document whose every token sat in
+       duplicated spans comes out empty and is dropped BY THIS TIER
+       (the length-based quality terms score an empty string 0.304,
+       above the default gate — relying on the gate would leak empty
+       rows). Note this tier normalizes whitespace (tokens rejoined
+       with single spaces) and its cross-doc aggregation makes it the
+       pipeline's first shuffle; also, removing shared spans can make
+       two near-dup documents DISSIMILAR, so the later doc-level
+       Jaccard tier may remove fewer whole documents — boilerplate is
+       cut from every copy instead of one copy surviving intact;
     2. quality gate (composite heuristic ≥ ``min_quality``);
     2a. optional benchmark decontamination (``decontaminate_against``):
        documents sharing ≥ ``decontaminate_min_overlap`` 3-gram
@@ -413,6 +429,20 @@ def curate_corpus(
     if lang_col is not None and lang_col != domain_col:
         keep_cols.append(F.col(lang_col))
     scrubbed = docs.select(*keep_cols)
+    if span_dedup_n is not None:
+        from dataflow_python_etl_spark.operators.dedup import dedup_spans
+
+        sp = (
+            dedup_spans(scrubbed, id_col=id_col, text_col=text_col, n=span_dedup_n)
+            .where(F.trim(F.col("cleaned")) != "")
+            .select(id_col, F.col("cleaned"))
+        )
+        passthrough = [c for c in scrubbed.columns if c != text_col]
+        scrubbed = (
+            scrubbed.select(*passthrough)
+            .join(sp, id_col)
+            .withColumnRenamed("cleaned", text_col)
+        )
 
     # Same barrier as clean_corpus: the gated projection (5-regex
     # scrub + regex-heavy quality score) feeds the pair pipeline AND

@@ -364,3 +364,67 @@ def test_curate_corpus_decontamination_tier(spark):
     n_without = curate_corpus(corpus).count()
     unpersist_all()
     assert len(got_rows) < n_without
+
+
+def test_curate_corpus_span_dedup_tier(spark):
+    """Round-5: the span tier cuts cross-doc >=n-token runs before the
+    quality gate — composition with the standalone operators is exact,
+    and a fully-duplicated doc dies at the quality gate (empty text)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.functions.text import pii_scrub, token_count
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus, quality_score
+    from dataflow_python_etl_spark.operators.dedup import (
+        dedup_spans,
+        ngram_jaccard_pairs,
+        unpersist_all,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    got = curate_corpus(docs, span_dedup_n=8)
+    got_rows = got.collect()
+    unpersist_all()
+
+    scrub = docs.select(F.col("doc_id"), pii_scrub("text").alias("text"))
+    sp = (
+        dedup_spans(scrub, n=8)
+        .where(F.trim(F.col("cleaned")) != "")
+        .select("doc_id", F.col("cleaned").alias("text"))
+    )
+    base = sp.withColumn("quality", quality_score("text")).where(F.col("quality") >= 0.3)
+    jp = ngram_jaccard_pairs(base, threshold=0.5, max_shingle_df=64)
+    base = base.join(
+        jp.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    want_rows = base.select(
+        "doc_id", "text", "quality", token_count("text").cast("long").alias("n_tokens")
+    ).collect()
+    unpersist_all()
+
+    def digest(rows):
+        h = hashlib.md5()
+        for t in sorted((r["doc_id"], r["text"], r["quality"], r["n_tokens"]) for r in rows):
+            h.update(repr(t).encode())
+        return h.hexdigest()
+
+    assert 0 < len(got_rows)
+    assert digest(got_rows) == digest(want_rows)
+    # the tier bit: documents that were ENTIRELY duplicated spans are
+    # gone (not surviving as empty rows), and surviving text really
+    # was rewritten relative to the span-free pipeline
+    emptied = {
+        r["doc_id"]
+        for r in dedup_spans(scrub, n=8).where(F.trim(F.col("cleaned")) == "").collect()
+    }
+    unpersist_all()
+    assert emptied, "fixture corpus should contain fully-duplicated docs"
+    got_ids = {r["doc_id"] for r in got_rows}
+    assert not (emptied & got_ids)
+    plain = {r["doc_id"]: r["text"] for r in curate_corpus(docs).collect()}
+    unpersist_all()
+    assert any(
+        r["doc_id"] in plain and r["text"] != plain[r["doc_id"]] for r in got_rows
+    ), "span tier should rewrite at least one surviving document"
