@@ -146,9 +146,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return arr[:, :, ::-1]  # BGR on disk → RGB
 
 
-# PNG color type → samples per pixel (8-bit depth only; type 3 indexes
-# the PLTE palette and expands to RGB after unfiltering).
+# PNG color type → samples per pixel (type 3 indexes the PLTE palette
+# and expands to RGB after unfiltering).
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace passes: (x_start, x_step, y_start, y_step) per the
+# PNG spec §8.2 — the raw stream is each pass's filtered scanlines in
+# this order.
+_PNG_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
 
 
 def _png_chunks(payload: bytes):
@@ -238,15 +246,17 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG → uint8 pixels: gray → (h, w),
-    gray+alpha → (h, w, 2), RGB → (h, w, 3), RGBA → (h, w, 4);
-    palette (color type 3) expands through PLTE to (h, w, 3).
+    """8- or 16-bit PNG, sequential or Adam7-interlaced → pixels:
+    gray → (h, w), gray+alpha → (h, w, 2), RGB → (h, w, 3), RGBA →
+    (h, w, 4); palette (color type 3, 8-bit) expands through PLTE to
+    (h, w, 3). 8-bit depths return uint8, 16-bit return uint16
+    (network byte order per spec).
 
     Pure stdlib ``zlib`` + numpy: chunk walk with CRC verification,
     one decompress of the concatenated IDAT stream, scanline
-    unfiltering per the spec. Interlaced (Adam7), 16-bit, and
-    sub-byte depths raise ``NotImplementedError`` (decodable in
-    principle, not needed for the pipeline's fixtures); corrupt or
+    unfiltering per the spec (per Adam7 pass when interlaced — each
+    pass is its own independently-filtered sub-image). Sub-byte
+    packed depths (1/2/4) raise ``NotImplementedError``; corrupt or
     truncated payloads raise ``ValueError``.
     """
     if payload[:8] != PNG_SIGNATURE:
@@ -275,18 +285,45 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"invalid PNG compression/filter method ({comp}/{filt})"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG is supported (depth={depth})")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PNG is supported (depth={depth}; 1/2/4-bit "
+            "packed depths remain gated)"
+        )
     if color not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {color}")
-    bpp = _PNG_CHANNELS[color]
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not a valid combination")
+    channels = _PNG_CHANNELS[color]
+    bpp = channels * (depth // 8)  # filter unit is BYTES per pixel
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
-    flat = _png_unfilter(raw, w, h, bpp)
+    if interlace == 0:
+        flat = _png_unfilter(raw, w, h, bpp)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        flat = np.zeros((h, w * bpp), dtype=np.uint8)
+        off = 0
+        for xs, xstep, ys, ystep in _PNG_ADAM7:
+            wp = (w - xs + xstep - 1) // xstep if w > xs else 0
+            hp = (h - ys + ystep - 1) // ystep if h > ys else 0
+            if wp == 0 or hp == 0:
+                continue
+            nbytes = hp * (1 + wp * bpp)
+            sub = _png_unfilter(raw[off : off + nbytes], wp, hp, bpp)
+            off += nbytes
+            rows = ys + ystep * np.arange(hp)
+            cols = xs + xstep * np.arange(wp)
+            for ci in range(bpp):
+                flat[np.ix_(rows, cols * bpp + ci)] = sub[:, ci::bpp]
+        if off != len(raw):
+            raise ValueError(
+                f"PNG raster size mismatch: got {len(raw)} bytes, "
+                f"Adam7 passes consumed {off}"
+            )
     if color == 3:
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG missing or malformed PLTE chunk")
@@ -299,9 +336,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         if int(idx.max()) >= len(palette):
             raise ValueError("palette PNG index out of PLTE range")
         return palette[idx]
-    if bpp == 1:
+    if depth == 16:  # network byte order per spec → uint16 samples
+        pairs = flat.reshape(h, w, channels, 2).astype(np.uint16)
+        vals = (pairs[..., 0] << 8) | pairs[..., 1]
+        return vals.reshape(h, w) if channels == 1 else vals
+    if channels == 1:
         return flat.reshape(h, w)
-    return flat.reshape(h, w, bpp)
+    return flat.reshape(h, w, channels)
 
 
 def encode_png(pixels: np.ndarray) -> bytes:

@@ -183,12 +183,48 @@ def test_truncation_and_corruption_are_loud():
 def test_unsupported_variants_gated_not_garbled():
     px = _rand_pixels(2, 2, 3, seed=1)
     raw = _forward_filter(px.reshape(2, 6), 3, [0, 0])
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        codecs.decode_png(_png_bytes(2, 2, 2, raw, interlace=1))
-    with pytest.raises(NotImplementedError, match="8-bit"):
-        codecs.decode_png(_png_bytes(2, 2, 2, raw, depth=16))
+    # sub-byte packed depths remain gated; garbage stays loud
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
+        codecs.decode_png(_png_bytes(2, 2, 0, raw, depth=4))
     with pytest.raises(ValueError, match="not a PNG"):
         codecs.decode_png(b"GIF89a......")
+
+
+def test_adam7_interlaced_roundtrip():
+    passes = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+              (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+    for (h, w) in ((9, 11), (8, 8), (1, 1), (3, 2)):
+        px = _rand_pixels(h, w, 3, seed=h * 31 + w)
+        raw = b""
+        for xs, xst, ys, yst in passes:
+            rows = list(range(ys, h, yst))
+            cols = list(range(xs, w, xst))
+            if not rows or not cols:
+                continue
+            for r in rows:
+                line = b"".join(bytes(px[r, c]) for c in cols)
+                raw += b"\x00" + line  # filter 0 per scanline
+        out = codecs.decode_png(_png_bytes(w, h, 2, raw, interlace=1))
+        assert np.array_equal(out, px), (h, w)
+
+
+def test_16bit_png_roundtrip():
+    rng = np.random.default_rng(42)
+    for color, ch in ((0, 1), (2, 3), (6, 4)):
+        h, w = 5, 7
+        px16 = rng.integers(0, 1 << 16, (h, w, ch), dtype=np.uint16)
+        flat = px16.astype(">u2").tobytes()
+        stride = w * ch * 2
+        raw = b"".join(
+            b"\x00" + flat[r * stride : (r + 1) * stride] for r in range(h)
+        )
+        out = codecs.decode_png(_png_bytes(w, h, color, raw, depth=16))
+        assert out.dtype == np.uint16
+        expect = px16.reshape(h, w) if ch == 1 else px16
+        assert np.array_equal(out, expect), color
+    # 16-bit palette is invalid, not gated
+    with pytest.raises(ValueError, match="palette"):
+        codecs.decode_png(_png_bytes(2, 2, 3, b"\x00ab\x00cd" * 2, depth=16))
 
 
 def test_decode_image_meta_png():
