@@ -2286,6 +2286,48 @@ def q64_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+@_q(
+    "q65_chunk_text",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')
+                   AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               list_filter(range(0, greatest(len(toks) - 1, 0) + 1, 24),
+                   st -> (st = 0 AND len(toks) > 0) OR st + 8 < len(toks)
+               ) AS starts
+        FROM tok
+    ),
+    c AS (
+        SELECT doc_id, toks, n,
+               unnest(starts) AS st,
+               generate_subscripts(starts, 1) - 1 AS chunk_id
+        FROM s
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(st AS INTEGER) AS token_start,
+           CAST(least(32, n - st) AS INTEGER) AS n_tokens,
+           array_to_string(toks[st + 1:st + 32], ' ') AS chunk_text
+    FROM c
+    """,
+    "Overlapping token-window chunking with the chunk TEXT itself "
+    "hash-verified (operators.chunking.chunk_documents, 32-token "
+    "windows / 8 overlap): q51 pins the token accounting, this pins "
+    "the exact content and window rule (final short chunk kept, "
+    "fully-contained windows suppressed) cross-engine",
+)
+def q65_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap_tokens=8
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:
