@@ -754,6 +754,7 @@ def dedup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    policy: str = "remove_all",
 ) -> DataFrame:
     """Cross-document exact-substring (span) dedup — the sequence-
     level tier from "Deduplicating Training Data Makes Language Models
@@ -764,6 +765,13 @@ def dedup_spans(
     boilerplate/quotation spans those tiers cannot see). Within-doc
     repeats are out of scope (``functions.text.dedup_lines`` covers
     the line-level case).
+
+    ``policy="keep_first"`` keeps each duplicated n-gram occurrence in
+    the LOWEST-id document carrying it and cuts it everywhere else —
+    the paper's other policy, preserving one intact copy of shared
+    boilerplate (note adjacent grams of one long span can have
+    different min-id keepers, so a long span's surviving copy can be
+    split across documents; remove_all has no such seam).
 
     Returns ``(id, cleaned, n_tokens_removed)`` where ``cleaned`` is
     the surviving tokens joined by single spaces (whitespace
@@ -780,6 +788,8 @@ def dedup_spans(
     starts only, bounded by tokens, and upstream chunking bounds
     document length at 100 TB; nothing here is all-pairs.
     """
+    if policy not in ("remove_all", "keep_first"):
+        raise ValueError(f"policy must be remove_all|keep_first, got {policy!r}")
     toks = tokens(text_col)
     grams = df.select(
         F.col(id_col).alias("doc"),
@@ -787,14 +797,19 @@ def dedup_spans(
     ).select("doc", (F.col("pos0") + 1).alias("i"), F.md5("sh").alias("gh"))
     dup = (
         grams.groupBy("gh")
-        .agg(F.count_distinct("doc").alias("ndocs"))
+        .agg(
+            F.count_distinct("doc").alias("ndocs"),
+            F.min("doc").alias("keeper"),
+        )
         .where(F.col("ndocs") >= 2)
-        .select("gh")
+        .select("gh", "keeper")
     )
-    starts = (
-        grams.join(dup, "gh", "left_semi")
-        .groupBy("doc")
-        .agg(F.sort_array(F.collect_set("i")).alias("starts"))
+    if policy == "keep_first":
+        hit = grams.join(dup, "gh").where(F.col("doc") != F.col("keeper"))
+    else:
+        hit = grams.join(dup.select("gh"), "gh", "left_semi")
+    starts = hit.groupBy("doc").agg(
+        F.sort_array(F.collect_set("i")).alias("starts")
     )
     base = df.select(F.col(id_col), toks.alias("__toks")).join(
         starts.withColumnRenamed("doc", id_col), id_col, "left"

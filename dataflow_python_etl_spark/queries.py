@@ -2328,6 +2328,56 @@ def q65_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q66_span_dedup_keep_first",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS gh
+        FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i)
+        WHERE len(toks) >= 8
+    ),
+    dup AS (
+        SELECT gh, min(doc_id) AS keeper
+        FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    st AS (
+        SELECT g.doc_id, list(DISTINCT g.i) AS starts
+        FROM g JOIN dup USING (gh) WHERE g.doc_id != dup.keeper
+        GROUP BY g.doc_id
+    ),
+    j AS (
+        SELECT t.doc_id, t.toks, coalesce(s.starts, []) AS starts
+        FROM tok t LEFT JOIN st s USING (doc_id)
+    ),
+    k AS (
+        SELECT doc_id, toks,
+               list_filter(range(1, len(toks) + 1),
+                   j -> len(list_filter(starts, q -> q <= j AND q > j - 8)) = 0
+               ) AS kept
+        FROM j
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_transform(kept, j -> toks[j]), ' '), '')
+               AS cleaned,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM k
+    """,
+    "Span dedup under the KEEP-FIRST policy "
+    "(operators.dedup.dedup_spans(policy='keep_first')): each "
+    "duplicated >=8-token run survives intact in the lowest-id "
+    "document carrying it and is cut everywhere else — the Lee et al. "
+    "alternative to q64's remove-all-copies, cleaned text itself "
+    "hash-verified",
+)
+def q66_span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_spans(
+        _t(spark, sf_dir, "documents"), n=8, policy="keep_first"
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

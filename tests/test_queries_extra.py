@@ -264,3 +264,30 @@ def test_span_dedup_planted(spark):
     )
     rows2 = {r["doc_id"]: r["n_tokens_removed"] for r in dedup_spans(docs2, n=8).collect()}
     assert rows2 == {1: 10, 2: 10}
+
+
+def test_span_dedup_keep_first_policy(spark):
+    """keep_first: the lowest-id doc keeps the shared span intact,
+    every other copy is cut; unique text untouched."""
+    from dataflow_python_etl_spark.operators.dedup import dedup_spans
+
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {span} outro"),
+            (2, f"{span} trailing words here"),
+            (3, "totally unrelated unique sentence stands alone fine"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        r["doc_id"]: (r["cleaned"], r["n_tokens_removed"])
+        for r in dedup_spans(docs, n=8, policy="keep_first").collect()
+    }
+    assert rows[1] == (f"intro {span} outro", 0)   # keeper: intact
+    assert rows[2] == ("trailing words here", 8)   # copy: cut
+    assert rows[3][1] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="policy"):
+        dedup_spans(docs, policy="nope").collect()
