@@ -121,6 +121,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 34:  # file header (14) + the BITMAPINFOHEADER
+        # fields read below — a shorter buffer is a truncated header
+        raise ValueError("BMP header truncated")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     header_size = struct.unpack_from("<I", payload, 14)[0]
     if header_size < 40:
@@ -527,6 +530,16 @@ def _jpeg_segments(payload: bytes):
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
+    """See :func:`_decode_jpeg_impl`. This shim only maps low-level
+    parse errors on malformed segment bodies (struct bounds, short
+    indexes) to the module's loud ``ValueError`` contract."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG segment: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     """Baseline sequential JPEG (SOF0/SOF1, 8-bit, huffman) → uint8
     pixels: 1 component → (h, w) gray, 3 components → (h, w, 3) RGB
     (JFIF YCbCr, BT.601 full range). Arbitrary sampling factors
