@@ -48,6 +48,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "image/jpeg"
     if payload[:6] in _GIF_MAGICS:
         return "image/gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
     if payload[:4] == b"fLaC":
@@ -1181,6 +1183,250 @@ def encode_gif(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# TIFF (baseline TIFF 6.0) — uncompressed, PackBits, and LZW strips.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _tiff_unpackbits(data: bytes, expected: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): signed control byte, literal run or
+    repeat run, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # copy n+1 literals
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF PackBits strip truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("TIFF PackBits strip truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError(
+            f"TIFF PackBits strip short: {len(out)} of {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
+def _tiff_lzw(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (§13): MSB-first codes, CLEAR=256, EOI=257,
+    width grows EARLY (at table size 2^k − 1, unlike GIF)."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    pos, total = 0, len(data) * 8
+    pad = data + b"\x00\x00\x00\x00"
+    while pos + width <= total and len(out) < expected:
+        byte, sh = pos >> 3, pos & 7
+        chunk = int.from_bytes(pad[byte : byte + 4], "big")
+        code = (chunk >> (32 - sh - width)) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW stream starts with a composite code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    if len(out) < expected:
+        raise ValueError(
+            f"TIFF LZW strip short: {len(out)} of {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF 6.0 → uint8 pixels: gray → (h, w) (WhiteIsZero
+    inverted per spec), RGB → (h, w, 3|4 with extra samples kept),
+    palette expands through the 16-bit ColorMap. Strip-organized,
+    chunky planar config, 8-bit samples; compression none (1),
+    LZW (5, with the spec's early-change width growth), or
+    PackBits (32773). Tiled layout, planar=2, 16-bit samples, and
+    other compressions raise ``NotImplementedError``; corrupt or
+    truncated payloads raise ``ValueError``.
+    """
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF payload (bad magic)")
+    try:
+        n_entries = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+        tags: dict[int, list[int]] = {}
+        for k in range(n_entries):
+            tag, typ, count = struct.unpack_from(
+                bo + "HHI", payload, ifd_off + 2 + 12 * k
+            )
+            if typ not in _TIFF_TYPE_SIZES:
+                continue
+            size = _TIFF_TYPE_SIZES[typ] * count
+            voff = ifd_off + 2 + 12 * k + 8
+            if size > 4:
+                voff = struct.unpack_from(bo + "I", payload, voff)[0]
+            if voff + size > len(payload):
+                raise ValueError(f"TIFF tag {tag} value out of bounds")
+            fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+            if fmt is None:
+                continue  # rationals etc. — not needed
+            tags[tag] = list(
+                struct.unpack_from(bo + fmt * count, payload, voff)
+            )
+    except struct.error as e:
+        raise ValueError(f"TIFF IFD truncated: {e}") from e
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if w == 0 or h == 0:
+        raise ValueError(f"TIFF has empty dimensions {w}x{h}")
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit TIFF samples (got {bits})")
+    compression = one(259, 1)
+    photometric = one(262)
+    planar = one(284, 1)
+    if planar != 1:
+        raise NotImplementedError("planar (non-chunky) TIFF is not supported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF layout is not supported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+
+    decomp = {
+        1: lambda d, n: (d + b"\x00" * n)[:n] if len(d) < n else d[:n],
+        5: _tiff_lzw,
+        32773: _tiff_unpackbits,
+    }.get(compression)
+    if decomp is None:
+        raise NotImplementedError(f"TIFF compression {compression} unsupported")
+
+    raster = bytearray()
+    rows_left = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip out of bounds")
+        rows = min(rows_per_strip, rows_left)
+        need = rows * w * spp
+        strip = payload[off : off + cnt]
+        if compression == 1 and len(strip) < need:
+            raise ValueError("TIFF uncompressed strip truncated")
+        raster += decomp(strip, need)
+        rows_left -= rows
+    if rows_left > 0:
+        raise ValueError(f"TIFF strips cover {h - rows_left} of {h} rows")
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8, count=h * w * spp)
+    arr = arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
+    if photometric == 0:  # WhiteIsZero
+        return (255 - arr) if spp == 1 else 255 - arr
+    if photometric == 1:
+        return arr
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with fewer than 3 samples")
+        return arr
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF missing or malformed ColorMap")
+        pal = (np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8).astype(
+            np.uint8
+        )
+        return pal[arr.reshape(h, w)]
+    raise NotImplementedError(f"TIFF photometric {photometric} unsupported")
+
+
+def encode_tiff(pixels: np.ndarray, compression: int = 1) -> bytes:
+    """uint8 pixels ((h,w) gray or (h,w,3) RGB) → little-endian
+    baseline TIFF, one strip; ``compression`` 1 (none) or 32773
+    (PackBits, literal-only runs — valid, compression-free). The
+    fixture/sink sibling of :func:`decode_tiff`; the LZW and repeat-
+    run paths are exercised by independent writers in the tests."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        spp, photometric = 1, 1
+    elif px.ndim == 3 and px.shape[2] == 3:
+        spp, photometric = 3, 2
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {px.shape}")
+    h, w = px.shape[:2]
+    raw = px.tobytes()
+    if compression == 32773:  # literal PackBits runs of ≤128
+        out = bytearray()
+        for i in range(0, len(raw), 128):
+            block = raw[i : i + 128]
+            out += bytes([len(block) - 1]) + block
+        strip = bytes(out)
+    elif compression == 1:
+        strip = raw
+    else:
+        raise ValueError("encoder supports compression 1 or 32773 only")
+
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, compression),
+        (262, 3, 1, photometric), (273, 4, 1, 0), (277, 3, 1, spp),
+        (278, 4, 1, h), (279, 4, 1, len(strip)),
+        (258, 3, 3, 0) if spp == 3 else (258, 3, 1, 8),
+    ]
+    entries.sort()
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    extra_off = 8 + 2 + 12 * len(entries) + 4
+    extra = b""
+    patched = []
+    for tag, typ, count, val in entries:
+        if tag == 258 and spp == 3:  # 3 shorts do not fit inline
+            patched.append((tag, typ, count, extra_off + len(extra)))
+            extra += struct.pack("<HHH", 8, 8, 8)
+        else:
+            patched.append((tag, typ, count, val))
+    strip_off = extra_off + len(extra)
+    ifd = struct.pack("<H", len(patched))
+    for tag, typ, count, val in patched:
+        ifd += struct.pack(
+            "<HHII", tag, typ, count, strip_off if tag == 273 else val
+        )
+    ifd += struct.pack("<I", 0)
+    return header + ifd + extra + strip
+
+
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """(format_tag, pixel array) for any decodable image container."""
     fmt = sniff_format(payload)
@@ -1194,6 +1440,8 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_jpeg(payload)
     if fmt == "image/gif":
         return fmt, decode_gif(payload)
+    if fmt == "image/tiff":
+        return fmt, decode_tiff(payload)
     raise NotImplementedError(
         "no pure-numpy decoder for this payload (compressed or unknown "
         "container) — plug Pillow/opencv here"

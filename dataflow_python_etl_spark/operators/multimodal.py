@@ -3,13 +3,14 @@ metadata, decoded / feature-extracted via Arrow-batched ``mapInPandas``
 (BASELINE.json north star; SURVEY.md §2.4).
 
 The container has no image/audio libraries, so ``real_decode=True``
-covers exactly the containers decodable with stdlib + numpy — netpbm
-(P5/P6), 24-bit BI_RGB BMP, PCM WAV, and non-interlaced 8-bit PNG
-(zlib DEFLATE + numpy scanline unfiltering) — via
-``operators.codecs``; formats whose entropy coding has no stdlib
-decompressor (JPEG/MP3/...) still raise ``NotImplementedError``
-(guessing at their bitstreams without a codec would be silently
-wrong). The default path remains a
+covers exactly the containers decodable with stdlib + numpy via
+``operators.codecs`` — netpbm (P5/P6), 24-bit BI_RGB BMP, 8/16-bit
+PNG (incl. Adam7), baseline sequential JPEG, GIF (incl. animated
+frames), baseline TIFF, PCM WAV, and FLAC; what remains
+(progressive JPEG, MP3/AAC, video containers) raises
+``NotImplementedError`` at the Pillow/ffmpeg integration point
+(guessing at those bitstreams would be silently wrong). The default
+path remains a
 deterministic fake so oracle comparisons over arbitrary payloads stay
 stable. The schema contract, Arrow batch shape, and
 partition-parallel ``mapInPandas`` plumbing are identical on both
@@ -42,8 +43,9 @@ def decode_image_meta(payload: bytes, real_decode: bool = False) -> dict:
     """Decode one image payload to metadata.
 
     ``real_decode=True`` REALLY decodes supported containers
-    (P5/P6 netpbm, 24-bit BMP, non-interlaced 8-bit PNG, baseline
-    sequential JPEG — stdlib + numpy, see ``operators.codecs``) and
+    (P5/P6 netpbm, 24-bit BMP, 8/16-bit PNG incl. Adam7, baseline
+    sequential JPEG, GIF, baseline TIFF — stdlib + numpy, see
+    ``operators.codecs``) and
     raises ``NotImplementedError`` for the rest (progressive JPEG,
     video — the Pillow/opencv integration point).
     """

@@ -13,7 +13,7 @@ from dataflow_python_etl_spark.operators import codecs
 
 MAGICS = [
     b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a",
-    b"BM", b"P6", b"P5", b"fLaC", b"RIFF", b"RIFFxxxxWAVE",
+    b"BM", b"P6", b"P5", b"fLaC", b"RIFF", b"RIFFxxxxWAVE", b"II*\x00", b"MM\x00*",
 ]
 
 
@@ -51,6 +51,8 @@ def test_truncations_of_valid_payloads_are_loud():
         ("jpeg", codecs.encode_jpeg(img), codecs.decode_jpeg),
         ("gif", codecs.encode_gif(img), codecs.decode_gif),
         ("ppm", codecs.encode_ppm(img), codecs.decode_pnm),
+        ("tiff", codecs.encode_tiff(img), codecs.decode_tiff),
+        ("tiff-pb", codecs.encode_tiff(img, compression=32773), codecs.decode_tiff),
         ("flac", codecs.encode_flac(sig), codecs.decode_flac),
         ("wav", codecs.encode_wav(sig.astype("<i2")), codecs.decode_wav),
     ]
