@@ -244,6 +244,35 @@ def symbol_word_ratio(col: Column | str) -> Column:
     return F.round(F.when(n_tok > 0, n_sym / n_tok).otherwise(F.lit(0.0)), 6)
 
 
+def alpha_word_fraction(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one ASCII letter — the
+    Gopher "80% of words must contain an alphabetic character" rule
+    (filters number/markup soup that token counts alone miss)."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def bullet_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines starting with a bullet mark — a
+    Gopher rule (≤90% bullet lines): list-only pages are navigation,
+    not prose."""
+    lines = _lines(col)
+    n = F.size(lines)
+    hits = F.size(F.filter(lines, lambda x: F.trim(x).rlike("^[-*•>]")))
+    return F.round(F.when(n > 0, hits / n).otherwise(F.lit(0.0)), 6)
+
+
+def stopword_kinds(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """How many DISTINCT stopwords from the list appear — the Gopher
+    "contains at least two stop words" rule. Counting kinds (not hits)
+    means a page spamming one function word doesn't pass. Iterates the
+    constant list, not the document: O(|list|) array probes per row."""
+    toks = tokens(col)
+    probe = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(probe, lambda s: F.array_contains(toks, s))).cast("long")
+
+
 def url_domain(col: Column | str) -> Column:
     """Registrable host of a URL (lowercased, port stripped) via the
     JVM ``parse_url`` — for per-domain quotas, blocklists, and

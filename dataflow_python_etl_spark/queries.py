@@ -2378,6 +2378,73 @@ def q66_span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q67_gopher_rules",
+    f"""
+    WITH x AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(text, '\\s+') AS toks,
+               list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
+               length(text) AS nch,
+               length(text) - length(regexp_replace(text, '[#…•*>|]', '', 'g')) AS nsym
+        FROM documents
+    ), y AS (
+        SELECT doc_id,
+               len(toks) AS ntok,
+               list_sum(list_transform(toks, t -> length(t))) * 1.0
+                   / greatest(len(toks), 1) AS mwl,
+               round(CASE WHEN len(toks) > 0
+                     THEN nsym * 1.0 / len(toks) ELSE 0.0 END, 6) AS sym,
+               round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                   * 1.0 / greatest(len(toks), 1), 6) AS alpha,
+               len(list_filter({_STOPWORD_SQL_LIST},
+                   s -> list_contains(toks, s))) AS kinds,
+               round(CASE WHEN len(lines) > 0
+                     THEN len(list_filter(lines,
+                              l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                          * 1.0 / len(lines) ELSE 0.0 END, 6) AS ell,
+               round(CASE WHEN len(lines) > 0
+                     THEN len(list_filter(lines,
+                              l -> regexp_matches(trim(l), '^[-*•>]')))
+                          * 1.0 / len(lines) ELSE 0.0 END, 6) AS bullet,
+               round(CASE WHEN len(lines) > 0
+                     THEN (len(lines) - len(list_distinct(lines)))
+                          * 1.0 / len(lines) ELSE 0.0 END, 6) AS dup
+        FROM x
+    )
+    SELECT doc_id,
+           CAST(ntok AS BIGINT) AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           sym AS symbol_ratio,
+           alpha AS alpha_fraction,
+           CAST(kinds AS BIGINT) AS n_stop_kinds,
+           (ntok >= 50 AND ntok <= 100000) AS rule_word_count,
+           (mwl >= 3.0 AND mwl <= 10.0) AS rule_mean_word_len,
+           (sym <= 0.1) AS rule_symbol_ratio,
+           (alpha >= 0.8) AS rule_alpha_words,
+           (kinds >= 2) AS rule_stop_words,
+           (ell <= 0.3) AS rule_ellipsis_lines,
+           (bullet <= 0.9) AS rule_bullet_lines,
+           (dup <= 0.3) AS rule_dup_lines,
+           ((ntok >= 50 AND ntok <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND sym <= 0.1 AND alpha >= 0.8 AND kinds >= 2
+            AND ell <= 0.3 AND bullet <= 0.9 AND dup <= 0.3) AS passes
+    FROM y
+    """,
+    "Gopher rule-based quality filter (Rae et al. 2021 A1; "
+    "operators.corpus.gopher_flags): word-count bounds, mean-word-"
+    "length bounds, symbol ratio, alphabetic-word fraction, distinct-"
+    "stopword floor, and the line-shape rules (ellipsis/bullet/"
+    "duplicate lines) — each rule its own boolean column plus the "
+    "conjunction, one zero-exchange JVM projection over a single "
+    "tokenization, every metric and verdict hash-verified",
+)
+def q67_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import gopher_flags
+
+    return gopher_flags(_t(spark, sf_dir, "documents"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:
