@@ -2445,6 +2445,55 @@ def q67_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags(_t(spark, sf_dir, "documents"))
 
 
+def _lang_sql_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang]) + "]"
+
+
+@_q(
+    "q68_langid_multilang",
+    f"""
+    WITH x AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+        FROM documents
+    ), y AS (
+        SELECT doc_id,
+               round(len(list_filter(toks, t -> list_contains({_lang_sql_list('en')}, t)))
+                   * 1.0 / greatest(len(toks), 1), 6) AS en_score,
+               round(len(list_filter(toks, t -> list_contains({_lang_sql_list('es')}, t)))
+                   * 1.0 / greatest(len(toks), 1), 6) AS es_score,
+               round(len(list_filter(toks, t -> list_contains({_lang_sql_list('fr')}, t)))
+                   * 1.0 / greatest(len(toks), 1), 6) AS fr_score,
+               round(len(list_filter(toks, t -> list_contains({_lang_sql_list('de')}, t)))
+                   * 1.0 / greatest(len(toks), 1), 6) AS de_score
+        FROM x
+    )
+    SELECT doc_id, en_score, es_score, fr_score, de_score,
+           CASE WHEN greatest(en_score, es_score, fr_score, de_score) = 0.0 THEN 'und'
+                WHEN en_score = greatest(en_score, es_score, fr_score, de_score) THEN 'en'
+                WHEN es_score = greatest(en_score, es_score, fr_score, de_score) THEN 'es'
+                WHEN fr_score = greatest(en_score, es_score, fr_score, de_score) THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM y
+    """,
+    "Multilingual heuristic language-ID "
+    "(functions.text.langid_scores): per-language function-word hit "
+    "ratios (en/es/fr/de) with an argmax prediction over the ROUNDED "
+    "scores (profile-order tie-break, 'und' when all zero) — one "
+    "zero-exchange projection over a single tokenization, every score "
+    "and the prediction hash-verified",
+)
+def q68_langid_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = TX.langid_scores("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        s["en"].alias("en_score"),
+        s["es"].alias("es_score"),
+        s["fr"].alias("fr_score"),
+        s["de"].alias("de_score"),
+        s["pred"].alias("pred_lang"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:
