@@ -67,3 +67,71 @@ def profile_table(df: DataFrame, rsd: float = 0.02) -> DataFrame:
         "column: string, dtype: string, n_rows: long, n_nulls: long, "
         "null_frac: double, n_distinct_approx: long, min: string, max: string",
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Corpus-level collocation mining: the ``top_k`` adjacent-token
+    bigrams ranked by PMI lift — the association-strength profile a
+    corpus report leads with (which word pairs travel together vs.
+    their independent rates; boilerplate phrases and domain terms
+    surface here first).
+
+    ``lift = (c_xy / N) / ((c_x / M) * (c_y / M))`` where N is the
+    corpus bigram total and M the token total — exactly ``2^PMI``, so
+    the ranking is the PMI ranking. The log is deliberately NOT
+    applied: lift is a chain of IEEE multiply/divide ops evaluated in
+    a fixed textual order, bit-identical across engines, while libm
+    ``log`` is not correctly-rounded and could flip a 6-decimal
+    rounding on the hash path.
+
+    Plan: two map-side-combined aggregations (bigram counts sharded on
+    the pair, unigram counts on the word), two joins of the pair table
+    against the vocabulary table (unhinted — web-scale vocabularies
+    are NOT broadcastable; AQE broadcasts when actually small), and
+    1-row total frames crossed in (a broadcast of one row each).
+    Ordering is by the ROUNDED lift with a (w1, w2) tie-break — the
+    repo's ranking invariant, so LIMIT is deterministic cross-engine.
+    """
+    from dataflow_python_etl_spark.functions.text import shingles, tokens
+
+    uni = docs.select(F.explode(tokens(text_col)).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = docs.select(F.explode(shingles(text_col, 2)).alias("sh"))
+    bcnt = (
+        big.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+        .select(
+            F.split_part(F.col("sh"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("sh"), F.lit(" "), F.lit(2)).alias("w2"),
+            "pair_count",
+        )
+    )
+    # 1-row totals, crossed in as broadcasts (the q44 pattern:
+    # crossJoin(broadcast(1 row)) is a map-side append of a constant)
+    m_tot = ucnt.agg(F.sum("c").cast("double").alias("m_total"))
+    n_tot = big.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    joined = (
+        bcnt.join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(ucnt.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(m_tot))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    lift = F.round(
+        (F.col("pair_count") * F.lit(1.0) / F.col("n_total"))
+        / (
+            (F.col("c1") * F.lit(1.0) / F.col("m_total"))
+            * (F.col("c2") * F.lit(1.0) / F.col("m_total"))
+        ),
+        6,
+    )
+    return (
+        joined.select("w1", "w2", F.col("pair_count").cast("long").alias("pair_count"), lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -2494,6 +2494,50 @@ def q68_langid_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q69_collocations",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM tok),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    big AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+    ),
+    bcnt AS (
+        SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY w1, w2
+        HAVING count(*) >= 5
+    ),
+    tot AS (
+        SELECT (SELECT sum(c) FROM ucnt) AS m_total,
+               (SELECT count(*) FROM big) AS n_total
+    )
+    SELECT w1, w2, CAST(b.pair_count AS BIGINT) AS pair_count,
+           round((b.pair_count * 1.0 / n_total)
+                 / ((u1.c * 1.0 / m_total) * (u2.c * 1.0 / m_total)), 6) AS lift
+    FROM bcnt b
+    JOIN ucnt u1 ON b.w1 = u1.w
+    JOIN ucnt u2 ON b.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY lift DESC, w1, w2
+    LIMIT 25
+    """,
+    "Corpus collocation mining (operators.profile.collocations): "
+    "top-25 adjacent-token bigrams by PMI lift (= 2^PMI — log-free so "
+    "the score is a fixed-order IEEE multiply/divide chain, "
+    "bit-identical cross-engine). Two map-side-combined aggregations, "
+    "unhinted vocabulary joins (AQE broadcasts when small), 1-row "
+    "totals crossed in as broadcasts; ranked by ROUNDED lift with a "
+    "(w1, w2) tie-break so the LIMIT is deterministic",
+)
+def q69_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.profile import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:
