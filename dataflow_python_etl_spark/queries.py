@@ -2538,6 +2538,53 @@ def q69_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "q70_bm25_search",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+        WHERE w IN ('table', 'vector', 'spark')
+        GROUP BY doc_id, w
+    ),
+    dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    sc AS (
+        SELECT t.doc_id,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * (t.tf * (1.2 + 1))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / avgdl)) AS s
+        FROM tf t
+        JOIN lens l USING (doc_id)
+        JOIN dft USING (w)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    "Okapi BM25 full-text search (operators.search.bm25_search) for "
+    "the query {table, vector, spark}: the corpus explode is filtered "
+    "to query terms BEFORE any shuffle (postings volume, never the "
+    "token stream), document lengths and (N, avgdl) are single "
+    "aggregations crossed in as broadcasts, idf/tf-saturation per the "
+    "published formula with identical literal arithmetic on both "
+    "engines; ranked by ROUNDED score + id tie-break",
+)
+def q70_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.search import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), query_terms=("table", "vector", "spark")
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:
