@@ -1,0 +1,180 @@
+"""Round-5 corpus-analytics additions: Gopher rule filter (q67),
+multilingual language-ID (q68), collocation mining (q69), and BM25
+search (q70) — functional semantics on crafted fixtures plus the
+plan properties that make each safe at 100 TB."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.functions.text import langid_scores
+from dataflow_python_etl_spark.operators.corpus import gopher_flags
+from dataflow_python_etl_spark.operators.profile import collocations
+from dataflow_python_etl_spark.operators.search import bm25_search
+from dataflow_python_etl_spark.plans.checks import count_exchanges, explain_str
+from dataflow_python_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# gopher_flags
+# ---------------------------------------------------------------------------
+
+GOOD = "the cat sat and the dog ran to the park in the morning " * 5  # 65 words
+
+
+def test_gopher_passes_prose(spark):
+    row = gopher_flags(_docs(spark, [(1, GOOD.strip())])).collect()[0]
+    assert row.passes, row.asDict()
+    assert row.n_words == 65
+    assert row.rule_word_count and row.rule_stop_words and row.rule_alpha_words
+
+
+def test_gopher_rejects_short_and_reports_which_rule(spark):
+    row = gopher_flags(_docs(spark, [(1, "too short to pass")])).collect()[0]
+    assert not row.passes
+    assert not row.rule_word_count  # the failing rule is identified
+    assert row.rule_mean_word_len  # others still evaluated
+
+
+def test_gopher_bullet_and_dup_line_rules(spark):
+    bullets = "\n".join(["- item one here"] * 10)
+    row = gopher_flags(
+        _docs(spark, [(1, bullets)]), max_bullet_fraction=0.5
+    ).collect()[0]
+    assert not row.rule_bullet_lines
+    assert not row.rule_dup_lines  # 10 identical lines -> dup fraction 0.9
+
+
+def test_gopher_symbol_and_alpha_rules(spark):
+    soup = " ".join(["### 123 ||| 456"] * 20)
+    row = gopher_flags(_docs(spark, [(1, soup)])).collect()[0]
+    assert not row.rule_symbol_ratio
+    assert not row.rule_alpha_words
+
+
+def test_gopher_zero_exchange_plan(spark):
+    df = QUERIES["q67_gopher_rules"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+    assert "EvalPython" not in explain_str(df)
+
+
+# ---------------------------------------------------------------------------
+# langid_scores
+# ---------------------------------------------------------------------------
+
+def _pred(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(langid_scores("text").alias("s")).collect()[0].s
+
+
+def test_langid_picks_each_language(spark):
+    assert _pred(spark, "el que los se dice cosas").pred == "es"
+    assert _pred(spark, "le et les des choses un une").pred == "fr"
+    assert _pred(spark, "der die und das ist nicht").pred == "de"
+    assert _pred(spark, "the cat of a dog and friends").pred == "en"
+
+
+def test_langid_tie_breaks_by_profile_order(spark):
+    # "la de" hits both the es and fr profiles equally -> es wins
+    # (profile order), never fr
+    s = _pred(spark, "la de word word")
+    assert s.es == s.fr > 0.0
+    assert s.pred == "es"
+
+
+def test_langid_und_when_no_profile_hits(spark):
+    s = _pred(spark, "zxqv wvut kjih")
+    assert s.pred == "und"
+    assert s.en == s.es == s.fr == s.de == 0.0
+
+
+def test_langid_zero_exchange_plan(spark):
+    df = QUERIES["q68_langid_multilang"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+    assert "EvalPython" not in explain_str(df)
+
+
+# ---------------------------------------------------------------------------
+# collocations
+# ---------------------------------------------------------------------------
+
+def test_collocations_lift_value_and_min_count(spark):
+    # corpus: "x y" appears 4 times, "x z" once; 10 tokens, 8 bigrams
+    docs = _docs(spark, [(1, "x y x y x y"), (2, "x y x z")])
+    out = collocations(docs, min_count=2, top_k=10).collect()
+    pairs = {(r.w1, r.w2): r for r in out}
+    assert ("x", "z") not in pairs  # below min_count
+    r = pairs[("x", "y")]
+    assert r.pair_count == 4
+    # lift = (4/8) / ((5/10) * (4/10)) = 2.5 exactly
+    assert r.lift == pytest.approx(2.5, abs=1e-9)
+
+
+def test_collocations_ranked_by_lift_then_pair(spark):
+    docs = _docs(spark, [(1, "a b a b c d c d c d e e")])
+    out = collocations(docs, min_count=2, top_k=5).collect()
+    lifts = [r.lift for r in out]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_collocations_no_python_in_plan(spark):
+    df = QUERIES["q69_collocations"].fn(spark, SF_DIR)
+    assert "EvalPython" not in explain_str(df)
+
+
+# ---------------------------------------------------------------------------
+# bm25_search
+# ---------------------------------------------------------------------------
+
+def test_bm25_rejects_empty_query():
+    with pytest.raises(ValueError):
+        bm25_search(None, query_terms=())
+
+
+def test_bm25_more_matching_terms_rank_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "table scan merge table plan"),
+            (2, "table plan plan plan plan"),
+            (3, "plan plan plan plan plan"),
+        ],
+    )
+    out = bm25_search(docs, query_terms=("table", "merge"), top_k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1  # matches both terms
+    assert 3 not in ids  # matches nothing
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_terms_matched == 2 and by_id[2].n_terms_matched == 1
+    assert by_id[1].bm25 > by_id[2].bm25 > 0
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    docs = _docs(spark, [(1, "q w w"), (2, "w w w")])
+    out = {r.doc_id: r.bm25 for r in bm25_search(docs, ("q",)).collect()}
+    # N=2, df=1, dl=3, avgdl=3, tf=1
+    idf = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1)
+    expect = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / 3))
+    assert out == {1: pytest.approx(round(expect, 6), abs=1e-9)}
+
+
+def test_bm25_absent_term_is_harmless(spark):
+    docs = _docs(spark, [(1, "table scan")])
+    out = bm25_search(docs, query_terms=("table", "zzz_never")).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].n_terms_matched == 1
+
+
+def test_bm25_scan_prunes_to_id_and_text(spark):
+    from dataflow_python_etl_spark.plans.checks import read_schema_columns
+
+    df = QUERIES["q70_bm25_search"].fn(spark, SF_DIR)
+    assert set(read_schema_columns(df)) == {"doc_id", "text"}
+    assert "EvalPython" not in explain_str(df)
