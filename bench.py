@@ -81,6 +81,8 @@ EXTENDED_QUERIES = [
     "q62_semantic_dedup",
     "q63_contamination_check",
     "q64_span_dedup",
+    "q69_collocations",
+    "q70_bm25_search",
 ]
 
 
@@ -136,9 +138,11 @@ def main() -> None:
         # both sides of the ratio must be nonzero: a median that
         # rounds to 0.0 on EITHER scale would make log10 raise and
         # kill the whole report
+        # 2-decimal exponents: the scaling signal is coarse anyway and
+        # every char counts against the driver's 2000-char tail capture
         exponents = {
             name: round(
-                math.log10(results[name] / small[name]) / math.log10(sf / 0.01), 3
+                math.log10(results[name] / small[name]) / math.log10(sf / 0.01), 2
             )
             for name in BENCH_QUERIES
             if small.get(name) and results.get(name)
@@ -146,7 +150,7 @@ def main() -> None:
         small_ext = _run_set(spark, small_dir, unpersist_all, EXTENDED_QUERIES)
         exponents.update({
             name: round(
-                math.log10(extended[name] / small_ext[name]) / math.log10(sf / 0.01), 3
+                math.log10(extended[name] / small_ext[name]) / math.log10(sf / 0.01), 2
             )
             for name in EXTENDED_QUERIES
             if small_ext.get(name) and extended.get(name)

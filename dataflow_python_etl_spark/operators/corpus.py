@@ -430,6 +430,9 @@ def curate_corpus(
     decontaminate_against: DataFrame | None = None,
     decontaminate_min_overlap: int = 1,
     span_dedup_n: int | None = None,
+    boilerplate_min_docs: int | None = None,
+    boilerplate_split: str = "\n",
+    boilerplate_joiner: str = "\n",
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
@@ -440,6 +443,15 @@ def curate_corpus(
        (``functions.text.dedup_lines`` — nav menus, cookie banners)
        INSIDE the same zero-shuffle projection as the scrub, so the
        quality score and every later tier see the cleaned text;
+    1b'. optional corpus-level boilerplate segment removal
+       (``boilerplate_min_docs``): exact non-blank segments (lines by
+       default; ``boilerplate_split``/``boilerplate_joiner`` choose
+       the segmentation) appearing in at least that many DISTINCT
+       documents are cut from every document
+       (``dedup.dedup_boilerplate_segments`` — the CCNet/RefinedWeb
+       line-dedup tier). First cross-doc shuffle when enabled; a doc
+       emptied here is dropped by this tier (same empty-string
+       rationale as the span tier);
     1c. optional cross-document span dedup (``span_dedup_n``): every
        run of ≥ that many tokens appearing in ≥2 documents is cut
        from ALL documents (``dedup.dedup_spans`` — the Lee et al.
@@ -505,6 +517,38 @@ def curate_corpus(
     if lang_col is not None and lang_col != domain_col:
         keep_cols.append(F.col(lang_col))
     scrubbed = docs.select(*keep_cols)
+    if boilerplate_min_docs is not None:
+        # 1b': corpus-level boilerplate segment removal (CCNet /
+        # RefinedWeb line-dedup tier): exact segments appearing in
+        # >= boilerplate_min_docs documents are cut from ALL
+        # documents. Runs before the span tier (segment identity is
+        # one aggregation over segment hashes — cheaper than the
+        # token n-gram explode — so spans see boilerplate-free text)
+        # and before the quality gate for the same reason as spans:
+        # a doc emptied here must be dropped HERE (quality_score('')
+        # is above the default gate).
+        from dataflow_python_etl_spark.operators.dedup import (
+            dedup_boilerplate_segments,
+        )
+
+        bp = (
+            dedup_boilerplate_segments(
+                scrubbed,
+                id_col=id_col,
+                text_col=text_col,
+                min_docs=boilerplate_min_docs,
+                split_pattern=boilerplate_split,
+                joiner=boilerplate_joiner,
+            )
+            .where(F.trim(F.col("cleaned")) != "")
+            .select(id_col, F.col("cleaned"))
+        )
+        passthrough = [c for c in scrubbed.columns if c != text_col]
+        scrubbed = (
+            scrubbed.select(*passthrough)
+            .join(bp, id_col)
+            .withColumnRenamed("cleaned", text_col)
+        )
     if span_dedup_n is not None:
         from dataflow_python_etl_spark.operators.dedup import dedup_spans
 

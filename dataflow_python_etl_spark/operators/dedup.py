@@ -824,3 +824,73 @@ def dedup_spans(
         F.array_join(kept, " ").alias("cleaned"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def dedup_boilerplate_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    split_pattern: str = "\n",
+    joiner: str = "\n",
+    policy: str = "remove_all",
+) -> DataFrame:
+    """Corpus-level boilerplate segment removal — the line-dedup tier
+    of CCNet / RefinedWeb: any exact non-blank segment (line by
+    default) appearing in at least ``min_docs`` DISTINCT documents is
+    boilerplate (cookie banners, nav menus, license headers) and is
+    cut from every document (``policy="remove_all"``) or kept only in
+    the lowest-id document carrying it (``policy="keep_first"`` — all
+    of that document's occurrences survive).
+
+    Complements the family: ``functions.text.dedup_lines`` is
+    WITHIN-document, :func:`dedup_spans` is fixed-length token runs at
+    threshold 2 — this is whole-segment identity with a configurable
+    document-frequency threshold. Blank segments are structure, never
+    counted and never removed. ``split_pattern`` is a Java regex;
+    ``joiner`` must be the literal the pattern matches (the default
+    newline pair round-trips untouched text exactly).
+
+    Returns ``(id, cleaned, n_segments_removed)``.
+
+    Scale shape: segments key by md5 (map-side), ONE map-side-combined
+    aggregation finds cross-doc segments, hits aggregate to a per-doc
+    removal-index set (bounded by each doc's boilerplate hits, not its
+    length), and the removal itself is a JVM higher-order filter after
+    an id-keyed join whose small side scales with the duplication
+    rate (unhinted — AQE broadcasts when small). The corpus text
+    never re-shuffles; nothing is all-pairs.
+    """
+    if policy not in ("remove_all", "keep_first"):
+        raise ValueError(f"policy must be remove_all|keep_first, got {policy!r}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    segs = F.split(F.col(text_col), split_pattern)
+    ex = (
+        df.select(F.col(id_col).alias("doc"), F.posexplode(segs).alias("pos0", "seg"))
+        .where(F.trim(F.col("seg")) != "")
+        .select("doc", (F.col("pos0") + 1).alias("i"), F.md5(F.col("seg")).alias("sh"))
+    )
+    dup = (
+        ex.groupBy("sh")
+        .agg(F.count_distinct("doc").alias("ndocs"), F.min("doc").alias("keeper"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("sh", "keeper")
+    )
+    if policy == "keep_first":
+        hit = ex.join(dup, "sh").where(F.col("doc") != F.col("keeper"))
+    else:
+        hit = ex.join(dup.select("sh"), "sh", "left_semi")
+    rm = hit.groupBy("doc").agg(F.sort_array(F.collect_set("i")).alias("rm"))
+    base = df.select(F.col(id_col), segs.alias("__segs")).join(
+        rm.withColumnRenamed("doc", id_col), id_col, "left"
+    )
+    rmc = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__segs"), lambda s, j: ~F.exists(rmc, lambda q: q == j + 1)
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, joiner).alias("cleaned"),
+        (F.size("__segs") - F.size(kept)).cast("long").alias("n_segments_removed"),
+    )
