@@ -303,6 +303,59 @@ def stratified_sample(
     return df.where(u < rate)
 
 
+def epoch_upsample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    seed: str = "epoch-v1",
+) -> DataFrame:
+    """Deterministic epoch-weighted replication — the training-mixture
+    step AFTER rebalancing decides rates: a stratum with weight 2.5
+    contributes every document twice plus a content-addressed 50% of
+    documents a third time ("4 epochs of Wikipedia, 0.3 epochs of
+    crawl" mixes are how LLM training runs weight their sources;
+    weights < 1 degenerate to :func:`stratified_sample`).
+
+    Each output row carries an ``epoch`` column (0-based replica
+    index) so downstream shuffling/packing can keep replicas apart.
+    The fractional replica is selected by the portable 60-bit md5 of
+    ``(seed, key)`` — the same content-addressed family as
+    :func:`stratified_sample`, so membership is identical across
+    engines, runs, and partitionings, and a document's replica count
+    never changes when other documents are added.
+
+    Zero-shuffle map + explode fan-out: output volume is the weighted
+    sum of stratum sizes — exactly what the mixture asked for — and
+    no RNG state, no driver participation, safe at 100 TB.
+    """
+    for k, w in weights.items():
+        if w < 0.0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {w}")
+    if default_weight < 0.0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    u = md5_hash60(
+        F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))
+    ) / F.lit(float(1 << 60))
+    w = None
+    for name, r in weights.items():
+        branch = F.when(F.col(strata_col) == name, F.lit(float(r)))
+        w = branch if w is None else w.when(F.col(strata_col) == name, F.lit(float(r)))
+    w = F.lit(float(default_weight)) if w is None else w.otherwise(F.lit(float(default_weight)))
+    n = (F.floor(w) + F.when(u < w - F.floor(w), F.lit(1)).otherwise(F.lit(0))).cast(
+        "int"
+    )
+    # sequence(0, stop) DESCENDS for stop < 0 (the lm.py pitfall):
+    # guard n >= 1 and let explode drop the empty arrays
+    replicas = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(replicas))
+
+
 def semantic_dedup(
     docs: DataFrame,
     embeddings: DataFrame,

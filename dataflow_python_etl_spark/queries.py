@@ -2585,6 +2585,47 @@ def q70_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_U = "(" + _md5h60_sql("'epoch-v1:' || doc_id::VARCHAR") + ") / 1152921504606846976.0"
+
+
+@_q(
+    "q71_epoch_upsample",
+    f"""
+    WITH x AS (
+        SELECT doc_id, lang,
+               ({_EPOCH_U}) AS u,
+               CASE lang WHEN 'en' THEN 1.5 WHEN 'zh' THEN 2.25
+                         ELSE 0.5 END AS w
+        FROM documents
+    ), y AS (
+        SELECT doc_id, lang,
+               CAST(floor(w) AS INT)
+                 + (CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END) AS n
+        FROM x
+    )
+    SELECT doc_id, lang, CAST(e AS INT) AS epoch
+    FROM y, LATERAL (SELECT unnest(range(0, n)) AS e)
+    """,
+    "Deterministic epoch-weighted training-mixture replication "
+    "(operators.corpus.epoch_upsample): 1.5 epochs of 'en', 2.25 of "
+    "'zh', 0.5 elsewhere — integer replicas for every document plus a "
+    "content-addressed (portable md5) fraction for one more, each row "
+    "tagged with its 0-based epoch index. Zero-shuffle map + explode "
+    "fan-out, no RNG state, membership identical across engines/runs/"
+    "partitionings; replica counts hash-verified",
+)
+def q71_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import epoch_upsample
+
+    return epoch_upsample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        strata_col="lang",
+        weights={"en": 1.5, "zh": 2.25},
+        key_col="doc_id",
+        default_weight=0.5,
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

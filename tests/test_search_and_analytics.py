@@ -178,3 +178,54 @@ def test_bm25_scan_prunes_to_id_and_text(spark):
     df = QUERIES["q70_bm25_search"].fn(spark, SF_DIR)
     assert set(read_schema_columns(df)) == {"doc_id", "text"}
     assert "EvalPython" not in explain_str(df)
+
+
+# ---------------------------------------------------------------------------
+# epoch_upsample (q71)
+# ---------------------------------------------------------------------------
+
+def test_epoch_upsample_replica_counts_and_indices(spark):
+    from dataflow_python_etl_spark.operators.corpus import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "wiki") for i in range(40)] + [(100 + i, "crawl") for i in range(40)],
+        "doc_id long, src string",
+    )
+    out = epoch_upsample(df, "src", {"wiki": 2.5, "crawl": 0.0}, "doc_id").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r.epoch)
+    # crawl (weight 0) vanishes entirely
+    assert all(i < 100 for i in by_id)
+    # every wiki doc appears 2 or 3 times with dense 0-based epochs
+    counts = {len(v) for v in by_id.values()}
+    assert counts == {2, 3}
+    assert all(sorted(v) == list(range(len(v))) for v in by_id.values())
+    # fractional selection is ~50% and content-addressed: exact same
+    # membership on a second invocation
+    n3 = sum(1 for v in by_id.values() if len(v) == 3)
+    assert 10 <= n3 <= 30
+    again = epoch_upsample(df, "src", {"wiki": 2.5, "crawl": 0.0}, "doc_id").collect()
+    assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.epoch) for r in out
+    )
+
+
+def test_epoch_upsample_default_weight_and_validation(spark):
+    from dataflow_python_etl_spark.operators.corpus import epoch_upsample
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, src string")
+    # default weight 1.0: exactly one replica, epoch 0
+    assert [(r.doc_id, r.epoch) for r in epoch_upsample(df, "src", {}, "doc_id").collect()] == [(1, 0)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="weight"):
+        epoch_upsample(df, "src", {"x": -1.0}, "doc_id")
+    with _pt.raises(ValueError, match="default_weight"):
+        epoch_upsample(df, "src", {}, "doc_id", default_weight=-0.1)
+
+
+def test_epoch_upsample_zero_exchange_plan(spark):
+    df = QUERIES["q71_epoch_upsample"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+    assert "EvalPython" not in explain_str(df)
