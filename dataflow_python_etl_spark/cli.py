@@ -302,6 +302,78 @@ def run_dedup(args) -> None:
     print(f"{args.table}: {n} near-dup pairs (threshold {args.threshold}) -> {args.output}")
 
 
+def run_quality(args) -> None:
+    """Gopher rule-based quality report over a documents table:
+    per-rule reject counts (the monitoring view a curation pipeline
+    watches) and optionally the full per-document flags table."""
+    from dataflow_python_etl_spark.operators.corpus import gopher_flags
+
+    spark = get_spark("quality")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+    flags = gopher_flags(docs, min_words=args.min_words)
+    rules = [c for c in flags.columns if c.startswith("rule_")] + ["passes"]
+    # ONE aggregation job: per-rule pass counts + total (report-sized
+    # collect — |rules|+1 numbers, never rows)
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[F.sum(F.col(r).cast("long")).alias(r) for r in rules],
+    ).collect()[0]
+    for r in rules:
+        print(f"{r}: {counts['total'] - counts[r]} rejected")
+    print(f"passes: {counts['passes']}/{counts['total']}")
+    if args.output:
+        from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+        write_and_swap(flags, _table_path(args.warehouse, args.output))
+
+
+def run_search(args) -> None:
+    """BM25 keyword search over a documents table — top-k ids and
+    scores (top-k-bounded collect, never corpus-sized)."""
+    from dataflow_python_etl_spark.operators.search import bm25_search
+
+    spark = get_spark("search")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+    terms = tuple(t for t in args.terms.split(",") if t)
+    for r in bm25_search(docs, terms, top_k=args.top_k).collect():
+        print(f"{r[0]}\t{r['bm25']:.6f}\t{r['n_terms_matched']} terms")
+
+
+def run_mix(args) -> None:
+    """Epoch-weighted training-mixture replication: write the
+    upsampled table and report per-stratum replica counts."""
+    from dataflow_python_etl_spark.operators.corpus import epoch_upsample
+
+    spark = get_spark("mix")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+    weights = {}
+    for part in args.weights.split(","):
+        k, _, v = part.partition("=")
+        if not _:
+            raise SystemExit(f"mix: --weights entries must be name=float, got {part!r}")
+        weights[k] = float(v)
+    out = epoch_upsample(
+        docs,
+        strata_col=args.strata_col,
+        weights=weights,
+        key_col=args.key_col,
+        default_weight=args.default_weight,
+    )
+    dest = _table_path(args.warehouse, args.output)
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    write_and_swap(out, dest)
+    # report-sized: one row per stratum
+    for r in (
+        spark.read.parquet(dest)
+        .groupBy(args.strata_col)
+        .agg(F.count(F.lit(1)).alias("rows"), F.max("epoch").alias("max_epoch"))
+        .orderBy(args.strata_col)
+        .collect()
+    ):
+        print(f"{r[0]}: {r['rows']} rows, max epoch {r['max_epoch']}")
+
+
 def run_bpe(args) -> None:
     """Learn BPE merges from a documents table and write the encoded
     corpus (bpe_tokens / n_bpe_tokens) plus a merges table."""
@@ -571,6 +643,30 @@ def main(argv: list[str] | None = None) -> None:
         "bounded only by |distinct words| — unsafe on web-scale corpora)",
     )
     pb.set_defaults(fn=run_bpe)
+
+    pq2 = sub.add_parser("quality", help="Gopher rule-based quality report")
+    pq2.add_argument("--warehouse", required=True)
+    pq2.add_argument("--table", required=True)
+    pq2.add_argument("--output", default=None, help="optionally write the flags table")
+    pq2.add_argument("--min-words", type=int, default=50)
+    pq2.set_defaults(fn=run_quality)
+
+    pse = sub.add_parser("search", help="BM25 keyword search over a documents table")
+    pse.add_argument("--warehouse", required=True)
+    pse.add_argument("--table", required=True)
+    pse.add_argument("--terms", required=True, help="comma-separated query terms")
+    pse.add_argument("--top-k", type=int, default=20)
+    pse.set_defaults(fn=run_search)
+
+    pmx = sub.add_parser("mix", help="epoch-weighted training-mixture replication")
+    pmx.add_argument("--warehouse", required=True)
+    pmx.add_argument("--table", required=True)
+    pmx.add_argument("--output", default="mixture")
+    pmx.add_argument("--strata-col", default="lang")
+    pmx.add_argument("--key-col", default="doc_id")
+    pmx.add_argument("--weights", required=True, help="name=float[,name=float...]")
+    pmx.add_argument("--default-weight", type=float, default=1.0)
+    pmx.set_defaults(fn=run_mix)
 
     args = p.parse_args(argv)
     if args.cmd == "sql" and not (args.query or args.file):

@@ -2626,6 +2626,117 @@ def q71_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q72_time_gapfill",
+    """
+    WITH b AS (
+        SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts, value AS v
+        FROM events
+    ),
+    agg AS (
+        SELECT grp, bucket_ts, count(*) AS n_events,
+               round(avg(v), 6) AS avg_value
+        FROM b GROUP BY grp, bucket_ts
+    ),
+    bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b),
+    spine AS (
+        SELECT t.grp, g.bucket_ts
+        FROM (SELECT DISTINCT grp FROM b) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+            FROM bounds
+        ) g
+    ),
+    j AS (
+        SELECT s.grp, s.bucket_ts,
+               coalesce(a.n_events, 0) AS n_events, a.avg_value
+        FROM spine s LEFT JOIN agg a USING (grp, bucket_ts)
+    )
+    SELECT grp AS event_type, bucket_ts,
+           CAST(n_events AS BIGINT) AS n_events, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf,
+           (avg_value IS NULL) AS gap_filled
+    FROM j
+    """,
+    "Hypertable rollup with gap filling (operators.timeseries."
+    "time_bucket_gapfill — the TimescaleDB time_bucket_gapfill/locf "
+    "semantics): dense hourly spine per event type over the global "
+    "span, empty buckets restored with n_events=0 and LOCF of the "
+    "ROUNDED bucket mean (NULL before a series' first observation). "
+    "One map-side-combined rollup shuffle; the spine costs output "
+    "size (1-row bounds broadcast exploded per group), not event "
+    "count; counts, means, carried values, and gap markers all "
+    "hash-verified",
+)
+def q72_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import time_bucket_gapfill
+
+    return time_bucket_gapfill(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "q73_data_quality",
+    """
+    WITH m AS (
+        SELECT
+            round(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1.0 / greatest(count(*), 1), 6) AS m0,
+            round(count(DISTINCT (l_orderkey, l_linenumber))
+                  * 1.0 / greatest(count(*), 1), 6) AS m1,
+            round(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+                  * 1.0 / greatest(count(*), 1), 6) AS m2,
+            round(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.08 THEN 1 ELSE 0 END)
+                  * 1.0 / greatest(count(*), 1), 6) AS m3,
+            round(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+                  * 1.0 / greatest(count(*), 1), 6) AS m4
+        FROM lineitem
+    ), u AS (
+        SELECT 'completeness(l_orderkey)' AS "check", m0 AS observed,
+               CAST(1.0 AS DOUBLE) AS threshold FROM m
+        UNION ALL
+        SELECT 'uniqueness(l_orderkey,l_linenumber)', m1, 1.0 FROM m
+        UNION ALL
+        SELECT 'in_range(l_quantity,1,50)', m2, 1.0 FROM m
+        UNION ALL
+        SELECT 'in_range(l_discount,0.0,0.08)', m3, 0.95 FROM m
+        UNION ALL
+        SELECT 'accepted_values(l_returnflag)', m4, 1.0 FROM m
+    )
+    SELECT "check", observed, threshold, observed >= threshold AS passed FROM u
+    """,
+    "Declarative data-quality expectations "
+    "(operators.expectations.check_expectations, the Deequ-style "
+    "post-load gate): completeness, composite-key uniqueness, value "
+    "ranges, and accepted sets over lineitem — ALL checks in ONE "
+    "map-side-combined aggregation pass (one table scan for the whole "
+    "suite), unpivoted to one row per check by a JVM stack. Exact "
+    "integer-ratio metrics rounded to 6; the l_discount range check "
+    "is calibrated to FAIL so both verdict branches are exercised",
+)
+def q73_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.expectations import (
+        accepted_values,
+        check_expectations,
+        completeness,
+        in_range,
+        uniqueness,
+    )
+
+    return check_expectations(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            completeness("l_orderkey"),
+            uniqueness(["l_orderkey", "l_linenumber"]),
+            in_range("l_quantity", 1, 50),
+            in_range("l_discount", 0.0, 0.08, threshold=0.95),
+            accepted_values("l_returnflag", ("A", "N", "R")),
+        ],
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

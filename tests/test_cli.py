@@ -321,3 +321,48 @@ def test_cli_decontaminate(spark, tmp_path, capsys):
     # disjoint and exhaustive over doc_id
     assert clean.join(flagged, "doc_id", "inner").count() == 0
     assert set(flagged.columns) == {"doc_id", "n_shingles", "n_overlap", "overlap_frac"}
+
+
+def test_quality_search_mix_subcommands(spark, tmp_path, capsys):
+    import os
+
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "lake_qsm")
+    os.makedirs(wh)
+    read_table(spark, "/root/testdata/sf0.001", "documents").write.parquet(
+        os.path.join(wh, "documents")
+    )
+
+    cli.main(["quality", "--warehouse", wh, "--table", "documents",
+              "--output", "flags"])
+    out = capsys.readouterr().out
+    assert "rule_word_count:" in out and "passes:" in out
+    flags = spark.read.parquet(os.path.join(wh, "flags"))
+    assert flags.count() == 500 and "passes" in flags.columns
+
+    cli.main(["search", "--warehouse", wh, "--table", "documents",
+              "--terms", "table,vector,spark", "--top-k", "5"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 5
+    scores = [float(l.split("\t")[1]) for l in lines]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+    cli.main(["mix", "--warehouse", wh, "--table", "documents",
+              "--weights", "en=2.0,zh=0.5", "--default-weight", "1.0"])
+    out = capsys.readouterr().out
+    assert "en:" in out and "max epoch 1" in out
+    mixed = spark.read.parquet(os.path.join(wh, "mixture"))
+    docs = spark.read.parquet(os.path.join(wh, "documents"))
+    n_en_docs = docs.where("lang = 'en'").count()
+    # en weight 2.0: exactly two replicas of every en doc
+    assert mixed.where("lang = 'en'").count() == 2 * n_en_docs
+    # default weight 1.0 strata keep one replica each
+    n_fr = docs.where("lang = 'fr'").count()
+    assert mixed.where("lang = 'fr'").count() == n_fr
+
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="weights"):
+        cli.main(["mix", "--warehouse", wh, "--table", "documents",
+                  "--weights", "en2.0"])
