@@ -1,0 +1,140 @@
+"""Event-stream product analytics: ordered funnels and cohort
+retention — the two queries every event warehouse (Amplitude/GA-style)
+answers first, as declarative DataFrame plans over the ``events``
+table shape (user_id, ts, event_type).
+
+Funnel semantics: a user completes step k when an event of step k's
+type occurs STRICTLY LATER than their step-(k-1) completion time
+(first-occurrence progression — the standard "ordered funnel", so
+``signup → click → purchase`` cannot be satisfied out of order).
+
+The Spark shape is ONE shuffle (collect each user's events) + a JVM
+higher-order fold that walks the time-sorted events advancing a step
+counter — per-user event lists are the unit of work, which is exactly
+how the workload shards at 100 TB. An engine without array folds
+computes the same thing as k chained conditional-min aggregations
+(``t_k = min(ts where type = step_k AND ts > t_{k-1})``) — the DuckDB
+oracle does, and q74 pins the two formulations hash-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps_per_user(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, steps_completed): how far each user progressed through
+    the ordered ``steps``. One shuffle; the fold is O(events·|steps|)
+    per user, all JVM."""
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    evs = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                # event id tie-break would go here; advancing requires
+                # STRICTLY later ts, so same-ts order cannot matter
+                F.col(type_col).alias("t"),
+            ).alias("e"),
+        )
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+
+    def advance(acc, e):
+        # acc: struct(step int, ts timestamp of the completing event)
+        out = None
+        for k, name in enumerate(steps):
+            cond = (acc["step"] == k) & (e["t"] == name)
+            if k > 0:
+                cond = cond & (e["ts"] > acc["ts"])
+            nxt = F.struct(
+                F.lit(k + 1).alias("step"), e["ts"].alias("ts")
+            )
+            out = F.when(cond, nxt) if out is None else out.when(cond, nxt)
+        return out.otherwise(acc)
+
+    init = F.struct(
+        F.lit(0).alias("step"), F.lit(None).cast("timestamp").alias("ts")
+    )
+    walked = F.aggregate(F.col("evs"), init, advance)
+    return evs.select("user", walked["step"].alias("steps_completed"))
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step, step_name, users): users reaching AT LEAST each step —
+    the funnel chart. Every step appears even when zero users survive
+    to it (a |steps|-row broadcast spine crossed against the per-user
+    frame, so no step vanishes from the report)."""
+    per_user = funnel_steps_per_user(events, steps, user_col, ts_col, type_col)
+    spark = events.sparkSession
+    spine = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    return (
+        per_user.crossJoin(F.broadcast(spine))
+        .groupBy("step", "step_name")
+        .agg(
+            F.sum((F.col("steps_completed") >= F.col("step")).cast("long")).alias(
+                "users"
+            )
+        )
+    )
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """(cohort, period_offset, users): classic cohort retention — each
+    user joins the cohort of their first-activity period; a cell
+    counts cohort users active again ``offset`` periods later (offset
+    0 is the cohort size). Two map-side-combined aggregations (first
+    activity per user; distinct active periods per user) joined on the
+    user key — the join reuses the same hash partitioning, and offsets
+    are exact integer day arithmetic, so the matrix is bit-identical
+    cross-engine."""
+    if period not in ("week", "day", "month"):
+        raise ValueError(f"period must be week|day|month, got {period}")
+    days = {"week": 7, "day": 1}.get(period)
+    p = F.date_trunc(period, F.col(ts_col))
+    first = (
+        events.select(F.col(user_col).alias("user"), p.alias("pp"))
+        .groupBy("user")
+        .agg(F.min("pp").alias("cohort"))
+    )
+    active = events.select(F.col(user_col).alias("user"), p.alias("pp")).distinct()
+    if days is not None:
+        offset = (
+            F.datediff(F.to_date("pp"), F.to_date("cohort")) / days
+        ).cast("int")
+    else:
+        offset = (
+            (F.year("pp") - F.year("cohort")) * 12 + F.month("pp") - F.month("cohort")
+        ).cast("int")
+    return (
+        active.join(first, "user")
+        # DATE-typed cohort: period truncation is day-granular, and
+        # SQL engines disagree on trunc's return type (DuckDB DATE,
+        # Spark TIMESTAMP) — the date cast makes the matrix portable
+        .groupBy(
+            F.to_date("cohort").alias("cohort"), offset.alias("period_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )

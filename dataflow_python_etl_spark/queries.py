@@ -2737,6 +2737,80 @@ def q73_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q74_funnel",
+    """
+    WITH u AS (
+        SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'click' AND e.ts > u.t1
+                   THEN e.ts END) AS t2
+        FROM events e JOIN u ON e.user_id = u.user_id GROUP BY e.user_id
+    ),
+    w AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > v.t2
+                   THEN e.ts END) AS t3
+        FROM events e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id
+    ),
+    pu AS (
+        SELECT u.user_id,
+               CASE WHEN u.t1 IS NULL THEN 0 WHEN v.t2 IS NULL THEN 1
+                    WHEN w.t3 IS NULL THEN 2 ELSE 3 END AS sc
+        FROM u JOIN v ON u.user_id = v.user_id JOIN w ON u.user_id = w.user_id
+    ),
+    spine AS (SELECT unnest([1, 2, 3]) AS step,
+                     unnest(['signup', 'click', 'purchase']) AS step_name)
+    SELECT step, step_name,
+           CAST(sum(CASE WHEN pu.sc >= step THEN 1 ELSE 0 END) AS BIGINT) AS users
+    FROM spine CROSS JOIN pu GROUP BY step, step_name
+    """,
+    "Ordered funnel analysis signup→click→purchase "
+    "(operators.events.funnel_report): each step requires an event "
+    "STRICTLY later than the previous step's completion. Spark walks "
+    "each user's time-sorted events with a JVM higher-order fold (ONE "
+    "shuffle — per-user lists are the sharding unit at 100 TB); the "
+    "oracle computes the same semantics as chained conditional-min "
+    "aggregations — the two formulations pinned hash-equal. Every "
+    "step appears in the report even at zero survivors",
+)
+def q74_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import funnel_report
+
+    return funnel_report(
+        _t(spark, sf_dir, "events"), steps=("signup", "click", "purchase")
+    )
+
+
+@_q(
+    "q75_retention",
+    """
+    WITH p AS (SELECT user_id, date_trunc('week', ts) AS pp FROM events),
+    f AS (SELECT user_id, min(pp) AS cohort FROM p GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, pp FROM p)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort::DATE, a.pp::DATE) // 7 AS INT)
+               AS period_offset,
+           CAST(count(*) AS BIGINT) AS users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort, period_offset
+    """,
+    "Weekly cohort retention matrix (operators.events."
+    "retention_matrix): users cohorted by first-activity week "
+    "(Monday-truncated on both engines), each cell counting cohort "
+    "members active again N weeks later (offset 0 = cohort size). "
+    "Two map-side-combined aggregations joined on the user key; "
+    "offsets are exact integer day arithmetic",
+)
+def q75_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import retention_matrix
+
+    return retention_matrix(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

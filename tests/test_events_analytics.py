@@ -1,0 +1,95 @@
+"""Funnel (q74) and cohort-retention (q75) semantics on crafted
+event streams."""
+
+import datetime as dt
+
+import pytest
+
+from dataflow_python_etl_spark.operators.events import (
+    funnel_report,
+    funnel_steps_per_user,
+    retention_matrix,
+)
+from dataflow_python_etl_spark.plans.checks import explain_str
+from dataflow_python_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+STEPS = ("signup", "click", "purchase")
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_ordered_progression(spark):
+    events = _ev(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, 1, 0, "signup"), (1, 1, 1, "click"), (1, 1, 2, "purchase"),
+            # user 2: purchase BEFORE click -> stops at step 1 then 2
+            (2, 1, 0, "signup"), (2, 1, 1, "purchase"), (2, 1, 2, "click"),
+            # user 3: never signed up -> 0 even with later steps
+            (3, 1, 0, "click"), (3, 1, 1, "purchase"),
+            # user 4: signup only
+            (4, 1, 5, "signup"),
+        ],
+    )
+    got = {
+        r.user: r.steps_completed
+        for r in funnel_steps_per_user(events, STEPS).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1}
+
+
+def test_funnel_requires_strictly_later_events(spark):
+    # click at the SAME timestamp as signup must not advance the funnel
+    events = _ev(spark, [(1, 1, 0, "signup"), (1, 1, 0, "click")])
+    got = funnel_steps_per_user(events, STEPS).collect()[0]
+    assert got.steps_completed == 1
+    # a later signup does not reopen the funnel for the earlier click
+    events2 = _ev(spark, [(1, 1, 5, "signup"), (1, 1, 1, "click")])
+    assert funnel_steps_per_user(events2, STEPS).collect()[0].steps_completed == 1
+
+
+def test_funnel_report_keeps_empty_steps(spark):
+    events = _ev(spark, [(1, 1, 0, "signup"), (2, 1, 0, "signup")])
+    got = {r.step: (r.step_name, r.users) for r in funnel_report(events, STEPS).collect()}
+    assert got == {1: ("signup", 2), 2: ("click", 0), 3: ("purchase", 0)}
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_report(events, ())
+
+
+def test_retention_matrix_cohorts_and_offsets(spark):
+    events = _ev(
+        spark,
+        [
+            # cohort of Mon Jan 1: users 1, 2; user 1 returns weeks 1 and 2
+            (1, 1, 0, "view"), (1, 9, 0, "view"), (1, 16, 0, "view"),
+            (2, 3, 0, "view"),
+            # cohort of Mon Jan 8: user 3, returns week 1
+            (3, 8, 0, "view"), (3, 20, 0, "view"),
+        ],
+    )
+    got = {
+        (r.cohort.isoformat(), r.period_offset): r.users
+        for r in retention_matrix(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+    with pytest.raises(ValueError, match="period"):
+        retention_matrix(events, period="hour")
+
+
+def test_event_analytics_plans_stay_jvm(spark):
+    for q in ("q74_funnel", "q75_retention"):
+        df = QUERIES[q].fn(spark, SF_DIR)
+        assert "EvalPython" not in explain_str(df), q
