@@ -419,6 +419,43 @@ def gopher_flags(
     comparisons run on the exact integer-ratio doubles (bit-identical
     cross-engine); reported metric columns are rounded to 6 places.
     """
+    metrics, rules = _gopher_exprs(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_fraction=min_alpha_fraction,
+        min_stop_kinds=min_stop_kinds,
+        max_ellipsis_fraction=max_ellipsis_fraction,
+        max_bullet_fraction=max_bullet_fraction,
+        max_dup_line_fraction=max_dup_line_fraction,
+    )
+    return docs.select(
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in metrics.items()],
+        *[expr.alias(name) for name, expr in rules.items()],
+        gopher_passes_expr(rules).alias("passes"),
+    )
+
+
+def _gopher_exprs(
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_fraction: float = 0.8,
+    min_stop_kinds: int = 2,
+    max_ellipsis_fraction: float = 0.3,
+    max_bullet_fraction: float = 0.9,
+    max_dup_line_fraction: float = 0.3,
+):
+    """(metrics, rules) expression dicts shared by :func:`gopher_flags`
+    (the report) and ``curate_corpus(gopher_rules=True)`` (the inline
+    gate) — one definition of the rule set, two consumers."""
     from dataflow_python_etl_spark.functions.text import (
         alpha_word_fraction,
         bullet_line_fraction,
@@ -438,6 +475,13 @@ def gopher_flags(
     ell = ellipsis_line_fraction(text_col)
     bullet = bullet_line_fraction(text_col)
     dup = dup_line_fraction(text_col)
+    metrics = {
+        "n_words": n_words,
+        "mean_word_len": F.round(mwl, 6),
+        "symbol_ratio": sym,
+        "alpha_fraction": alpha,
+        "n_stop_kinds": kinds,
+    }
     rules = {
         "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
         "rule_mean_word_len": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
@@ -448,19 +492,19 @@ def gopher_flags(
         "rule_bullet_lines": bullet <= max_bullet_fraction,
         "rule_dup_lines": dup <= max_dup_line_fraction,
     }
+    return metrics, rules
+
+
+def gopher_passes_expr(rules: dict | None = None):
+    """The conjunction of the Gopher rules as one boolean Column (all
+    defaults when ``rules`` is None) — a zero-shuffle filter expression
+    for use inside a larger plan."""
+    if rules is None:
+        _, rules = _gopher_exprs("text")
     passes = None
     for expr in rules.values():
         passes = expr if passes is None else (passes & expr)
-    return docs.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        sym.alias("symbol_ratio"),
-        alpha.alias("alpha_fraction"),
-        kinds.alias("n_stop_kinds"),
-        *[expr.alias(name) for name, expr in rules.items()],
-        passes.alias("passes"),
-    )
+    return passes
 
 
 def curate_corpus(
@@ -486,6 +530,7 @@ def curate_corpus(
     boilerplate_min_docs: int | None = None,
     boilerplate_split: str = "\n",
     boilerplate_joiner: str = "\n",
+    gopher_rules: bool = False,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
@@ -520,7 +565,11 @@ def curate_corpus(
        two near-dup documents DISSIMILAR, so the later doc-level
        Jaccard tier may remove fewer whole documents — boilerplate is
        cut from every copy instead of one copy surviving intact;
-    2. quality gate (composite heuristic ≥ ``min_quality``);
+    2. quality gate (composite heuristic ≥ ``min_quality``; with
+       ``gopher_rules=True`` the hard Gopher rule set
+       (:func:`gopher_flags`, default thresholds) is ANDed into the
+       same zero-shuffle gate projection — soft score for ranking,
+       hard rules for the published floor);
     2a. optional benchmark decontamination (``decontaminate_against``):
        documents sharing ≥ ``decontaminate_min_overlap`` 3-gram
        shingles with the supplied eval/benchmark set are dropped
@@ -621,10 +670,12 @@ def curate_corpus(
     # scrub + regex-heavy quality score) feeds the pair pipeline AND
     # the survivor projection; without the registered persist both
     # branches re-evaluate the full scrub+score over the corpus.
+    gate = F.col("quality") >= min_quality
+    if gopher_rules:
+        _, rules = _gopher_exprs(text_col)
+        gate = gate & gopher_passes_expr(rules)
     gated = register_cache(
-        scrubbed.withColumn("quality", quality_score(text_col)).where(
-            F.col("quality") >= min_quality
-        )
+        scrubbed.withColumn("quality", quality_score(text_col)).where(gate)
     )
     if decontaminate_against is not None:
         from dataflow_python_etl_spark.operators.dedup import contamination_check

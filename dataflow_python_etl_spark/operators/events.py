@@ -96,6 +96,36 @@ def funnel_report(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, transitions): the first-order Markov
+    transition counts of each user's time-ordered event stream — the
+    "paths" view (which step follows which) behind Sankey/flow charts
+    and next-action models.
+
+    One window pass: ``lag`` over (user, ts, id) ordering — the id
+    tie-break makes same-timestamp ordering deterministic cross-engine
+    — then a map-side-combined count aggregation on the (from, to)
+    pair. The window partitions by user, so the shuffle is the same
+    user-keyed exchange every per-user analytic shares; no self-join,
+    no explode."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("transitions")
+    )
+
+
 def retention_matrix(
     events: DataFrame,
     user_col: str = "user_id",

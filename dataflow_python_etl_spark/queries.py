@@ -2811,6 +2811,33 @@ def q75_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_matrix(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q76_event_transitions",
+    """
+    WITH s AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type,
+               event_type AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+    FROM s WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    "First-order event transition matrix "
+    "(operators.events.event_transitions — the Sankey/paths view): "
+    "lag over each user's (ts, event_id)-ordered stream (id tie-break "
+    "for cross-engine same-timestamp determinism), then one map-side-"
+    "combined count on the (from, to) pair; single user-keyed "
+    "exchange, no self-join, no explode",
+)
+def q76_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

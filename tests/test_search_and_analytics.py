@@ -229,3 +229,48 @@ def test_epoch_upsample_zero_exchange_plan(spark):
     df = QUERIES["q71_epoch_upsample"].fn(spark, SF_DIR)
     assert count_exchanges(df) == 0, explain_str(df, "simple")
     assert "EvalPython" not in explain_str(df)
+
+
+# ---------------------------------------------------------------------------
+# curate_corpus(gopher_rules=True) composition
+# ---------------------------------------------------------------------------
+
+def test_curate_corpus_gopher_tier_composition(spark):
+    """gopher_rules=True == standalone gopher_flags passes ANDed into
+    the quality gate, exactly; the tier actually rejects something the
+    soft score alone admits."""
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    from dataflow_python_etl_spark.functions.text import pii_scrub
+    from dataflow_python_etl_spark.operators.corpus import quality_score
+    from dataflow_python_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {r.doc_id for r in curate_corpus(docs, gopher_rules=True).collect()}
+    unpersist_all()
+    plain = {r.doc_id for r in curate_corpus(docs).collect()}
+    unpersist_all()
+
+    # exact manual composition: scrub -> (quality AND gopher) -> pairs
+    scrub = docs.select(F.col("doc_id"), pii_scrub("text").alias("text"))
+    passing = gopher_flags(scrub).where("passes").select("doc_id")
+    base = (
+        scrub.withColumn("quality", quality_score("text"))
+        .where(F.col("quality") >= 0.3)
+        .join(passing, "doc_id", "left_semi")
+    )
+    jp = ngram_jaccard_pairs(base, threshold=0.5, max_shingle_df=64)
+    want = {
+        r.doc_id
+        for r in base.join(
+            jp.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    unpersist_all()
+    assert got, "gopher tier must leave survivors on the fixture corpus"
+    assert got != plain, "the hard rules must change the survivor set"
+    assert got == want
