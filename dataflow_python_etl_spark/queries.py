@@ -2838,6 +2838,117 @@ def q76_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q77_pagerank",
+    """
+    WITH e AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    n AS (SELECT count(*) AS cnt FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / cnt AS rank FROM nodes CROSS JOIN n),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+           FROM e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                  (1 - 0.85) / cnt + 0.85 * coalesce(c1.contrib, 0) AS rank
+           FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.node),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+           FROM e JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                  (1 - 0.85) / cnt + 0.85 * coalesce(c2.contrib, 0) AS rank
+           FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.node),
+    c3 AS (SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+           FROM e JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node,
+                  (1 - 0.85) / cnt + 0.85 * coalesce(c3.contrib, 0) AS rank
+           FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.node)
+    SELECT node, round(rank, 9) AS rank FROM r3
+    """,
+    "PageRank, 3 synchronous iterations over the customer→supplier "
+    "order graph (operators.graph.pagerank — the canonical iterative "
+    "Spark workload beside q48's connected components): per round one "
+    "edges⋈ranks join on the source key + one map-side-combined "
+    "destination sum, rank table never exceeds |V|, dangling mass "
+    "deliberately not redistributed (documented variant). The oracle "
+    "UNROLLS the identical recurrence as chained CTEs with matching "
+    "literal arithmetic — loop and unrolled formulations pinned "
+    "hash-equal",
+)
+def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iterations=3)
+
+
+@_q(
+    "q78_rolling_anomalies",
+    """
+    WITH b AS (
+        SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts,
+               CAST(round(value * 100) AS BIGINT) AS vi
+        FROM events
+    ),
+    agg AS (
+        SELECT grp, bucket_ts, sum(vi) AS sb, sum(vi * vi) AS sq,
+               count(*) AS m
+        FROM b GROUP BY grp, bucket_ts
+    ),
+    st AS (
+        SELECT grp, bucket_ts, sb, m,
+               sum(sb) OVER tw AS s1, sum(sq) OVER tw AS s2,
+               sum(m) OVER tw AS ne, count(sb) OVER tw AS nb
+        FROM agg
+        WINDOW tw AS (PARTITION BY grp ORDER BY bucket_ts
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    x AS (
+        SELECT grp, bucket_ts, nb,
+               ((2 * sb * 10000 + m) // (2 * m)) / 1000000.0 AS avg_value,
+               CASE WHEN ne > 0 THEN
+                   ((2 * s1 * 10000 + ne) // (2 * ne)) / 1000000.0
+               END AS roll_mean,
+               CASE WHEN ne >= 2 THEN
+                   round(sqrt((ne * s2 - s1 * s1)
+                              / (10000.0 * ne * (ne - 1))), 6)
+               END AS roll_std
+        FROM st
+    )
+    SELECT grp AS event_type, bucket_ts, avg_value, roll_mean, roll_std,
+           (nb >= 12 AND roll_std > 0.0
+            AND abs(avg_value - roll_mean) > 3.0 * roll_std) AS is_anomaly
+    FROM x
+    """,
+    "Rolling z-score anomaly detection "
+    "(operators.timeseries.rolling_anomalies): hourly bucket means "
+    "per event type flagged when they deviate >3 sample standard "
+    "deviations from the trailing-24-bucket event distribution "
+    "(window EXCLUDES the current bucket; <12 trailing buckets never "
+    "flags). Deterministic BY CONSTRUCTION: fixed-point values lift "
+    "to exact integers, means are integer half-up divisions to "
+    "micro-units, variance is one division of exact integers, sqrt "
+    "is IEEE-correctly-rounded — bit-identical moments and verdicts "
+    "on every engine (naive round(avg(...),6) measured 17-22/3385 "
+    "cross-engine flips on this data: means of 2-decimal values sit "
+    "exactly on decimal half-boundaries)",
+)
+def q78_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import rolling_anomalies
+
+    return rolling_anomalies(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

@@ -1,0 +1,98 @@
+"""PageRank (q77) and rolling z-score anomalies (q78): hand-computed
+fixtures plus the determinism-by-construction properties."""
+
+import datetime as dt
+
+import pytest
+
+from dataflow_python_etl_spark.operators.graph import pagerank
+from dataflow_python_etl_spark.operators.timeseries import rolling_anomalies
+from dataflow_python_etl_spark.plans.checks import explain_str
+from dataflow_python_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # a->b, a->c, b->c; N=3, r0=1/3
+    # r1(a) = 0.15/3 = 0.05
+    # r1(b) = 0.05 + 0.85*(1/3)/2       = 0.191666667
+    # r1(c) = 0.05 + 0.85*((1/3)/2 + 1/3) = 0.475
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")]), iterations=1
+        ).collect()
+    }
+    assert got["a"] == pytest.approx(0.05, abs=1e-9)
+    assert got["b"] == pytest.approx(0.05 + 0.85 / 6, abs=1e-8)
+    assert got["c"] == pytest.approx(0.475, abs=1e-9)
+
+
+def test_pagerank_sink_accumulates_and_mass_bounded(spark):
+    edges = _edges(spark, [("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert got["z"] == max(got.values())  # everyone points at the sink
+    assert sum(got.values()) <= 1.0 + 1e-9  # dangling mass not re-injected
+    # duplicate edges must not double-count (distinct edge set)
+    dup = _edges(spark, [("a", "z"), ("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")])
+    got2 = {r.node: r.rank for r in pagerank(dup, iterations=5).collect()}
+    assert got2 == got
+
+
+def test_pagerank_validation():
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(None, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(None, damping=1.5)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(g, dt.datetime(2024, 1, 1 + h // 24, h % 24), v) for g, h, v in rows],
+        "event_type string, ts timestamp, value double",
+    )
+
+
+def test_anomaly_spike_flagged_only_with_variance(spark):
+    # 20 buckets alternating 10.0/10.02 (tiny variance), then a spike
+    varied = [("m", h, 10.0 if h % 2 == 0 else 10.02) for h in range(20)]
+    spike = [("m", 20, 100.0)]
+    out = {
+        r.bucket_ts.hour + 24 * (r.bucket_ts.day - 1): r
+        for r in rolling_anomalies(
+            _series(spark, varied + spike), min_history=12
+        ).collect()
+    }
+    assert out[20].is_anomaly
+    assert out[20].avg_value == 100.0
+    # early buckets (< min_history trailing) never flag
+    assert not any(out[h].is_anomaly for h in range(12))
+    # normal buckets inside the band stay quiet
+    assert not any(out[h].is_anomaly for h in range(12, 20))
+
+
+def test_anomaly_zero_variance_history_cannot_flag(spark):
+    flat = [("m", h, 10.0) for h in range(20)] + [("m", 20, 100.0)]
+    out = rolling_anomalies(_series(spark, flat), min_history=12).collect()
+    # constant history has sigma=0: the roll_std > 0 guard keeps the
+    # spike unflagged rather than dividing by zero enthusiasm
+    assert not any(r.is_anomaly for r in out)
+
+
+def test_anomaly_moments_are_exact_micro_units(spark):
+    # bucket mean of [10.01, 10.02] = 10.015 exactly (integer half-up
+    # division to micro-units — no float drift)
+    rows = [("m", 0, 10.01), ("m", 0, 10.02)]
+    r = rolling_anomalies(_series(spark, rows)).collect()[0]
+    assert r.avg_value == 10.015
+
+
+def test_graph_anomaly_plans_stay_jvm(spark):
+    for q in ("q77_pagerank", "q78_rolling_anomalies"):
+        df = QUERIES[q].fn(spark, SF_DIR)
+        assert "EvalPython" not in explain_str(df), q
