@@ -29,12 +29,22 @@ def funnel_steps_per_user(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    conversion_window_days: float | None = None,
 ) -> DataFrame:
     """(user, steps_completed): how far each user progressed through
-    the ordered ``steps``. One shuffle; the fold is O(events·|steps|)
+    the ordered ``steps``. With ``conversion_window_days`` set, every
+    later step must also land within that window of the STEP-1
+    completion (the standard "converted within 7 days" metric) —
+    checked in exact microseconds, so the SQL-oracle comparison is
+    integer arithmetic. One shuffle; the fold is O(events·|steps|)
     per user, all JVM."""
     if len(steps) < 1:
         raise ValueError("steps must be non-empty")
+    window_us = (
+        int(conversion_window_days * 86_400_000_000)
+        if conversion_window_days is not None
+        else None
+    )
     evs = (
         events.select(
             F.col(user_col).alias("user"),
@@ -50,20 +60,30 @@ def funnel_steps_per_user(
     )
 
     def advance(acc, e):
-        # acc: struct(step int, ts timestamp of the completing event)
+        # acc: struct(step, ts of completing event, t0 of step 1)
         out = None
         for k, name in enumerate(steps):
             cond = (acc["step"] == k) & (e["t"] == name)
             if k > 0:
                 cond = cond & (e["ts"] > acc["ts"])
+                if window_us is not None:
+                    cond = cond & (
+                        F.unix_micros(e["ts"]) - F.unix_micros(acc["t0"])
+                        <= window_us
+                    )
+            t0 = e["ts"] if k == 0 else acc["t0"]
             nxt = F.struct(
-                F.lit(k + 1).alias("step"), e["ts"].alias("ts")
+                F.lit(k + 1).alias("step"),
+                e["ts"].alias("ts"),
+                t0.alias("t0"),
             )
             out = F.when(cond, nxt) if out is None else out.when(cond, nxt)
         return out.otherwise(acc)
 
     init = F.struct(
-        F.lit(0).alias("step"), F.lit(None).cast("timestamp").alias("ts")
+        F.lit(0).alias("step"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("t0"),
     )
     walked = F.aggregate(F.col("evs"), init, advance)
     return evs.select("user", walked["step"].alias("steps_completed"))
@@ -75,12 +95,15 @@ def funnel_report(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    conversion_window_days: float | None = None,
 ) -> DataFrame:
     """(step, step_name, users): users reaching AT LEAST each step —
     the funnel chart. Every step appears even when zero users survive
     to it (a |steps|-row broadcast spine crossed against the per-user
     frame, so no step vanishes from the report)."""
-    per_user = funnel_steps_per_user(events, steps, user_col, ts_col, type_col)
+    per_user = funnel_steps_per_user(
+        events, steps, user_col, ts_col, type_col, conversion_window_days
+    )
     spark = events.sparkSession
     spine = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"

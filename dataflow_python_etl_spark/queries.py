@@ -2949,6 +2949,56 @@ def q78_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_anomalies(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q79_funnel_windowed",
+    """
+    WITH u AS (
+        SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'click' AND e.ts > u.t1
+                        AND epoch_us(e.ts) - epoch_us(u.t1) <= 604800000000
+                   THEN e.ts END) AS t2,
+               min(u.t1) AS t1
+        FROM events e JOIN u ON e.user_id = u.user_id GROUP BY e.user_id
+    ),
+    w AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > v.t2
+                        AND epoch_us(e.ts) - epoch_us(v.t1) <= 604800000000
+                   THEN e.ts END) AS t3
+        FROM events e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id
+    ),
+    pu AS (
+        SELECT u.user_id,
+               CASE WHEN u.t1 IS NULL THEN 0 WHEN v.t2 IS NULL THEN 1
+                    WHEN w.t3 IS NULL THEN 2 ELSE 3 END AS sc
+        FROM u JOIN v ON u.user_id = v.user_id JOIN w ON u.user_id = w.user_id
+    ),
+    spine AS (SELECT unnest([1, 2, 3]) AS step,
+                     unnest(['signup', 'click', 'purchase']) AS step_name)
+    SELECT step, step_name,
+           CAST(sum(CASE WHEN pu.sc >= step THEN 1 ELSE 0 END) AS BIGINT) AS users
+    FROM spine CROSS JOIN pu GROUP BY step, step_name
+    """,
+    "Conversion-window funnel (operators.events.funnel_report with "
+    "conversion_window_days=7): each later step must land within 7 "
+    "days of the step-1 completion, checked in exact microseconds so "
+    "both engines compare integers. Same walk-vs-chained-min dual "
+    "derivation as q74, pinned hash-equal",
+)
+def q79_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import funnel_report
+
+    return funnel_report(
+        _t(spark, sf_dir, "events"),
+        steps=("signup", "click", "purchase"),
+        conversion_window_days=7,
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

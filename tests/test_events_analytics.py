@@ -93,3 +93,44 @@ def test_event_analytics_plans_stay_jvm(spark):
     for q in ("q74_funnel", "q75_retention"):
         df = QUERIES[q].fn(spark, SF_DIR)
         assert "EvalPython" not in explain_str(df), q
+
+
+def test_funnel_conversion_window(spark):
+    from dataflow_python_etl_spark.operators.events import funnel_steps_per_user
+
+    # click 2 days after signup: inside a 7-day window, outside 1-day
+    events = _ev(
+        spark,
+        [(1, 1, 0, "signup"), (1, 3, 0, "click"), (1, 4, 0, "purchase")],
+    )
+    assert (
+        funnel_steps_per_user(events, STEPS, conversion_window_days=7)
+        .collect()[0]
+        .steps_completed
+        == 3
+    )
+    assert (
+        funnel_steps_per_user(events, STEPS, conversion_window_days=1)
+        .collect()[0]
+        .steps_completed
+        == 1
+    )
+    # window anchors at step 1: purchase 6 days after signup passes a
+    # 7-day window even though it is 4 days after the click
+    events2 = _ev(
+        spark,
+        [(1, 1, 0, "signup"), (1, 3, 0, "click"), (1, 7, 0, "purchase")],
+    )
+    assert (
+        funnel_steps_per_user(events2, STEPS, conversion_window_days=7)
+        .collect()[0]
+        .steps_completed
+        == 3
+    )
+    # ...but fails a 5-day window (purchase at day 6 > 5)
+    assert (
+        funnel_steps_per_user(events2, STEPS, conversion_window_days=5)
+        .collect()[0]
+        .steps_completed
+        == 2
+    )
