@@ -118,6 +118,19 @@ def main() -> None:
 
     from dataflow_python_etl_spark.operators.dedup import unpersist_all
 
+    # Machine-speed calibration probe: a fixed CPU-bound Spark job
+    # whose cost is data-independent. Absolute query times moved
+    # ~1.25x UNIFORMLY across a session restart with every plan pin
+    # green (machine-state drift, not plan changes) — `calib` gives
+    # round-over-round comparisons a denominator: compare
+    # time/calib, not raw seconds, across sessions.
+    calib_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000).agg(F.sum("id")).collect()
+        calib_times.append(time.perf_counter() - t0)
+    calib = round(sorted(calib_times)[1], 3)
+
     results = _run_set(spark, sf_dir, unpersist_all)
     extended = _run_set(spark, sf_dir, unpersist_all, EXTENDED_QUERIES)
     total = round(sum(results.values()), 3)
@@ -125,6 +138,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "calib": calib,
         "queries": results,
         "extended": extended,
         "sf": sf,

@@ -44,3 +44,27 @@ def test_superlinear_flag_fails():
 def test_improvements_are_notes():
     _, notes = compare(_r({"q": 2.0}), _r({"q": 1.0}), 1.30, 0.15)
     assert any("improved" in n for n in notes)
+
+
+def test_calib_normalization_absorbs_machine_drift():
+    from tools.bench_compare import compare
+
+    old = {"value": 1.0, "calib": 0.1, "queries": {"q": 1.0}}
+    # machine uniformly 2x slower (calib doubled): raw 2x is NOT a regression
+    new = {"value": 2.0, "calib": 0.2, "queries": {"q": 2.0}}
+    regs, notes = compare(old, new, 1.30, 0.15)
+    assert regs == []
+    assert any("machine-normalized" in n for n in notes)
+    # a REAL 2x regression on the slow machine (raw 4x) still flags
+    new_bad = {"value": 4.0, "calib": 0.2, "queries": {"q": 4.0}}
+    regs, _ = compare(old, new_bad, 1.30, 0.15)
+    assert len(regs) == 2  # the query and the total
+
+
+def test_calib_missing_on_either_side_compares_raw():
+    from tools.bench_compare import compare
+
+    old = {"value": 1.0, "queries": {"q": 1.0}}
+    new = {"value": 2.0, "calib": 0.2, "queries": {"q": 2.0}}
+    regs, _ = compare(old, new, 1.30, 0.15)
+    assert len(regs) == 2  # no baseline calib -> raw comparison

@@ -46,6 +46,19 @@ def compare(
 ) -> tuple[list[str], list[str]]:
     """(regressions, notes) — regressions non-empty means FAIL."""
     regressions, notes = [], []
+    # machine-speed normalization: when BOTH reports carry the fixed
+    # calibration probe (bench.py "calib"), compare in calib units —
+    # absolute times moved ~1.25x uniformly across a session restart
+    # with every plan pin green; raw-seconds gates would flag machine
+    # drift as plan regressions
+    oc, nc = old.get("calib"), new.get("calib")
+    norm = 1.0
+    if oc and nc:
+        norm = float(oc) / float(nc)
+        notes.append(
+            f"calib {float(oc):.3f}s -> {float(nc):.3f}s: comparing in "
+            f"machine-normalized units (x{norm:.2f} on new times)"
+        )
     # extended (non-headline) queries are compared the same way but
     # never contribute to the total
     oq = {**old.get("queries", {}), **old.get("extended", {})}
@@ -57,14 +70,14 @@ def compare(
         if name not in nq:
             notes.append(f"retired query {name} (was {oq[name]:.3f}s)")
             continue
-        o, n = float(oq[name]), float(nq[name])
+        o, n = float(oq[name]), float(nq[name]) * norm
         if n > threshold * o and n - o > abs_floor:
             regressions.append(
                 f"{name}: {o:.3f}s -> {n:.3f}s ({n / o:.2f}x, +{n - o:.3f}s)"
             )
         elif o > threshold * n and o - n > abs_floor:
             notes.append(f"{name} improved: {o:.3f}s -> {n:.3f}s ({n / o:.2f}x)")
-    ot, nt = float(old.get("value", 0)), float(new.get("value", 0))
+    ot, nt = float(old.get("value", 0)), float(new.get("value", 0)) * norm
     if ot and nt and nt > threshold * ot and nt - ot > abs_floor:
         regressions.append(f"TOTAL: {ot:.3f}s -> {nt:.3f}s ({nt / ot:.2f}x)")
     elif ot and nt:
