@@ -149,6 +149,49 @@ def event_transitions(
     )
 
 
+def scd2_intervals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history from an event stream:
+    per entity, each CHANGE of the tracked attribute opens a validity
+    interval closed by the next change (``valid_to`` NULL on the
+    current row) — the temporal-table shape every warehouse keeps for
+    point-in-time joins (pair with the as-of join, q35, to query it).
+
+    Consecutive events with the same value collapse into one interval
+    (SCD2 records changes, not observations). Two window passes over
+    the same (entity, ts, id) ordering — one user-keyed shuffle, the
+    change-filter runs between them map-side; the id tie-break makes
+    same-timestamp ordering deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    changes = (
+        events.select(
+            F.col(user_col).alias("entity"),
+            F.col(ts_col).alias("vts"),
+            F.col(id_col).alias("vid"),
+            F.col(attr_col).alias("value"),
+            F.lag(attr_col).over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    )
+    w2 = Window.partitionBy("entity").orderBy(F.col("vts"), F.col("vid"))
+    nxt = F.lead("vts").over(w2)
+    return changes.select(
+        F.col("entity").alias(user_col),
+        "value",
+        F.col("vts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def retention_matrix(
     events: DataFrame,
     user_col: str = "user_id",

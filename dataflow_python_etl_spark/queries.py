@@ -2999,6 +2999,117 @@ def q79_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_PROBES = ("table", "scan", "vector", "spark", "zzz_absent")
+_CMS_CELL = lambda row: (  # noqa: E731 — md5h60('cms-r<row>:' || item) % 1024
+    "(" + _md5h60_sql(f"'cms-r{row}:' || item") + ") % 1024"
+)
+
+
+@_q(
+    "q80_countmin_sketch",
+    f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS item
+        FROM documents
+    ),
+    cells AS (
+        SELECT 0 AS row, ({_CMS_CELL(0)}) AS col FROM toks UNION ALL
+        SELECT 1, ({_CMS_CELL(1)}) FROM toks UNION ALL
+        SELECT 2, ({_CMS_CELL(2)}) FROM toks UNION ALL
+        SELECT 3, ({_CMS_CELL(3)}) FROM toks
+    ),
+    sk AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col),
+    probes AS (SELECT unnest({list(_CMS_PROBES)}) AS item),
+    lk AS (
+        SELECT p.item, r.row,
+               ({_md5h60_sql("'cms-r' || CAST(r.row AS VARCHAR) || ':' || p.item")})
+                   % 1024 AS col
+        FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row) r
+    ),
+    est AS (
+        SELECT lk.item, min(coalesce(sk.cnt, 0)) AS est
+        FROM lk LEFT JOIN sk ON lk.row = sk.row AND lk.col = sk.col
+        GROUP BY lk.item
+    ),
+    exact AS (
+        SELECT item, count(*) AS exact FROM toks
+        WHERE list_contains({list(_CMS_PROBES)}, item) GROUP BY item
+    )
+    SELECT e.item, CAST(e.est AS BIGINT) AS est,
+           CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+           (e.est >= coalesce(x.exact, 0)) AS overcount_ok
+    FROM est e LEFT JOIN exact x ON e.item = x.item
+    """,
+    "Count-Min sketch heavy-hitter estimation "
+    "(operators.sketches.count_min_sketch/cms_estimate, Cormode & "
+    "Muthukrishnan): 4x1024 sketch built with the portable md5 hash "
+    "family so the SKETCH CONTENTS are bit-identical cross-engine, "
+    "not just the estimates; probe tokens (incl. one absent) "
+    "estimated by min-over-rows against exact counts with the "
+    "never-undercount invariant as a verified column. Sketch size is "
+    "d*w regardless of vocabulary — the mergeable shape exact counts "
+    "cannot offer at 100 TB",
+)
+def q80_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    items = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens("text")).alias("item")
+    )
+    sketch = count_min_sketch(items)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "item string")
+    est = cms_estimate(sketch, probes)
+    exact = (
+        items.where(F.col("item").isin(*_CMS_PROBES))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "item", "left").select(
+        "item",
+        F.col("est").cast("long").alias("est"),
+        F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+        (F.col("est") >= F.coalesce(F.col("exact"), F.lit(0))).alias("overcount_ok"),
+    )
+
+
+@_q(
+    "q81_scd2_intervals",
+    """
+    WITH c AS (
+        SELECT user_id, ts, event_id, event_type AS value,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    ch AS (
+        SELECT user_id, ts, event_id, value FROM c
+        WHERE prev IS NULL OR value != prev
+    )
+    SELECT user_id, value, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "SCD Type-2 temporal history from the event stream "
+    "(operators.events.scd2_intervals): each attribute CHANGE opens a "
+    "validity interval closed by the next change (NULL valid_to on "
+    "the current row; consecutive same-value events collapse). Two "
+    "windows over one (entity, ts, id) ordering — one user-keyed "
+    "shuffle, change-filter map-side between them, id tie-break for "
+    "same-timestamp determinism. Pairs with the as-of join (q35) for "
+    "point-in-time lookups",
+)
+def q81_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

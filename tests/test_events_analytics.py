@@ -134,3 +134,31 @@ def test_funnel_conversion_window(spark):
         .steps_completed
         == 2
     )
+
+
+def test_scd2_intervals_collapse_and_close(spark):
+    from dataflow_python_etl_spark.operators.events import scd2_intervals
+
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 10, "free"),
+            (1, dt.datetime(2024, 1, 2), 11, "free"),   # same value: collapses
+            (1, dt.datetime(2024, 1, 3), 12, "pro"),
+            (1, dt.datetime(2024, 1, 5), 13, "free"),   # value can recur
+            (2, dt.datetime(2024, 1, 4), 14, "pro"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    rows = sorted(
+        (r.user_id, r.value, r.valid_from.day,
+         r.valid_to.day if r.valid_to else None, r.is_current)
+        for r in scd2_intervals(events).collect()
+    )
+    assert rows == [
+        (1, "free", 1, 3, False),
+        (1, "free", 5, None, True),
+        (1, "pro", 3, 5, False),
+        (2, "pro", 4, None, True),
+    ]
+    # exactly one open (current) interval per entity
+    assert sum(1 for r in rows if r[4]) == 2
