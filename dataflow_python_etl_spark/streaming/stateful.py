@@ -91,3 +91,93 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: the stateful twin of operators.events.funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("steps_completed", T.IntegerType()),
+    ]
+)
+
+# (step reached, ts of completing event, ts of step-1 completion) in
+# exact microseconds — the same quantities the batch fold carries
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("step", T.IntegerType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("t0_us", T.LongType()),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    conversion_window_days: float | None = None,
+) -> DataFrame:
+    """Per-user ordered-funnel progression maintained across
+    micro-batches — the streaming twin of
+    ``operators.events.funnel_steps_per_user``, emitting each user's
+    updated ``steps_completed`` whenever their batch arrives.
+
+    Parity contract (pinned in tests): the final state equals the
+    batch funnel when each user's events are PROCESSED in event-time
+    order (within a batch rows are sorted; across batches the source
+    must deliver in order — true of replayed history and
+    watermark-ordered feeds). An event arriving with a timestamp
+    before the user's current step anchor cannot retroactively
+    re-anchor the funnel — the standard streaming-funnel limitation;
+    production feeds with real late data re-sort behind a watermark
+    first.
+
+    State is 3 integers per user (no timeout: a funnel must survive
+    idle gaps; cap retention upstream if user cardinality is
+    unbounded).
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    window_us = (
+        int(conversion_window_days * 86_400_000_000)
+        if conversion_window_days is not None
+        else None
+    )
+    step_list = list(steps)
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        step, ts_us, t0_us = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_vals = rows["ts"].astype("int64") // 1000  # ns -> exact µs
+        types = rows["event_type"].tolist()
+        for e_us, e_t in zip(ts_vals.tolist(), types):
+            if step >= len(step_list) or e_t != step_list[step]:
+                continue
+            if step == 0:
+                step, ts_us, t0_us = 1, e_us, e_us
+            elif e_us > ts_us and (
+                window_us is None or e_us - t0_us <= window_us
+            ):
+                step, ts_us = step + 1, e_us
+        state.update((step, ts_us, t0_us))
+        yield pd.DataFrame({"user_id": [key[0]], "steps_completed": [step]})
+
+    return (
+        events.select("user_id", "ts", "event_type", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
