@@ -274,3 +274,59 @@ def test_curate_corpus_gopher_tier_composition(spark):
     assert got, "gopher tier must leave survivors on the fixture corpus"
     assert got != plain, "the hard rules must change the survivor set"
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# nasty-input robustness battery for the round-5 analytics surface
+# ---------------------------------------------------------------------------
+
+NASTY = [
+    "",
+    " ",
+    "\n\n\n",
+    "…•#>|*",
+    "a" * 5000,
+    "tab\tsep\tvals",
+    "héllo wörld naïve café",
+    "你好 世界 你好",
+    "back\\slash 'quo\"tes'",
+    "mixed 123 #tags http://x.y/z",
+]
+
+
+def test_analytics_functions_survive_nasty_inputs(spark):
+    """Every round-5 signal evaluates without error on degenerate and
+    non-ASCII text, and verdict columns are never NULL."""
+    from dataflow_python_etl_spark.operators.corpus import gopher_flags
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NASTY)], "doc_id long, text string"
+    )
+    rows = gopher_flags(docs).collect()
+    assert len(rows) == len(NASTY)
+    assert all(r.passes is not None for r in rows)
+    assert not any(r.passes for r in rows)  # none of these are prose
+
+    s = docs.select(langid_scores("text").alias("s")).collect()
+    assert all(r.s.pred in ("en", "es", "fr", "de", "und") for r in s)
+
+    assert collocations(docs, min_count=2, top_k=5).count() <= 5
+    out = bm25_search(docs, ("mixed", "你好"), top_k=10).collect()
+    assert {r.doc_id for r in out} == {7, 9}  # exact-token semantics
+
+
+def test_boilerplate_handles_unicode_and_crlf_segments(spark):
+    from dataflow_python_etl_spark.operators.dedup import (
+        dedup_boilerplate_segments,
+    )
+
+    shared = "©опечатка — shared bøilerplate 行"
+    docs = spark.createDataFrame(
+        [(1, f"{shared}\nuniq один"), (2, f"uniq 二\n{shared}")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.cleaned
+        for r in dedup_boilerplate_segments(docs).collect()
+    }
+    assert got == {1: "uniq один", 2: "uniq 二"}
