@@ -2630,12 +2630,14 @@ def q71_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_time_gapfill",
     """
     WITH b AS (
-        SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts, value AS v
+        SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts,
+               CAST(round(value * 100) AS BIGINT) AS vi
         FROM events
     ),
     agg AS (
         SELECT grp, bucket_ts, count(*) AS n_events,
-               round(avg(v), 6) AS avg_value
+               ((2 * sum(vi) * 10000 + count(*)) // (2 * count(*)))
+                   / 1000000.0 AS avg_value
         FROM b GROUP BY grp, bucket_ts
     ),
     bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b),
@@ -2665,7 +2667,7 @@ def q71_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_bucket_gapfill — the TimescaleDB time_bucket_gapfill/locf "
     "semantics): dense hourly spine per event type over the global "
     "span, empty buckets restored with n_events=0 and LOCF of the "
-    "ROUNDED bucket mean (NULL before a series' first observation). "
+    "exact micro-unit bucket mean (q78's integer construction) (NULL before a series' first observation). "
     "One map-side-combined rollup shuffle; the spine costs output "
     "size (1-row bounds broadcast exploded per group), not event "
     "count; counts, means, carried values, and gap markers all "
