@@ -3112,6 +3112,49 @@ def q81_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q82_point_in_time",
+    """
+    WITH c AS (
+        SELECT user_id, ts, event_id, event_type AS value,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    ch AS (
+        SELECT user_id, ts, event_id, value FROM c
+        WHERE prev IS NULL OR value != prev
+    ),
+    iv AS (
+        SELECT user_id, value, ts AS valid_from, lead(ts) OVER w AS valid_to
+        FROM ch
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, value AS state_at_t, valid_from
+    FROM iv
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+    "Point-in-time lookup over the SCD2 history "
+    "(operators.events.scd2_intervals + interval-containment filter): "
+    "every entity's tracked state as of 2024-01-15 — the query "
+    "temporal tables exist for, composing q81's intervals with a "
+    "containment predicate (at most one interval matches per entity "
+    "by construction). Same single user-keyed shuffle as q81; the "
+    "containment filter is map-side",
+)
+def q82_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import scd2_intervals
+
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    iv = scd2_intervals(_t(spark, sf_dir, "events"))
+    return iv.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", F.col("value").alias("state_at_t"), "valid_from")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:
