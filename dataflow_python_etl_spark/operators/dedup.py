@@ -894,3 +894,52 @@ def dedup_boilerplate_segments(
         F.array_join(kept, joiner).alias("cleaned"),
         (F.size("__segs") - F.size(kept)).cast("long").alias("n_segments_removed"),
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_expr: "F.Column | None" = None,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: DISTINCT values of
+    ``name_col`` whose Levenshtein edit distance is at most
+    ``max_distance``, compared only WITHIN blocks (``block_expr``,
+    default: the value's last whitespace-delimited token — swap in a
+    phonetic key or a prefix per workload). The typo/variant-spelling
+    tier of the dedup family: exact/normalized dedup miss
+    "Jon Smith" vs "John Smith"; this catches them without an
+    all-pairs scan.
+
+    Returns ``(name_a, name_b, distance)`` with ``name_a < name_b``.
+
+    Scale shape: the pair join runs over the DISTINCT-name table (the
+    entity vocabulary, orders of magnitude smaller than the record
+    count), and only within blocks — pair volume is Σ|block|², which
+    the block key must keep bounded (same contract as every LSH band
+    here; a degenerate block key degenerates to all-pairs, so pick
+    one with bounded selectivity). Levenshtein is JVM-side on Spark
+    and built-in on DuckDB with identical unit-cost semantics, so the
+    distances hash-match cross-engine.
+    """
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    blk = (
+        block_expr
+        if block_expr is not None
+        else F.element_at(F.split(F.col("name"), r"\s+"), -1)
+    )
+    names = (
+        df.select(F.col(name_col).alias("name")).distinct().select("name", blk.alias("blk"))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("distance"),
+        )
+        .where(F.col("distance") <= max_distance)
+    )

@@ -3155,6 +3155,77 @@ def q82_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.col("value").alias("state_at_t"), "valid_from")
 
 
+@_q(
+    "q83_histogram",
+    """
+    WITH s AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    ),
+    b AS (
+        SELECT least(CAST(floor((l_extendedprice - lo)
+                                / ((hi - lo) / 20.0)) AS INT), 19) AS bucket,
+               l_extendedprice AS v
+        FROM lineitem CROSS JOIN s
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS total
+    FROM b GROUP BY bucket
+    """,
+    "Equi-width numeric histogram (20 buckets over the observed "
+    "[min, max] of l_extendedprice): the profiling staple — one "
+    "1-row bounds aggregation broadcast-crossed into a map-side "
+    "bucket assignment, then one map-side-combined count/sum. Bucket "
+    "edges are the same textual IEEE expression on both engines, so "
+    "edge-adjacent values bucket identically; the top edge closes "
+    "via least(..., 19)",
+)
+def q83_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
+    s = li.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / F.lit(20.0))).cast("int"),
+        F.lit(19),
+    )
+    return (
+        li.crossJoin(F.broadcast(s))
+        .select(bucket.alias("bucket"), "v")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("v"), 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "q84_fuzzy_match",
+    """
+    WITH n AS (
+        SELECT DISTINCT p_name AS name,
+               split_part(p_name, ' ', 2) AS blk
+        FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS distance
+    FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    "Entity-resolution fuzzy match (operators.dedup.fuzzy_match_pairs "
+    "— the typo/variant-spelling dedup tier): distinct part names "
+    "paired within last-word blocks and kept at Levenshtein distance "
+    "<= 2. The pair join runs over the DISTINCT-name vocabulary "
+    "(orders of magnitude under the record count) and only within "
+    "blocks; Levenshtein has identical unit-cost semantics on both "
+    "engines so distances hash-match",
+)
+def q84_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.dedup import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "part"), name_col="p_name", max_distance=2
+    ).select("name_a", "name_b", F.col("distance").cast("int").alias("distance"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always matches q01..q61.
 def _sort_registry() -> None:

@@ -330,3 +330,49 @@ def test_boilerplate_handles_unicode_and_crlf_segments(spark):
         for r in dedup_boilerplate_segments(docs).collect()
     }
     assert got == {1: "uniq один", 2: "uniq 二"}
+
+
+# ---------------------------------------------------------------------------
+# histogram (q83) and fuzzy entity matching (q84)
+# ---------------------------------------------------------------------------
+
+def test_histogram_covers_all_rows_and_closes_top_edge(spark):
+    df = QUERIES["q83_histogram"].fn(spark, SF_DIR)
+    rows = df.collect()
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    assert sum(r.n for r in rows) == li.count()  # nothing falls off an edge
+    buckets = {r.bucket for r in rows}
+    assert buckets <= set(range(20)) and 19 in buckets  # max lands in 19
+
+
+def test_fuzzy_match_pairs_semantics(spark):
+    from dataflow_python_etl_spark.operators.dedup import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [(1, "jon smith"), (2, "john smith"), (3, "john smyth"),
+         (4, "jane doe"), (5, "john smith")],  # duplicate record
+        "id long, name string",
+    )
+    got = {(r.name_a, r.name_b): r.distance for r in fuzzy_match_pairs(df, "name").collect()}
+    # default block = last word: smith-block pairs match; "john smyth"
+    # sits in its own block (the documented blocking recall trade-off)
+    # and "jane doe" is never compared to the smiths
+    assert got == {("john smith", "jon smith"): 1}
+    # a first-letter-of-last-word block key recovers the smyth pairs
+    blk = F.substring(F.element_at(F.split(F.col("name"), r"\s+"), -1), 1, 2)
+    got2 = {
+        (r.name_a, r.name_b): r.distance
+        for r in fuzzy_match_pairs(df, "name", block_expr=blk).collect()
+    }
+    assert got2 == {
+        ("john smith", "jon smith"): 1,
+        ("john smith", "john smyth"): 1,
+        ("john smyth", "jon smith"): 2,
+    }
+    # distinct-name contract: the duplicate record adds no pair
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_distance"):
+        fuzzy_match_pairs(df, "name", max_distance=0)
