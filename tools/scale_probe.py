@@ -57,11 +57,19 @@ def _rotation(r: int) -> dict[int, int] | None:
 
 
 def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
-    """Write ``documents.parquet`` with ``replicas``× the source rows
-    (pandas/pyarrow only — no second Spark JVM during generation)."""
+    """Write ``documents.parquet`` and ``events.parquet`` with
+    ``replicas``× the source rows (pandas/pyarrow only — no second
+    Spark JVM during generation). Documents replicate under the
+    alphabet bijection (pair structure preserved per replica); events
+    replicate under a user_id/event_id offset, so user-keyed
+    analytics (funnel/retention/transitions/SCD2) gain R× independent
+    users while time-bucket rollups gain R× events per bucket — both
+    linear workloads by construction."""
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    os.makedirs(out_dir, exist_ok=True)
     src = pq.read_table(f"{src_dir}/documents.parquet").to_pandas()
     parts = []
     for r in range(replicas):
@@ -71,12 +79,20 @@ def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
         if rot is not None:
             part["text"] = part["text"].map(lambda t: t.translate(rot))
         parts.append(part)
-    import pandas as pd
-
     out = pd.concat(parts, ignore_index=True)
-    os.makedirs(out_dir, exist_ok=True)
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
                    f"{out_dir}/documents.parquet")
+
+    ev = pq.read_table(f"{src_dir}/events.parquet").to_pandas()
+    eparts = []
+    for r in range(replicas):
+        part = ev.copy()
+        part["event_id"] = part["event_id"] + r * ID_STRIDE
+        part["user_id"] = part["user_id"] + r * ID_STRIDE
+        eparts.append(part)
+    eout = pd.concat(eparts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(eout, preserve_index=False),
+                   f"{out_dir}/events.parquet")
     return len(out)
 
 
@@ -138,7 +154,7 @@ def main() -> int:
             for name in queries
         }
         report = {
-            "probe": "replicated-documents",
+            "probe": "replicated-tables",
             "src": src_dir,
             "rows": {str(r): rows[r] for r in REPLICAS},
             "points": points,
