@@ -374,6 +374,41 @@ def run_mix(args) -> None:
         print(f"{r[0]}: {r['rows']} rows, max epoch {r['max_epoch']}")
 
 
+def run_events_report(args) -> None:
+    """One-command product-analytics report over an events table:
+    funnel, weekly retention, top transitions, and anomaly count —
+    every collect is report-sized (steps / cohort-weeks / top-10 /
+    one count), never event-sized."""
+    from dataflow_python_etl_spark.operators.events import (
+        funnel_report,
+        retention_matrix,
+        event_transitions,
+    )
+    from dataflow_python_etl_spark.operators.timeseries import rolling_anomalies
+
+    spark = get_spark("events-report")
+    ev = spark.read.parquet(_table_path(args.warehouse, args.table))
+    steps = tuple(s for s in args.funnel.split(",") if s)
+    print("== funnel ==")
+    for r in funnel_report(ev, steps).orderBy("step").collect():
+        print(f"step {r['step']} {r['step_name']}: {r['users']} users")
+    print("== weekly retention ==")
+    for r in (
+        retention_matrix(ev).orderBy("cohort", "period_offset").collect()
+    ):
+        print(f"{r['cohort']} +{r['period_offset']}w: {r['users']}")
+    print("== top transitions ==")
+    for r in (
+        event_transitions(ev)
+        .orderBy(F.col("transitions").desc(), "from_type", "to_type")
+        .limit(10)
+        .collect()
+    ):
+        print(f"{r['from_type']} -> {r['to_type']}: {r['transitions']}")
+    n_anom = rolling_anomalies(ev).where("is_anomaly").count()
+    print(f"== anomalies ==\n{n_anom} anomalous buckets")
+
+
 def run_bpe(args) -> None:
     """Learn BPE merges from a documents table and write the encoded
     corpus (bpe_tokens / n_bpe_tokens) plus a merges table."""
@@ -667,6 +702,13 @@ def main(argv: list[str] | None = None) -> None:
     pmx.add_argument("--weights", required=True, help="name=float[,name=float...]")
     pmx.add_argument("--default-weight", type=float, default=1.0)
     pmx.set_defaults(fn=run_mix)
+
+    per = sub.add_parser("events-report", help="funnel/retention/transitions/anomaly report")
+    per.add_argument("--warehouse", required=True)
+    per.add_argument("--table", default="events")
+    per.add_argument("--funnel", default="signup,click,purchase",
+                     help="comma-separated ordered funnel steps")
+    per.set_defaults(fn=run_events_report)
 
     args = p.parse_args(argv)
     if args.cmd == "sql" and not (args.query or args.file):

@@ -366,3 +366,21 @@ def test_quality_search_mix_subcommands(spark, tmp_path, capsys):
     with _pt.raises(SystemExit, match="weights"):
         cli.main(["mix", "--warehouse", wh, "--table", "documents",
                   "--weights", "en2.0"])
+
+
+def test_events_report_subcommand(spark, tmp_path, capsys):
+    import os
+
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "lake_evr")
+    os.makedirs(wh)
+    read_table(spark, "/root/testdata/sf0.001", "events").write.parquet(
+        os.path.join(wh, "events")
+    )
+    cli.main(["events-report", "--warehouse", wh])
+    out = capsys.readouterr().out
+    assert "step 1 signup:" in out and "step 3 purchase:" in out
+    assert "+0w:" in out  # cohort size row
+    assert "-> " in out  # at least one transition
+    assert "anomalous buckets" in out
