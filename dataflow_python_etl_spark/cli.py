@@ -311,12 +311,16 @@ def run_quality(args) -> None:
     spark = get_spark("quality")
     docs = spark.read.parquet(_table_path(args.warehouse, args.table))
     flags = gopher_flags(docs, min_words=args.min_words)
-    rules = [c for c in flags.columns if c.startswith("rule_")] + ["passes"]
+    rules = [c for c in flags.columns if c.startswith("rule_")]
     # ONE aggregation job: per-rule pass counts + total (report-sized
-    # collect — |rules|+1 numbers, never rows)
+    # collect — |rules|+2 numbers, never rows); coalesce(0) so an
+    # EMPTY table reports 0/0 instead of None arithmetic
     counts = flags.agg(
         F.count(F.lit(1)).alias("total"),
-        *[F.sum(F.col(r).cast("long")).alias(r) for r in rules],
+        *[
+            F.coalesce(F.sum(F.col(r).cast("long")), F.lit(0)).alias(r)
+            for r in rules + ["passes"]
+        ],
     ).collect()[0]
     for r in rules:
         print(f"{r}: {counts['total'] - counts[r]} rejected")
@@ -387,7 +391,16 @@ def run_events_report(args) -> None:
     from dataflow_python_etl_spark.operators.timeseries import rolling_anomalies
 
     spark = get_spark("events-report")
-    ev = spark.read.parquet(_table_path(args.warehouse, args.table))
+    p = _table_path(args.warehouse, args.table)
+    if p.endswith(".parquet"):
+        # single-file tables (the driver's testdata shape) may carry
+        # TIMESTAMP(NANOS); read_table handles the conversion — the
+        # CLAUDE.md invariant for anything reading events
+        from dataflow_python_etl_spark.sources.catalog import read_table
+
+        ev = read_table(spark, args.warehouse, args.table)
+    else:
+        ev = spark.read.parquet(p)
     steps = tuple(s for s in args.funnel.split(",") if s)
     print("== funnel ==")
     for r in funnel_report(ev, steps).orderBy("step").collect():

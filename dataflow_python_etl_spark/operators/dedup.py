@@ -924,14 +924,15 @@ def fuzzy_match_pairs(
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    # block_expr is resolved against the CALLER's frame (write it over
+    # your own column names, e.g. F.soundex("p_name")); the default
+    # blocks on name_col's last whitespace-delimited token
     blk = (
         block_expr
         if block_expr is not None
-        else F.element_at(F.split(F.col("name"), r"\s+"), -1)
+        else F.element_at(F.split(F.col(name_col), r"\s+"), -1)
     )
-    names = (
-        df.select(F.col(name_col).alias("name")).distinct().select("name", blk.alias("blk"))
-    )
+    names = df.select(F.col(name_col).alias("name"), blk.alias("blk")).distinct()
     a = names.alias("a")
     b = names.alias("b")
     return (

@@ -108,7 +108,7 @@ def funnel_report(
     spine = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
     )
-    return (
+    counts = (
         per_user.crossJoin(F.broadcast(spine))
         .groupBy("step", "step_name")
         .agg(
@@ -116,6 +116,12 @@ def funnel_report(
                 "users"
             )
         )
+    )
+    # re-anchor on the spine: with ZERO users the cross join is empty
+    # and the groupBy would return an empty report — the "no step
+    # vanishes" contract must hold even then (steps at 0 users)
+    return spine.join(counts, ["step", "step_name"], "left").select(
+        "step", "step_name", F.coalesce(F.col("users"), F.lit(0)).alias("users")
     )
 
 

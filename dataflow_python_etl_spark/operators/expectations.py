@@ -35,8 +35,13 @@ class Expectation:
 
 
 def _frac(cond: Column) -> Column:
-    """Fraction of rows satisfying ``cond`` — exact integer ratio."""
-    return F.sum(cond.cast("long")) / F.greatest(F.count(F.lit(1)), F.lit(1))
+    """Fraction of rows satisfying ``cond`` — exact integer ratio.
+    An EMPTY table yields 0.0 (not NULL): a quality gate that can
+    neither pass nor fail an empty drop would wave it through, the
+    exact failure it exists to catch."""
+    return F.coalesce(F.sum(cond.cast("long")), F.lit(0)) / F.greatest(
+        F.count(F.lit(1)), F.lit(1)
+    )
 
 
 def completeness(col: str, threshold: float = 1.0) -> Expectation:
@@ -47,11 +52,14 @@ def completeness(col: str, threshold: float = 1.0) -> Expectation:
 
 def uniqueness(cols: list[str], threshold: float = 1.0) -> Expectation:
     """distinct(key) / rows — 1.0 means the columns form a key.
-    (SQL DISTINCT-tuple semantics: rows with a NULL key component are
-    excluded from the distinct count, as in any engine.)"""
+    The key is counted as a STRUCT tuple so rows with NULL components
+    still count as distinct values — matching DuckDB's
+    ``count(DISTINCT (a, b))`` row semantics (bare multi-arg
+    count_distinct would silently DROP null-component rows and
+    diverge from the oracle on nullable keys)."""
     return Expectation(
         f"uniqueness({','.join(cols)})",
-        F.count_distinct(*[F.col(c) for c in cols])
+        F.count_distinct(F.struct(*[F.col(c) for c in cols]))
         / F.greatest(F.count(F.lit(1)), F.lit(1)),
         threshold,
     )

@@ -135,7 +135,18 @@ def rolling_anomalies(
     Returns ``(group, bucket_ts, avg_value, roll_mean, roll_std,
     is_anomaly)``; the means are exact micro-unit multiples, roll_std
     rounds the (identical) sqrt to 6. One map-side-combined rollup,
-    then a per-series window — the gapfill scale shape."""
+    then a per-series window — the gapfill scale shape.
+
+    Bounds (all LOUD, never silent): per-event squares stay integral
+    and need ``|vi| ≤ ~3.03e9`` (|value| < 3·10^7 at 2 decimals —
+    beyond it Spark ANSI raises ARITHMETIC_OVERFLOW instead of
+    silently diverging from an int128 engine); the half-up mean
+    division needs scaled window sums below ~4.6e14. The variance
+    NUMERATOR deliberately runs in double — the window-level
+    ``s1²``/``ne·s2`` products wrap int64 at s1 ≥ ~3e9, which real
+    windows reach (pinned in tests); int→double conversion and
+    multiply are IEEE-exact-rounded on both engines, so determinism
+    survives the promotion."""
     scale = 10 ** value_decimals
     up = 10 ** (6 - value_decimals)  # lift to micro-units (1e-6)
     vi = F.round(F.col(value_col) * scale).cast("long")
@@ -169,9 +180,18 @@ def rolling_anomalies(
     mean_q = F.when(
         F.col("ne") > 0, F.expr(f"(2 * s1 * {up} + ne) div (2 * ne)")
     )
+    # variance numerator in DOUBLE: n*s2 and s1*s1 in BIGINT overflow
+    # once the trailing window's scaled sum passes ~3e9 (int64 wrap ->
+    # negative variance -> NaN sqrt -> anomalies silently off, while
+    # DuckDB promotes to int128 and diverges). int->double conversion
+    # and multiply are IEEE-correctly-rounded, so both engines still
+    # compute the identical double at any scale.
     var = F.when(
         F.col("ne") >= 2,
-        (F.col("ne") * F.col("s2") - F.col("s1") * F.col("s1"))
+        (
+            F.col("ne").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
         / (F.lit(float(scale * scale)) * F.col("ne") * (F.col("ne") - 1)),
     )
     avg_value = (avg_q / F.lit(1e6)).alias("avg_value")

@@ -2468,7 +2468,8 @@ def _lang_sql_list(lang: str) -> str:
         FROM x
     )
     SELECT doc_id, en_score, es_score, fr_score, de_score,
-           CASE WHEN greatest(en_score, es_score, fr_score, de_score) = 0.0 THEN 'und'
+           CASE WHEN en_score IS NULL THEN NULL
+                WHEN greatest(en_score, es_score, fr_score, de_score) = 0.0 THEN 'und'
                 WHEN en_score = greatest(en_score, es_score, fr_score, de_score) THEN 'en'
                 WHEN es_score = greatest(en_score, es_score, fr_score, de_score) THEN 'es'
                 WHEN fr_score = greatest(en_score, es_score, fr_score, de_score) THEN 'fr'
@@ -2684,15 +2685,15 @@ def q72_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
         SELECT
-            round(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            round(coalesce(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END), 0)
                   * 1.0 / greatest(count(*), 1), 6) AS m0,
             round(count(DISTINCT (l_orderkey, l_linenumber))
                   * 1.0 / greatest(count(*), 1), 6) AS m1,
-            round(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+            round(coalesce(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0)
                   * 1.0 / greatest(count(*), 1), 6) AS m2,
-            round(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.08 THEN 1 ELSE 0 END)
+            round(coalesce(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.08 THEN 1 ELSE 0 END), 0)
                   * 1.0 / greatest(count(*), 1), 6) AS m3,
-            round(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+            round(coalesce(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END), 0)
                   * 1.0 / greatest(count(*), 1), 6) AS m4
         FROM lineitem
     ), u AS (
@@ -2767,8 +2768,9 @@ def q73_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine AS (SELECT unnest([1, 2, 3]) AS step,
                      unnest(['signup', 'click', 'purchase']) AS step_name)
     SELECT step, step_name,
-           CAST(sum(CASE WHEN pu.sc >= step THEN 1 ELSE 0 END) AS BIGINT) AS users
-    FROM spine CROSS JOIN pu GROUP BY step, step_name
+           CAST(coalesce(sum(CASE WHEN pu.sc >= step THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS users
+    FROM spine LEFT JOIN pu ON TRUE GROUP BY step, step_name
     """,
     "Ordered funnel analysis signup→click→purchase "
     "(operators.events.funnel_report): each step requires an event "
@@ -2922,7 +2924,8 @@ def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ((2 * s1 * 10000 + ne) // (2 * ne)) / 1000000.0
                END AS roll_mean,
                CASE WHEN ne >= 2 THEN
-                   round(sqrt((ne * s2 - s1 * s1)
+                   round(sqrt((CAST(ne AS DOUBLE) * CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                               / (10000.0 * ne * (ne - 1))), 6)
                END AS roll_std
         FROM st
@@ -2982,8 +2985,9 @@ def q78_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine AS (SELECT unnest([1, 2, 3]) AS step,
                      unnest(['signup', 'click', 'purchase']) AS step_name)
     SELECT step, step_name,
-           CAST(sum(CASE WHEN pu.sc >= step THEN 1 ELSE 0 END) AS BIGINT) AS users
-    FROM spine CROSS JOIN pu GROUP BY step, step_name
+           CAST(coalesce(sum(CASE WHEN pu.sc >= step THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS users
+    FROM spine LEFT JOIN pu ON TRUE GROUP BY step, step_name
     """,
     "Conversion-window funnel (operators.events.funnel_report with "
     "conversion_window_days=7): each later step must land within 7 "
@@ -3202,7 +3206,7 @@ def q83_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (
         SELECT DISTINCT p_name AS name,
-               split_part(p_name, ' ', 2) AS blk
+               regexp_split_to_array(p_name, '\\s+')[-1] AS blk
         FROM part
     )
     SELECT a.name AS name_a, b.name AS name_b,

@@ -162,3 +162,13 @@ def test_scd2_intervals_collapse_and_close(spark):
     ]
     # exactly one open (current) interval per entity
     assert sum(1 for r in rows if r[4]) == 2
+
+
+def test_funnel_report_empty_events_keeps_all_steps(spark):
+    from dataflow_python_etl_spark.operators.events import funnel_report
+
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    got = {r.step: (r.step_name, r.users) for r in funnel_report(empty, STEPS).collect()}
+    assert got == {1: ("signup", 0), 2: ("click", 0), 3: ("purchase", 0)}

@@ -97,3 +97,49 @@ def test_expectations_one_scan_no_python(spark):
     assert s.count("Scan parquet") == 1, "whole suite must cost ONE table scan"
     assert "EvalPython" not in explain_str(df)
     assert df.count() == 5
+
+
+def test_expectations_empty_table_fails_not_nulls(spark):
+    """An empty drop must FAIL the gate, not produce NULL verdicts
+    that a where(passed = false) filter waves through."""
+    df = spark.createDataFrame([], "k long, qty double")
+    out = check_expectations(
+        df, [completeness("qty"), uniqueness(["k"]), in_range("qty", 0, 1)]
+    ).collect()
+    assert len(out) == 3
+    assert all(r.observed == 0.0 and r.passed is False for r in out)
+
+
+def test_uniqueness_counts_null_component_tuples(spark):
+    """STRUCT-tuple distinct: rows with NULL key components still
+    count as values — DuckDB count(DISTINCT (a, b)) parity."""
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 1), (2, 2)], "a long, b long"
+    )
+    r = check_expectations(df, [uniqueness(["a", "b"])]).collect()[0]
+    # distinct tuples: (1, NULL), (2, 1), (2, 2) -> 3/4
+    assert r.observed == 0.75
+
+
+def test_anomaly_moments_survive_int64_overflow_regime(spark):
+    import datetime as dt
+
+    from dataflow_python_etl_spark.operators.timeseries import rolling_anomalies
+
+    # vi = 3e7 per event x 6 events x 20 trailing buckets: s1 ~ 3.6e9,
+    # so the OLD integer s1*s1 (1.3e19) overflows int64 — the
+    # double-numerator variance must stay finite and the spike must
+    # still flag. (Per-event vi*vi stays integral: |vi| <= ~3e9 is the
+    # documented loud domain bound.)
+    rows = [
+        ("m", dt.datetime(2024, 1, 1 + h // 24, h % 24, mi), 3.0e5 + (h % 2) + mi)
+        for h in range(20)
+        for mi in range(6)
+    ]
+    rows.append(("m", dt.datetime(2024, 1, 1, 20), 9.0e5))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r.bucket_ts.hour: r for r in rolling_anomalies(df, min_history=12).collect()}
+    assert all(
+        r.roll_std is None or r.roll_std >= 0.0 for r in out.values()
+    )
+    assert out[20].is_anomaly and out[20].roll_std > 0.0

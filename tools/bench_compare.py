@@ -53,11 +53,15 @@ def compare(
     # drift as plan regressions
     oc, nc = old.get("calib"), new.get("calib")
     norm = 1.0
+    unit = "s"
     if oc and nc:
         norm = float(oc) / float(nc)
+        # normalized values get a distinct unit so a triager never
+        # greps BENCH json for a number that exists in neither report
+        unit = "s*"
         notes.append(
             f"calib {float(oc):.3f}s -> {float(nc):.3f}s: comparing in "
-            f"machine-normalized units (x{norm:.2f} on new times)"
+            f"machine-normalized units (s* = new_time x {norm:.2f})"
         )
     # extended (non-headline) queries are compared the same way but
     # never contribute to the total
@@ -73,15 +77,15 @@ def compare(
         o, n = float(oq[name]), float(nq[name]) * norm
         if n > threshold * o and n - o > abs_floor:
             regressions.append(
-                f"{name}: {o:.3f}s -> {n:.3f}s ({n / o:.2f}x, +{n - o:.3f}s)"
+                f"{name}: {o:.3f}s -> {n:.3f}{unit} ({n / o:.2f}x, +{n - o:.3f}{unit})"
             )
         elif o > threshold * n and o - n > abs_floor:
-            notes.append(f"{name} improved: {o:.3f}s -> {n:.3f}s ({n / o:.2f}x)")
+            notes.append(f"{name} improved: {o:.3f}s -> {n:.3f}{unit} ({n / o:.2f}x)")
     ot, nt = float(old.get("value", 0)), float(new.get("value", 0)) * norm
     if ot and nt and nt > threshold * ot and nt - ot > abs_floor:
-        regressions.append(f"TOTAL: {ot:.3f}s -> {nt:.3f}s ({nt / ot:.2f}x)")
+        regressions.append(f"TOTAL: {ot:.3f}s -> {nt:.3f}{unit} ({nt / ot:.2f}x)")
     elif ot and nt:
-        notes.append(f"total: {ot:.3f}s -> {nt:.3f}s ({nt / ot:.2f}x)")
+        notes.append(f"total: {ot:.3f}s -> {nt:.3f}{unit} ({nt / ot:.2f}x)")
     for name in new.get("superlinear", []):
         regressions.append(
             f"{name}: superlinear scaling exponent "
