@@ -305,11 +305,15 @@ def bullet_line_fraction(col: Column | str) -> Column:
 def stopword_kinds(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """How many DISTINCT stopwords from the list appear — the Gopher
     "contains at least two stop words" rule. Counting kinds (not hits)
-    means a page spamming one function word doesn't pass. Iterates the
-    constant list, not the document: O(|list|) array probes per row."""
-    toks = tokens(col)
+    means a page spamming one function word doesn't pass.
+
+    One ``array_intersect`` (which dedups) against the constant probe
+    array, so the tokenization is evaluated exactly once per row — a
+    lambda probing ``tokens(col)`` per stopword would re-run the
+    split once per probe word (the N-sibling shared-subexpression
+    pitfall; docs/SCALE.md)."""
     probe = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(probe, lambda s: F.array_contains(toks, s))).cast("long")
+    return F.size(F.array_intersect(tokens(col), probe)).cast("long")
 
 
 def url_domain(col: Column | str) -> Column:

@@ -39,10 +39,17 @@ def pagerank(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)  # pay the upstream plan once, not per round
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    # Pay the upstream distinct once, not per round. A registered
+    # persist (not localCheckpoint): blocks are reclaimed by the
+    # repo-wide unpersist_all() sweep between bench/certify trials,
+    # and no eager job runs at plan-construction time. Lineage
+    # truncation is not needed for `e` — only the iterated `ranks`
+    # chain grows, which is fine at the default 3 iterations
+    # (re-checkpoint ranks on a cadence for deep runs; docs/SCALE.md).
+    e = register_cache(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
     nodes = (
         e.select(F.col("src").alias("node"))

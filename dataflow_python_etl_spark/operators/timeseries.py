@@ -212,3 +212,41 @@ def rolling_anomalies(
             )
         ).alias("is_anomaly"),
     )
+
+
+def histogram(df: DataFrame, value_col: str, buckets: int = 20) -> DataFrame:
+    """Equi-width histogram over the observed [min, max] of
+    ``value_col``: ``(bucket, n, total)`` — the profiling staple.
+
+    One 1-row bounds aggregation broadcast-crossed into a map-side
+    bucket assignment, then one map-side-combined count/sum — two
+    scans of the column, no data-sized shuffle, so the plan is the
+    same at 100 TB. The bucket edge expression is plain IEEE
+    arithmetic a SQL oracle mirrors textually (q83); the top edge
+    closes via ``least(..., buckets-1)``, and a degenerate column
+    (``hi == lo``, zero width) branches to bucket 0 explicitly —
+    dividing by the zero width would yield 0/0 = NaN, where engines
+    diverge (DuckDB errors on the INT cast, Spark silently buckets).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    v = df.select(F.col(value_col).alias("v"))
+    s = v.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(buckets)))
+            ).cast("int"),
+            F.lit(buckets - 1),
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(s))
+        .select(bucket.alias("bucket"), "v")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("v"), 2).alias("total"),
+        )
+    )

@@ -3167,8 +3167,10 @@ def q82_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     ),
     b AS (
-        SELECT least(CAST(floor((l_extendedprice - lo)
-                                / ((hi - lo) / 20.0)) AS INT), 19) AS bucket,
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE least(CAST(floor((l_extendedprice - lo)
+                                    / ((hi - lo) / 20.0)) AS INT), 19)
+               END AS bucket,
                l_extendedprice AS v
         FROM lineitem CROSS JOIN s
     )
@@ -3181,24 +3183,15 @@ def q82_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket assignment, then one map-side-combined count/sum. Bucket "
     "edges are the same textual IEEE expression on both engines, so "
     "edge-adjacent values bucket identically; the top edge closes "
-    "via least(..., 19)",
+    "via least(..., 19). A degenerate column (hi = lo, zero width) "
+    "would otherwise divide 0/0 — NaN, where DuckDB errors on the "
+    "INT cast and Spark silently buckets — so both sides branch to "
+    "bucket 0 explicitly",
 )
 def q83_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
-    s = li.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    bucket = F.least(
-        F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / F.lit(20.0))).cast("int"),
-        F.lit(19),
-    )
-    return (
-        li.crossJoin(F.broadcast(s))
-        .select(bucket.alias("bucket"), "v")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("v"), 2).alias("total"),
-        )
-    )
+    from dataflow_python_etl_spark.operators.timeseries import histogram
+
+    return histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", buckets=20)
 
 
 @_q(
@@ -3231,7 +3224,8 @@ def q84_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The registry is re-inserted in numeric key order so dict iteration
-# (what the driver's grading window walks) always matches q01..q61.
+# (what the driver's grading window walks) always follows the numeric
+# query order, whatever the current upper bound of the registry.
 def _sort_registry() -> None:
     items = sorted(QUERIES.items())
     QUERIES.clear()

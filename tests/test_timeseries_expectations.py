@@ -143,3 +143,25 @@ def test_anomaly_moments_survive_int64_overflow_regime(spark):
         r.roll_std is None or r.roll_std >= 0.0 for r in out.values()
     )
     assert out[20].is_anomaly and out[20].roll_std > 0.0
+
+
+def test_histogram_degenerate_constant_column_buckets_zero(spark):
+    from dataflow_python_etl_spark.operators.timeseries import histogram
+
+    # hi == lo: the width guard must branch to bucket 0, not divide
+    # 0/0 (NaN, where DuckDB errors on the INT cast and Spark
+    # silently buckets — ADVICE r5).
+    df = spark.createDataFrame([(7.5,)] * 10, "x double")
+    rows = histogram(df, "x").collect()
+    assert len(rows) == 1
+    assert rows[0].bucket == 0 and rows[0].n == 10 and rows[0].total == 75.0
+
+
+def test_histogram_edges_and_top_bucket_close(spark):
+    from dataflow_python_etl_spark.operators.timeseries import histogram
+
+    # 0..20 over 4 buckets of width 5: the max value lands exactly on
+    # the open top edge and must close into the last bucket.
+    df = spark.createDataFrame([(float(i),) for i in range(21)], "x double")
+    out = {r.bucket: r.n for r in histogram(df, "x", buckets=4).collect()}
+    assert out == {0: 5, 1: 5, 2: 5, 3: 6}
