@@ -163,16 +163,26 @@ def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
     token stream using only portable integer arithmetic
     (position, token length, first char code), so the DuckDB oracle
     reproduces it exactly: ``sum((i*131 + len(tok)*7 + ascii(tok[0]))
-    * (i % 97 + 1)) % mod`` over 1-based token positions."""
-    toks = tokens(col)
-    n = F.size(toks)
+    * (i % 97 + 1)) % mod`` over 1-based token positions.
+
+    ONE indexed ``transform`` pass over the token array (the
+    two-argument ``(element, index)`` lambda) plus the summing
+    ``aggregate`` — no ``sequence`` allocation and no per-position
+    ``element_at`` probes, which halves the interpreted-HOF work per
+    token vs the positional formulation (this is the headline shape
+    the q22 weak flag measured; cost is linear in document length and
+    zero-shuffle/map-side either way). Position arithmetic is done in
+    LONG from the start so a pathologically long document (>~160k
+    tokens, where ``i*131*98`` exceeds int32) cannot overflow —
+    DuckDB's integer ops would error rather than wrap, so staying in
+    int32 would diverge cross-engine exactly when it matters."""
     terms = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: (
-            (i * 131 + F.length(F.element_at(toks, i)) * 7
-             + F.ascii(F.substring(F.element_at(toks, i), 1, 1)))
-            * (i % 97 + 1)
-        ).cast("long"),
+        tokens(col),
+        lambda t, i: (
+            ((i + 1).cast("long") * 131 + F.length(t) * 7
+             + F.ascii(F.substring(t, 1, 1)))
+            * ((i + 1) % 97 + 1)
+        ),
     )
     return (F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % mod).alias("fingerprint")
 
@@ -224,20 +234,30 @@ def dedup_lines(col: Column | str) -> Column:
     banners per section, and repeated boilerplate both wastes tokens
     and skews n-gram statistics.
 
-    One expression tree: keep line i iff ``array_position(lines,
-    lines[i]) == i`` (array_position returns the FIRST index, so later
-    duplicates fail the check). Zero-shuffle, no Python; the measured
-    removal fraction is exactly ``dup_line_fraction``.
+    One expression tree: a single ``aggregate`` fold appending each
+    line to the accumulator unless already present — first-occurrence
+    distinct in one pass over the line array. Zero-shuffle, no
+    Python; the measured removal fraction is exactly
+    ``dup_line_fraction``.
+
+    (The earlier ``array_position(lines, lines[i]) == i`` spelling
+    referenced the computed ``lines`` array INSIDE the index lambdas,
+    which re-evaluates the whole-document split+filter once per line
+    — the O(n²) shared-subexpression pitfall that also hit q22's
+    fingerprint; docs/SCALE.md. The fold's ``array_contains`` probe
+    per step is over the accumulator, a lambda variable — no
+    re-evaluation.)
     """
-    lines = _lines(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(lines), F.lit(1)))
-    kept = F.when(F.size(lines) > 0,
-        F.transform(
-            F.filter(idx, lambda i: F.array_position(lines, F.element_at(lines, i)) == i),
-            lambda i: F.element_at(lines, i),
+    kept = F.aggregate(
+        _lines(col),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_join(kept, "\n")
+    )
+    # NULL text folds to NULL — keep the empty-string policy (same as
+    # _ngrams) rather than propagating the null.
+    return F.coalesce(F.array_join(kept, "\n"), F.lit(""))
 
 
 def dup_line_fraction(col: Column | str) -> Column:

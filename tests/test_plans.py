@@ -194,3 +194,37 @@ def test_q63_contamination_corpus_never_shuffles(spark):
     # exactly 2 shuffle exchanges: eval-gram distinct + hit-row agg
     assert count_exchanges(df) == 2, s
     assert "EvalPython" not in s, "shingling must stay JVM-side"
+
+
+def test_fingerprint_tokenization_outside_lambda(spark):
+    # q22's O(n-squared) regression class: a computed array referenced
+    # INSIDE a HOF lambda body is re-evaluated per element (the split
+    # re-ran once per token position until round 6). Pin: the single
+    # split() in the optimized plan is transform's INPUT — it appears
+    # BEFORE the first lambdafunction, never inside one — and the path
+    # stays JVM-only.
+    df = _q(spark, "q22_fingerprint")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert plan.index("split(") < plan.index("lambdafunction("), plan
+    assert "EvalPython" not in explain_str(df, "simple")
+
+
+def test_dedup_lines_split_outside_lambda(spark):
+    # Same pin for the line-dedup fold (functions.text.dedup_lines,
+    # checked in isolation — q61 has sibling metric expressions with
+    # their own splits): the newline split feeds aggregate() as
+    # input; the lambdas probe only lambda variables.
+    from dataflow_python_etl_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame([("a\nb",)], "text string").select(
+        dedup_lines("text").alias("cleaned")
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("split(") < plan.index("lambdafunction("), plan
+    # every lambda body references only lambda-bound variables, never
+    # the input column (re-evaluation-per-element shape)
+    import re
+
+    for body in re.findall(r"lambdafunction\((.*?), lambda", plan):
+        assert "text#" not in body, body
