@@ -30,6 +30,7 @@ def funnel_steps_per_user(
     ts_col: str = "ts",
     type_col: str = "event_type",
     conversion_window_days: float | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """(user, steps_completed): how far each user progressed through
     the ordered ``steps``. With ``conversion_window_days`` set, every
@@ -37,27 +38,53 @@ def funnel_steps_per_user(
     completion (the standard "converted within 7 days" metric) —
     checked in exact microseconds, so the SQL-oracle comparison is
     integer arithmetic. One shuffle; the fold is O(events·|steps|)
-    per user, all JVM."""
+    per user, all JVM.
+
+    ``max_events_per_user`` is the skew escape hatch for 100 TB runs:
+    the per-user ``collect_list`` is the right unit of work, but a
+    single pathological bot user would otherwise own one giant array
+    (and its task). The cap keeps each user's EARLIEST N events by
+    ``(ts, type)`` — deterministic by value (ties at the boundary are
+    identical structs), SQL-mirrorable as a ``row_number() <= N``
+    filter (q85), and applied via a streaming window rank BEFORE the
+    collect so the capped array is never materialized larger than N.
+    The rank shares the collect's user-keyed exchange — still one
+    shuffle (plan-pinned). Semantics caveat: events beyond the cap
+    cannot advance the funnel — a bounded-compute approximation the
+    caller opts into (the streaming funnel, 3 ints/user, is the exact
+    unbounded alternative)."""
     if len(steps) < 1:
         raise ValueError("steps must be non-empty")
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError(
+            f"max_events_per_user must be >= 1, got {max_events_per_user}"
+        )
     window_us = (
         int(conversion_window_days * 86_400_000_000)
         if conversion_window_days is not None
         else None
     )
-    evs = (
-        events.select(
-            F.col(user_col).alias("user"),
-            F.struct(
-                F.col(ts_col).alias("ts"),
-                # event id tie-break would go here; advancing requires
-                # STRICTLY later ts, so same-ts order cannot matter
-                F.col(type_col).alias("t"),
-            ).alias("e"),
-        )
-        .groupBy("user")
-        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    src = events.select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            # event id tie-break would go here; advancing requires
+            # STRICTLY later ts, so same-ts order cannot matter
+            F.col(type_col).alias("t"),
+        ).alias("e"),
     )
+    if max_events_per_user is not None:
+        from pyspark.sql import Window
+
+        # (ts, t) ordering == the array_sort order below, so the kept
+        # prefix is exactly the sorted array's first N elements
+        w = Window.partitionBy("user").orderBy(F.col("e.ts"), F.col("e.t"))
+        src = (
+            src.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_events_per_user)
+            .drop("__rn")
+        )
+    evs = src.groupBy("user").agg(F.array_sort(F.collect_list("e")).alias("evs"))
 
     def advance(acc, e):
         # acc: struct(step, ts of completing event, t0 of step 1)
@@ -96,13 +123,22 @@ def funnel_report(
     ts_col: str = "ts",
     type_col: str = "event_type",
     conversion_window_days: float | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """(step, step_name, users): users reaching AT LEAST each step —
     the funnel chart. Every step appears even when zero users survive
     to it (a |steps|-row broadcast spine crossed against the per-user
-    frame, so no step vanishes from the report)."""
+    frame, so no step vanishes from the report).
+    ``max_events_per_user`` passes through to
+    :func:`funnel_steps_per_user` (bot-user skew cap)."""
     per_user = funnel_steps_per_user(
-        events, steps, user_col, ts_col, type_col, conversion_window_days
+        events,
+        steps,
+        user_col,
+        ts_col,
+        type_col,
+        conversion_window_days,
+        max_events_per_user,
     )
     spark = events.sparkSession
     spine = spark.createDataFrame(
@@ -131,6 +167,7 @@ def event_transitions(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """(from_type, to_type, transitions): the first-order Markov
     transition counts of each user's time-ordered event stream — the
@@ -142,11 +179,27 @@ def event_transitions(
     — then a map-side-combined count aggregation on the (from, to)
     pair. The window partitions by user, so the shuffle is the same
     user-keyed exchange every per-user analytic shares; no self-join,
-    no explode."""
+    no explode. Window functions stream per partition (no per-user
+    array is ever built), so the remaining bot-user exposure is the
+    per-task SORT of one user's events; ``max_events_per_user`` keeps
+    each user's earliest N events (``row_number() <= N`` on the same
+    ordering — a second pass over the SAME user-keyed exchange) so a
+    pathological user contributes a bounded stream."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
-    steps = events.select(
+    src = events
+    if max_events_per_user is not None:
+        if max_events_per_user < 1:
+            raise ValueError(
+                f"max_events_per_user must be >= 1, got {max_events_per_user}"
+            )
+        src = (
+            events.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_events_per_user)
+            .drop("__rn")
+        )
+    steps = src.select(
         F.lag(type_col).over(w).alias("from_type"),
         F.col(type_col).alias("to_type"),
     ).where(F.col("from_type").isNotNull())

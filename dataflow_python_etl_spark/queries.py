@@ -3223,6 +3223,65 @@ def q84_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("name_a", "name_b", F.col("distance").cast("int").alias("distance"))
 
 
+@_q(
+    "q85_funnel_capped",
+    """
+    WITH ce AS (
+        SELECT user_id, ts, event_type
+        FROM (SELECT user_id, ts, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_type) AS rn
+              FROM events)
+        WHERE rn <= 10
+    ),
+    u AS (
+        SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        FROM ce GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'click' AND e.ts > u.t1
+                   THEN e.ts END) AS t2
+        FROM ce e JOIN u ON e.user_id = u.user_id GROUP BY e.user_id
+    ),
+    w AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > v.t2
+                   THEN e.ts END) AS t3
+        FROM ce e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id
+    ),
+    pu AS (
+        SELECT u.user_id,
+               CASE WHEN u.t1 IS NULL THEN 0 WHEN v.t2 IS NULL THEN 1
+                    WHEN w.t3 IS NULL THEN 2 ELSE 3 END AS sc
+        FROM u JOIN v ON u.user_id = v.user_id JOIN w ON u.user_id = w.user_id
+    ),
+    spine AS (SELECT unnest([1, 2, 3]) AS step,
+                     unnest(['signup', 'click', 'purchase']) AS step_name)
+    SELECT step, step_name,
+           CAST(coalesce(sum(CASE WHEN pu.sc >= step THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS users
+    FROM spine LEFT JOIN pu ON TRUE GROUP BY step, step_name
+    """,
+    "q74's ordered funnel with the bot-user skew cap "
+    "(max_events_per_user=10): each user's EARLIEST 10 events by "
+    "(ts, type) — a streaming row_number rank BEFORE the per-user "
+    "collect, so no task ever materializes a pathological user's "
+    "full event array at 100 TB. The rank shares the collect's "
+    "user-keyed exchange (still one shuffle, plan-pinned); the "
+    "oracle mirrors the cap as the identical row_number() <= 10 "
+    "filter feeding q74's chained conditional-min formulation",
+)
+def q85_funnel_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import funnel_report
+
+    return funnel_report(
+        _t(spark, sf_dir, "events"),
+        steps=("signup", "click", "purchase"),
+        max_events_per_user=10,
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

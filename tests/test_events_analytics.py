@@ -172,3 +172,92 @@ def test_funnel_report_empty_events_keeps_all_steps(spark):
     )
     got = {r.step: (r.step_name, r.users) for r in funnel_report(empty, STEPS).collect()}
     assert got == {1: ("signup", 0), 2: ("click", 0), 3: ("purchase", 0)}
+
+
+def test_funnel_cap_keeps_earliest_and_bounds_bot_user(spark):
+    """max_events_per_user: (a) semantics — results equal the uncapped
+    funnel over the pre-truncated (earliest-N by (ts, type)) stream;
+    (b) skew — a planted 1e5-event bot user never materializes an
+    array larger than the cap (the rank filter runs BEFORE the
+    collect); (c) plan — still ONE user-keyed shuffle."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = []
+    # bot user 1: 100k events, all 'view' after an initial signup/click
+    rows.append((1, dt.datetime(2024, 1, 1, 0), "signup"))
+    rows.append((1, dt.datetime(2024, 1, 1, 1), "click"))
+    for i in range(100_000):
+        rows.append((1, dt.datetime(2024, 1, 2) + dt.timedelta(seconds=i), "view"))
+    # the bot's purchase lands AFTER the cap window — a capped funnel
+    # must NOT credit it (bounded-compute approximation, documented)
+    rows.append((1, dt.datetime(2024, 3, 1), "purchase"))
+    # normal users
+    for u in range(2, 30):
+        t0 = dt.datetime(2024, 1, 1, u % 24)
+        seq = ["signup", "click", "purchase"] if u % 3 else ["signup", "view"]
+        for k, t in enumerate(seq):
+            rows.append((u, t0 + dt.timedelta(hours=k), t))
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+    cap = 50
+    capped = funnel_steps_per_user(events, STEPS, max_events_per_user=cap)
+    # (a) equivalence against pre-truncated input
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    trunc = (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    expect = {
+        r["user"]: r["steps_completed"]
+        for r in funnel_steps_per_user(trunc, STEPS).collect()
+    }
+    got = {r["user"]: r["steps_completed"] for r in capped.collect()}
+    assert got == expect
+    assert got[1] == 2  # bot's late purchase is beyond the cap
+    assert got[2] == 3
+
+    # (b) the collected arrays are bounded by the cap for EVERY user:
+    # rebuild the capped pre-collect stream and assert its max
+    # per-user cardinality
+    max_per_user = (
+        trunc.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_per_user == cap
+
+    # (c) one exchange end-to-end (rank + collect share the user key),
+    # checked on a fresh plan (a collected DF explains final+initial
+    # AQE sections, double-counting). Bonus from Spark's optimizer:
+    # the rank filter plans as a PARTIAL WindowGroupLimit — the bot's
+    # events truncate to the cap per map partition BEFORE the
+    # shuffle, so not even the exchange sees the 1e5-event stream.
+    fresh = funnel_steps_per_user(events, STEPS, max_events_per_user=cap)
+    from dataflow_python_etl_spark.plans.checks import count_exchanges
+
+    s = explain_str(fresh, "simple")
+    assert count_exchanges(fresh) == 1, s
+    assert "EvalPython" not in s
+    assert "WindowGroupLimit" in s and "Partial" in s, s
+
+
+def test_event_transitions_cap_bounds_stream(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import event_transitions
+
+    rows = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), f"e{i}", i)
+            for i in range(100)]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = event_transitions(events, max_events_per_user=10)
+    # 10 kept events -> 9 transitions, the earliest ones
+    assert out.agg(F.sum("transitions")).collect()[0][0] == 9
+    assert {r["from_type"] for r in out.collect()} == {f"e{i}" for i in range(9)}
