@@ -944,3 +944,91 @@ def fuzzy_match_pairs(
         )
         .where(F.col("distance") <= max_distance)
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    name_col: str,
+    block_expr: "F.Column | None" = None,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity resolution end-to-end over the values of ``name_col``:
+    fuzzy-match pairs (:func:`fuzzy_match_pairs`) → connected
+    components (``corpus.dup_clusters`` pointer jumping) → canonical
+    spelling per cluster = the lexicographically smallest variant
+    ("min-id" survivor, names being the ids here).
+
+    Returns the resolution MAP ``(name, canonical)`` with one row per
+    DISTINCT name; names in no fuzzy cluster map to themselves, so the
+    map is total and joining it onto the record stream on ``name``
+    rewrites every record to its canonical entity (the q86 oracle
+    mirrors the whole chain as a recursive CTE).
+
+    Scale shape: every stage runs over the distinct-name VOCABULARY
+    (orders of magnitude under the record count); the pair volume is
+    bounded by the block key (see :func:`fuzzy_match_pairs`), and the
+    component loop is O(log diameter) rounds over a pairs-sized edge
+    list. Nothing record-sized shuffles until the caller joins the
+    map back — and that join broadcasts whenever the vocabulary fits.
+    """
+    from dataflow_python_etl_spark.operators.corpus import dup_clusters
+
+    pairs = fuzzy_match_pairs(df, name_col, block_expr, max_distance)
+    clusters = dup_clusters(pairs, "name_a", "name_b").withColumnRenamed(
+        "node", "name"
+    )
+    names = df.select(F.col(name_col).alias("name")).where(
+        F.col("name").isNotNull()
+    ).distinct()
+    return names.join(clusters, "name", "left").select(
+        "name", F.coalesce(F.col("cluster"), F.col("name")).alias("canonical")
+    )
+
+
+def resolve_and_merge_entities(
+    target: DataFrame,
+    records: DataFrame,
+    name_col: str,
+    id_col: str,
+    count_col: str = "n_records",
+    block_expr: "F.Column | None" = None,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Survivorship MERGE: resolve the incoming ``records`` batch with
+    :func:`resolve_entities`, collapse it to one survivor row per
+    canonical entity (min ``id_col``, record count), and MERGE into
+    the entity table ``target`` (schema ``(name_col, id_col,
+    count_col)``): matched entities keep their smallest id and add the
+    batch's record count; new entities insert. This is the dedup-tier
+    → curate_corpus pattern applied to the upsert surface — the same
+    ``merge_df`` one-full-outer-join plan (and its duplicate-source
+    guard) the CDC family uses, so the batch cannot apply a
+    nondeterministic one-of-N update.
+    """
+    from dataflow_python_etl_spark.operators.upsert import merge_df
+
+    mapping = resolve_entities(records, name_col, block_expr, max_distance)
+    survivors = (
+        records.join(
+            mapping.withColumnRenamed("name", name_col), name_col
+        )
+        .groupBy(F.col("canonical").alias(name_col))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias(count_col),
+        )
+    )
+    return merge_df(
+        target,
+        survivors,
+        [name_col],
+        when_matched_update={
+            id_col: F.least(F.col(f"t.{id_col}"), F.col(f"s.{id_col}")),
+            count_col: F.col(f"t.{count_col}") + F.col(f"s.{count_col}"),
+        },
+        when_not_matched_insert={
+            name_col: F.col(f"s.{name_col}"),
+            id_col: F.col(f"s.{id_col}"),
+            count_col: F.col(f"s.{count_col}"),
+        },
+    )

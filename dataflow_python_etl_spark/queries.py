@@ -3282,6 +3282,49 @@ def q85_funnel_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q86_entity_resolution",
+    """
+    WITH RECURSIVE n AS (
+        SELECT DISTINCT p_name AS name,
+               regexp_split_to_array(p_name, '\\s+')[-1] AS blk
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.name AS name_a, b.name AS name_b
+        FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (
+        SELECT name_a AS src, name_b AS dst FROM pairs
+        UNION
+        SELECT name_b, name_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS lab FROM edges
+        UNION
+        SELECT e.src AS node, r.lab
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    cl AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+    SELECT n.name, coalesce(cl.cluster, n.name) AS canonical
+    FROM n LEFT JOIN cl ON n.name = cl.node
+    """,
+    "Entity resolution end-to-end (operators.dedup.resolve_entities): "
+    "fuzzy-match pairs within last-word blocks → connected components "
+    "(pointer-jump label propagation) → canonical spelling = the "
+    "lexicographically smallest variant of each cluster; unclustered "
+    "names map to themselves, so the result is a TOTAL resolution map "
+    "over the distinct-name vocabulary. Oracle = the same chain with "
+    "a recursive-CTE min-reachable-label in place of the loop. Every "
+    "stage is vocabulary-sized; records only join the finished map",
+)
+def q86_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.dedup import resolve_entities
+
+    return resolve_entities(_t(spark, sf_dir, "part"), name_col="p_name")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

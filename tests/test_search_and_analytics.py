@@ -376,3 +376,53 @@ def test_fuzzy_match_pairs_semantics(spark):
 
     with _pt.raises(ValueError, match="max_distance"):
         fuzzy_match_pairs(df, "name", max_distance=0)
+
+
+def test_resolve_entities_total_map_and_canonical(spark):
+    from dataflow_python_etl_spark.operators.dedup import resolve_entities
+
+    df = spark.createDataFrame(
+        [(1, "jon smith"), (2, "john smith"), (3, "john smith"),
+         (4, "jane doe"), (5, None)],
+        "id long, name string",
+    )
+    blk = F.substring(F.element_at(F.split(F.col("name"), r"\s+"), -1), 1, 2)
+    got = {r.name: r.canonical for r in resolve_entities(df, "name", block_expr=blk).collect()}
+    # total over distinct non-null names; cluster canonical = lexicographic min
+    assert got == {
+        "jon smith": "john smith",
+        "john smith": "john smith",
+        "jane doe": "jane doe",
+    }
+
+
+def test_resolve_and_merge_entities_survivorship(spark):
+    """match → cluster → min-id canonical → MERGE, end-to-end: the
+    entity table absorbs a batch of fuzzy-variant records through the
+    same merge_df plan the CDC family uses (duplicate-source guard
+    included — survivors are keyed by canonical, so the guard holds
+    by construction)."""
+    from dataflow_python_etl_spark.operators.dedup import resolve_and_merge_entities
+
+    target = spark.createDataFrame(
+        [("john smith", 7, 3), ("acme corp", 2, 10)],
+        "name string, id long, n_records long",
+    )
+    records = spark.createDataFrame(
+        [(12, "jon smith"), (9, "john smith"), (15, "jane doe"),
+         (16, "jane doe")],
+        "id long, name string",
+    )
+    out = {
+        r.name: (r.id, r.n_records)
+        for r in resolve_and_merge_entities(target, records, "name", "id").collect()
+    }
+    assert out == {
+        # matched: keeps min id across target+batch, adds batch count
+        # ("jon smith" resolved into the john smith entity: 2 records)
+        "john smith": (7, 5),
+        # untouched target entity survives unchanged
+        "acme corp": (2, 10),
+        # new canonical entity inserts with its batch survivor row
+        "jane doe": (15, 2),
+    }
