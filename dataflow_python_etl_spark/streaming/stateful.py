@@ -181,3 +181,98 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming retention: the stateful twin of operators.events.retention_matrix
+# ---------------------------------------------------------------------------
+
+RETENTION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cohort", T.DateType()),
+        T.StructField("period_offset", T.IntegerType()),
+    ]
+)
+
+# (cohort week index, offsets already emitted) — Monday-start week
+# index in pure integer day arithmetic, the same quantity
+# date_trunc('week') computes, so the batch twin agrees bit-for-bit
+RETENTION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cohort_week", T.LongType()),
+        T.StructField("offsets", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+# 1970-01-05 (epoch day 4) was a Monday
+_MONDAY_EPOCH_DAY = 4
+
+
+def streaming_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention over a live stream — the streaming twin
+    of ``operators.events.retention_matrix``: each user joins the
+    cohort of their first-seen week; whenever a batch reveals the user
+    active in a week offset not yet emitted, ONE
+    ``(user_id, cohort, period_offset)`` row is emitted. Because each
+    (user, offset) membership is emitted exactly once (the state
+    dedups), ``SELECT cohort, period_offset, count(*) FROM emissions
+    GROUP BY 1, 2`` over the complete emission stream reproduces the
+    batch matrix — pinned in tests.
+
+    Parity contract (same as :func:`streaming_funnel`): cohorts anchor
+    on the FIRST batch a user appears in, so event-time order across
+    batches must hold (replayed history, watermark-ordered feeds); an
+    out-of-order event from before the user's cohort week cannot
+    retroactively re-cohort them and is ignored (emitted offsets are
+    never negative). Week arithmetic is integer days since epoch with
+    Monday anchoring — exactly ``date_trunc('week')`` on both engines.
+
+    State is one long + the emitted-offset list per user (bounded by
+    the retention horizon in weeks, i.e. report-sized). No timeout: a
+    cohort must survive idle gaps by definition.
+    """
+    import datetime as _dt
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cohort_week, offsets = state.get
+            seen = set(offsets)
+        else:
+            cohort_week, seen = None, set()
+        rows = pd.concat(list(batches), ignore_index=True)
+        days = rows["ts"].astype("int64") // 86_400_000_000_000  # ns -> days
+        weeks = (days - _MONDAY_EPOCH_DAY) // 7  # Monday-start index
+        if cohort_week is None:
+            cohort_week = int(weeks.min())
+        offs = {int(w) - cohort_week for w in weeks.unique()}
+        fresh = sorted(o for o in offs - seen if o >= 0)
+        state.update((cohort_week, sorted(seen | set(fresh))))
+        if not fresh:
+            return
+        cohort_date = _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=cohort_week * 7 + _MONDAY_EPOCH_DAY
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(fresh),
+                "cohort": [cohort_date] * len(fresh),
+                "period_offset": fresh,
+            }
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RETENTION_OUT_SCHEMA,
+            stateStructType=RETENTION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

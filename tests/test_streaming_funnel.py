@@ -63,3 +63,44 @@ def test_streaming_funnel_conversion_window_matches_batch(spark, tmp_path):
     assert got == want
     got_plain, want_plain = _drive(spark, tmp_path, "sfunnel_plain2")
     assert want != want_plain, "the 2-day window must bite on this corpus"
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """streaming_retention emissions, aggregated per (cohort, offset),
+    equal retention_matrix over the same events — across a mid-stream
+    micro-batch boundary."""
+    from dataflow_python_etl_spark.operators.events import retention_matrix
+    from dataflow_python_etl_spark.streaming.stateful import streaming_retention
+
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "ts")
+    drop = str(tmp_path / "drop_ret")
+    cutoff = "2024-01-15"
+    ev.where(F.col("ts") < cutoff).write.parquet(drop)
+    stream = spark.readStream.schema(ev.schema).parquet(drop)
+    q = (
+        streaming_retention(stream)
+        .writeStream.format("memory")
+        .queryName("sret")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(drop)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.cohort, r.period_offset): r.users
+        for r in spark.table("sret")
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .collect()
+    }
+    want = {
+        (r.cohort, r.period_offset): r.users
+        for r in retention_matrix(ev).collect()
+    }
+    shutil.rmtree(drop, ignore_errors=True)
+    assert got == want and len(want) > 1
+    assert sum(u for (c, o), u in want.items() if o == 0) > 0  # cohort sizes present
