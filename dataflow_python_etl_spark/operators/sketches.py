@@ -90,3 +90,163 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the mergeable membership sketch (Bloom, 1970)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bit(col, h: int, n_bits: int):
+    """Deterministic bit position of ``col`` under hash ``h`` — the
+    same portable md5 construction as the Count-Min cells, so filter
+    CONTENTS are bit-identical across engines and runs."""
+    return F.pmod(
+        md5_hash60(F.concat(F.lit(f"bloom-h{h}:"), col)), F.lit(n_bits)
+    ).cast("int")
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str = "item",
+    n_bits: int = 131_072,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Build the filter as its SET bit positions, one ``(bit)`` row
+    each — ≤ ``n_bits`` rows regardless of item count (the sketch
+    shape that broadcasts at 100 TB where the member table cannot).
+    One explode of ``n_hashes`` per item + a distinct; merging two
+    filters is ``union().distinct()``. False-positive rate ≈
+    (1 − e^(−k·n/m))^k — size m for the expected member count.
+
+    The canonical uses: semi-join pruning (probe a 100 TB fact scan
+    against a broadcast filter of the dim keys BEFORE the shuffle)
+    and the streaming-ingest "definitely new" fast path.
+    """
+    if n_bits < 2 or n_hashes < 1:
+        raise ValueError(f"need n_bits >= 2, n_hashes >= 1, got {n_bits}/{n_hashes}")
+    bits = F.explode(
+        F.array(
+            *[_bloom_bit(F.col(item_col), h, n_bits) for h in range(n_hashes)]
+        )
+    )
+    return items.select(bits.alias("bit")).distinct()
+
+
+def bloom_might_contain(
+    probes: DataFrame,
+    bloom: DataFrame,
+    item_col: str = "item",
+    n_bits: int = 131_072,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """(item, might_contain) per DISTINCT probe value: true iff ALL
+    ``n_hashes`` bit positions are set — no false negatives, false
+    positives at the sized rate. The filter side broadcasts (≤ n_bits
+    rows by construction); the probe stream explodes ×k and reduces
+    with one map-side-combined count — nothing probe-sized shuffles
+    twice. Parameters must match the build (same contract as the
+    Count-Min probe)."""
+    lookups = probes.select(F.col(item_col).alias("item")).distinct().select(
+        "item",
+        F.explode(
+            F.array(
+                *[_bloom_bit(F.col("item"), h, n_bits) for h in range(n_hashes)]
+            )
+        ).alias("bit"),
+    )
+    marked = bloom.select("bit", F.lit(1).alias("__set"))
+    return (
+        lookups.join(F.broadcast(marked), ["bit"], "left")
+        .groupBy("item")
+        .agg((F.count(F.col("__set")) == n_hashes).alias("might_contain"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: the mergeable distinct-count sketch (Flajolet et al., 2007)
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    items: DataFrame,
+    item_col: str = "item",
+    group_cols: tuple[str, ...] = (),
+    p: int = 6,
+) -> DataFrame:
+    """HLL register table ``(*group_cols, bucket, rho)``: bucket = the
+    low ``p`` bits of the portable 60-bit md5 hash, rho = leading-zero
+    count of the remaining ``60-p`` bits + 1, max'd per bucket — at
+    most ``2^p`` rows per group REGARDLESS of item count. Merging two
+    sketches is ``union().groupBy(bucket).max(rho)``; contents are
+    bit-identical across engines (md5 hashing, integer bit math via
+    ``bin()`` string length — no platform clz intrinsic), so the q89
+    oracle reproduces the registers, not just the estimate."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    h = md5_hash60(F.col(item_col))
+    w = F.shiftright(h, p)  # exact: h < 2^60, top 60-p bits
+    rho = F.when(w == 0, F.lit(61 - p)).otherwise(
+        F.lit(61 - p) - F.length(F.bin(w))
+    ).cast("int")
+    return (
+        items.select(
+            *group_cols,
+            F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 6,
+) -> DataFrame:
+    """(*group_cols, est): the raw HLL estimate ``α·m²/Σ2^(−M_j)``,
+    computed in EXACT integer arithmetic — each register contributes
+    ``2^(T−rho)`` (T = 61−p, so terms are integers up to 2^T; the sum
+    fits int64 through p ≥ 4) and absent buckets contribute ``2^T``
+    (rho = 0) via one count — then ONE double division by the literal
+    numerator, rounded to 3 places. Exact-integer-until-one-division
+    is the same cross-engine hash-stability construction as the
+    rolling-anomaly moments (docs/SCALE.md): no float summation
+    order anywhere. Raw estimator only — the small-range linear-
+    counting branch needs ``ln``, whose last-ulp behavior is engine-
+    private; size ``p`` so the expected cardinality sits in the raw
+    regime (n ≳ 2.5·2^p), where HLL's ±1.04/√m error holds."""
+    m = 1 << p
+    t_max = 61 - p
+    num = _hll_alpha(m) * m * m * float(2**t_max)
+    term = F.pow(F.lit(2.0), F.lit(t_max) - F.col("rho")).cast("long")
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            F.sum(term).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            *group_cols,
+            F.round(
+                F.lit(num)
+                / (
+                    F.col("__s")
+                    + (F.lit(m) - F.col("__n")) * F.lit(2**t_max).cast("long")
+                ),
+                3,
+            ).alias("est"),
+        )
+    )

@@ -3325,6 +3325,206 @@ def q86_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_entities(_t(spark, sf_dir, "part"), name_col="p_name")
 
 
+@_q(
+    "q87_triangle_count",
+    """
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ),
+    wedges AS (
+        SELECT o1.v AS x, o2.v AS y
+        FROM oriented o1 JOIN oriented o2
+          ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT n FROM (SELECT a AS n FROM e
+                                          UNION ALL SELECT b FROM e))) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM wedges w JOIN oriented o ON w.x = o.u AND w.y = o.v)
+               AS n_triangles
+    """,
+    "Global triangle count over the part co-purchase graph (parts "
+    "sharing an order; operators.graph.triangle_count): degree-"
+    "ordered edge orientation — each triangle counted once from its "
+    "lowest-rank apex, wedge volume Σ out-deg² with out-degree "
+    "bounded O(√m) by the orientation even on power-law graphs. "
+    "Exact, so the oracle runs the identical algorithm; rank ties "
+    "break by node id, deterministic cross-engine",
+)
+def q87_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(
+        F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+    )
+    return triangle_count(edges)
+
+
+_BLOOM_BITS = 131_072
+_BLOOM_K = 5
+
+
+def _bloom_bit_sql(h: str, item: str) -> str:
+    """DuckDB mirror of operators.sketches._bloom_bit."""
+    return (
+        "("
+        + _md5h60_sql(f"'bloom-h' || CAST({h} AS VARCHAR) || ':' || {item}")
+        + f") % {_BLOOM_BITS}"
+    )
+
+
+@_q(
+    "q88_bloom_membership",
+    f"""
+    WITH members AS (SELECT DISTINCT c_name AS item FROM customer),
+    hs AS (SELECT unnest([0, 1, 2, 3, 4]) AS h),
+    bits AS (
+        SELECT DISTINCT {_bloom_bit_sql('h', 'item')} AS bit
+        FROM members CROSS JOIN hs
+    ),
+    probes AS (
+        SELECT DISTINCT item FROM (
+            SELECT c_name AS item FROM customer WHERE c_custkey % 50 = 0
+            UNION ALL
+            SELECT 'absent-' || n_name FROM nation
+        )
+    ),
+    lk AS (
+        SELECT item, {_bloom_bit_sql('h', 'item')} AS bit
+        FROM probes CROSS JOIN hs
+    ),
+    hit AS (
+        SELECT lk.item, count(bits.bit) AS nhit
+        FROM lk LEFT JOIN bits ON lk.bit = bits.bit
+        GROUP BY lk.item
+    )
+    SELECT h.item, h.nhit = {_BLOOM_K} AS might_contain,
+           m.item IS NOT NULL AS is_member
+    FROM hit h LEFT JOIN members m ON h.item = m.item
+    """,
+    "Bloom-filter membership (operators.sketches.bloom_build / "
+    "bloom_might_contain): the customer-name set sketched into "
+    f"{_BLOOM_BITS} bits with {_BLOOM_K} portable md5 hashes, probed "
+    "with a mix of present names and absent synthetics, alongside "
+    "exact membership (no false negatives by construction; false "
+    "positives at the sized rate — both engines compute identical "
+    "bit positions, so the answer including any FP hash-matches). "
+    "The 100 TB use: broadcast the ≤ n_bits-row filter to prune a "
+    "fact scan BEFORE its shuffle",
+)
+def q88_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    members = cust.select(F.col("c_name").alias("item"))
+    bloom = bloom_build(members, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    probes = (
+        cust.where(F.col("c_custkey") % 50 == 0)
+        .select(F.col("c_name").alias("item"))
+        .union(
+            _t(spark, sf_dir, "nation").select(
+                F.concat(F.lit("absent-"), F.col("n_name")).alias("item")
+            )
+        )
+    )
+    out = bloom_might_contain(
+        probes, bloom, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K
+    )
+    mem = members.distinct().withColumn("__m", F.lit(1))
+    return out.join(mem, ["item"], "left").select(
+        "item", "might_contain", F.col("__m").isNotNull().alias("is_member")
+    )
+
+
+def _hll_num_literal(p: int = 6) -> float:
+    from dataflow_python_etl_spark.operators.sketches import _hll_alpha
+
+    m = 1 << p
+    return _hll_alpha(m) * m * m * float(2 ** (61 - p))
+
+
+@_q(
+    "q89_hll_distinct",
+    f"""
+    WITH src AS (
+        SELECT l_linenumber AS grp, CAST(l_orderkey AS VARCHAR) AS item
+        FROM lineitem
+    ),
+    hashed AS (
+        SELECT grp, ({_md5h60_sql('item')}) AS h FROM src
+    ),
+    regs AS (
+        SELECT grp, h % 64 AS bucket,
+               max(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END) AS rho
+        FROM hashed GROUP BY grp, h % 64
+    ),
+    est AS (
+        SELECT grp,
+               round({_hll_num_literal(6)!r} /
+                     (sum(CAST(power(2.0, 55 - rho) AS BIGINT))
+                      + (64 - count(*)) * {2 ** 55}), 3) AS est
+        FROM regs GROUP BY grp
+    ),
+    exact AS (
+        SELECT grp, CAST(count(DISTINCT item) AS BIGINT) AS exact
+        FROM src GROUP BY grp
+    )
+    SELECT est.grp, est.est, exact.exact
+    FROM est JOIN exact ON est.grp = exact.grp
+    """,
+    "HyperLogLog distinct estimate vs exact — distinct orders per "
+    "line number (operators.sketches.hll_registers / hll_estimate): "
+    "64 registers per group regardless of cardinality, built on the "
+    "portable md5 hash with integer bit math (bin-string leading "
+    "zeros, no clz intrinsic) so register CONTENTS are engine-"
+    "identical; the estimate is exact-integer register terms "
+    "2^(T-rho) summed in int64 + ONE double division by the literal "
+    "numerator — the same no-float-summation construction as the "
+    "rolling-anomaly moments (no small-range ln branch: engine-"
+    "private libm ulps; cardinalities here sit in the raw regime). "
+    "The sketch shape that survives streaming checkpoints and cross-"
+    "shard merges at 100 TB where an exact distinct table cannot",
+)
+def q89_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    src = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("grp"),
+        F.col("l_orderkey").cast("string").alias("item"),
+    )
+    est = hll_estimate(hll_registers(src, "item", ("grp",), p=6), ("grp",), p=6)
+    exact = src.groupBy("grp").agg(
+        F.count_distinct("item").cast("long").alias("exact")
+    )
+    return est.join(exact, "grp").select("grp", "est", "exact")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -96,3 +96,24 @@ def test_graph_anomaly_plans_stay_jvm(spark):
     for q in ("q77_pagerank", "q78_rolling_anomalies"):
         df = QUERIES[q].fn(spark, SF_DIR)
         assert "EvalPython" not in explain_str(df), q
+
+
+def test_triangle_count_known_graphs(spark):
+    from dataflow_python_etl_spark.operators.graph import triangle_count
+
+    def tc(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    # K4: 4 triangles; duplicates/reversed/self-loop edges ignored
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    r = tc(k4 + [(0, 0), (1, 0)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # path graph: no triangles
+    r = tc([(1, 2), (2, 3), (3, 4)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 3, 0)
+    # star + one rim edge: exactly one triangle, hub degree maximal —
+    # orientation counts it from a rim apex
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    r = tc(star)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 6, 1)

@@ -67,3 +67,86 @@ def test_cms_validation(spark):
         count_min_sketch(None, depth=0)
     with pytest.raises(ValueError, match="depth"):
         count_min_sketch(None, width=1)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from dataflow_python_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = _items(spark, [f"m{i}" for i in range(200)])
+    bloom = bloom_build(members, n_bits=4096, n_hashes=5)
+    probes = _items(spark, [f"m{i}" for i in range(200)] + [f"x{i}" for i in range(200)])
+    got = {
+        r.item: r.might_contain
+        for r in bloom_might_contain(probes, bloom, n_bits=4096, n_hashes=5).collect()
+    }
+    # no false negatives — every member answers true
+    assert all(got[f"m{i}"] for i in range(200))
+    # false positives exist in principle but stay near the sized rate
+    # ((1-e^(-kn/m))^k ~ 0.9% here); deterministic, so a generous
+    # ceiling cannot flake
+    fps = sum(got[f"x{i}"] for i in range(200))
+    assert fps <= 10
+
+
+def test_bloom_merge_is_bit_union(spark):
+    from dataflow_python_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    a = bloom_build(_items(spark, ["a1", "a2"]), n_bits=1024, n_hashes=3)
+    b = bloom_build(_items(spark, ["b1"]), n_bits=1024, n_hashes=3)
+    merged = a.union(b).distinct()
+    both = bloom_build(_items(spark, ["a1", "a2", "b1"]), n_bits=1024, n_hashes=3)
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in both.collect()
+    )
+    got = {
+        r.item: r.might_contain
+        for r in bloom_might_contain(
+            _items(spark, ["a1", "b1", "zz"]), merged, n_bits=1024, n_hashes=3
+        ).collect()
+    }
+    assert got["a1"] and got["b1"] and not got["zz"]
+
+
+def test_bloom_validation(spark):
+    from dataflow_python_etl_spark.operators.sketches import bloom_build
+
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_build(None, n_bits=1)
+
+
+def test_hll_registers_bounded_and_mergeable(spark):
+    from dataflow_python_etl_spark.operators.sketches import hll_registers
+
+    a = hll_registers(_items(spark, [f"a{i}" for i in range(500)]), p=4)
+    b = hll_registers(_items(spark, [f"b{i}" for i in range(500)]), p=4)
+    assert a.count() <= 16 and b.count() <= 16
+    merged = a.union(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    both = hll_registers(
+        _items(spark, [f"a{i}" for i in range(500)] + [f"b{i}" for i in range(500)]),
+        p=4,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
+
+
+def test_hll_estimate_accuracy_in_raw_regime(spark):
+    from dataflow_python_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 20_000
+    items = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("item"))
+    regs = hll_registers(items, p=10)  # 1024 registers -> ~3.3% expected
+    est = hll_estimate(regs, p=10).collect()[0].est
+    assert abs(est - n) / n < 0.15  # deterministic, generous band
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="p must"):
+        hll_registers(items, p=2)
