@@ -342,3 +342,41 @@ def url_domain(col: Column | str) -> Column:
     provenance stats over crawl corpora."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.parse_url(c, F.lit("HOST")))
+
+
+def readability_scores(col: Column | str) -> Column:
+    """Flesch reading-ease readability as one struct
+    ``(words, sentences, syllables, flesch)`` — the classic
+    document-difficulty signal for curriculum ordering and quality
+    stratification of training corpora.
+
+    Portable construction: syllables ≈ count of vowel groups
+    (``[aeiouy]+`` over the lowercased text — the standard regex
+    approximation), sentences = count of ``[.!?]+`` runs (floored at
+    1 so fragments still score), words = whitespace tokens. The
+    Flesch formula ``206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)`` is evaluated in the same textual
+    operation order on both engines (integer counts, two double
+    divisions, rounded to 3) — SQL-mirrorable term by term (q90).
+    Zero-shuffle expression tree; all three counts reuse nothing that
+    re-evaluates per element (no HOF lambdas at all)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.greatest(token_count(c), F.lit(1))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words),
+        3,
+    )
+    return F.struct(
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+        flesch.alias("flesch"),
+    )

@@ -3525,6 +3525,42 @@ def q89_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "grp").select("grp", "est", "exact")
 
 
+@_q(
+    "q90_readability",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+        FROM documents
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           round(206.835 - 1.015 * (words / sentences)
+                 - 84.6 * (syllables / words), 3) AS flesch
+    FROM m
+    """,
+    "Flesch reading-ease readability per document "
+    "(functions.text.readability_scores — curriculum ordering / "
+    "difficulty stratification signal): syllables ≈ vowel-group "
+    "count, sentences = punctuation-run count floored at 1, the "
+    "published formula evaluated in the same textual operation order "
+    "on both engines (integer counts, two double divisions, round "
+    "3). Zero-shuffle expression tree, no HOF lambdas at all",
+)
+def q90_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = TX.readability_scores("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        r["words"].alias("words"),
+        r["sentences"].alias("sentences"),
+        r["syllables"].alias("syllables"),
+        r["flesch"].alias("flesch"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

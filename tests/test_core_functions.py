@@ -143,3 +143,25 @@ def test_dedup_lines(spark):
     assert got[3] == ""
     assert got[4] == ""  # null text -> empty (same policy as _ngrams)
     assert got[5] == "x"
+
+
+def test_readability_scores(spark):
+    from dataflow_python_etl_spark.functions.text import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+        (2, "word"),                         # fragment: sentences floor 1
+        (3, "rhythm myth"),                  # y counts as vowel: 2 syllables
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    r = {
+        x["id"]: x
+        for x in df.select("id", readability_scores("text").alias("r")).select(
+            "id", "r.*"
+        ).collect()
+    }
+    assert (r[1].words, r[1].sentences, r[1].syllables) == (6, 2, 6)
+    assert r[2].sentences == 1 and r[2].words == 1
+    assert r[3].syllables == 2
+    # formula spot check: 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert abs(r[1].flesch - 119.19) < 1e-9
