@@ -293,3 +293,118 @@ def retention_matrix(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch conversion attribution: every ``conversion_type``
+    event is credited to the LAST preceding non-conversion event type
+    of the same user — ``(touch_type, conversions, total_value)``,
+    with conversions that no touch precedes credited to ``'none'``.
+    The marketing-analytics staple next to funnels and transitions
+    (first-touch is the same plan with ``first`` over the same
+    frame).
+
+    One window pass: ``last(non-conversion type, ignorenulls) ROWS
+    UNBOUNDED PRECEDING..CURRENT`` over the shared (user, ts, id)
+    ordering — the conversion row itself contributes NULL, so the
+    frame including it is safe — then one map-side-combined
+    aggregation per touch type. Same single user-keyed shuffle as
+    every per-user analytic here; the id tie-break keeps same-
+    timestamp ordering deterministic cross-engine. ``total_value``
+    rounds the sum to 2 (2-decimal inputs sum exactly on the 0.01
+    grid — boundary-free rounding, unlike round(avg); docs/SCALE.md).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.select(
+            F.col(type_col).alias("__t"),
+            F.col(value_col).alias("__v"),
+            touch.alias("touch_type"),
+        )
+        .where(F.col("__t") == conversion_type)
+        .select(F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"), "__v")
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("conversions"),
+            F.round(F.sum("__v"), 2).alias("total_value"),
+        )
+    )
+
+
+def ab_split_metrics(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    min_conversions: int = 1,
+    salt: str = "ab-v1",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Deterministic A/B experiment readout: users hash-split 50/50 by
+    the portable md5 of ``salt:user_id`` (no RNG — rerun-stable,
+    engine-reproducible, and the salt versions the experiment), a
+    user converts when they have ≥ ``min_conversions`` events of
+    ``conversion_type``, and the one-row result carries both arms and
+    the two-proportion z-score:
+    ``(n_a, conv_a, n_b, conv_b, z)``.
+
+    z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with pooled p̂ —
+    integer counts until one fixed-order chain of IEEE ops (divisions,
+    one correctly-rounded sqrt), so the DuckDB oracle hash-matches
+    (q92); a degenerate variance (empty arm, or 0%/100% pooled rate)
+    reads z = 0 explicitly rather than NaN, where engines diverge.
+    Two map-side-combined aggregations (per-user conversion count,
+    then one global row) — one user-keyed shuffle, output is one row
+    at any scale."""
+    if min_conversions < 1:
+        raise ValueError(f"min_conversions must be >= 1, got {min_conversions}")
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    users = (
+        events.groupBy(F.col(user_col).alias("user"))
+        .agg(
+            (
+                F.sum((F.col(type_col) == conversion_type).cast("long"))
+                >= min_conversions
+            ).alias("converted")
+        )
+        .select(
+            F.pmod(
+                md5_hash60(F.concat(F.lit(f"{salt}:"), F.col("user").cast("string"))),
+                F.lit(2),
+            ).alias("g"),
+            "converted",
+        )
+    )
+    s = users.agg(
+        F.sum((F.col("g") == 0).cast("long")).alias("n_a"),
+        F.sum(((F.col("g") == 0) & F.col("converted")).cast("long")).alias("conv_a"),
+        F.sum((F.col("g") == 1).cast("long")).alias("n_b"),
+        F.sum(((F.col("g") == 1) & F.col("converted")).cast("long")).alias("conv_b"),
+    )
+    n_a, conv_a = F.col("n_a"), F.col("conv_a")
+    n_b, conv_b = F.col("n_b"), F.col("conv_b")
+    p_pool = (conv_a + conv_b) / (n_a + n_b)
+    var = p_pool * (F.lit(1) - p_pool) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+    z = F.when(
+        (n_a > 0) & (n_b > 0) & (var > 0),
+        (conv_a / n_a - conv_b / n_b) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return s.select("n_a", "conv_a", "n_b", "conv_b", F.round(z, 6).alias("z"))

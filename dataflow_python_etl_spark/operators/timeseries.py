@@ -250,3 +250,72 @@ def histogram(df: DataFrame, value_col: str, buckets: int = 20) -> DataFrame:
             F.round(F.sum("v"), 2).alias("total"),
         )
     )
+
+
+def cusum_change_points(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    threshold: int = 2,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over per-group event
+    RATES (dense bucket counts): ``(group, bucket_ts, n_events,
+    cusum_pos, cusum_neg, alarm)`` — the sustained-shift detector that
+    complements :func:`rolling_anomalies` (which flags single-bucket
+    spikes; CUSUM accumulates small persistent drifts a z-score never
+    sees).
+
+    The textbook recursion ``S_t = max(0, S_{t−1} + (x_t − mean))``
+    is NOT computed recursively: with ``P_t`` the prefix sum of
+    deviations, ``S⁺_t = P_t − min(0, min_{j≤t} P_j)`` and
+    ``S⁻_t = max(0, max_{j≤t} P_j) − P_t`` — two window passes
+    (prefix sum, running extreme) over the same group partitioning.
+    One shuffle, no per-series fold, no recursion anywhere, which is
+    also what makes a SQL oracle possible (q93 mirrors the windows
+    textually).
+
+    Exactness: deviations are scaled to integers — ``d_t = x_t·n −
+    Σx`` (n = bucket count of the series) — so every window value is
+    an exact int64 (|P| ≤ n·max|d|, comfortably bounded); the only
+    float op is the final display division ``S/n`` (one exact-integer
+    division, rounded), and the alarm compares integers:
+    ``100·S > threshold·Σx·n``, i.e. the cumulative deviation exceeds
+    ``threshold`` PERCENT of the series' total volume — anchoring on
+    total volume, not the per-bucket mean, keeps bursty series from
+    alarming on every burst. The fixed-point discipline of
+    docs/SCALE.md, applied to a detector.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1 (percent), got {threshold}")
+    counts = time_bucket_gapfill(
+        events, group_col=group_col, ts_col=ts_col, bucket=bucket
+    ).select(F.col(group_col).alias("grp"), "bucket_ts", "n_events")
+    wp = Window.partitionBy("grp")
+    wo = (
+        Window.partitionBy("grp")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        counts.withColumn("nb", F.count(F.lit(1)).over(wp))
+        .withColumn("tot", F.sum("n_events").over(wp))
+        .withColumn("d", F.col("n_events") * F.col("nb") - F.col("tot"))
+        .withColumn("p", F.sum("d").over(wo))
+        .withColumn("s_pos", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wo)))
+        .withColumn(
+            "s_neg",
+            F.greatest(F.lit(0).cast("long"), F.max("p").over(wo)) - F.col("p"),
+        )
+    )
+    return staged.select(
+        F.col("grp").alias(group_col),
+        "bucket_ts",
+        "n_events",
+        F.round(F.col("s_pos") / F.col("nb"), 6).alias("cusum_pos"),
+        F.round(F.col("s_neg") / F.col("nb"), 6).alias("cusum_neg"),
+        (
+            (F.lit(100) * F.col("s_pos") > F.lit(threshold) * F.col("tot") * F.col("nb"))
+            | (F.lit(100) * F.col("s_neg") > F.lit(threshold) * F.col("tot") * F.col("nb"))
+        ).alias("alarm"),
+    )

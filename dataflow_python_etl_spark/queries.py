@@ -3561,6 +3561,159 @@ def q90_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q91_attribution",
+    """
+    WITH t AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS touch_type
+        FROM events
+    )
+    SELECT coalesce(touch_type, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS conversions,
+           round(sum(value), 2) AS total_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch_type, 'none')
+    """,
+    "Last-touch conversion attribution (operators.events."
+    "attribution): every purchase credited to the user's last "
+    "preceding non-conversion event type — one ignorenulls window "
+    "over the shared (user, ts, id) ordering (the conversion row "
+    "contributes NULL so the current-row frame is safe) + one "
+    "map-side-combined aggregation per touch type; 'none' bucket for "
+    "conversions with no prior touch. Same single user-keyed shuffle "
+    "as the funnel family; 2-decimal value sums round boundary-free",
+)
+def q91_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import attribution
+
+    return attribution(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "q92_ab_split",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                >= 14) AS converted
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT converted,
+               ({_md5h60_sql("'ab-v1:' || CAST(user_id AS VARCHAR)")}) % 2 AS g
+        FROM u
+    ),
+    s AS (
+        SELECT
+            CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN g = 0 AND converted THEN 1 ELSE 0 END)
+                 AS BIGINT) AS conv_a,
+            CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN g = 1 AND converted THEN 1 ELSE 0 END)
+                 AS BIGINT) AS conv_b
+        FROM g
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                       AND ((conv_a + conv_b) / (n_a + n_b))
+                           * (1 - (conv_a + conv_b) / (n_a + n_b))
+                           * (1.0 / n_a + 1.0 / n_b) > 0
+                 THEN (conv_a / n_a - conv_b / n_b)
+                      / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                             * (1 - (conv_a + conv_b) / (n_a + n_b))
+                             * (1.0 / n_a + 1.0 / n_b))
+                 ELSE 0.0 END, 6) AS z
+    FROM s
+    """,
+    "Deterministic A/B experiment readout (operators.events."
+    "ab_split_metrics): users hash-split 50/50 by portable salted "
+    "md5 (no RNG — rerun-stable, salt versions the experiment), "
+    "conversion = >= 14 purchases, one row with both arms and the "
+    "two-proportion pooled z-score — integer counts until one fixed-"
+    "order chain of IEEE divisions + a correctly-rounded sqrt, "
+    "degenerate variance reads z = 0 explicitly (NaN diverges "
+    "cross-engine). One user-keyed shuffle, one-row output at any "
+    "scale",
+)
+def q92_ab_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import ab_split_metrics
+
+    return ab_split_metrics(_t(spark, sf_dir, "events"), min_conversions=14)
+
+
+@_q(
+    "q93_cusum",
+    """
+    WITH b AS (
+        SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts
+        FROM events
+    ),
+    agg AS (
+        SELECT grp, bucket_ts, count(*) AS n_events FROM b GROUP BY grp, bucket_ts
+    ),
+    bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b),
+    spine AS (
+        SELECT t.grp, g.bucket_ts
+        FROM (SELECT DISTINCT grp FROM b) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+            FROM bounds
+        ) g
+    ),
+    j AS (
+        SELECT s.grp, s.bucket_ts, coalesce(a.n_events, 0) AS n_events
+        FROM spine s LEFT JOIN agg a USING (grp, bucket_ts)
+    ),
+    w1 AS (
+        SELECT grp, bucket_ts, n_events,
+               count(*) OVER (PARTITION BY grp) AS nb,
+               sum(n_events) OVER (PARTITION BY grp) AS tot
+        FROM j
+    ),
+    w2 AS (
+        SELECT *, sum(n_events * nb - tot) OVER (
+                   PARTITION BY grp ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *,
+               p - least(0, min(p) OVER (
+                   PARTITION BY grp ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_pos,
+               greatest(0, max(p) OVER (
+                   PARTITION BY grp ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p AS s_neg
+        FROM w2
+    )
+    SELECT grp AS event_type, bucket_ts, CAST(n_events AS BIGINT) AS n_events,
+           round(s_pos / nb, 6) AS cusum_pos,
+           round(s_neg / nb, 6) AS cusum_neg,
+           (100 * s_pos > 5 * tot * nb OR 100 * s_neg > 5 * tot * nb) AS alarm
+    FROM w3
+    """,
+    "Two-sided CUSUM change-point detection on per-type hourly event "
+    "rates (operators.timeseries.cusum_change_points): the recursion "
+    "max(0, S+(x−mean)) computed CLOSED-FORM as prefix-sum minus "
+    "running extreme — two window passes on one group partitioning, "
+    "no recursion, no per-series fold. Deviations scale to exact "
+    "int64 (x·n − Σx), the alarm compares integers (cumulative "
+    "deviation > 5% of series volume), and the only float op is the "
+    "final one-division display scale — the fixed-point discipline "
+    "applied to a drift detector that complements q78's spike "
+    "z-score",
+)
+def q93_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import cusum_change_points
+
+    return cusum_change_points(_t(spark, sf_dir, "events"), threshold=5)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -165,3 +165,37 @@ def test_histogram_edges_and_top_bucket_close(spark):
     df = spark.createDataFrame([(float(i),) for i in range(21)], "x double")
     out = {r.bucket: r.n for r in histogram(df, "x", buckets=4).collect()}
     assert out == {0: 5, 1: 5, 2: 5, 3: 6}
+
+
+def test_cusum_closed_form_equals_textbook_recursion(spark):
+    """The window formulation S+ = P - min(0, running-min P) must equal
+    the literal max(0, S + (x - mean)) recursion, computed here in
+    exact fractions (deviations x·n − Σx, like the operator)."""
+    import datetime as dt
+
+    from dataflow_python_etl_spark.operators.timeseries import cusum_change_points
+
+    # 30 quiet hours then a sustained doubling — a drift, not a spike
+    counts = [2] * 30 + [5] * 18
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(("m", dt.datetime(2024, 1, 1 + h // 24, h % 24), float(eid), eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double, event_id long")
+    got = sorted(
+        cusum_change_points(df, threshold=5).collect(), key=lambda r: r.bucket_ts
+    )
+    n, tot = len(counts), sum(counts)
+    s_pos = s_neg = 0
+    for r, c in zip(got, counts):
+        d = c * n - tot
+        s_pos = max(0, s_pos + d)
+        s_neg = max(0, s_neg - d)
+        assert r.n_events == c
+        assert r.cusum_pos == round(s_pos / n, 6), r
+        assert r.cusum_neg == round(s_neg / n, 6), r
+        assert r.alarm == (100 * s_pos > 5 * tot * n or 100 * s_neg > 5 * tot * n)
+    # the sustained shift must eventually alarm; the quiet head must not
+    assert not got[5].alarm and got[-1].alarm
