@@ -420,6 +420,22 @@ def run_events_report(args) -> None:
         print(f"{r['from_type']} -> {r['to_type']}: {r['transitions']}")
     n_anom = rolling_anomalies(ev).where("is_anomaly").count()
     print(f"== anomalies ==\n{n_anom} anomalous buckets")
+    print("== last-touch attribution ==")
+    from dataflow_python_etl_spark.operators.events import attribution
+
+    for r in (
+        attribution(ev, conversion_type=steps[-1])
+        .orderBy(F.col("conversions").desc(), "touch_type")
+        .collect()
+    ):
+        print(
+            f"{r['touch_type']}: {r['conversions']} conversions, "
+            f"value {r['total_value']}"
+        )
+    from dataflow_python_etl_spark.operators.timeseries import cusum_change_points
+
+    n_drift = cusum_change_points(ev).where("alarm").count()
+    print(f"== drift ==\n{n_drift} CUSUM-alarmed buckets")
 
 
 def run_bpe(args) -> None:

@@ -384,3 +384,5 @@ def test_events_report_subcommand(spark, tmp_path, capsys):
     assert "+0w:" in out  # cohort size row
     assert "-> " in out  # at least one transition
     assert "anomalous buckets" in out
+    assert "conversions, value" in out  # attribution rows
+    assert "CUSUM-alarmed buckets" in out
