@@ -54,19 +54,32 @@ def _guard_model_broadcast(model: DataFrame, max_rows: int | None) -> None:
 
 def _ngrams(text_col: str, n: int) -> F.Column:
     """All character n-grams of the lowercased text as array<string>
-    (empty for texts shorter than n). A single transform over a
-    sequence — the lowercased text is evaluated inside one expression
-    tree, so the CollapseProject N-sibling pitfall cannot apply."""
+    (empty for texts shorter than n).
+
+    Built like :func:`functions.text.shingles` but on the CHARACTER
+    array: split once, then (n−1) ``zip_with`` concatenations of
+    progressively shifted slices — every computed array is a HOF
+    INPUT, never captured inside a lambda body. The earlier
+    ``transform(sequence(1, len), i -> lower(text).substr(i, n))``
+    spelling captured the lowered text inside the lambda, which
+    re-evaluates ``lower`` once per character position — O(len²) per
+    document, the q22 bug class (docs/SCALE.md round 6; measured 6×
+    on 2k-char docs even at this length). The final slice bound comes
+    from the STRING length, which also drops the trailing empty
+    element Spark's zero-width split leaves at end-of-string.
+
+    The length guard matters: texts shorter than n must yield an
+    EMPTY array (slice-of-0 handles it here, and the explicit branch
+    keeps NULL text on the empty-array policy)."""
     t = F.lower(F.col(text_col))
-    # the length guard matters: Spark's sequence(1, stop) with stop<1
-    # generates a DESCENDING [1, 0, ...], not an empty array, which
-    # would emit junk grams for texts shorter than n
+    chars = F.split(t, "(?!^)")
+    grams = chars
+    for k in range(2, n + 1):
+        shifted = F.slice(chars, k, F.greatest(F.size(chars) - (k - 1), F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat(x, y))
     return F.when(
         F.length(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (n - 1)),
-            lambda i: t.substr(i, F.lit(n)),
-        ),
+        F.slice(grams, 1, F.greatest(F.length(t) - (n - 1), F.lit(0))),
     ).otherwise(F.array().cast("array<string>"))
 
 

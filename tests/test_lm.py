@@ -137,3 +137,22 @@ def test_lm_broadcast_guard(spark):
     # explicit opt-out still works on the oversized model
     out = score_with_lm(docs, model, floors, max_broadcast_rows=None)
     assert out.count() > 0
+
+
+def test_ngrams_lower_outside_lambda(spark):
+    # The q22 bug class (docs/SCALE.md round 6): a computed expression
+    # captured inside a HOF lambda re-evaluates per element — _ngrams
+    # once re-ran lower(text) per character position (O(len²)/doc).
+    # Pin: no lambda body references the input column; lower() appears
+    # only as HOF input.
+    import re
+
+    from dataflow_python_etl_spark.operators.lm import _ngrams
+
+    df = spark.createDataFrame([("AbC",)], "text string").select(
+        _ngrams("text", 3).alias("g")
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for body in re.findall(r"lambdafunction\((.*?), lambda", plan):
+        assert "text#" not in body, body
+    assert df.collect()[0].g == ["abc"]
