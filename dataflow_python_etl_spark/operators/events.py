@@ -408,3 +408,104 @@ def ab_split_metrics(
         (conv_a / n_a - conv_b / n_b) / F.sqrt(var),
     ).otherwise(F.lit(0.0))
     return s.select("n_a", "conv_a", "n_b", "conv_b", F.round(z, 6).alias("z"))
+
+
+def debounce_events(
+    events: DataFrame,
+    gap_seconds: int,
+    mode: str = "session",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Telemetry debounce: per ``(user, type)`` key, mark which events
+    survive a ``gap_seconds`` suppression window — returns the key
+    columns + ``ts``/``id`` + a ``kept`` boolean (filter on it to
+    drop the bursts; double-fired clicks and retry storms are the
+    canonical inputs).
+
+    Two published semantics, both deterministic in exact microseconds
+    with the (ts, id) tie-break:
+
+    - ``mode='session'`` (default, SQL-mirrorable — q94): keep an
+      event iff more than ``gap_seconds`` passed since the PREVIOUS
+      event of the key, i.e. the first event of each inactivity
+      session. One ``lag`` window on the shared user-keyed exchange.
+    - ``mode='strict'`` (rate limiting): keep an event iff more than
+      ``gap_seconds`` passed since the last KEPT event — the greedy
+      chain (events at 0s/30s/60s with a 45 s gap keep 0s AND 60s,
+      where session mode keeps only 0s). Sequential by nature: a
+      per-key JVM fold over the sorted event array (funnel pattern) —
+      no SQL twin, pinned against a reference implementation in
+      pytest. Same per-key array caveat as the funnel: cap upstream
+      for pathological keys.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    if mode not in ("session", "strict"):
+        raise ValueError(f"mode must be session|strict, got {mode!r}")
+    gap_us = int(gap_seconds) * 1_000_000
+    from pyspark.sql import Window
+
+    if mode == "session":
+        w = Window.partitionBy(user_col, type_col).orderBy(
+            F.col(ts_col), F.col(id_col)
+        )
+        prev = F.lag(ts_col).over(w)
+        return events.select(
+            user_col,
+            type_col,
+            ts_col,
+            id_col,
+            (
+                prev.isNull()
+                | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us)
+            ).alias("kept"),
+        )
+
+    evs = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.col(type_col).alias("etype"),
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                F.col(id_col).alias("eid"),
+                F.col(ts_col).alias("ets"),
+            ).alias("e"),
+        )
+        .groupBy("user", "etype")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    init = F.struct(
+        F.lit(-(1 << 62)).cast("long").alias("last"),
+        F.array().cast("array<boolean>").alias("flags"),
+    )
+    folded = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda acc, e: F.when(
+            e["us"] - acc["last"] > gap_us,
+            F.struct(
+                e["us"].alias("last"),
+                F.concat(acc["flags"], F.array(F.lit(True))).alias("flags"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["last"].alias("last"),
+                F.concat(acc["flags"], F.array(F.lit(False))).alias("flags"),
+            )
+        ),
+    )
+    z = evs.select(
+        "user",
+        "etype",
+        F.explode(F.arrays_zip(F.col("evs"), folded["flags"].alias("kept"))).alias("p"),
+    )
+    return z.select(
+        F.col("user").alias(user_col),
+        F.col("etype").alias(type_col),
+        F.col("p.evs.ets").alias(ts_col),
+        F.col("p.evs.eid").alias(id_col),
+        F.col("p.kept").alias("kept"),
+    )

@@ -103,3 +103,44 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
             f"stack({len(expectations)}, {stack_args}) as (check, observed, threshold)"
         )
     ).withColumn("passed", F.col("observed") >= F.col("threshold"))
+
+
+def winsorize_bounds(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Winsorization report per group (or one global row):
+    ``(group?, p_lo, p_hi, n_below, n_above, n_total)`` — the exact
+    interpolated percentile clip bounds for ``value_col`` and how many
+    rows each tail would clip. The outlier-capping staple of feature
+    cleaning; apply the clip itself with
+    ``least(greatest(v, p_lo), p_hi)`` against the broadcast bounds.
+
+    Two aggregations over one scan shape: the bounds row(s) (exact
+    ``percentile`` — q34's cross-engine-proven mechanism) broadcast
+    back onto the column for the tail counts. Counts are integers;
+    the bounds are each ONE interpolation, rounded to 6 — nothing
+    accumulates float error (a sum of clipped values would: the
+    interpolated bound is an arbitrary double repeated per clipped
+    row, so its sum leaves the exact-decimal grid — report counts,
+    let the caller clip).
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}/{upper}")
+    keys = [group_col] if group_col else []
+    v = df.select(*keys, F.col(value_col).alias("v"))
+    bounds = v.groupBy(*keys).agg(
+        F.round(F.percentile("v", F.lit(lower)), 6).alias("p_lo"),
+        F.round(F.percentile("v", F.lit(upper)), 6).alias("p_hi"),
+    )
+    joined = (
+        v.join(F.broadcast(bounds), keys) if keys else v.crossJoin(F.broadcast(bounds))
+    )
+    return joined.groupBy(*keys, "p_lo", "p_hi").agg(
+        F.sum((F.col("v") < F.col("p_lo")).cast("long")).alias("n_below"),
+        F.sum((F.col("v") > F.col("p_hi")).cast("long")).alias("n_above"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    ).select(*keys, "p_lo", "p_hi", "n_below", "n_above", "n_total")

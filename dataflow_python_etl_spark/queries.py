@@ -3714,6 +3714,82 @@ def q93_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_change_points(_t(spark, sf_dir, "events"), threshold=5)
 
 
+@_q(
+    "q94_event_debounce",
+    """
+    WITH g AS (
+        SELECT event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(count(*) AS BIGINT) AS total
+    FROM g GROUP BY event_type
+    """,
+    "Telemetry debounce, session-anchored (operators.events."
+    "debounce_events): per (user, type) an event is kept iff >1h has "
+    "passed since the PREVIOUS event of that key — i.e. the first "
+    "event of each inactivity session; repeats inside a burst are "
+    "suppressed. One lag window on the shared (user, ts, id) "
+    "ordering, gap compared in exact microseconds; per-type "
+    "kept/total counts. (The strict rate-limit variant — anchored on "
+    "the last KEPT event — is sequential by nature: "
+    "debounce_events(mode='strict') folds per key, pytest-pinned "
+    "against a reference implementation, no SQL twin)",
+)
+def q94_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import debounce_events
+
+    kept = debounce_events(_t(spark, sf_dir, "events"), gap_seconds=3600)
+    return kept.groupBy("event_type").agg(
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+
+
+@_q(
+    "q95_winsorize",
+    """
+    WITH b AS (
+        SELECT l_returnflag AS g,
+               round(quantile_cont(l_extendedprice, 0.05), 6) AS p_lo,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p_hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT li.l_returnflag, b.p_lo, b.p_hi,
+           CAST(sum(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM lineitem li JOIN b ON li.l_returnflag = b.g
+    GROUP BY 1, 2, 3
+    """,
+    "Winsorization report per return flag (operators.expectations."
+    "winsorize_bounds): exact interpolated [p05, p95] clip bounds "
+    "(q34's cross-engine percentile mechanism, rounded once) "
+    "broadcast back onto the column for integer tail counts — "
+    "nothing accumulates float error (a clipped-value SUM would "
+    "leave the exact-decimal grid; the report ships counts and lets "
+    "the caller clip). The outlier-capping staple of feature "
+    "cleaning",
+)
+def q95_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.expectations import winsorize_bounds
+
+    return winsorize_bounds(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        lower=0.05,
+        upper=0.95,
+        group_col="l_returnflag",
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -261,3 +261,68 @@ def test_event_transitions_cap_bounds_stream(spark):
     # 10 kept events -> 9 transitions, the earliest ones
     assert out.agg(F.sum("transitions")).collect()[0][0] == 9
     assert {r["from_type"] for r in out.collect()} == {f"e{i}" for i in range(9)}
+
+
+def test_debounce_session_vs_strict_semantics(spark):
+    """0s/30s/60s burst with a 45 s gap: session keeps only the first
+    (each successor is <45 s from its PREDECESSOR); strict re-arms on
+    the last KEPT event and recovers the 60 s one."""
+    from dataflow_python_etl_spark.operators.events import debounce_events
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), "click", 1),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 30), "click", 2),
+        (1, dt.datetime(2024, 1, 1, 0, 1, 0), "click", 3),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0), "click", 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    sess = {r.event_id: r.kept for r in debounce_events(df, 45, mode="session").collect()}
+    strict = {r.event_id: r.kept for r in debounce_events(df, 45, mode="strict").collect()}
+    assert sess == {1: True, 2: False, 3: False, 4: True}
+    assert strict == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_debounce_strict_matches_reference_on_random_streams(spark):
+    import random
+
+    from dataflow_python_etl_spark.operators.events import debounce_events
+
+    rng = random.Random(7)
+    rows, eid = [], 0
+    for u in range(6):
+        t = dt.datetime(2024, 1, 1)
+        for _ in range(40):
+            t += dt.timedelta(seconds=rng.randrange(1, 120))
+            rows.append((u, t, "e", eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    got = {r.event_id: r.kept for r in debounce_events(df, 90, mode="strict").collect()}
+    # reference: greedy chain per user in time order
+    want = {}
+    by_user = {}
+    for u, t, _, i in rows:
+        by_user.setdefault(u, []).append((t, i))
+    for u, evs in by_user.items():
+        last = None
+        for t, i in sorted(evs):
+            keep = last is None or (t - last).total_seconds() > 90
+            want[i] = keep
+            if keep:
+                last = t
+    assert got == want and sum(got.values()) < len(rows)
+
+
+def test_winsorize_bounds_counts_and_validation(spark):
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.expectations import winsorize_bounds
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    r = winsorize_bounds(df, "v", 0.10, 0.90).collect()[0]
+    # p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
+    assert (r.p_lo, r.p_hi) == (10.9, 90.1)
+    assert (r.n_below, r.n_above, r.n_total) == (10, 10, 100)
+    with _pt.raises(ValueError, match="lower"):
+        winsorize_bounds(df, "v", 0.9, 0.1)
