@@ -276,3 +276,80 @@ def streaming_retention(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming debounce: the stateful twin of events.debounce_events('strict')
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("kept", T.BooleanType()),
+    ]
+)
+
+DEBOUNCE_STATE_SCHEMA = T.StructType([T.StructField("last_kept_us", T.LongType())])
+
+
+def streaming_debounce(events: DataFrame, gap_seconds: int) -> DataFrame:
+    """Strict rate limiting over a live stream — the stateful twin of
+    ``operators.events.debounce_events(mode='strict')``: per
+    ``(user, type)`` key an event is kept iff more than
+    ``gap_seconds`` passed since the last KEPT event, the greedy
+    chain re-armed on keeps. Emits every event's ``kept`` verdict;
+    state is ONE long per key (the last kept timestamp in exact
+    microseconds), which is the whole point — the batch fold needs
+    each key's full event array, the stream needs 8 bytes.
+
+    Parity contract (pinned): with events processed in event-time
+    order (in-batch rows are sorted; across batches the source must
+    deliver in order), verdicts equal the batch strict mode. No
+    timeout: a rate limiter must remember its anchor across idle
+    gaps; evicting would re-arm the chain and double-fire after every
+    quiet period.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (last,) = state.get if state.exists else (-(1 << 62),)
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        ids = rows["event_id"].tolist()
+        kept = []
+        for us in ts_us:
+            if us - last > gap_us:
+                kept.append(True)
+                last = us
+            else:
+                kept.append(False)
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(ids),
+                "event_type": [key[1]] * len(ids),
+                "event_id": ids,
+                "kept": kept,
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=DEBOUNCE_OUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

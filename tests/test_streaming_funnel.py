@@ -104,3 +104,37 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
     shutil.rmtree(drop, ignore_errors=True)
     assert got == want and len(want) > 1
     assert sum(u for (c, o), u in want.items() if o == 0) > 0  # cohort sizes present
+
+
+def test_streaming_debounce_matches_batch_strict(spark, tmp_path):
+    from dataflow_python_etl_spark.operators.events import debounce_events
+    from dataflow_python_etl_spark.streaming.stateful import streaming_debounce
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    drop = str(tmp_path / "drop_db")
+    cutoff = "2024-01-15"
+    ev.where(F.col("ts") < cutoff).write.parquet(drop)
+    stream = spark.readStream.schema(ev.schema).parquet(drop)
+    q = (
+        streaming_debounce(stream, gap_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("sdeb")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(drop)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.kept for r in spark.table("sdeb").collect()}
+    want = {
+        r.event_id: r.kept
+        for r in debounce_events(ev, 3600, mode="strict").collect()
+    }
+    shutil.rmtree(drop, ignore_errors=True)
+    assert got == want
+    assert 0 < sum(got.values()) < len(got)  # both keeps and drops occur
