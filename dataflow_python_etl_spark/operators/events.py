@@ -509,3 +509,94 @@ def debounce_events(
         F.col("p.evs.eid").alias(id_col),
         F.col("p.kept").alias("kept"),
     )
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Incremental SCD2 maintenance: apply a CDC batch of observations
+    to a type-2 dimension (the :func:`scd2_intervals` shape —
+    ``(entity, value, valid_from, valid_to, is_current)``), closing
+    current rows at the first differing change and opening new
+    versions — WITHOUT rebuilding history.
+
+    Correctness contract (pinned in tests):
+    ``scd2_apply_changes(scd2_intervals(A), B) ≡ scd2_intervals(A∪B)``
+    for any in-order batch B (every change strictly later than its
+    entity's current ``valid_from``). The construction makes that
+    identity hold by re-running the SAME interval derivation over
+    just [each touched entity's current row as a virtual observation]
+    ∪ [its batch changes]: consecutive same values collapse, a batch
+    equal to the current value is a no-op, multiple changes per
+    entity in one batch chain correctly, and unseen entities insert.
+    Closed historical rows are never touched or re-derived — the
+    per-batch cost is (touched entities + batch), not table history.
+
+    An out-of-order change (ts ≤ its entity's current ``valid_from``)
+    would silently rewrite closed history, so it fails LOUDLY via the
+    repo's filter-anchored raise_error pattern (a dead projected
+    guard column would be pruned). One entity-keyed shuffle family.
+    """
+    cur = dim.where(F.col("is_current")).select(
+        F.col(user_col).alias("__k"),
+        F.col("value").alias("__v"),
+        F.col("valid_from").alias("__vf"),
+    )
+    ch = changes.select(
+        F.col(user_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(attr_col).alias("__attr"),
+        F.col(id_col).alias("__id"),
+    )
+    # loud out-of-order guard, filter-anchored (CLAUDE.md invariant)
+    guarded = (
+        ch.join(cur.select("__k", "__vf"), "__k", "left")
+        .where(
+            F.when(
+                F.col("__vf").isNotNull() & (F.col("__ts") <= F.col("__vf")),
+                F.raise_error(
+                    F.concat(
+                        F.lit("scd2_apply_changes: out-of-order change for entity "),
+                        F.col("__k").cast("string"),
+                        F.lit(" at "),
+                        F.col("__ts").cast("string"),
+                        F.lit(" (not after current valid_from "),
+                        F.col("__vf").cast("string"),
+                        F.lit(") — it would rewrite closed history"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("__vf")
+    )
+    touched_keys = guarded.select("__k").distinct()
+    # each touched entity's current row re-enters as a virtual
+    # observation carrying its original valid_from; ids never tie
+    # with batch ids at the same ts because the guard excludes
+    # ts <= valid_from
+    virtual = cur.join(touched_keys, "__k", "left_semi").select(
+        "__k",
+        F.col("__vf").alias("__ts"),
+        F.col("__v").alias("__attr"),
+        F.lit(-1).cast("long").alias("__id"),
+    )
+    merged = virtual.unionByName(guarded)
+    recomputed = scd2_intervals(
+        merged, user_col="__k", ts_col="__ts", attr_col="__attr", id_col="__id"
+    ).select(
+        F.col("__k").alias(user_col),
+        "value",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    untouched_current = dim.where(F.col("is_current")).join(
+        touched_keys.withColumnRenamed("__k", user_col), user_col, "left_anti"
+    )
+    historical = dim.where(~F.col("is_current"))
+    return historical.unionByName(untouched_current).unionByName(recomputed)

@@ -3790,6 +3790,50 @@ def q95_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q96_scd2_incremental",
+    """
+    WITH c AS (
+        SELECT user_id, ts, event_id, event_type AS value,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    ch AS (
+        SELECT user_id, ts, event_id, value FROM c
+        WHERE prev IS NULL OR value != prev
+    )
+    SELECT user_id, value, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "Incremental SCD2 maintenance (operators.events."
+    "scd2_apply_changes): the dimension built from events BEFORE "
+    "2024-01-15 has the later events applied as a CDC batch — and "
+    "the oracle is the FULL-history rebuild, because the operator's "
+    "contract is apply(scd2(A), B) == scd2(A ∪ B): touched entities' "
+    "current rows re-enter as virtual observations ahead of their "
+    "batch changes and flow through the identical interval "
+    "derivation, so collapse/chain/no-op/new-entity semantics are "
+    "inherited rather than re-implemented; closed history is never "
+    "re-derived (per-batch cost = touched entities + batch). "
+    "Out-of-order changes fail loudly (filter-anchored raise_error)",
+)
+def q96_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    dim = scd2_intervals(ev.where(F.col("ts") < cutoff))
+    return scd2_apply_changes(dim, ev.where(F.col("ts") >= cutoff))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -326,3 +326,51 @@ def test_winsorize_bounds_counts_and_validation(spark):
     assert (r.n_below, r.n_above, r.n_total) == (10, 10, 100)
     with _pt.raises(ValueError, match="lower"):
         winsorize_bounds(df, "v", 0.9, 0.1)
+
+
+def test_scd2_apply_changes_incremental_equals_rebuild(spark):
+    """THE invariant: apply(scd2(A), B) == scd2(A ∪ B) for in-order
+    batches — collapse, multi-change chains, no-op repeats, and new
+    entities all exercised; closed history untouched."""
+    from dataflow_python_etl_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    a = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 10, "free"),
+            (1, dt.datetime(2024, 1, 3), 11, "pro"),
+            (2, dt.datetime(2024, 1, 2), 12, "free"),
+            (3, dt.datetime(2024, 1, 4), 13, "pro"),
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5), 20, "pro"),    # no-op repeat
+            (1, dt.datetime(2024, 1, 6), 21, "free"),   # change
+            (1, dt.datetime(2024, 1, 7), 22, "trial"),  # chained change
+            (2, dt.datetime(2024, 1, 8), 23, "pro"),    # change
+            (9, dt.datetime(2024, 1, 9), 24, "free"),   # new entity
+        ],
+        schema,
+    )
+    key = lambda r: (r.user_id, r.value, r.valid_from, r.valid_to, r.is_current)  # noqa: E731
+    got = sorted(map(key, scd2_apply_changes(scd2_intervals(a), b).collect()))
+    want = sorted(map(key, scd2_intervals(a.unionByName(b)).collect()))
+    assert got == want and len(got) == 8
+
+
+def test_scd2_apply_changes_rejects_out_of_order(spark):
+    from dataflow_python_etl_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    a = spark.createDataFrame([(1, dt.datetime(2024, 1, 5), 10, "free")], schema)
+    stale = spark.createDataFrame([(1, dt.datetime(2024, 1, 2), 20, "pro")], schema)
+    with pytest.raises(Exception, match="out-of-order"):
+        scd2_apply_changes(scd2_intervals(a), stale).collect()
