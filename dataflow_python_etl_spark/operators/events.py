@@ -600,3 +600,78 @@ def scd2_apply_changes(
     )
     historical = dim.where(~F.col("is_current"))
     return historical.unionByName(untouched_current).unionByName(recomputed)
+
+
+def peak_concurrency(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning
+    readout: sessionize each user by inactivity gap (same rule as
+    q32), turn each session into ``[start, end]`` endpoints, and
+    sweep: +1/−1 deltas in global time order with a running sum;
+    report ``(day, peak_concurrent)`` = the max of the running count
+    at any endpoint inside the day.
+
+    Determinism: endpoints sort by ``(ts, −delta, user, session)`` —
+    +1 before −1 at equal timestamps: sessions are CLOSED intervals,
+    active at both their start and end instants, so a session ending
+    exactly when another starts overlaps it for that instant, and a
+    single-event session (start == end) still counts itself
+    (documented boundary policy, identical in the SQL mirror). All
+    integer arithmetic.
+
+    Scale shape: the sweep runs over SESSION ENDPOINTS (2 rows per
+    session — orders of magnitude under the event count) in one
+    globally-ordered window; exact concurrency is inherently a total
+    order, so this single-partition pass is the honest cost, and its
+    input is endpoint-sized, not event-sized. Days without any
+    endpoint (possible only when every session spans the whole day —
+    sessions bounded by the inactivity gap make that impossible) are
+    omitted.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(ts_col)).over(w)
+    flagged = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.when(
+            prev.isNull()
+            | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_seconds * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("ns"),
+    )
+    sess = (
+        flagged.withColumn("sid", F.sum("ns").over(
+            Window.partitionBy("u").orderBy(F.col("t"), F.col("i")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ))
+        .groupBy("u", "sid")
+        .agg(F.min("t").alias("start"), F.max("t").alias("end"))
+    )
+    deltas = sess.select(
+        F.col("start").alias("t"), F.lit(1).alias("d"), "u", "sid"
+    ).unionByName(
+        sess.select(F.col("end").alias("t"), F.lit(-1).alias("d"), "u", "sid")
+    )
+    sweep = Window.orderBy(
+        F.col("t"), (-F.col("d")), F.col("u"), F.col("sid")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.select(
+        F.to_date("t").alias("day"), F.sum("d").over(sweep).alias("live")
+    )
+    return running.groupBy("day").agg(
+        F.max("live").cast("long").alias("peak_concurrent")
+    )

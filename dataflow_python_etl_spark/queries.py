@@ -3834,6 +3834,56 @@ def q96_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply_changes(dim, ev.where(F.col("ts") >= cutoff))
 
 
+@_q(
+    "q97_peak_concurrency",
+    """
+    WITH flagged AS (
+        SELECT user_id AS u, ts AS t, event_id AS i,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT u, sid, min(t) AS s_start, max(t) AS s_end
+        FROM (
+            SELECT *, sum(ns) OVER (PARTITION BY u ORDER BY t, i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        ) GROUP BY u, sid
+    ),
+    deltas AS (
+        SELECT s_start AS t, 1 AS d, u, sid FROM sess
+        UNION ALL
+        SELECT s_end, -1, u, sid FROM sess
+    ),
+    sweep AS (
+        SELECT CAST(t AS DATE) AS day,
+               sum(d) OVER (ORDER BY t, -d, u, sid
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live
+        FROM deltas
+    )
+    SELECT day, CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM sweep GROUP BY day
+    """,
+    "Peak concurrent sessions per day (operators.events."
+    "peak_concurrency — the capacity-planning readout): q32's "
+    "inactivity sessionization → [start, end] endpoints → a +1/−1 "
+    "sweep with a running sum, max per day. Endpoints sort "
+    "(ts, −delta, user, session): sessions are CLOSED intervals — "
+    "active at start and end instants, single-event sessions count "
+    "themselves — the documented boundary policy both engines share. The globally-ordered sweep is inherent to exact "
+    "concurrency and runs over session ENDPOINTS (2 rows/session), "
+    "not events; all integer arithmetic",
+)
+def q97_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import peak_concurrency
+
+    return peak_concurrency(_t(spark, sf_dir, "events"), gap_seconds=300)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -374,3 +374,23 @@ def test_scd2_apply_changes_rejects_out_of_order(spark):
     stale = spark.createDataFrame([(1, dt.datetime(2024, 1, 2), 20, "pro")], schema)
     with pytest.raises(Exception, match="out-of-order"):
         scd2_apply_changes(scd2_intervals(a), stale).collect()
+
+
+def test_peak_concurrency_overlap_and_boundary(spark):
+    from dataflow_python_etl_spark.operators.events import peak_concurrency
+
+    rows = [
+        # Jan 1: A 00:00-00:02, B 00:01-00:03, and C starting 00:02
+        # EXACTLY when A ends — closed-interval policy: all three are
+        # active at the 00:02 instant, peak = 3
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1), (1, dt.datetime(2024, 1, 1, 0, 2), 2),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 3), (2, dt.datetime(2024, 1, 1, 0, 3), 4),
+        (3, dt.datetime(2024, 1, 1, 0, 2), 5), (3, dt.datetime(2024, 1, 1, 0, 4), 6),
+        # Jan 2: one user, two single-event sessions (gap > 300 s) —
+        # start == end must still count itself -> peak 1
+        (1, dt.datetime(2024, 1, 2, 0, 0), 7),
+        (1, dt.datetime(2024, 1, 2, 1, 0), 8),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {r.day.isoformat(): r.peak_concurrent for r in peak_concurrency(df).collect()}
+    assert got == {"2024-01-01": 3, "2024-01-02": 1}
