@@ -3368,13 +3368,14 @@ def q87_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_python_etl_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    edges = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-    ).select(
-        F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+    # co-purchase pairs via ONE groupBy + a map-side pair explode —
+    # a lineitem⋈lineitem self-join on the order key shuffles the
+    # fact table twice for the same result
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        parts.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
     )
     return triangle_count(edges)
 
