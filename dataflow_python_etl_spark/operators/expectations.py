@@ -144,3 +144,58 @@ def winsorize_bounds(
         F.sum((F.col("v") > F.col("p_hi")).cast("long")).alias("n_above"),
         F.count(F.lit(1)).cast("long").alias("n_total"),
     ).select(*keys, "p_lo", "p_hi", "n_below", "n_above", "n_total")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    n_sigmas: float = 3.0,
+    decimals: int = 2,
+) -> DataFrame:
+    """Robust outlier report via the median absolute deviation —
+    ``(group?, n, med_units, mad_units, n_outliers)`` where a row is
+    an outlier when ``|v − median| > n_sigmas · 1.4826 · MAD``. The
+    MAD·1.4826 estimator is the standard robust stand-in for σ: unlike
+    the mean/stddev z-score (q78), a single pathological value cannot
+    drag the threshold, which is the point of an outlier CHECK.
+
+    Cross-engine determinism by construction: values lift to exact
+    integer units (``round(v · 10^decimals)`` — the 2-decimal grid),
+    so both medians are exact doubles on the ¼-unit grid (an even-count
+    median averages two integers; a deviation median averages two
+    half-grid points), the threshold is ONE IEEE multiply of that
+    exact double, and the tail count compares exact doubles — no
+    accumulated float anywhere, same discipline as
+    :func:`winsorize_bounds`. Reported med/mad stay in integer units.
+
+    Same two-aggregations-over-one-scan shape as winsorize_bounds, with
+    a second pass for the deviation median (MAD is a median OF a
+    median-residual — inherently two passes): per-group medians
+    broadcast back, never a global sort. ``percentile`` buffers
+    per-group distinct values — bounded here by the value DOMAIN
+    (integer units of a bounded measure), the documented contract.
+    """
+    scale = 10 ** decimals
+    keys = [group_col] if group_col else []
+    v = df.select(
+        *keys, F.round(F.col(value_col) * scale).cast("long").alias("v")
+    )
+    med = v.groupBy(*keys).agg(F.percentile("v", F.lit(0.5)).alias("med_units"))
+    j1 = v.join(F.broadcast(med), keys) if keys else v.crossJoin(F.broadcast(med))
+    dev = j1.select(*keys, "med_units", F.abs(F.col("v") - F.col("med_units")).alias("dev"))
+    mad = dev.groupBy(*keys, "med_units").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("dev", F.lit(0.5)).alias("mad_units"),
+    )
+    j2 = (
+        dev.join(F.broadcast(mad), [*keys, "med_units"])
+        if keys
+        else dev.crossJoin(F.broadcast(mad.select("n", "mad_units")))
+    )
+    return j2.groupBy(*keys, "n", "med_units", "mad_units").agg(
+        F.sum(
+            (F.col("dev") > F.lit(n_sigmas) * F.lit(1.4826) * F.col("mad_units"))
+            .cast("long")
+        ).alias("n_outliers")
+    ).select(*keys, "n", "med_units", "mad_units", "n_outliers")

@@ -3929,6 +3929,52 @@ def q98_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q99_mad_outliers",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(CAST(v AS DOUBLE), 0.5) AS med_units
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, med.med_units, abs(v.v - med.med_units) AS dev
+        FROM v JOIN med ON v.event_type = med.event_type
+    ),
+    mad AS (
+        SELECT event_type, med_units, CAST(count(*) AS BIGINT) AS n,
+               quantile_cont(dev, 0.5) AS mad_units
+        FROM dev GROUP BY event_type, med_units
+    )
+    SELECT d.event_type, m.n, m.med_units, m.mad_units,
+           CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad_units
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.n, m.med_units, m.mad_units
+    """,
+    "Robust outlier report per event type via 1.4826·MAD "
+    "(operators.expectations.mad_outliers — the data-quality check a "
+    "mean/stddev z-score can't do: a single pathological value drags "
+    "a stddev threshold but not a median one). Exact-integer-units "
+    "construction: values lift to cents, both medians are exact "
+    "doubles on the quarter-unit grid (interpolated percentile — "
+    "q34's proven mechanism), the threshold is one left-associated "
+    "IEEE multiply chain both engines share, the tail count compares "
+    "exact doubles. Two broadcast-join aggregation passes over one "
+    "scan shape; percentile state bounded by the integer value "
+    "domain",
+)
+def q99_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.expectations import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"), value_col="value", group_col="event_type"
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -199,3 +199,37 @@ def test_cusum_closed_form_equals_textbook_recursion(spark):
         assert r.alarm == (100 * s_pos > 5 * tot * n or 100 * s_neg > 5 * tot * n)
     # the sustained shift must eventually alarm; the quiet head must not
     assert not got[5].alarm and got[-1].alarm
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers (q99)
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_planted_and_interpolated(spark):
+    """A single pathological value is flagged without dragging the
+    threshold (MAD=0 case), and even-count medians interpolate on the
+    exact quarter-unit grid."""
+    from dataflow_python_etl_spark.operators.expectations import mad_outliers
+
+    rows = [("a", 10.00)] * 20 + [("a", 999.99)]
+    rows += [("b", 1.00), ("b", 2.00), ("b", 3.00), ("b", 4.00)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mad_outliers(df, "v", group_col="g").collect()}
+    a = out["a"]
+    assert (a["n"], a["med_units"], a["mad_units"], a["n_outliers"]) == (
+        21, 1000.0, 0.0, 1,
+    )
+    b = out["b"]
+    assert (b["n"], b["med_units"], b["mad_units"], b["n_outliers"]) == (
+        4, 250.0, 100.0, 0,
+    )
+
+
+def test_mad_outliers_global_row(spark):
+    from dataflow_python_etl_spark.operators.expectations import mad_outliers
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 12)], "v double")
+    row = mad_outliers(df, "v").collect()
+    assert len(row) == 1
+    assert row[0]["med_units"] == 600.0 and row[0]["mad_units"] == 300.0
