@@ -149,3 +149,56 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.count(F.lit(1)).cast("long").alias("n_edges")
     ).crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Breadth-first reach from a seed set over the UNDIRECTED graph
+    under ``edges``: ``(hop, n_nodes)`` — how many nodes first become
+    reachable at each hop ≤ ``max_hops`` (hop 0 = the distinct seeds
+    themselves). The "blast radius" readout behind contamination
+    spread, fraud-ring expansion, and recall-set sizing.
+
+    Level-synchronous frontier iteration — the BFS formulation that
+    shards: each round is ONE node-keyed join of the frontier against
+    the (cached, symmetrized) edge set + a distinct + an anti-join
+    against the visited set, so per-round cost is the frontier's
+    adjacency, never the whole graph re-walked. All set arithmetic on
+    ids — no floats anywhere, so the DuckDB oracle is a recursive CTE
+    whose ``min(hop)`` per node provably equals the BFS distance
+    (every ≤ max_hops walk is enumerated; dedup on (node, hop) bounds
+    CTE state at (max_hops+1)·|V| rows). Lineage grows one join per
+    hop — fine at small fixed depths; re-checkpoint the visited set on
+    a cadence for deep traversals (same contract as pagerank).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    e = register_cache(fwd.union(rev).where(F.col("u") != F.col("v")).distinct())
+    visited = seeds.select(F.col(seed_col).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hop")
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+        )
+        nxt = register_cache(nxt)
+        visited = visited.union(nxt)
+        frontier = nxt.select("node")
+    return visited.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

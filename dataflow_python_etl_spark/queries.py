@@ -3975,11 +3975,76 @@ def q99_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q100_bfs_reach",
+    """
+    WITH RECURSIVE eb AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+               's' || CAST(l_suppkey AS VARCHAR) AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (
+        SELECT u, v FROM eb WHERE u <> v
+        UNION
+        SELECT v, u FROM eb WHERE u <> v
+    ),
+    seeds AS (
+        SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    ),
+    reach(node, hop) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.v, r.hop + 1
+        FROM reach r JOIN e ON e.u = r.node WHERE r.hop < 3
+    ),
+    d AS (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY hop
+    """,
+    "k-hop BFS reach ('blast radius') from one nation's customers "
+    "over the undirected customer—supplier co-transaction graph "
+    "(operators.graph.bfs_hops): how many nodes first become "
+    "reachable at each hop <= 3. Level-synchronous frontier "
+    "iteration — one node-keyed join of the frontier against the "
+    "cached symmetrized edge set per round + anti-join against "
+    "visited, so per-round cost is the frontier's adjacency, never "
+    "the graph re-walked; all-integer set arithmetic. Oracle is a "
+    "recursive CTE whose min(hop) per node equals the BFS distance "
+    "(every <= 3-hop walk enumerated, state bounded 4|V| by the "
+    "(node, hop) dedup)",
+)
+def q100_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.graph import bfs_hops
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
 def _sort_registry() -> None:
-    items = sorted(QUERIES.items())
+    # NUMERIC key order — a plain string sort would file "q100" before
+    # "q11", shuffling three-digit queries into the driver's first-50
+    # grading window and silently changing which rows it grades.
+    items = sorted(QUERIES.items(), key=lambda kv: int(kv[0][1:].split("_", 1)[0]))
     QUERIES.clear()
     QUERIES.update(items)
 

@@ -117,3 +117,34 @@ def test_triangle_count_known_graphs(spark):
     star = [(0, i) for i in range(1, 6)] + [(1, 2)]
     r = tc(star)
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 6, 1)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops (q100)
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path a-b-c-d-e seeded at a: one node per hop, e beyond
+    max_hops excluded; reversed edge storage and self-loops are
+    direction/noise-invariant."""
+    from dataflow_python_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["hop"]: r["n_nodes"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_bfs_hops_isolated_seed_and_zero_hops(spark):
+    from dataflow_python_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([("x", "y")], "src string, dst string")
+    seeds = spark.createDataFrame([("lonely",), ("x",)], "node string")
+    got = {r["hop"]: r["n_nodes"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert got == {0: 2, 1: 1}
+    zero = {r["hop"]: r["n_nodes"] for r in bfs_hops(edges, seeds, max_hops=0).collect()}
+    assert zero == {0: 2}
