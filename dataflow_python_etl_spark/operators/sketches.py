@@ -250,3 +250,29 @@ def hll_estimate(
             ).alias("est"),
         )
     )
+
+
+def streaming_count_min(
+    item_stream: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`count_min_sketch` — and deliberately
+    the SAME plan. Because the sketch is a pure cell explode + keyed
+    integer sum, its live twin is a NATIVE streaming aggregation: the
+    state store holds exactly the ≤ d×w non-zero cells (longs), every
+    micro-batch folds in by cell-wise addition — the sketch's
+    mergeability IS the streaming-state contract, no custom stateful
+    operator needed. Run the sink in ``complete`` mode (re-emitting
+    the whole sketch is sketch-sized by construction — the point of
+    sketching) or ``update`` for changed cells only. Cross-batch
+    result ≡ the batch sketch over the union of all drops
+    (parity-pinned in tests); contents stay bit-identical to the
+    DuckDB oracle's because the portable md5 cell hash is shared.
+    """
+    return count_min_sketch(
+        item_stream, item_col=item_col, depth=depth, width=width,
+        weight_col=weight_col,
+    )

@@ -509,3 +509,34 @@ def test_stream_cdc_engine_validation(spark, tmp_path):
             spark.readStream.schema(schema).parquet(src),
             str(tmp_path / "t"), ["id"], str(tmp_path / "ck"), engine="iceberg",
         )
+
+
+def test_streaming_count_min_parity(spark, event_drop):
+    """The streaming sketch after draining all drops is cell-for-cell
+    the batch sketch over the same events — mergeability is the
+    streaming-state contract, so a plain streaming aggregation
+    suffices (no custom stateful operator)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.sketches import (
+        count_min_sketch,
+        streaming_count_min,
+    )
+
+    items_batch = read_table(spark, SF_DIR, "events").select(
+        F.col("event_type").alias("item")
+    )
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min_sketch(items_batch, width=64).collect()
+    }
+    stream = read_event_stream(spark, event_drop, max_files_per_trigger=1)
+    sketch = streaming_count_min(
+        stream.select(F.col("event_type").alias("item")), width=64
+    )
+    run_to_memory_sink(sketch, "cms_stream")
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.table("cms_stream").collect()
+    }
+    assert got == want and len(got) > 0
