@@ -801,3 +801,61 @@ def rfm_segments(
         "n_entities",
         "total_monetary",
     )
+
+
+def conversion_lag(
+    events: DataFrame,
+    step_from: str,
+    step_to: str,
+    bucket_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution — ``(lag_bucket, n_users)``: for
+    every user who completed ``step_from`` then ``step_to`` (ordered,
+    first-occurrence semantics matching the funnel family), the lag
+    between the two completions bucketed at ``bucket_seconds``. The
+    "how long does conversion take" histogram that sits beside the
+    funnel's "how many convert".
+
+    ONE user-keyed shuffle: the step_from completion time is a window
+    min over the user partition and the step_to conditional min
+    aggregates on the same key, so the window and the groupBy share
+    one exchange. Lags are exact integer microseconds and the bucket
+    is INTEGER division (``div``) — a double division's correctly-
+    rounded quotient can land exactly on the next integer and flip
+    ``floor`` cross-engine; integer division cannot. Output is
+    bucket-count-sized at any scale.
+    """
+    from pyspark.sql import Window
+
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    bucket_us = int(bucket_seconds) * 1_000_000
+    u, t, k = F.col(user_col), F.col(ts_col), F.col(type_col)
+    w = Window.partitionBy(user_col)
+    base = events.select(user_col, ts_col, type_col).withColumn(
+        "t1_us",
+        F.unix_micros(F.min(F.when(k == step_from, t)).over(w)),
+    )
+    per = (
+        base.groupBy(user_col)
+        .agg(
+            F.min("t1_us").alias("t1_us"),
+            F.min(
+                F.when(
+                    (k == step_to) & (F.unix_micros(t) > F.col("t1_us")),
+                    F.unix_micros(t),
+                )
+            ).alias("t2_us"),
+        )
+        .where(F.col("t2_us").isNotNull())
+    )
+    return (
+        per.select(
+            F.expr(f"(t2_us - t1_us) div {bucket_us}").alias("lag_bucket")
+        )
+        .groupBy("lag_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

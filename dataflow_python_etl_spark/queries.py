@@ -4037,6 +4037,43 @@ def q100_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=3)
 
 
+@_q(
+    "q101_conversion_lag",
+    """
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, min(epoch_us(u.t1)) AS t1_us,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > u.t1
+                   THEN epoch_us(e.ts) END) AS t2_us
+        FROM events e JOIN u ON e.user_id = u.user_id
+        GROUP BY e.user_id
+    )
+    SELECT (t2_us - t1_us) // 3600000000 AS lag_bucket,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM v WHERE t2_us IS NOT NULL GROUP BY 1
+    """,
+    "Time-to-convert histogram signup→purchase in hour buckets "
+    "(operators.events.conversion_lag — the 'how long does conversion "
+    "take' readout beside the funnel's 'how many'): first-occurrence "
+    "ordered semantics shared with q74, lags in exact integer "
+    "microseconds, bucket by INTEGER division (a double division's "
+    "correctly-rounded quotient can land exactly on the next integer "
+    "and flip floor cross-engine). One user-keyed shuffle — the "
+    "window min and the conditional-min agg share the exchange; "
+    "output is bucket-count-sized",
+)
+def q101_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import conversion_lag
+
+    return conversion_lag(
+        _t(spark, sf_dir, "events"), step_from="signup", step_to="purchase"
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

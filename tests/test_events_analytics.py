@@ -479,3 +479,45 @@ def test_rfm_segments_partition_of_base(spark):
     for r in seg:
         a, b, c = (int(x) for x in r["segment"].split("-"))
         assert all(1 <= v <= 5 for v in (a, b, c))
+
+
+# ---------------------------------------------------------------------------
+# conversion_lag (q101)
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_lag_ordered_and_bucketed(spark):
+    """Only step_to events STRICTLY after the first step_from count;
+    lag buckets at integer-divided hours; non-converts dropped."""
+    from dataflow_python_etl_spark.operators.events import conversion_lag
+
+    events = _ev(
+        spark,
+        [
+            (1, 1, 0, "signup"), (1, 1, 1, "purchase"),   # lag 1h -> bucket 1
+            (2, 1, 5, "purchase"), (2, 1, 6, "signup"),   # out of order: no convert
+            (3, 1, 0, "signup"), (3, 2, 0, "purchase"),   # 24h -> bucket 24
+            (4, 1, 0, "signup"),                          # never converts
+            (5, 1, 0, "purchase"), (5, 1, 1, "signup"), (5, 1, 3, "purchase"),
+            # user 5: first signup at 1h, first later purchase 3h -> bucket 2
+        ],
+    )
+    got = {
+        r["lag_bucket"]: r["n_users"]
+        for r in conversion_lag(events, "signup", "purchase").collect()
+    }
+    assert got == {1: 1, 24: 1, 2: 1}
+
+
+def test_conversion_lag_single_exchange(spark):
+    """The window min and the per-user agg share one user-keyed
+    exchange."""
+    from dataflow_python_etl_spark.operators.events import conversion_lag
+    from dataflow_python_etl_spark.plans.checks import count_exchanges
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    out = conversion_lag(
+        read_table(spark, SF_DIR, "events"), "signup", "purchase"
+    )
+    # user-keyed exchange + the final bucket agg exchange only
+    assert count_exchanges(out) == 2
