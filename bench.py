@@ -88,6 +88,10 @@ EXTENDED_QUERIES = [
     "q87_triangle_count",
     "q89_hll_distinct",
     "q93_cusum",
+    "q98_rfm_segments",
+    "q99_mad_outliers",
+    "q100_bfs_reach",
+    "q101_conversion_lag",
 ]
 
 
