@@ -276,3 +276,35 @@ def streaming_count_min(
         item_stream, item_col=item_col, depth=depth, width=width,
         weight_col=weight_col,
     )
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Top-``k`` heavy hitters by Count-Min estimate — ``(item, est)``
+    ordered by ``(est DESC, item)``. The sketch-side answer to "what
+    dominates the stream": estimates OVERCOUNT only, so every true
+    heavy hitter is guaranteed to appear with ``est ≥`` its true
+    count — the sketch can promote a light item, never hide a heavy
+    one (verify promotions with one exact semi-joined count when it
+    matters).
+
+    The item stream feeds the sketch build AND the distinct probe set,
+    so it goes through ``register_cache`` (one materialization, two
+    consumers). Probe cost is VOCABULARY×depth lookups against the
+    broadcast ≤ d×w sketch — at 100 TB the stream is unbounded but the
+    probe side is the vocabulary, and the top-k is a TakeOrdered, not
+    a global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    its = register_cache(items.select(F.col(item_col).alias("item")))
+    sketch = count_min_sketch(its, depth=depth, width=width)
+    est = cms_estimate(sketch, its.distinct(), depth=depth, width=width)
+    return est.orderBy(F.col("est").desc(), F.col("item")).limit(k)

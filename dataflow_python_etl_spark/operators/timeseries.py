@@ -319,3 +319,55 @@ def cusum_change_points(
             | (F.lit(100) * F.col("s_neg") > F.lit(threshold) * F.col("tot") * F.col("nb"))
         ).alias("alarm"),
     )
+
+
+def ewma_levels(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Exponentially-weighted moving average of per-group bucket
+    counts — ``(grp, n_buckets, ewma)``, the smoothed current LEVEL of
+    each series (``s_1 = x_1``, ``s_t = α·x_t + (1−α)·s_{t−1}`` over
+    observed buckets in time order). The classic trend/level signal
+    beside :func:`rolling_anomalies` (spikes) and
+    :func:`cusum_change_points` (sustained shifts).
+
+    The recursion has no float-safe closed form (the CUSUM prefix-sum
+    trick needs a max/min clamp, not a geometric decay), so it runs as
+    an ORDERED LEFT FOLD both engines execute identically: Spark's
+    ``aggregate`` over the time-sorted count array with init = first
+    element, DuckDB's ``list_reduce`` over ``list(x ORDER BY
+    bucket_ts)`` (also accumulator-first, first-element init), the
+    step spelled textually as ``α·x + (1−α)·acc`` in both — same IEEE
+    ops in the same order, so the result is bit-identical with NO
+    rounding discipline needed (rounded to 6 for display anyway).
+
+    One group-keyed shuffle; the per-group array is SERIES-sized
+    (buckets in the observed time span — report-bounded, the same
+    contract as the retention matrix), never event-sized: events
+    pre-aggregate to bucket counts map-side first.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    beta = 1.0 - alpha
+    b = events.select(
+        F.col(group_col).alias("grp"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    )
+    agg = b.groupBy("grp", "bucket_ts").agg(F.count(F.lit(1)).alias("n"))
+    series = agg.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket_ts", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(beta) * acc,
+    )
+    return series.select("grp", "n_buckets", F.round(ewma, 6).alias("ewma"))

@@ -4074,6 +4074,85 @@ def q101_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q102_ewma_levels",
+    """
+    WITH agg AS (
+        SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets,
+           round(list_reduce(list(CAST(n AS DOUBLE) ORDER BY bucket_ts),
+                             (a, x) -> 0.2 * x + 0.8 * a), 6) AS ewma
+    FROM agg GROUP BY grp
+    """,
+    "EWMA smoothed level of hourly event rates per type "
+    "(operators.timeseries.ewma_levels — the trend/level signal "
+    "beside rolling_anomalies' spikes and CUSUM's sustained shifts). "
+    "The recursion has no float-safe closed form, so it runs as an "
+    "ORDERED LEFT FOLD both engines execute identically: Spark "
+    "aggregate over the time-sorted count array vs DuckDB "
+    "list_reduce over list(x ORDER BY bucket_ts) — both "
+    "accumulator-first with first-element init, the step spelled "
+    "'a*x + (1-a)*acc' textually in both, so results are "
+    "bit-identical before any rounding. One group-keyed shuffle; "
+    "arrays are series-sized (bucket counts), never event-sized",
+)
+def q102_ewma_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import ewma_levels
+
+    return ewma_levels(_t(spark, sf_dir, "events"), alpha=0.2)
+
+
+@_q(
+    "q103_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS item
+        FROM documents
+    ),
+    cells AS (
+        SELECT 0 AS row, ({_CMS_CELL(0)}) AS col FROM toks UNION ALL
+        SELECT 1, ({_CMS_CELL(1)}) FROM toks UNION ALL
+        SELECT 2, ({_CMS_CELL(2)}) FROM toks UNION ALL
+        SELECT 3, ({_CMS_CELL(3)}) FROM toks
+    ),
+    sk AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col),
+    probes AS (SELECT DISTINCT item FROM toks),
+    lk AS (
+        SELECT p.item, r.row,
+               ({_md5h60_sql("'cms-r' || CAST(r.row AS VARCHAR) || ':' || p.item")})
+                   % 1024 AS col
+        FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row) r
+    ),
+    est AS (
+        SELECT lk.item, min(coalesce(sk.cnt, 0)) AS est
+        FROM lk LEFT JOIN sk ON lk.row = sk.row AND lk.col = sk.col
+        GROUP BY lk.item
+    )
+    SELECT item, CAST(est AS BIGINT) AS est
+    FROM est ORDER BY est DESC, item LIMIT 20
+    """,
+    "Top-20 heavy hitters by Count-Min estimate over the document "
+    "token stream (operators.sketches.cms_heavy_hitters): every "
+    "DISTINCT token probed against the q80 sketch, ranked "
+    "(est DESC, item) — deterministic because sketch CONTENTS are "
+    "bit-identical cross-engine (portable md5 cells) and estimates "
+    "are integers. Overcount-only guarantee: a true heavy hitter can "
+    "never be hidden, only a light item promoted. Stream cached once "
+    "for build + probes; probe side is vocabulary-sized; top-k is a "
+    "TakeOrdered, not a global sort",
+)
+def q103_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.sketches import cms_heavy_hitters
+
+    items = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens("text")).alias("item")
+    )
+    return cms_heavy_hitters(items, k=20)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

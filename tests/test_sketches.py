@@ -150,3 +150,23 @@ def test_hll_estimate_accuracy_in_raw_regime(spark):
 
     with _pt.raises(ValueError, match="p must"):
         hll_registers(items, p=2)
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters (q103)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_heavy_hitters_never_hides_a_heavy_item(spark):
+    """The planted dominant item ranks first with est >= its true
+    count (overcount-only), and the output is exactly k rows ordered
+    (est DESC, item)."""
+    from dataflow_python_etl_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [("whale",)] * 500 + [(f"minnow{i}",) for i in range(200)]
+    items = spark.createDataFrame(rows, "item string")
+    got = cms_heavy_hitters(items, k=5).collect()
+    assert len(got) == 5
+    assert got[0]["item"] == "whale" and got[0]["est"] >= 500
+    ests = [r["est"] for r in got]
+    assert ests == sorted(ests, reverse=True)

@@ -233,3 +233,33 @@ def test_mad_outliers_global_row(spark):
     row = mad_outliers(df, "v").collect()
     assert len(row) == 1
     assert row[0]["med_units"] == 600.0 and row[0]["mad_units"] == 300.0
+
+
+# ---------------------------------------------------------------------------
+# ewma_levels (q102)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_fold_matches_reference_chain(spark):
+    """The ordered fold reproduces the exact IEEE chain (init = first
+    bucket count), and a single-bucket series returns its count."""
+    import datetime as dt
+
+    from dataflow_python_etl_spark.operators.timeseries import ewma_levels
+
+    rows = []
+    for h, n in ((0, 1), (1, 2), (2, 3)):
+        rows += [("a", dt.datetime(2024, 1, 1, h))] * n
+    rows.append(("b", dt.datetime(2024, 1, 1, 5)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["grp"]: (r["n_buckets"], r["ewma"]) for r in ewma_levels(df).collect()}
+    # python reference: s=1; s=0.2*2+0.8*s; s=0.2*3+0.8*s
+    s = 1.0
+    for x in (2.0, 3.0):
+        s = 0.2 * x + 0.8 * s
+    assert got["a"] == (3, round(s, 6))
+    assert got["b"] == (1, 1.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        ewma_levels(df, alpha=1.0)
