@@ -308,3 +308,23 @@ def cms_heavy_hitters(
     sketch = count_min_sketch(its, depth=depth, width=width)
     est = cms_estimate(sketch, its.distinct(), depth=depth, width=width)
     return est.orderBy(F.col("est").desc(), F.col("item")).limit(k)
+
+
+def streaming_hll_registers(
+    item_stream: DataFrame,
+    item_col: str = "item",
+    group_cols: tuple[str, ...] = (),
+    p: int = 6,
+) -> DataFrame:
+    """Streaming twin of :func:`hll_registers` — the same plan, for
+    the same reason as :func:`streaming_count_min`: the register table
+    is a pure hash projection + keyed MAX, which is a native streaming
+    aggregation. State = at most ``2^p`` ints per group in the state
+    store; each micro-batch folds in by register-wise max — the HLL
+    merge law IS the streaming-state update. ``complete`` mode re-emits
+    the (sketch-sized) register table; feed it to
+    :func:`hll_estimate` batch-side for the live distinct count.
+    Cross-batch parity with the batch registers over the union of all
+    drops is pinned in tests.
+    """
+    return hll_registers(item_stream, item_col=item_col, group_cols=group_cols, p=p)

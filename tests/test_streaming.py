@@ -540,3 +540,34 @@ def test_streaming_count_min_parity(spark, event_drop):
         for r in spark.table("cms_stream").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_parity(spark, event_drop):
+    """Register-for-register parity: the streamed HLL register table
+    after draining all drops equals the batch build — max per bucket
+    is the merge law and the streaming-state update at once."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.sketches import (
+        hll_registers,
+        streaming_hll_registers,
+    )
+
+    batch_items = read_table(spark, SF_DIR, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("item")
+    )
+    want = {
+        r["bucket"]: r["rho"] for r in hll_registers(batch_items, p=6).collect()
+    }
+    stream = read_event_stream(spark, event_drop, max_files_per_trigger=1)
+    regs = streaming_hll_registers(
+        stream.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("item")
+        ),
+        p=6,
+    )
+    run_to_memory_sink(regs, "hll_stream")
+    got = {
+        r["bucket"]: r["rho"] for r in spark.table("hll_stream").collect()
+    }
+    assert got == want and len(got) > 0
