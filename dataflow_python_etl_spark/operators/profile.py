@@ -135,3 +135,91 @@ def collocations(
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+RAKE_STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "for", "on", "with",
+    "as", "by", "at", "an", "be", "or", "it", "was", "are", "this",
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    k: int = 15,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al., 2010) over the corpus —
+    ``(phrase, n_words, n_occur, sum_deg, sum_freq)``, top-``k`` by
+    ``(sum_deg DESC, phrase)``: candidate phrases are maximal runs of
+    non-stopword tokens, each word scored corpus-globally by frequency
+    (its member-row count) and degree (the summed length of every
+    phrase instance it appears in), a phrase by the sum over its
+    words. INTEGER scoring variant: canonical RAKE ranks by
+    ``Σ deg(w)/freq(w)`` — a sum of small-denominator rationals whose
+    cross-engine float story is avoidable by reporting the two exact
+    integer sums instead (the ratio is derivable from them; the
+    round-5 float-discipline rule: prefer count/sum shapes).
+
+    Scale shape: one doc-keyed window pass assigns run ids (token-
+    sized, single exchange), word stats aggregate on the word key
+    (vocabulary-sized) and broadcast back onto member rows, phrase
+    instances aggregate on the phrase key. No all-pairs step anywhere;
+    top-k is a TakeOrdered.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    toks = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+    ).select(
+        "doc",
+        "pos",
+        F.regexp_replace(F.lower(F.col("tok")), "[^a-z0-9]", "").alias("norm"),
+    )
+    is_break = (F.col("norm") == "") | F.col("norm").isin(*stopwords)
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = toks.select(
+        "doc", "pos", "norm",
+        F.sum(is_break.cast("int")).over(w).alias("run"),
+    ).where(~is_break)
+    # member rows with their phrase-instance length, cached: consumed
+    # by the word-stats agg AND the phrase-instance agg
+    members = register_cache(
+        runs.select(
+            "doc", "run", "pos", "norm",
+            F.count(F.lit(1)).over(Window.partitionBy("doc", "run")).alias("plen"),
+        )
+    )
+    word_stats = members.groupBy("norm").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    inst = (
+        members.join(F.broadcast(word_stats), "norm")
+        .groupBy("doc", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "norm"))),
+                    lambda s: s["norm"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("deg").cast("long").alias("sum_deg"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+        )
+    )
+    out = inst.groupBy("phrase").agg(
+        F.min("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occur"),
+        F.min("sum_deg").alias("sum_deg"),
+        F.min("sum_freq").alias("sum_freq"),
+    )
+    return out.orderBy(F.col("sum_deg").desc(), F.col("phrase")).limit(k)

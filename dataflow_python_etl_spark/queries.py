@@ -4153,6 +4153,79 @@ def q103_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(items, k=20)
 
 
+_RAKE_STOP_SQL = (
+    "'the','of','and','a','to','in','is','for','on','with',"
+    "'as','by','at','an','be','or','it','was','are','this'"
+)
+
+
+@_q(
+    "q104_rake_keywords",
+    f"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(text, '\\s+'), 1)
+                   AS pos
+        FROM documents
+    ),
+    flag AS (
+        SELECT doc, pos,
+               regexp_replace(lower(tok), '[^a-z0-9]', '', 'g') AS norm
+        FROM tok
+    ),
+    runs AS (
+        SELECT doc, pos, norm, brk,
+               sum(brk) OVER (PARTITION BY doc ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run
+        FROM (
+            SELECT doc, pos, norm,
+                   CASE WHEN norm = '' OR norm IN ({_RAKE_STOP_SQL})
+                        THEN 1 ELSE 0 END AS brk
+            FROM flag
+        )
+    ),
+    members AS (
+        SELECT doc, run, pos, norm,
+               count(*) OVER (PARTITION BY doc, run) AS plen
+        FROM runs WHERE brk = 0
+    ),
+    ws AS (
+        SELECT norm, count(*) AS freq, sum(plen) AS deg
+        FROM members GROUP BY norm
+    ),
+    inst AS (
+        SELECT m.doc, m.run,
+               array_to_string(list(m.norm ORDER BY m.pos), ' ') AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ws.deg) AS BIGINT) AS sum_deg,
+               CAST(sum(ws.freq) AS BIGINT) AS sum_freq
+        FROM members m JOIN ws ON m.norm = ws.norm
+        GROUP BY m.doc, m.run
+    )
+    SELECT phrase, min(n_words) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occur,
+           min(sum_deg) AS sum_deg, min(sum_freq) AS sum_freq
+    FROM inst GROUP BY phrase
+    ORDER BY sum_deg DESC, phrase LIMIT 15
+    """,
+    "RAKE keyword extraction over the corpus (operators.profile."
+    "rake_keywords, Rose et al. 2010): candidate phrases = maximal "
+    "non-stopword token runs (doc-keyed window run ids), word degree/"
+    "frequency corpus-global, phrases ranked by the summed INTEGER "
+    "degree (canonical deg/freq ratio derivable from the two reported "
+    "exact sums — the round-5 count/sum-shapes float rule). One "
+    "token-sized doc-keyed exchange, vocabulary-sized word stats "
+    "broadcast back, phrase-keyed agg, TakeOrdered top-15 with full "
+    "(sum_deg, phrase) tie-break",
+)
+def q104_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.profile import rake_keywords
+
+    return rake_keywords(_t(spark, sf_dir, "documents"), k=15)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

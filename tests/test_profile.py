@@ -56,3 +56,34 @@ def test_profile_map_column(spark):
     assert prof["props"]["n_distinct_approx"] is None
     assert prof["props"]["min"] is None and prof["props"]["max"] is None
     assert prof["id"]["n_distinct_approx"] == 3
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords (q104)
+# ---------------------------------------------------------------------------
+
+
+def test_rake_phrases_degrees_and_occurrences(spark):
+    """Stopwords delimit phrases; degree sums phrase lengths per
+    member word corpus-globally; repeated phrases count occurrences
+    once per instance; punctuation is stripped before matching."""
+    from dataflow_python_etl_spark.operators.profile import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox and the lazy dog."),
+            (2, "A lazy dog!"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["phrase"]: r for r in rake_keywords(docs, k=10).collect()}
+    fox = rows["quick brown fox"]
+    assert (fox["n_words"], fox["n_occur"], fox["sum_deg"], fox["sum_freq"]) == (
+        3, 1, 9, 3,
+    )
+    # 'lazy dog' occurs twice -> each word freq 2, deg 2+2=4 per word
+    dog = rows["lazy dog"]
+    assert (dog["n_words"], dog["n_occur"], dog["sum_deg"], dog["sum_freq"]) == (
+        2, 2, 8, 4,
+    )
+    assert set(rows) == {"quick brown fox", "lazy dog"}
