@@ -436,6 +436,30 @@ def run_events_report(args) -> None:
 
     n_drift = cusum_change_points(ev).where("alarm").count()
     print(f"== drift ==\n{n_drift} CUSUM-alarmed buckets")
+    from dataflow_python_etl_spark.operators.events import conversion_lag
+
+    print("== time to convert (hours) ==")
+    for r in (
+        conversion_lag(ev, steps[0], steps[-1])
+        .orderBy("lag_bucket")
+        .limit(10)
+        .collect()
+    ):
+        print(f"+{r['lag_bucket']}h: {r['n_users']} users")
+    from dataflow_python_etl_spark.operators.timeseries import ewma_levels
+
+    print("== smoothed hourly level (EWMA a=0.2) ==")
+    for r in ewma_levels(ev).orderBy("grp").collect():
+        print(f"{r['grp']}: {r['ewma']} ({r['n_buckets']} buckets)")
+    from dataflow_python_etl_spark.operators.expectations import mad_outliers
+
+    print("== robust outliers (3 x 1.4826 x MAD) ==")
+    for r in (
+        mad_outliers(ev, "value", group_col="event_type")
+        .orderBy("event_type")
+        .collect()
+    ):
+        print(f"{r['event_type']}: {r['n_outliers']}/{r['n']} flagged")
 
 
 def run_bpe(args) -> None:

@@ -386,3 +386,6 @@ def test_events_report_subcommand(spark, tmp_path, capsys):
     assert "anomalous buckets" in out
     assert "conversions, value" in out  # attribution rows
     assert "CUSUM-alarmed buckets" in out
+    assert "time to convert" in out and "h: " in out
+    assert "smoothed hourly level" in out and " buckets)" in out
+    assert "robust outliers" in out and "flagged" in out
