@@ -696,12 +696,19 @@ def global_ntile(
     and broadcast back). Final buckets depend only on the total order,
     never on where the sampled range boundaries fall.
 
-    The sizes branch and the ranked branch both consume the range
-    exchange; the frame is routed through ``register_cache`` and the
-    physical plan must contain exactly ONE rangepartitioning exchange
-    (ReuseExchange — plan-pinned in tests), so every consumer observes
-    a single materialized partitioning even though Spark's range
-    sampler is seeded per RDD id.
+    Within-partition ranks come from ``monotonically_increasing_id``
+    taken AFTER ``sortWithinPartitions``: mid = pid·2³³ + the record's
+    ordinal in partition-iteration order, which post-sort IS the sort
+    rank — no pid-partitioned ``row_number`` window, whose
+    ``ClusteredDistribution(_pid)`` requirement would silently add a
+    SECOND data-sized hash exchange on top of the range one (measured;
+    the plan pin now asserts no Window at all). mid values are
+    execution-dependent, so the frame is routed through
+    ``register_cache``: the sizes branch and the ranked branch read
+    ONE materialization (also how both observe the same sampled range
+    boundaries — Spark's range sampler is seeded per RDD id). Only the
+    ``partitions``-row sizes aggregate shuffles besides the range
+    exchange itself.
 
     ``order_by`` is ``[(col, "asc"|"desc"), ...]`` and must reach a
     TOTAL order (append an id tie-break) — ties across a partition
@@ -720,11 +727,13 @@ def global_ntile(
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
     ]
     part = register_cache(
-        df.repartitionByRange(partitions, *sort_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
+        df.repartitionByRange(partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
-    sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    pid = F.shiftright(F.col("_mid"), 33)
+    ordinal = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    sizes = part.groupBy(pid.alias("_pid")).agg(F.count(F.lit(1)).alias("_cnt"))
     tiny = Window.orderBy("_pid")  # partitions-row frame, not data-sized
     offsets = sizes.select(
         "_pid",
@@ -736,8 +745,9 @@ def global_ntile(
         .over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .alias("_n"),
     )
-    rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
-    ranked = part.withColumn("_rn", rn).join(F.broadcast(offsets), "_pid")
+    ranked = part.withColumn("_pid", pid).withColumn("_rn", ordinal + 1).join(
+        F.broadcast(offsets), "_pid"
+    )
     rank = F.col("_off") + F.col("_rn")
     b = F.lit(n_buckets).cast("long")
     small = F.floor(F.col("_n") / b)
@@ -751,7 +761,9 @@ def global_ntile(
         )
         .cast("int")
     )
-    return ranked.withColumn(out_col, bucket).drop("_pid", "_rn", "_off", "_n")
+    return ranked.withColumn(out_col, bucket).drop(
+        "_mid", "_pid", "_rn", "_off", "_n"
+    )
 
 
 def rfm_segments(

@@ -4153,10 +4153,12 @@ def q103_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(items, k=20)
 
 
-_RAKE_STOP_SQL = (
-    "'the','of','and','a','to','in','is','for','on','with',"
-    "'as','by','at','an','be','or','it','was','are','this'"
-)
+# derived from the operator's own tuple (the _STOPWORD_SQL_LIST
+# precedent) — a hand-copied literal would silently diverge if
+# RAKE_STOPWORDS is ever tuned
+from dataflow_python_etl_spark.operators.profile import RAKE_STOPWORDS as _RAKE_STOP
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
 
 
 @_q(

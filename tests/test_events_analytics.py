@@ -460,6 +460,12 @@ def test_global_ntile_single_range_exchange(spark):
     ids = set(re.findall(r"Exchange rangepartitioning.*plan_id=(\d+)", s))
     assert len(ids) == 1, s
     assert s.count("InMemoryTableScan") == 2, s
+    # ranks come from monotonically_increasing_id post-sort, NOT a
+    # pid-partitioned row_number window — that window's
+    # ClusteredDistribution(_pid) requirement would silently add a
+    # SECOND data-sized hash exchange (the offsets frame's tiny sum
+    # window over `partitions` rows is the only Window allowed)
+    assert "row_number" not in s, s
 
 
 def test_rfm_segments_partition_of_base(spark):
