@@ -4228,6 +4228,50 @@ def q104_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(_t(spark, sf_dir, "documents"), k=15)
 
 
+@_q(
+    "q105_value_deciles",
+    """
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v_cents, event_id
+        FROM events
+    ),
+    d AS (
+        SELECT v_cents,
+               ntile(10) OVER (ORDER BY v_cents, event_id) AS decile
+        FROM v
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           min(v_cents) AS lo_cents, max(v_cents) AS hi_cents,
+           CAST(sum(v_cents) AS BIGINT) AS sum_cents
+    FROM d GROUP BY decile
+    """,
+    "Equal-depth value deciles over the events FACT table "
+    "(operators.events.global_ntile applied at fact scale — the "
+    "distributed exact-NTILE path q98 uses on the customer dimension, "
+    "here ranking every event row): exact-cents integer values with "
+    "event_id tie-break for a total order, per-decile count/min/max/"
+    "sum all integers. One range exchange + the partitions-row sizes "
+    "aggregate — never Spark's single-task ORDER BY window, which is "
+    "the difference between a decile report that shards and one that "
+    "serializes at 10^11 rows",
+)
+def q105_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import global_ntile
+
+    v = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"), "event_id"
+    )
+    d = global_ntile(
+        v, 10, [("v_cents", "asc"), ("event_id", "asc")], "decile"
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v_cents").alias("lo_cents"),
+        F.max("v_cents").alias("hi_cents"),
+        F.sum("v_cents").cast("long").alias("sum_cents"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

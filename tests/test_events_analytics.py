@@ -527,3 +527,21 @@ def test_conversion_lag_single_exchange(spark):
     )
     # user-keyed exchange + the final bucket agg exchange only
     assert count_exchanges(out) == 2
+
+
+def test_value_deciles_partition_of_rows(spark):
+    """q105: deciles partition all rows; depths differ by at most one
+    and earlier deciles get the extra row; decile value ranges are
+    non-overlapping and ordered."""
+    from dataflow_python_etl_spark.queries import QUERIES
+
+    rows = sorted(
+        (r["decile"], r["n"], r["lo_cents"], r["hi_cents"])
+        for r in QUERIES["q105_value_deciles"].fn(spark, SF_DIR).collect()
+    )
+    assert [d for d, *_ in rows] == list(range(1, 11))
+    depths = [n for _, n, *_ in rows]
+    assert max(depths) - min(depths) <= 1
+    assert depths == sorted(depths, reverse=True)
+    for (_, _, _, hi_prev), (_, _, lo_next, _) in zip(rows, rows[1:]):
+        assert hi_prev <= lo_next
