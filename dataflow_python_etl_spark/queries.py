@@ -4272,6 +4272,85 @@ def q105_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q106_revenue_pareto",
+    """
+    WITH per AS (
+        SELECT o_custkey AS entity,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+        SELECT cents, ntile(10) OVER (ORDER BY cents DESC, entity) AS decile
+        FROM per
+    ),
+    agg AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS decile_cents
+        FROM d GROUP BY decile
+    )
+    SELECT decile, n_customers, decile_cents,
+           CAST(sum(decile_cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_cents,
+           (sum(decile_cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000)
+           // (sum(decile_cents) OVER ()) AS share_ppm
+    FROM agg
+    """,
+    "Revenue Pareto curve — cumulative share of order revenue held by "
+    "each best-customer decile ('do 20% of customers carry 80%?'), on "
+    "top of the q98 machinery (operators.events.global_ntile ranking "
+    "customers by exact-cents revenue, custkey tie-break). Every "
+    "number is an exact integer: per-price cents lifted BEFORE "
+    "summing, cumulative sums over the 10-row decile frame, share as "
+    "INTEGER ppm division (no float division anywhere — the round-5 "
+    "count/sum-shapes rule). The only global windows run over 10 "
+    "rows",
+)
+def q106_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.events import global_ntile
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("entity"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("entity")
+        .agg(F.sum("c").alias("cents"))
+    )
+    d = global_ntile(per, 10, [("cents", "desc"), ("entity", "asc")], "decile")
+    agg = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    ten = Window.orderBy("decile")  # 10-row frame
+    cum = F.sum("decile_cents").over(
+        ten.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("decile_cents").over(
+        ten.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return agg.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        cum.cast("long").alias("cum_cents"),
+        (cum * F.lit(1_000_000)).cast("long").alias("_num"),
+        total.cast("long").alias("_den"),
+    ).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        "cum_cents",
+        F.expr("_num div _den").alias("share_ppm"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -545,3 +545,24 @@ def test_value_deciles_partition_of_rows(spark):
     assert depths == sorted(depths, reverse=True)
     for (_, _, _, hi_prev), (_, _, lo_next, _) in zip(rows, rows[1:]):
         assert hi_prev <= lo_next
+
+
+def test_revenue_pareto_monotone_and_complete(spark):
+    """q106: shares are non-decreasing in decile, final share is
+    exactly 1e6 ppm, and cum_cents reconciles with decile_cents."""
+    from dataflow_python_etl_spark.queries import QUERIES
+
+    rows = sorted(
+        (r["decile"], r["n_customers"], r["decile_cents"], r["cum_cents"],
+         r["share_ppm"])
+        for r in QUERIES["q106_revenue_pareto"].fn(spark, SF_DIR).collect()
+    )
+    assert [d for d, *_ in rows] == list(range(1, 11))
+    shares = [s for *_, s in rows]
+    assert shares == sorted(shares) and shares[-1] == 1_000_000
+    # best decile carries strictly more than its population share
+    assert shares[0] > 100_000
+    running = 0
+    for _, _, dc, cc, _ in rows:
+        running += dc
+        assert cc == running
