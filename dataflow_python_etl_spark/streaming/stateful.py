@@ -353,3 +353,84 @@ def streaming_debounce(events: DataFrame, gap_seconds: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming conversion lag: stateful twin of operators.events.conversion_lag
+# ---------------------------------------------------------------------------
+
+CONVLAG_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("lag_bucket", T.LongType()),
+    ]
+)
+
+# (first step_from µs, first qualifying step_to µs); 0 = unset —
+# event-time microseconds are strictly positive in this domain
+CONVLAG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+    ]
+)
+
+
+def streaming_conversion_lag(
+    events: DataFrame,
+    step_from: str,
+    step_to: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Per-user time-to-convert maintained across micro-batches — the
+    stateful twin of ``operators.events.conversion_lag``: emits each
+    user's ``lag_bucket`` (NULL until they convert), where the lag is
+    first ``step_from`` to first STRICTLY-LATER ``step_to`` in exact
+    microseconds, integer-divided into buckets exactly like the batch
+    operator.
+
+    State is TWO longs per user — the batch operator's window-min and
+    conditional-min collapse to "first matching event wins" under
+    in-order processing (the same parity contract as
+    :func:`streaming_funnel`: in-batch rows are sorted; across batches
+    the source must deliver in order). Once both anchors are set the
+    state is frozen — later events cannot move a first-occurrence
+    lag, so replay past the conversion is idempotent. Aggregating the
+    latest non-NULL emission per user reproduces the batch histogram
+    (parity-pinned in tests).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    bucket_us = int(bucket_seconds) * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2 = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_vals = (rows["ts"].astype("int64") // 1000).tolist()
+        types = rows["event_type"].tolist()
+        for e_us, e_t in zip(ts_vals, types):
+            if t1 == 0:
+                if e_t == step_from:
+                    t1 = e_us
+            elif t2 == 0 and e_t == step_to and e_us > t1:
+                t2 = e_us
+        state.update((t1, t2))
+        lag = (t2 - t1) // bucket_us if t2 else None
+        yield pd.DataFrame({"user_id": [key[0]], "lag_bucket": [lag]})
+
+    return (
+        events.select("user_id", "ts", "event_type", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONVLAG_OUT_SCHEMA,
+            stateStructType=CONVLAG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -138,3 +138,48 @@ def test_streaming_debounce_matches_batch_strict(spark, tmp_path):
     shutil.rmtree(drop, ignore_errors=True)
     assert got == want
     assert 0 < sum(got.values()) < len(got)  # both keeps and drops occur
+
+
+def test_streaming_conversion_lag_matches_batch(spark, tmp_path):
+    """Latest non-NULL lag_bucket per user, histogrammed, equals the
+    batch conversion_lag — across a mid-stream micro-batch boundary.
+    lag_bucket is write-once per user (state freezes at conversion),
+    so 'any non-NULL emission' is the final value."""
+    from collections import Counter
+
+    from dataflow_python_etl_spark.operators.events import conversion_lag
+    from dataflow_python_etl_spark.streaming.stateful import (
+        streaming_conversion_lag,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    drop = str(tmp_path / "drop_clag")
+    cutoff = "2024-01-15"
+    ev.where(F.col("ts") < cutoff).write.parquet(drop)
+    stream = spark.readStream.schema(ev.schema).parquet(drop)
+    q = (
+        streaming_conversion_lag(stream, "signup", "purchase")
+        .writeStream.format("memory")
+        .queryName("sconvlag")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(drop)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_user = {}
+    for r in spark.table("sconvlag").collect():
+        if r.lag_bucket is not None:
+            prev = per_user.setdefault(r.user_id, r.lag_bucket)
+            assert prev == r.lag_bucket  # write-once contract
+    got = Counter(per_user.values())
+    want = {
+        r.lag_bucket: r.n_users
+        for r in conversion_lag(ev, "signup", "purchase").collect()
+    }
+    assert dict(got) == want and sum(want.values()) > 0
