@@ -200,3 +200,111 @@ def pack_sequences(
             yield out
 
     return parts.mapInPandas(_pack, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Training shards: content-addressed shard assignment + manifest + writer
+# ---------------------------------------------------------------------------
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Add a deterministic ``shard_id`` (long in ``[0, n_shards)``) —
+    the portable md5 hash of ``salt ++ id`` mod ``n_shards``.
+
+    Content-addressed (no global sort, no sampled range boundaries,
+    no RNG): a document's shard depends only on its id and the salt,
+    so reruns, retries, and corpus growth never move an existing
+    document between shards — the property a resumable 100 TB shard
+    writer needs (appending new docs touches only the shards they
+    hash into). Zero-shuffle map-side projection; shard sizes are
+    statistically uniform (60-bit hash), not exactly equal — exact
+    equality would require a global rank, i.e. a total-order shuffle,
+    which buys nothing for a training dataloader.
+    """
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return docs.withColumn(
+        "shard_id",
+        F.pmod(
+            md5_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            F.lit(n_shards),
+        ),
+    )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Per-shard accounting for a training-data export: ``(shard_id,
+    n_docs, n_tokens, n_chars, checksum)``.
+
+    ``checksum`` is the bit-XOR of each document's 60-bit content
+    hash (md5 of ``"ck-v1:" ++ id ++ ":" ++ text``): order-independent
+    and associative, so it map-side-combines, never overflows, and
+    detects any changed/missing/extra document in a shard — the
+    cheap end-to-end integrity check a dataloader runs against the
+    manifest before training. One hash-aggregate keyed on
+    ``shard_id`` (a single shuffle of ≤ ``n_shards`` partial rows per
+    task); every term is an exact integer, so the manifest is
+    bit-identical across engines and runs.
+    """
+    assigned = shard_assign(docs, n_shards, id_col, salt)
+    from dataflow_python_etl_spark.functions.text import md5_hash60, token_count
+
+    doc_ck = md5_hash60(
+        F.concat(
+            F.lit("ck-v1:"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col(text_col),
+        )
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        F.bit_xor(doc_ck).alias("checksum"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Export a corpus as ``n_shards`` hash-sharded parquet
+    partitions (``shard_id=K/`` dirs) plus a ``_manifest`` sidecar,
+    and return the manifest DataFrame.
+
+    The write goes through ``operators.upsert.write_and_swap`` (the
+    repo's single crash-safe overwrite path) with
+    ``partition_by=["shard_id"]``, so a dataloader listing
+    ``shard_id=K`` sees either the old export or the complete new one,
+    never a torn mix. The manifest is written INSIDE the swapped
+    table dir (``_``-prefixed: Spark scans skip it) from the same
+    assignment expression, so manifest and data cannot drift. A
+    reader verifies a shard by recomputing :func:`shard_manifest`
+    over the partition and comparing checksums (pinned in tests).
+    """
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    assigned = shard_assign(docs, n_shards, id_col, salt)
+    write_and_swap(assigned, path, partition_by=["shard_id"])
+    manifest = shard_manifest(docs, n_shards, id_col, text_col, salt)
+    # sidecar lives inside the (already-swapped) export dir; "_" prefix
+    # keeps it out of any parquet scan of the table itself
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest

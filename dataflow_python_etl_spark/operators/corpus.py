@@ -262,6 +262,40 @@ def split_by_group(
     return df.withColumn("split", expr)
 
 
+def kfold_by_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    seed: str = "kfold-v1",
+) -> DataFrame:
+    """Leakage-proof k-fold cross-validation assignment: adds a
+    ``fold`` column (long in ``[0, k)``) where every row of a group
+    lands in the SAME fold — the k-way sibling of
+    :func:`split_by_group` (fold ``i``'s eval set is the group-closed
+    complement of its train set, the property row-level folds break
+    by scattering near-duplicates across folds).
+
+    ``fold = md5(seed ++ group) mod k``: deterministic across runs,
+    partitionings, and engines; zero-shuffle map-side projection; and
+    stable under corpus growth — adding groups never moves an
+    existing group's fold, so fold-``i`` model artifacts stay valid
+    across corpus refreshes. Fold sizes are statistically uniform
+    over groups (exact balance would need a global rank shuffle and
+    would break growth-stability).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    return df.withColumn(
+        "fold",
+        F.pmod(
+            md5_hash60(F.concat(F.lit(seed + ":"), F.col(group_col).cast("string"))),
+            F.lit(k),
+        ),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

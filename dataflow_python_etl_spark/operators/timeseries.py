@@ -371,3 +371,113 @@ def ewma_levels(
         lambda acc, x: F.lit(alpha) * x + F.lit(beta) * acc,
     )
     return series.select("grp", "n_buckets", F.round(ewma, 6).alias("ewma"))
+
+
+def seasonal_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    hi_factor: int = 2,
+) -> DataFrame:
+    """Seasonal-baseline outlier counts: flag events against the mean
+    of their own (group, day-of-week, hour-of-day) seasonal bucket —
+    the "is this Tuesday-3pm value abnormal FOR Tuesday 3pm" check a
+    naive global mean gets wrong on any workload with a weekly cycle.
+
+    Exact-integer discipline (no division anywhere): values are
+    lifted to cents; "v above ``hi_factor``× the bucket mean" is the
+    cross-multiplication ``v·n > hi_factor·s`` and "below 1/factor×"
+    is ``v·n·hi_factor < s`` (n, s = the bucket's count and cent
+    sum), so both engines compare identical integers. Day-of-week is
+    days-since-2024-01-01 (a Monday) mod 7 — engine-neutral, unlike
+    the engines' 0-vs-1-based dayofweek().
+
+    Scale shape: bucket stats come from one groupBy whose key space
+    is ≤ |groups|·168, so the partial aggregate collapses map-side
+    and the shuffle is bucket-sized; the stats frame then BROADCASTS
+    back onto the events (the fact table never shuffles), and the
+    final (group, dow) rollup map-side-combines to ≤ |groups|·7 rows.
+    No data-sized exchange at any scale.
+    """
+    from pyspark.sql.functions import broadcast
+
+    base = events.select(
+        F.col(group_col).alias("grp"),
+        F.pmod(
+            F.datediff(F.col(ts_col).cast("date"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        ).alias("dow"),
+        F.hour(ts_col).alias("hod"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_cents"),
+    )
+    stats = base.groupBy("grp", "dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("v_cents").alias("s_b"),
+    )
+    flagged = base.join(broadcast(stats), ["grp", "dow", "hod"])
+    hi = F.col("v_cents") * F.col("n_b") > F.lit(hi_factor) * F.col("s_b")
+    lo = F.col("v_cents") * F.col("n_b") * F.lit(hi_factor) < F.col("s_b")
+    return flagged.groupBy("grp", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(hi.cast("long")).cast("long").alias("n_hi"),
+        F.sum(lo.cast("long")).cast("long").alias("n_lo"),
+    )
+
+
+def weekly_drift(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Week-over-week drift report per group: event volume, distinct
+    users, cent sum, and the volume/value change vs the PREVIOUS
+    observed week in integer ppm — the Deequ-style "did this week's
+    data move" check that catches silent upstream breakage (a feed
+    that halves, a currency that shifts) before it reaches training.
+
+    ``*_drift_ppm`` = ``cur·10⁶ div prev − 10⁶`` — algebraically
+    (cur−prev)/prev in ppm, spelled so the integer division's
+    operands are STRICTLY POSITIVE: floor-division and
+    truncating-division engines then agree by construction, so the
+    report never depends on which convention an engine picked for
+    negative quotients (Spark ``div`` and DuckDB ``//`` both
+    truncate today, but nothing here rides on that). NULL for a
+    group's first week (the honest "no baseline" answer). Scale
+    shape: one groupBy that
+    map-side-combines to ≤ |groups|·|weeks| rows; the lag window runs
+    over that already-tiny frame partitioned BY GROUP (never a
+    global-order window). Weeks with zero events are absent, so lag
+    compares adjacent OBSERVED weeks — compose with
+    :func:`time_bucket_gapfill` first if calendar-adjacent semantics
+    are needed.
+    """
+    wk = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("sum_cents"),
+    )
+    w = Window.partitionBy("grp").orderBy("week")
+    prev_n = F.lag("n_events").over(w)
+    prev_s = F.lag("sum_cents").over(w)
+    return wk.select(
+        "grp",
+        "week",
+        "n_events",
+        "n_users",
+        "sum_cents",
+        prev_n.alias("_pn"),
+        prev_s.alias("_ps"),
+    ).select(
+        "grp",
+        "week",
+        "n_events",
+        "n_users",
+        "sum_cents",
+        F.expr("n_events * 1000000 div _pn - 1000000").alias("volume_drift_ppm"),
+        F.expr("sum_cents * 1000000 div _ps - 1000000").alias("value_drift_ppm"),
+    )

@@ -4351,6 +4351,152 @@ def q106_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q107_shard_manifest",
+    f"""
+    WITH s AS (
+        SELECT doc_id, text,
+               ({_md5h60_sql("'shard-v1:' || CAST(doc_id AS VARCHAR)")}) % 8
+                   AS shard_id
+        FROM documents
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+               AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           bit_xor({_md5h60_sql(
+               "'ck-v1:' || CAST(doc_id AS VARCHAR) || ':' || text")})
+               AS checksum
+    FROM s GROUP BY shard_id
+    """,
+    "Training-export shard manifest (operators.chunking."
+    "shard_manifest): content-addressed shard_id = md5(salt ++ id) "
+    "mod 8 — no global sort, no RNG, growth-stable — with per-shard "
+    "doc/token/char accounting and a bit-XOR content checksum "
+    "(order-independent and associative, so it map-side-combines and "
+    "never overflows). One bucket-keyed hash aggregate; every output "
+    "is an exact integer, bit-identical across engines",
+)
+def q107_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.chunking import shard_manifest
+
+    return shard_manifest(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+@_q(
+    "q108_kfold_split",
+    f"""
+    WITH f AS (
+        SELECT doc_id, text, source,
+               ({_md5h60_sql("'kfold-v1:' || source")}) % 5 AS fold
+        FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(length(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+               AS n_tokens
+    FROM f GROUP BY fold
+    """,
+    "Leakage-proof 5-fold cross-validation accounting (operators."
+    "corpus.kfold_by_group): every document of a SOURCE lands in the "
+    "same fold (fold = md5(seed ++ source) mod 5 — the k-way sibling "
+    "of q53's group split), so fold-i eval never sees a near-"
+    "duplicate of fold-i training text. Zero-shuffle assignment; the "
+    "report is one map-side-combined aggregate over 5 keys",
+)
+def q108_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.functions.text import token_count
+    from dataflow_python_etl_spark.operators.corpus import kfold_by_group
+
+    return (
+        kfold_by_group(_t(spark, sf_dir, "documents"), "source", 5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@_q(
+    "q109_seasonal_outliers",
+    """
+    WITH b AS (
+        SELECT event_type AS grp,
+               ((datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7) + 7)
+                   % 7 AS dow,
+               extract(hour FROM ts) AS hod,
+               CAST(round(value * 100) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    st AS (
+        SELECT grp, dow, hod, CAST(count(*) AS BIGINT) AS n_b,
+               sum(v_cents) AS s_b
+        FROM b GROUP BY grp, dow, hod
+    )
+    SELECT b.grp, b.dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN b.v_cents * st.n_b > 2 * st.s_b
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           CAST(sum(CASE WHEN b.v_cents * st.n_b * 2 < st.s_b
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+    FROM b JOIN st ON b.grp = st.grp AND b.dow = st.dow AND b.hod = st.hod
+    GROUP BY b.grp, b.dow
+    """,
+    "Seasonal-baseline outlier counts (operators.timeseries."
+    "seasonal_outliers): each event judged against ITS OWN (type, "
+    "day-of-week, hour) bucket mean via the integer cross-"
+    "multiplication v·n > 2·s — no division, no floats, so both "
+    "engines compare identical integers. Day-of-week is days-since-"
+    "2024-01-01 mod 7 (engine-neutral, unlike 0- vs 1-based "
+    "dayofweek()). Bucket stats broadcast back onto the events — the "
+    "fact table never crosses a data-sized exchange",
+)
+def q109_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import seasonal_outliers
+
+    return seasonal_outliers(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "q110_weekly_drift",
+    """
+    WITH wk AS (
+        SELECT event_type AS grp,
+               CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT grp, week, n_events, n_users, sum_cents,
+           (n_events * 1000000)
+               // (lag(n_events) OVER (PARTITION BY grp ORDER BY week))
+               - 1000000 AS volume_drift_ppm,
+           (sum_cents * 1000000)
+               // (lag(sum_cents) OVER (PARTITION BY grp ORDER BY week))
+               - 1000000 AS value_drift_ppm
+    FROM wk
+    """,
+    "Week-over-week drift report (operators.timeseries.weekly_drift): "
+    "per event type, volume / distinct users / cent sum plus the "
+    "change vs the previous observed week as cur·10⁶ div prev − 10⁶ "
+    "— positive-operand integer division, so floor- and truncating-"
+    "division engines agree by construction; first week is NULL (no "
+    "baseline). One map-side-combined aggregate to a weeks×types "
+    "frame; the lag window is partitioned by type over that tiny "
+    "frame, never a global order",
+)
+def q110_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import weekly_drift
+
+    return weekly_drift(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

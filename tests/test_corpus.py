@@ -122,3 +122,29 @@ def test_stratified_sample_validation(spark):
         stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
     with pytest.raises(ValueError, match="default_rate"):
         stratified_sample(df, "lang", {"en": 0.5}, "doc_id", default_rate=-0.1)
+
+
+def test_kfold_by_group_closure_and_stability(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.corpus import kfold_by_group
+    from dataflow_python_etl_spark.plans.checks import count_exchanges
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    out = kfold_by_group(docs, "source", 5)
+    assert count_exchanges(out) == 0  # pure map-side projection
+    rows = out.collect()
+    assert all(0 <= r["fold"] < 5 for r in rows)
+    per_src = {}
+    for r in rows:  # group closure: one fold per source
+        per_src.setdefault(r["source"], set()).add(r["fold"])
+    assert all(len(fs) == 1 for fs in per_src.values())
+    assert len({f for fs in per_src.values() for f in fs}) == 5
+    # growth stability: a subset of groups keeps its folds
+    sub = kfold_by_group(
+        docs.where(F.col("source") == rows[0]["source"]), "source", 5
+    ).first()
+    assert {sub["fold"]} == per_src[rows[0]["source"]]
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_by_group(docs, "source", 1)

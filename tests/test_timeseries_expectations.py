@@ -5,6 +5,7 @@ properties."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataflow_python_etl_spark.operators.expectations import (
     accepted_values,
@@ -263,3 +264,53 @@ def test_ewma_fold_matches_reference_chain(spark):
 
     with _pt.raises(ValueError, match="alpha"):
         ewma_levels(df, alpha=1.0)
+
+
+def test_seasonal_outliers_bucket_semantics(spark):
+    """Planted weekly cycle: a value normal for bucket A is an
+    outlier when it shows up in bucket B's quiet hour."""
+    from dataflow_python_etl_spark.operators.timeseries import seasonal_outliers
+    from dataflow_python_etl_spark.plans.checks import has_broadcast_join
+
+    rows = []
+    # Mon 09:00 bucket: values 100.0 ×4 and one 300.0 (v*n=1500e2 > 2*s=1400e2 → hi)
+    for i, v in enumerate([100.0, 100.0, 100.0, 100.0, 300.0]):
+        rows.append((i, f"2024-01-0{1 + (i % 1)} 09:{i:02d}:00", "buy", v))
+    # Mon 23:00 bucket: flat 10.0 — no outliers
+    for i in range(3):
+        rows.append((10 + i, f"2024-01-01 23:0{i}:00", "buy", 10.0))
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts_s: string, event_type: string, value: double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    out = seasonal_outliers(ev)
+    assert has_broadcast_join(out)  # stats side broadcast, fact never shuffles
+    got = {(r["grp"], r["dow"]): r for r in out.collect()}
+    mon = got[("buy", 0)]  # 2024-01-01 is the Monday epoch → dow 0
+    assert mon["n_events"] == 8 and mon["n_hi"] == 1
+    # the low side: 100s are NOT below half the bucket mean (mean=140)
+    assert mon["n_lo"] == 0
+
+
+def test_weekly_drift_ppm_and_first_week_null(spark):
+    from dataflow_python_etl_spark.operators.timeseries import weekly_drift
+
+    rows = []
+    # week of Jan 1 (Mon): 4 events sum 40.00; week of Jan 8: 6 events sum 30.00
+    for i in range(4):
+        rows.append((i, f"2024-01-0{2 + i % 3} 10:00:00", "buy", i, 10.0))
+    for i in range(6):
+        rows.append((10 + i, f"2024-01-{8 + i % 4:02d} 10:00:00", "buy", i, 5.0))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id: long, ts_s: string, event_type: string, user_id: long, value: double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "user_id", "value")
+    got = {str(r["week"]): r for r in weekly_drift(ev).collect()}
+    w1, w2 = got["2024-01-01"], got["2024-01-08"]
+    assert w1["n_events"] == 4 and w1["sum_cents"] == 4000
+    assert w1["volume_drift_ppm"] is None and w1["value_drift_ppm"] is None
+    assert w2["n_events"] == 6 and w2["n_users"] == 6 and w2["sum_cents"] == 3000
+    # 6/4 → 1.5e6 − 1e6 = +500000 ppm; 3000/4000 → 750000 − 1e6 = −250000
+    assert w2["volume_drift_ppm"] == 500_000
+    assert w2["value_drift_ppm"] == -250_000
