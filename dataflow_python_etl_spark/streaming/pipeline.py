@@ -609,3 +609,71 @@ def stream_dedup_ingest(
         .outputMode("append")
         .start()
     )
+
+
+def stream_scd2_to_table(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Maintain a Type-2 dimension table from a live observation
+    stream: ``foreachBatch`` + the batch ``scd2_apply_changes``
+    operator, so the streamed history is bit-identical to a batch
+    ``scd2_intervals`` over the same in-order events (parity-pinned).
+
+    Batch 0 bootstraps the table with ``scd2_intervals``; every later
+    micro-batch applies incrementally — per-batch cost is (touched
+    entities + batch), never table history, which is what makes the
+    sink viable against a dimension with years of closed rows.
+
+    Replay guard: a restarted checkpoint re-delivers a batch whose
+    rows are already in the table; ``scd2_apply_changes`` would
+    (correctly, for batch CDC) fail LOUDLY on those now-stale
+    observations, so the sink first drops per-entity observations not
+    STRICTLY later than the entity's current ``valid_from`` — exactly
+    the rows a replay re-delivers — making replay a no-op (pinned).
+    The trade, inherent to streaming SCD2: a genuinely late
+    observation older than its entity's open interval is dropped too
+    (closed history is immutable from a stream); route late data
+    through the batch operator, which refuses it loudly instead.
+    Writes go through ``write_and_swap`` — readers see the old or the
+    new history, never a torn one; ``_guard_missing_table`` applies
+    on restart like every sink in this module.
+    """
+    from dataflow_python_etl_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        _guard_missing_table(table_path, batch_id)
+        if not os.path.exists(table_path):
+            hist = scd2_intervals(batch_df, user_col, ts_col, attr_col, id_col)
+            hist.write.parquet(table_path)
+            return
+        dim = spark.read.parquet(table_path)
+        cur = dim.where(F.col("is_current")).select(
+            F.col(user_col), F.col("valid_from").alias("__cur_vf")
+        )
+        fresh = (
+            batch_df.join(cur, on=user_col, how="left")
+            .where(F.col("__cur_vf").isNull() | (F.col(ts_col) > F.col("__cur_vf")))
+            .drop("__cur_vf")
+        )
+        hist = scd2_apply_changes(dim, fresh, user_col, ts_col, attr_col, id_col)
+        write_and_swap(hist, table_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

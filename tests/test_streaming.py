@@ -571,3 +571,47 @@ def test_streaming_hll_parity(spark, event_drop):
         r["bucket"]: r["rho"] for r in spark.table("hll_stream").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_scd2_matches_batch_and_replay_noop(spark, tmp_path):
+    """Streamed SCD2 maintenance across a micro-batch boundary equals
+    one batch scd2_intervals over all events; re-delivering already-
+    applied rows (a replayed batch) leaves the table unchanged."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import scd2_intervals
+    from dataflow_python_etl_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_scd2_to_table,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "scd2")
+    ckpt = str(tmp_path / "ckpt")
+    cutoff = "2024-01-15"
+    ev.where(F.col("ts") < cutoff).write.parquet(src)
+    q = stream_scd2_to_table(read_event_stream(spark, src), table, ckpt)
+    q.processAllAvailable()
+    ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    def snap(df):
+        return sorted(
+            (r["user_id"], r["value"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in df.collect()
+        )
+
+    want = snap(scd2_intervals(ev))
+    got = snap(spark.read.parquet(table))
+    assert got == want and len(want) > 0
+
+    # replay: the same late-window rows re-delivered as a new batch
+    ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(src)
+    q = stream_scd2_to_table(read_event_stream(spark, src), table, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert snap(spark.read.parquet(table)) == want
