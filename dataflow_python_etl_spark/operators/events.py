@@ -871,3 +871,128 @@ def conversion_lag(
         .groupBy("lag_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def inter_event_cadence(
+    events: DataFrame,
+    bucket_seconds: int = 60,
+    max_bucket: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-event gap histogram: per event type, how long after a
+    user's PREVIOUS event (any type) does this type arrive —
+    ``(grp, bucket, n_gaps)`` with the gap integer-divided into
+    ``bucket_seconds`` buckets and everything ≥ ``max_bucket``
+    buckets clamped into the top bucket (so the output is bounded
+    ``|types|·(max_bucket+1)`` rows however long the tail). The
+    activity-cadence profile that sizes debounce gaps
+    (:func:`debounce_events`) and session timeouts empirically
+    instead of by folklore.
+
+    Exact-µs arithmetic with INTEGER division (a correctly-rounded
+    double quotient can land on the next integer and flip floor
+    cross-engine — the q101 rule); each user's first event has no
+    predecessor and contributes nothing. One user-keyed exchange for
+    the lag window, then a map-side-combined aggregate onto the
+    bounded (type, bucket) key space.
+    """
+    from pyspark.sql import Window
+
+    if bucket_seconds <= 0 or max_bucket <= 0:
+        raise ValueError("bucket_seconds and max_bucket must be > 0")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    bucket = F.least(
+        F.expr(f"__gap_us div {bucket_seconds * 1_000_000}"), F.lit(max_bucket)
+    )
+    return (
+        events.select(
+            F.col(type_col).alias("grp"), gap_us.alias("__gap_us")
+        )
+        .where(F.col("__gap_us").isNotNull())
+        .select("grp", bucket.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+
+
+def attribution_multitouch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's credit is
+    split EQUALLY across every touch in its journey (the touches
+    since the user's previous conversion), complementing
+    :func:`attribution`'s last-touch winner-takes-all —
+    ``(touch_type, credit_ppm)`` where total credit is exactly
+    ``n_conversions · 10⁶`` (pinned).
+
+    Exact-integer credit: each of a journey's k touches gets
+    ``10⁶ div k`` ppm and the EARLIEST touch absorbs the remainder
+    ``10⁶ mod k`` — deterministic, sums exactly, no floats to
+    accumulate differently across engines or partition orders.
+    Journeys are numbered by the count of STRICTLY-PRECEDING
+    conversions (an exclusive-frame running sum), so a conversion
+    with no touches credits ``'none'`` and touches after a user's
+    last conversion credit nothing.
+
+    Scale shape: one user-keyed exchange drives the journey
+    numbering; the (user, journey) window and join re-use that
+    clustering (a partitioning on ``user`` co-locates every
+    ``(user, journey)``), and the final aggregate collapses
+    map-side onto the touch-type vocabulary.
+    """
+    from pyspark.sql import Window
+
+    is_conv = (F.col(type_col) == conversion_type).cast("long")
+    w_excl = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+        is_conv.alias("__c"),
+        F.coalesce(F.sum(is_conv).over(w_excl), F.lit(0)).alias("__j"),
+    )
+    conv = o.where(F.col("__c") == 1).select("__u", "__j")
+    wj = Window.partitionBy("__u", "__j").orderBy(F.col("__ts"), F.col("__id"))
+    touches = (
+        o.where(F.col("__c") == 0)
+        .select(
+            "__u",
+            "__j",
+            "__t",
+            F.row_number().over(wj).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("__u", "__j")).alias("__k"),
+        )
+    )
+    matched = touches.join(conv, ["__u", "__j"])
+    credited = matched.groupBy(F.col("__t").alias("touch_type")).agg(
+        F.sum(
+            F.expr("1000000 div __k")
+            + F.when(F.col("__rn") == 1, F.expr("1000000 % __k")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("credit_ppm")
+    )
+    orphan = (
+        conv.join(touches.select("__u", "__j").distinct(), ["__u", "__j"], "left_anti")
+        .agg((F.count(F.lit(1)) * F.lit(1_000_000)).cast("long").alias("credit_ppm"))
+        .select(F.lit("none").alias("touch_type"), "credit_ppm")
+    )
+    return (
+        credited.unionAll(orphan)
+        .groupBy("touch_type")
+        .agg(F.sum("credit_ppm").cast("long").alias("credit_ppm"))
+    )

@@ -199,3 +199,47 @@ def mad_outliers(
             .cast("long")
         ).alias("n_outliers")
     ).select(*keys, "n", "med_units", "mad_units", "n_outliers")
+
+
+def referential_integrity(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table foreign-key expectations: for each ``(name, child,
+    child_key, parent, parent_key)`` relation, one row ``(relation,
+    n_rows, n_orphans)`` — the Deequ-style referential check a star
+    schema needs before any join-based pipeline trusts its output
+    (an orphan fact row silently vanishes from every inner join
+    downstream).
+
+    Per relation: project the child to its key, LEFT join the
+    parent's DISTINCT keys, count rows and parent-misses in ONE
+    aggregate — the child is scanned once with only the key column
+    read (pushdown prunes the rest). The join is declared
+    declaratively so AQE broadcasts dimension key sets that fit and
+    falls back to a shuffled join for dimension tables that don't —
+    the right plan at both test scale and 100 TB. NULL child keys
+    count as orphans (a NULL FK fails the integrity expectation; use
+    ``completeness`` to distinguish missing-vs-dangling).
+    """
+    if not relations:
+        raise ValueError("referential_integrity needs at least one relation")
+    outs = []
+    for name, child, child_key, parent, parent_key in relations:
+        pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+        joined = child.select(F.col(child_key).alias("__ck")).join(
+            pk, F.col("__ck") == F.col("__pk"), "left"
+        )
+        outs.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.col("__pk").isNull().cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

@@ -4497,6 +4497,148 @@ def q110_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_drift(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q111_referential_integrity",
+    """
+    SELECT 'orders->customer' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+               ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+               ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey IS NULL)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+             LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+               ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL)
+    """,
+    "Star-schema foreign-key expectations (operators.expectations."
+    "referential_integrity): per relation, child rows and parent-miss "
+    "counts in ONE key-only scan + left join against the parent's "
+    "distinct keys — orphan facts silently vanish from every inner "
+    "join downstream, so this is the first data-quality gate a "
+    "warehouse runs. Joins declared declaratively: AQE broadcasts "
+    "dimension key sets that fit, shuffles the ones that don't",
+)
+def q111_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.expectations import (
+        referential_integrity,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return referential_integrity(
+        [
+            ("orders->customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey"),
+            ("customer->nation", c, "c_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey"),
+        ]
+    )
+
+
+@_q(
+    "q112_event_cadence",
+    """
+    WITH g AS (
+        SELECT event_type AS grp,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT grp,
+           least(gap_us // 60000000, 60) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY grp, bucket
+    """,
+    "Inter-event cadence histogram (operators.events."
+    "inter_event_cadence): per event type, the gap since the user's "
+    "previous event (any type) in exact µs, INTEGER-divided into "
+    "minute buckets with the tail clamped at 60 — the empirical "
+    "profile that sizes debounce gaps and session timeouts. One "
+    "user-keyed exchange for the lag; the aggregate collapses "
+    "map-side onto a bounded |types|·61 key space",
+)
+def q112_event_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import inter_event_cadence
+
+    return inter_event_cadence(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "q113_multitouch_attribution",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS j
+        FROM events
+    ),
+    conv AS (SELECT user_id, j FROM o WHERE c = 1),
+    t AS (
+        SELECT user_id, j, event_type,
+               row_number() OVER (PARTITION BY user_id, j
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, j) AS k
+        FROM o WHERE c = 0
+    ),
+    m AS (SELECT t.* FROM t
+          JOIN conv ON t.user_id = conv.user_id AND t.j = conv.j),
+    cr AS (
+        SELECT event_type AS touch_type,
+               sum(1000000 // k
+                   + CASE WHEN rn = 1 THEN 1000000 % k ELSE 0 END)
+                   AS credit_ppm
+        FROM m GROUP BY event_type
+        UNION ALL
+        SELECT 'none',
+               (SELECT count(*) FROM conv cv
+                 WHERE NOT EXISTS (SELECT 1 FROM t
+                                   WHERE t.user_id = cv.user_id
+                                     AND t.j = cv.j))
+               * 1000000
+    )
+    SELECT touch_type, CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
+    FROM cr GROUP BY touch_type
+    """,
+    "Linear multi-touch attribution (operators.events."
+    "attribution_multitouch): each conversion's credit split equally "
+    "over the touches of its journey (since the user's previous "
+    "conversion) in EXACT integer ppm — 10⁶ div k per touch, the "
+    "earliest touch absorbs 10⁶ mod k — so total credit is exactly "
+    "n_conversions·10⁶ with no float accumulation anywhere. "
+    "Touch-less conversions credit 'none'; journeys numbered by an "
+    "exclusive-frame running conversion count over the shared "
+    "(user, ts, id) ordering, which the (user, journey) window and "
+    "join both re-use",
+)
+def q113_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import attribution_multitouch
+
+    return attribution_multitouch(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -566,3 +566,80 @@ def test_revenue_pareto_monotone_and_complete(spark):
     for _, _, dc, cc, _ in rows:
         running += dc
         assert cc == running
+
+
+def test_inter_event_cadence_buckets_and_clamp(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import inter_event_cadence
+
+    rows = [
+        # user 1: gaps of 30s (bucket 0), 90s (bucket 1), 2h (clamped)
+        (1, "2024-01-01 00:00:00", "a", 1),
+        (2, "2024-01-01 00:00:30", "b", 1),
+        (3, "2024-01-01 00:02:00", "b", 1),
+        (4, "2024-01-01 02:02:00", "c", 1),
+        # user 2: single event → no gap
+        (5, "2024-01-01 00:00:00", "a", 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts_s: string, event_type: string, user_id: long"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "user_id")
+    got = {(r["grp"], r["bucket"]): r["n_gaps"]
+           for r in inter_event_cadence(ev, 60, 60).collect()}
+    assert got == {("b", 0): 1, ("b", 1): 1, ("c", 60): 1}
+    with pytest.raises(ValueError, match="must be > 0"):
+        inter_event_cadence(ev, 0)
+
+
+def test_multitouch_attribution_credit_algebra(spark):
+    """Planted journeys: remainder to earliest touch, 'none' for
+    touch-less conversions, post-conversion touches credit nothing."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import attribution_multitouch
+
+    rows = [
+        # user 1: a, b, c then purchase → k=3: each 333333, 'a' +1 remainder
+        (1, "2024-01-01 00:00:00", "a", 1),
+        (2, "2024-01-01 00:01:00", "b", 1),
+        (3, "2024-01-01 00:02:00", "c", 1),
+        (4, "2024-01-01 00:03:00", "purchase", 1),
+        # user 1 second journey: only b → full 1e6 to b
+        (5, "2024-01-01 00:04:00", "b", 1),
+        (6, "2024-01-01 00:05:00", "purchase", 1),
+        # user 1: trailing touch, no conversion after → zero credit
+        (7, "2024-01-01 00:06:00", "a", 1),
+        # user 2: conversion with no touches → 'none'
+        (8, "2024-01-01 00:00:00", "purchase", 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts_s: string, event_type: string, user_id: long"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "user_id")
+    got = {r["touch_type"]: r["credit_ppm"]
+           for r in attribution_multitouch(ev).collect()}
+    assert got == {
+        "a": 333_334,  # 333333 + remainder 1 (earliest touch)
+        "b": 333_333 + 1_000_000,
+        "c": 333_333,
+        "none": 1_000_000,
+    }
+    assert sum(got.values()) == 3 * 1_000_000  # exact conservation
+
+
+def test_multitouch_attribution_conservation_on_events(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import attribution_multitouch
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    ev = read_table(spark, SF_DIR, "events")
+    n_conv = ev.where(F.col("event_type") == "purchase").count()
+    total = (
+        attribution_multitouch(ev)
+        .agg(F.sum("credit_ppm").alias("s"))
+        .first()["s"]
+    )
+    assert total == n_conv * 1_000_000

@@ -314,3 +314,28 @@ def test_weekly_drift_ppm_and_first_week_null(spark):
     # 6/4 → 1.5e6 − 1e6 = +500000 ppm; 3000/4000 → 750000 − 1e6 = −250000
     assert w2["volume_drift_ppm"] == 500_000
     assert w2["value_drift_ppm"] == -250_000
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    from dataflow_python_etl_spark.operators.expectations import (
+        referential_integrity,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pid: long")
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk: long"
+    )
+    rows = referential_integrity(
+        [("child->parent", child, "fk", parent, "pid")]
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # dangling 9 and the NULL FK are both orphans
+    assert (r["relation"], r["n_rows"], r["n_orphans"]) == ("child->parent", 4, 2)
+    # empty child: zero rows, zero orphans (not NULL)
+    empty = referential_integrity(
+        [("e", child.where(F.col("fk") > 100), "fk", parent, "pid")]
+    ).first()
+    assert (empty["n_rows"], empty["n_orphans"]) == (0, 0)
+    with pytest.raises(ValueError, match="at least one"):
+        referential_integrity([])
