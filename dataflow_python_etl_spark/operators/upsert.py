@@ -440,3 +440,57 @@ def vacuum_table_dir(warehouse: str, older_than_s: float = 24 * 3600) -> list[st
             os.remove(full)
         removed.append(full)
     return sorted(removed)
+
+
+def forget_keys(
+    spark,
+    tables: list[tuple[str, str]],
+    keys: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Right-to-be-forgotten propagation: delete every row whose key
+    is in ``keys`` from each ``(table_path, table_key_col)`` parquet
+    table, returning an audit report ``(table, rows_before,
+    rows_removed, rows_after)`` — the GDPR/CCPA erasure primitive a
+    training-data platform must run across its whole star before any
+    export.
+
+    One scan per table: the table LEFT-joins the DISTINCT deletion
+    keys (AQE broadcasts a request-sized key set; a backlog of
+    millions shuffles — both correct), the per-row match marker is
+    counted through the ``Observation`` API ON THE WRITE ACTION
+    itself, and surviving rows go through ``write_and_swap`` — so
+    audit numbers and written data come from the SAME job, and a
+    crash leaves the old table intact (readers never see a
+    half-forgotten table, which would be a compliance failure in
+    both directions). Idempotent: re-running removes 0 rows.
+    The deletion keys are deduplicated; NULL table keys never match
+    (a NULL is not an identity to forget).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if not tables:
+        raise ValueError("forget_keys needs at least one (path, key_col) table")
+    kset = keys.select(F.col(key_col).alias("__fk")).where(
+        F.col("__fk").isNotNull()
+    ).distinct()
+    report = []
+    for path, col in tables:
+        df = spark.read.parquet(path)
+        j = df.join(kset, df[col] == F.col("__fk"), "left")
+        obs = Observation(f"forget:{path}")
+        observed = j.observe(
+            obs,
+            F.count(F.lit(1)).alias("before"),
+            F.sum(F.col("__fk").isNotNull().cast("long")).alias("removed"),
+        )
+        kept = observed.where(F.col("__fk").isNull()).drop("__fk")
+        write_and_swap(kept, path)
+        before = int(obs.get["before"])
+        removed = int(obs.get["removed"] or 0)
+        report.append((path, before, removed, before - removed))
+    return spark.createDataFrame(
+        report,
+        "table string, rows_before long, rows_removed long, rows_after long",
+    )

@@ -345,3 +345,46 @@ def test_merge_table_transactional_contract(spark, tmp_path):
         )
     )
     assert got == expected
+
+
+def test_forget_keys_erasure_audit_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import forget_keys
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders").limit(300)
+    t_ev = str(tmp_path / "events_t")
+    t_or = str(tmp_path / "orders_t")
+    ev.write.parquet(t_ev)
+    orders.write.parquet(t_or)
+    users = ev.select(F.col("user_id")).distinct().limit(5)
+    # duplicate + NULL requests must not distort the audit
+    reqs = users.unionAll(users).unionAll(
+        spark.createDataFrame([(None,)], "user_id: long")
+    )
+    n_ev_hit = ev.join(users, "user_id", "semi").count()
+    n_or_hit = orders.join(
+        users.withColumnRenamed("user_id", "o_custkey"), "o_custkey", "semi"
+    ).count()
+    rep = {
+        r["table"]: r
+        for r in forget_keys(
+            spark, [(t_ev, "user_id"), (t_or, "o_custkey")], reqs
+        ).collect()
+    }
+    assert rep[t_ev]["rows_before"] == 500
+    assert rep[t_ev]["rows_removed"] == n_ev_hit > 0
+    assert rep[t_or]["rows_removed"] == n_or_hit
+    # tables actually forgot: no surviving row matches a request key
+    assert spark.read.parquet(t_ev).join(users, "user_id", "semi").count() == 0
+    assert rep[t_ev]["rows_after"] == spark.read.parquet(t_ev).count()
+    # idempotent: a second run removes nothing
+    rep2 = forget_keys(spark, [(t_ev, "user_id")], reqs).first()
+    assert rep2["rows_removed"] == 0
+    assert rep2["rows_before"] == rep[t_ev]["rows_after"]
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        forget_keys(spark, [], reqs)
