@@ -378,6 +378,62 @@ def run_mix(args) -> None:
         print(f"{r[0]}: {r['rows']} rows, max epoch {r['max_epoch']}")
 
 
+def run_forget(args) -> None:
+    """Right-to-be-forgotten erasure across warehouse tables: delete
+    every row matching the requested keys and print the audit report
+    (one row per table — report-sized by construction)."""
+    from dataflow_python_etl_spark.operators.upsert import forget_keys
+
+    spark = get_spark("forget")
+    tables = []
+    for part in args.tables.split(","):
+        name, _, col = part.partition(":")
+        if not _:
+            raise SystemExit(
+                f"forget: --tables entries must be table:key_col, got {part!r}"
+            )
+        tables.append((_table_path(args.warehouse, name), col))
+    if args.keys_table:
+        name, _, col = args.keys_table.partition(":")
+        if not _:
+            raise SystemExit("forget: --keys-table must be table:key_col")
+        keys = spark.read.parquet(_table_path(args.warehouse, name)).select(
+            F.col(col).cast("long").alias("user_id")
+        )
+    elif args.keys:
+        keys = spark.createDataFrame(
+            [(int(k),) for k in args.keys.split(",")], "user_id: long"
+        )
+    else:
+        raise SystemExit("forget: pass --keys or --keys-table")
+    for r in forget_keys(spark, tables, keys).collect():
+        print(
+            f"{r['table']}: {r['rows_removed']} of {r['rows_before']} rows "
+            f"erased, {r['rows_after']} remain"
+        )
+
+
+def run_shard(args) -> None:
+    """Export a documents table as hash-sharded training partitions
+    with a checksummed manifest; prints the per-shard accounting."""
+    from dataflow_python_etl_spark.operators.chunking import write_training_shards
+
+    spark = get_spark("shard")
+    docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+    manifest = write_training_shards(
+        docs,
+        _table_path(args.warehouse, args.output),
+        args.n_shards,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    for r in manifest.orderBy("shard_id").collect():  # n_shards rows
+        print(
+            f"shard {r['shard_id']}: {r['n_docs']} docs, {r['n_tokens']} tokens, "
+            f"{r['n_chars']} chars, checksum {r['checksum']:x}"
+        )
+
+
 def run_events_report(args) -> None:
     """One-command product-analytics report over an events table:
     funnel, weekly retention, top transitions, and anomaly count —
@@ -762,6 +818,24 @@ def main(argv: list[str] | None = None) -> None:
     per.add_argument("--funnel", default="signup,click,purchase",
                      help="comma-separated ordered funnel steps")
     per.set_defaults(fn=run_events_report)
+
+    pf = sub.add_parser("forget", help="GDPR erasure: delete keys across tables, print audit")
+    pf.add_argument("--warehouse", required=True)
+    pf.add_argument("--tables", required=True,
+                    help="table:key_col[,table:key_col...] to erase from")
+    pf.add_argument("--keys", default=None, help="comma-separated key values")
+    pf.add_argument("--keys-table", default=None,
+                    help="table:key_col holding the deletion requests")
+    pf.set_defaults(fn=run_forget)
+
+    psh = sub.add_parser("shard", help="hash-sharded training export with checksummed manifest")
+    psh.add_argument("--warehouse", required=True)
+    psh.add_argument("--table", default="documents")
+    psh.add_argument("--output", default="shards")
+    psh.add_argument("--n-shards", type=int, default=8)
+    psh.add_argument("--id-col", default="doc_id")
+    psh.add_argument("--text-col", default="text")
+    psh.set_defaults(fn=run_shard)
 
     args = p.parse_args(argv)
     if args.cmd == "sql" and not (args.query or args.file):

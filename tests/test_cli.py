@@ -389,3 +389,41 @@ def test_events_report_subcommand(spark, tmp_path, capsys):
     assert "time to convert" in out and "h: " in out
     assert "smoothed hourly level" in out and " buckets)" in out
     assert "robust outliers" in out and "flagged" in out
+
+
+def test_cli_forget_and_shard(spark, tmp_path, capsys):
+    """Governance + export surfaces: GDPR erasure audit and the
+    hash-sharded training export, end-to-end from the CLI."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark import cli
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").limit(400)
+    ev.write.parquet(os.path.join(wh, "events"))
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    docs.write.parquet(os.path.join(wh, "documents"))
+
+    uid = ev.first()["user_id"]
+    n_hit = ev.where(F.col("user_id") == uid).count()
+    cli.main([
+        "forget", "--warehouse", wh, "--tables", "events:user_id",
+        "--keys", str(uid),
+    ])
+    out = capsys.readouterr().out
+    assert f"{n_hit} of 400 rows erased" in out
+    left = spark.read.parquet(os.path.join(wh, "events"))
+    assert left.where(F.col("user_id") == uid).count() == 0
+
+    cli.main(["shard", "--warehouse", wh, "--n-shards", "4"])
+    out = capsys.readouterr().out
+    assert out.count("shard ") == 4 and "checksum" in out
+    exported = spark.read.parquet(os.path.join(wh, "shards"))
+    assert exported.count() == 200
+    assert set(
+        r["shard_id"] for r in exported.select("shard_id").distinct().collect()
+    ) <= {0, 1, 2, 3}
