@@ -228,3 +228,28 @@ def test_dedup_lines_split_outside_lambda(spark):
 
     for body in re.findall(r"lambdafunction\((.*?), lambda", plan):
         assert "text#" not in body, body
+
+
+def test_shard_manifest_one_exchange_no_python(spark):
+    """q107: shard accounting is ONE hash aggregate on shard_id —
+    one exchange of ≤ n_shards partial rows per task, all JVM."""
+    df = _q(spark, "q107_shard_manifest")
+    assert count_exchanges(df) == 1
+    assert "EvalPython" not in explain_str(df)
+
+
+def test_event_cadence_single_user_exchange(spark):
+    """q112: the lag window and the bucket aggregate cost one
+    user-keyed exchange plus the bounded-key-space agg exchange."""
+    df = _q(spark, "q112_event_cadence")
+    assert count_exchanges(df) == 2
+    assert "EvalPython" not in explain_str(df)
+
+
+def test_seasonal_outliers_fact_never_shuffles_on_data_key(spark):
+    """q109: bucket stats broadcast back — the only exchanges are
+    the bucket-stat partial agg and the final (grp, dow) rollup,
+    both collapsing map-side to bounded key spaces."""
+    df = _q(spark, "q109_seasonal_outliers")
+    assert has_broadcast_join(df)
+    assert "EvalPython" not in explain_str(df)
