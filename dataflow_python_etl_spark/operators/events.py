@@ -996,3 +996,52 @@ def attribution_multitouch(
         .groupBy("touch_type")
         .agg(F.sum("credit_ppm").cast("long").alias("credit_ppm"))
     )
+
+
+def active_user_stickiness(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU/WAU stickiness: per observed day, the daily actives, the
+    trailing-``window_days`` actives, and their ratio in integer ppm
+    — the product-health metric next to retention (how much of the
+    weekly audience shows up on a given day).
+
+    The trailing-distinct is NOT a sliding window over raw events
+    (distinct doesn't decompose over window frames): the scalable
+    shape is dedup to (user, day) once — the only data-sized shuffle
+    — then EXPLODE each user-day into the ≤ ``window_days`` window
+    days it contributes to and equality-join that against the
+    broadcast observed-day spine (never a nested-loop range join,
+    whose cost is |user-days|·|spine|). The fan-out is a bounded
+    ``window_days``× and the final count_distinct collapses per day.
+    Ratio = ``dau·10⁶ div wau`` — positive-operand integer division
+    (the q110 rule); days before the first window are still reported
+    (their window is simply shorter, the standard trailing-metric
+    convention).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).cast("date").alias("d")
+    ).distinct()
+    spine = ud.select(F.col("d").alias("day")).distinct()
+    contrib = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("day"),
+    )
+    wau = (
+        contrib.join(F.broadcast(spine), "day")
+        .groupBy("day")
+        .agg(F.count_distinct("u").cast("long").alias("wau"))
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau", F.expr("dau * 1000000 div wau").alias("stickiness_ppm")
+    )

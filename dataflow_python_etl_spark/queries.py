@@ -4639,6 +4639,97 @@ def q113_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_multitouch(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q114_stickiness",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    w AS (
+        SELECT days.d AS day, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+        FROM days JOIN ud
+          ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d
+    ),
+    a AS (
+        SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT a.day, a.dau, w.wau,
+           (a.dau * 1000000) // w.wau AS stickiness_ppm
+    FROM a JOIN w ON a.day = w.day
+    """,
+    "DAU/WAU stickiness per observed day (operators.events."
+    "active_user_stickiness): trailing-7-day distinct actives vs "
+    "daily actives in integer ppm. Distinct doesn't decompose over "
+    "sliding frames, so the scale shape is ONE (user, day) dedup, "
+    "then a bounded 7× explode equality-joined to the broadcast day "
+    "spine — never a |user-days|·|spine| nested-loop range join. The "
+    "oracle spells the same window as BETWEEN over the day spine",
+)
+def q114_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import active_user_stickiness
+
+    return active_user_stickiness(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "q115_order_consistency",
+    """
+    WITH s AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS s_c4
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(coalesce(s.s_c4, 0)
+                     - CAST(round(o_totalprice * 100) AS BIGINT) * 10000) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           CAST(max(abs(coalesce(s.s_c4, 0)
+                     - CAST(round(o_totalprice * 100) AS BIGINT) * 10000))
+               AS BIGINT) AS max_abs_diff
+    FROM orders o LEFT JOIN s ON o.o_orderkey = s.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    "Cross-table aggregate-consistency expectation: does each "
+    "order's header total equal its lineitems' discounted+taxed sum? "
+    "Checked ENTIRELY in lifted integers — cents × (100−disc₂) × "
+    "(100+tax₂), header total lifted to the same 10⁻⁴-cent unit — so "
+    "no float product can round differently across engines (the "
+    "Deequ-style reconciliation check between a fact and its "
+    "rollup). Orders with no lineitems reconcile against 0. One "
+    "order-keyed partial agg + one join; report collapses to "
+    "|statuses| rows",
+)
+def q115_order_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("long"))
+        ).alias("s_c4")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000)).alias(
+            "t_c4"
+        ),
+    )
+    diff = F.abs(F.coalesce(F.col("s_c4"), F.lit(0)) - F.col("t_c4"))
+    return (
+        o.join(s, o["o_orderkey"] == s["l_orderkey"], "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((diff > 0).cast("long")).cast("long").alias("n_mismatch"),
+            F.max(diff).cast("long").alias("max_abs_diff"),
+        )
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

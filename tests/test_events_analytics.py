@@ -643,3 +643,35 @@ def test_multitouch_attribution_conservation_on_events(spark):
         .first()["s"]
     )
     assert total == n_conv * 1_000_000
+
+
+def test_stickiness_semantics_and_broadcast_spine(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import active_user_stickiness
+    from dataflow_python_etl_spark.plans.checks import has_broadcast_join
+
+    rows = [
+        # day 1: users 1,2; day 2: user 1; day 9 (outside window of 1-2): user 3
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 11:00:00", 2),
+        (3, "2024-01-02 10:00:00", 1),
+        (4, "2024-01-02 10:30:00", 1),  # dup user-day collapses
+        (5, "2024-01-09 10:00:00", 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts_s: string, user_id: long"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    out = active_user_stickiness(ev)
+    assert has_broadcast_join(out)
+    got = {str(r["day"]): r for r in out.collect()}
+    assert got["2024-01-01"]["dau"] == 2 and got["2024-01-01"]["wau"] == 2
+    d2 = got["2024-01-02"]
+    assert d2["dau"] == 1 and d2["wau"] == 2  # window [Dec 27..Jan 2]
+    assert d2["stickiness_ppm"] == 500_000
+    # Jan 9 window [Jan 3..9]: only user 3 — Jan 1-2 activity aged out
+    assert got["2024-01-09"]["wau"] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="window_days"):
+        active_user_stickiness(ev, 0)
