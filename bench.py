@@ -92,6 +92,9 @@ EXTENDED_QUERIES = [
     "q99_mad_outliers",
     "q100_bfs_reach",
     "q101_conversion_lag",
+    "q107_shard_manifest",
+    "q112_event_cadence",
+    "q114_stickiness",
 ]
 
 
