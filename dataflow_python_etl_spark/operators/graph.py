@@ -202,3 +202,48 @@ def bfs_hops(
     return visited.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Single-source shortest paths with ≤ ``max_hops`` edges
+    (bounded Bellman-Ford): ``(node, d)`` for every node reachable
+    from ``source``, minimizing total integer weight.
+
+    Each relaxation round joins the current distance table against
+    the BROADCAST edge list and keeps the per-node minimum — after
+    round k, ``d`` is exactly the cheapest walk using ≤ k edges, so
+    the DuckDB oracle (a hop-bounded recursive CTE enumerating walks)
+    provably agrees; the hop bound also makes zero-weight cycles
+    finite. Designed for VOCABULARY-SIZED graphs derived from fact
+    tables (event-type transition graphs, entity-category graphs):
+    the fact-sized work is deriving the edges upstream, the
+    relaxation is |V|·rounds small. For edge lists too big to
+    broadcast, drop to a shuffled join by removing the hint — same
+    algebra, and the distance table stays ≤ |V| rows either way.
+    Integer weights only — summing engine-private floats across
+    different path orders is exactly the cross-engine trap the
+    count/sum rule exists for.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__t"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    dist = e.select(
+        F.lit(source).alias("node"), F.lit(0).cast("long").alias("d")
+    ).limit(1)
+    for _ in range(max_hops):
+        relax = (
+            dist.join(F.broadcast(e), dist["node"] == e["__s"])
+            .select(F.col("__t").alias("node"), (F.col("d") + F.col("__w")).alias("d"))
+        )
+        dist = dist.unionAll(relax).groupBy("node").agg(F.min("d").alias("d"))
+    return dist

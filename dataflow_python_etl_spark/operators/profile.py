@@ -223,3 +223,41 @@ def rake_keywords(
         F.min("sum_freq").alias("sum_freq"),
     )
     return out.orderBy(F.col("sum_deg").desc(), F.col("phrase")).limit(k)
+
+
+def join_key_skew(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnostic: the ``top_k`` heaviest keys of
+    ``key_col`` with their row counts, SELF-JOIN pair volume (n² —
+    the task size a shuffle join on this key would hand one
+    partition), and share of the table in integer ppm. The report a
+    100 TB operator reads BEFORE keying a join or groupBy on a
+    column — it answers "does this key need salting / AQE skew
+    handling" with numbers instead of a stuck-straggler postmortem.
+
+    One map-side-combined count aggregate; the grand total is a
+    1-row broadcast cross join (the repo's bounds-broadcast
+    pattern); top-k runs as a distributed TakeOrdered on (count
+    DESC, key ASC) — deterministic under ties, never a global sort
+    of the key vocabulary.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    c = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = c.agg(F.sum("n_rows").cast("long").alias("__total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows") * F.col("n_rows")).alias("pair_volume"),
+            F.expr("n_rows * 1000000 div __total").alias("share_ppm"),
+        )
+    )

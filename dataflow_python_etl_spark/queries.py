@@ -4730,6 +4730,94 @@ def q115_order_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q116_join_key_skew",
+    """
+    WITH c AS (
+        SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+    SELECT key, n_rows, n_rows * n_rows AS pair_volume,
+           (n_rows * 1000000) // t.total AS share_ppm
+    FROM c, t
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+    "Join-key skew diagnostic (operators.profile.join_key_skew): the "
+    "10 heaviest l_partkey values with row count, SELF-JOIN pair "
+    "volume n² (the single-task shuffle size a join on this key "
+    "would create), and table share in integer ppm — the report to "
+    "read BEFORE keying a 100 TB join (salt or AQE-skew the keys it "
+    "names). One map-side-combined count agg, 1-row total broadcast, "
+    "distributed TakeOrdered with (count DESC, key) determinism",
+)
+def q116_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.profile import join_key_skew
+
+    return join_key_skew(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+@_q(
+    "q117_fastest_paths",
+    """
+    WITH RECURSIVE g AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_t,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    e AS (
+        SELECT prev_t AS src, event_type AS dst,
+               min((epoch_us(ts) - epoch_us(prev_ts)) // 1000000) AS w
+        FROM g WHERE prev_t IS NOT NULL AND prev_t <> event_type
+        GROUP BY prev_t, event_type
+    ),
+    p AS (
+        SELECT 'signup' AS node, CAST(0 AS BIGINT) AS d, 0 AS hops
+        UNION ALL
+        SELECT e.dst, p.d + e.w, p.hops + 1
+        FROM p JOIN e ON e.src = p.node WHERE p.hops < 4
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist_s FROM p GROUP BY node
+    """,
+    "Fastest paths through the product (operators.graph."
+    "weighted_shortest_paths): nodes are event types, edge weight = "
+    "the MINIMUM observed transition gap in whole seconds (exact-µs "
+    "lag, INTEGER division), distances = cheapest walk from 'signup' "
+    "within 4 hops — bounded Bellman-Ford whose k-th round equals "
+    "the oracle's hop-bounded recursive-CTE walk enumeration by "
+    "construction. The fact-sized work is the one window pass "
+    "deriving the |types|² edge list; relaxation is vocabulary-sized "
+    "against the broadcast edges. Integer weights only (the "
+    "count/sum float rule)",
+)
+def q117_fastest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.graph import weighted_shortest_paths
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    g = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "__gap_us"
+        ),
+    )
+    edges = (
+        g.where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst", F.expr("__gap_us div 1000000").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    return weighted_shortest_paths(edges, "signup").select(
+        "node", F.col("d").cast("long").alias("dist_s")
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -148,3 +148,49 @@ def test_bfs_hops_isolated_seed_and_zero_hops(spark):
     assert got == {0: 2, 1: 1}
     zero = {r["hop"]: r["n_nodes"] for r in bfs_hops(edges, seeds, max_hops=0).collect()}
     assert zero == {0: 2}
+
+
+def test_weighted_shortest_paths_relaxation(spark):
+    """Hand graph: two-hop cheaper than direct; hop bound excludes
+    longer cheap walks; unreachable nodes absent."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.graph import weighted_shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10),
+            ("a", "c", 1),
+            ("c", "b", 2),      # a->c->b = 3 beats direct 10
+            ("b", "d", 1),      # a->c->b->d = 4 (3 hops)
+            ("d", "e", 1),      # best e: a->c->b->d->e = 5 (4 hops)
+            ("e", "f", 1),      # best f within 4 hops: a->b->d->e->f = 13
+            ("x", "y", 1),      # disconnected from a
+        ],
+        "src: string, dst: string, w: long",
+    )
+    got = {r["node"]: r["d"] for r in weighted_shortest_paths(edges, "a").collect()}
+    assert got == {"a": 0, "b": 3, "c": 1, "d": 4, "e": 5, "f": 13}
+    # tighter hop bound: f needs >= 4 edges; e falls back to the
+    # expensive 3-hop walk a->b->d->e = 12
+    got3 = {
+        r["node"]: r["d"]
+        for r in weighted_shortest_paths(edges, "a", max_hops=3).collect()
+    }
+    assert "f" not in got3 and got3["d"] == 4 and got3["e"] == 12
+    with pytest.raises(ValueError, match="max_hops"):
+        weighted_shortest_paths(edges, "a", max_hops=0)
+
+
+def test_join_key_skew_ranking_and_shares(spark):
+    from dataflow_python_etl_spark.operators.profile import join_key_skew
+
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 6 + [2] * 3 + [3] * 1], "k: long"
+    )
+    rows = join_key_skew(df, "k", top_k=2).collect()
+    assert [(r["key"], r["n_rows"], r["pair_volume"], r["share_ppm"]) for r in rows] == [
+        (1, 6, 36, 600_000),
+        (2, 3, 9, 300_000),
+    ]
