@@ -243,3 +243,62 @@ def referential_integrity(
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: one summary row ``(n_added,
+    n_removed, n_changed, n_unchanged)`` between two keyed snapshots
+    — the "what did this refresh actually do" check that catches a
+    feed replaying yesterday (0 added), truncating (mass removed), or
+    silently rewriting history (mass changed) before downstream
+    consumers trust the new snapshot.
+
+    One FULL OUTER join on the key; change detection compares the
+    ``compare_cols`` as STRUCTS (null-safe — a NULL→value transition
+    counts as changed, matching intuition and DuckDB's ``IS DISTINCT
+    FROM``). Callers pass EXACT-typed compare columns (ints, strings,
+    cents-lifted money) — comparing raw floats across engines or
+    formatting them into hashed strings is exactly the cross-engine
+    trap the repo's float rules exist to avoid. Cost: one key
+    shuffle; the output is 1 row.
+    """
+    if not key_cols:
+        raise ValueError("table_diff requires key_cols")
+    if not compare_cols:
+        raise ValueError("table_diff requires compare_cols")
+    o = old.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(key_cols)],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__ov"),
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(key_cols)],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__nv"),
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, [f"__k{i}" for i in range(len(key_cols))], "full_outer")
+    added = F.col("__in_old").isNull()
+    removed = F.col("__in_new").isNull()
+    changed = (
+        F.col("__in_old").isNotNull()
+        & F.col("__in_new").isNotNull()
+        & ~F.col("__ov").eqNullSafe(F.col("__nv"))
+    )
+    unchanged = (
+        F.col("__in_old").isNotNull()
+        & F.col("__in_new").isNotNull()
+        & F.col("__ov").eqNullSafe(F.col("__nv"))
+    )
+    return j.agg(
+        F.coalesce(F.sum(added.cast("long")), F.lit(0)).cast("long").alias("n_added"),
+        F.coalesce(F.sum(removed.cast("long")), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.sum(changed.cast("long")), F.lit(0)).cast("long").alias("n_changed"),
+        F.coalesce(F.sum(unchanged.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_unchanged"),
+    )

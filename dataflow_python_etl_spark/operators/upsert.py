@@ -494,3 +494,93 @@ def forget_keys(
         report,
         "table string, rows_before long, rows_removed long, rows_after long",
     )
+
+
+def refresh_additive_agg(
+    spark,
+    table_path: str,
+    batch_agg: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Incremental materialized-aggregate maintenance: fold an
+    already-aggregated batch into a persisted aggregate table whose
+    measure columns are all ADDITIVE (counts, sums, min/max are NOT
+    — a min can't be unmade by addition; averages must be carried as
+    (sum, count) pairs and divided at read time).
+
+    Contract (pinned in tests): ``refresh(agg(A), agg(B)) ≡
+    agg(A ∪ B)`` — additivity is exactly the property that makes the
+    per-refresh cost |aggregate| + |batch|, never the fact history.
+    The merged table goes through ``write_and_swap`` (crash-safe,
+    readers never torn). NOT idempotent under replay by itself —
+    re-adding a batch double-counts — so the streaming wiring is
+    ``stream_additive_agg_to_table`` (foreachBatch + checkpoint =
+    exactly-once per batch), and batch callers replay through their
+    own ledger. Schema must match the existing table exactly (a
+    silently-missing measure column would corrupt every later read);
+    summed measures are cast back to the table's own column types.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("refresh_additive_agg requires key_cols")
+    missing = [k for k in key_cols if k not in batch_agg.columns]
+    if missing:
+        raise ValueError(f"key columns absent from batch: {missing}")
+    if not os.path.exists(table_path):
+        batch_agg.write.parquet(table_path)
+        return
+    cur = spark.read.parquet(table_path)
+    if set(cur.columns) != set(batch_agg.columns):
+        raise ValueError(
+            f"schema mismatch: table {sorted(cur.columns)} vs "
+            f"batch {sorted(batch_agg.columns)}"
+        )
+    measures = [c for c in cur.columns if c not in key_cols]
+    types = {f.name: f.dataType for f in cur.schema.fields}
+    merged = (
+        cur.select(cur.columns)
+        .unionByName(batch_agg.select(cur.columns))
+        .groupBy(*key_cols)
+        .agg(*[F.sum(c).cast(types[c]).alias(c) for c in measures])
+    )
+    write_and_swap(merged, table_path)
+
+
+def stream_additive_agg_to_table(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    agg_fn,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming materialized-view maintenance: per micro-batch,
+    aggregate with the caller's ``agg_fn(batch_df) -> DataFrame``
+    (which must produce the additive ``(key_cols, measures)`` shape)
+    and fold it in via :func:`refresh_additive_agg`. The checkpoint
+    makes each batch apply exactly once — the idempotence
+    ``refresh_additive_agg`` itself does not provide — so the table
+    converges to the full-history aggregate (parity-pinned)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # repo invariant: a restarted sink whose table vanished must
+        # FAIL (or restore the mid-swap backup), never rebuild the
+        # aggregate from a single batch (function-level import — the
+        # streaming module imports this one)
+        from dataflow_python_etl_spark.streaming.pipeline import (
+            _guard_missing_table,
+        )
+
+        _guard_missing_table(table_path, batch_id)
+        refresh_additive_agg(
+            batch_df.sparkSession, table_path, agg_fn(batch_df), key_cols
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -4818,6 +4818,171 @@ def q117_fastest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q118_snapshot_diff",
+    """
+    WITH o AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    n AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT
+        CAST(coalesce(sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_added,
+        CAST(coalesce(sum(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_removed,
+        CAST(coalesce(sum(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                 AND (o.st IS DISTINCT FROM n.st
+                      OR o.cents IS DISTINCT FROM n.cents)
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changed,
+        CAST(coalesce(sum(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                 AND o.st IS NOT DISTINCT FROM n.st
+                 AND o.cents IS NOT DISTINCT FROM n.cents
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unchanged
+    FROM o FULL OUTER JOIN n ON o.k = n.k
+    """,
+    "Snapshot reconciliation (operators.expectations.table_diff): "
+    "added/removed/changed/unchanged counts between two keyed "
+    "snapshots in ONE full-outer join — the 'what did this refresh "
+    "actually do' gate. Snapshots here are two deterministic "
+    "derivations of orders (key mod filters; the 'new' side bumps "
+    "every 11th total by a cent) so the oracle sees identical "
+    "inputs; compare columns are EXACT types (status string, "
+    "cents-lifted total) per the repo float rules, null-safe struct "
+    "equality ≡ per-column IS DISTINCT FROM",
+)
+def q118_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.expectations import table_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    old = base.where(F.col("k") % 7 != 0)
+    new = base.where(F.col("k") % 5 != 0).withColumn(
+        "cents",
+        F.col("cents") + F.when(F.col("k") % 11 == 0, 1).otherwise(0),
+    )
+    return table_diff(old, new, ["k"], ["st", "cents"])
+
+
+@_q(
+    "q119_user_growth",
+    """
+    WITH fs AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumulative_users
+    FROM n
+    """,
+    "User growth curve: first-seen day per user (one user-keyed "
+    "min-aggregate — cumulative DISTINCT is monotone, so it reduces "
+    "to new-user counts prefix-summed), then per-day new users and "
+    "the running total. The only global-order window runs over the "
+    "≤|days| frame, never rows. Pairs with q114's stickiness as the "
+    "top-of-dashboard pair",
+)
+def q119_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    fs = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"))
+    )
+    n = fs.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return n.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@_q(
+    "q120_entry_conversion",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 300
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_idx
+        FROM flagged
+    ),
+    per AS (
+        SELECT user_id, session_idx,
+               min(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, session_idx
+                  ORDER BY ts, event_id) AS rn
+              FROM sessions)
+        GROUP BY user_id, session_idx
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           (sum(converted) * 1000000) // count(*) AS conversion_ppm
+    FROM per GROUP BY entry_type
+    """,
+    "Session entry-type conversion: sessions cut by q32's 5-minute "
+    "gap rule, each labeled with its FIRST event type and whether a "
+    "purchase occurred inside it — conversion rate per entry point "
+    "in positive-operand integer ppm ('which door do buyers come "
+    "in through'). The session flag, running index, entry rank, and "
+    "per-session rollup all share the ONE user-keyed exchange "
+    "(subset-clustering rule); the final aggregate collapses onto "
+    "the |types| vocabulary",
+)
+def q120_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch = F.col("ts").cast("double")
+    prev = F.lag(F.col("ts")).over(w).cast("double")
+    sess = ev.withColumn(
+        "new_session",
+        F.when((epoch - prev > 300) | prev.isNull(), 1).otherwise(0),
+    ).withColumn("session_idx", F.sum("new_session").over(wf))
+    ws = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    per = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("entry_type"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias(
+                "converted"
+            ),
+        )
+    )
+    return per.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("sum(converted) * 1000000 div count(*)").alias("conversion_ppm"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -339,3 +339,25 @@ def test_referential_integrity_orphans_and_nulls(spark):
     assert (empty["n_rows"], empty["n_orphans"]) == (0, 0)
     with pytest.raises(ValueError, match="at least one"):
         referential_integrity([])
+
+
+def test_table_diff_categories_and_validation(spark):
+    from dataflow_python_etl_spark.operators.expectations import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k: long, s: string, v: long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        "k: long, s: string, v: long",
+    )
+    r = table_diff(old, new, ["k"], ["s", "v"]).first()
+    # 5 added; 1 removed; 3 NULL->30 changed, 4 d->D changed; 2 unchanged
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (
+        1, 1, 2, 1,
+    )
+    with pytest.raises(ValueError, match="key_cols"):
+        table_diff(old, new, [], ["s"])
+    with pytest.raises(ValueError, match="compare_cols"):
+        table_diff(old, new, ["k"], [])

@@ -388,3 +388,94 @@ def test_forget_keys_erasure_audit_idempotent(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one"):
         forget_keys(spark, [], reqs)
+
+
+def test_refresh_additive_agg_equals_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import refresh_additive_agg
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+
+    path = str(tmp_path / "agg_table")
+    cut1, cut2 = "2024-01-10", "2024-01-20"
+    batches = [
+        ev.where(F.col("ts") < cut1),
+        ev.where((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ev.where(F.col("ts") >= cut2),
+    ]
+    for b in batches:
+        refresh_additive_agg(spark, path, agg(b), ["event_type"])
+    got = {
+        r["event_type"]: (r["n"], r["sum_cents"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_cents"]) for r in agg(ev).collect()
+    }
+    assert got == want and sum(n for n, _ in want.values()) == ev.count()
+    # schema drift fails loudly
+    import pytest
+
+    bad = agg(ev).withColumnRenamed("sum_cents", "sum_dollars")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        refresh_additive_agg(spark, path, bad, ["event_type"])
+    with pytest.raises(ValueError, match="key columns"):
+        refresh_additive_agg(spark, path, agg(ev), ["missing_col"])
+
+
+def test_stream_additive_agg_parity_and_restart_guard(spark, tmp_path):
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import (
+        stream_additive_agg_to_table,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    cutoff = "2024-01-15"
+    ev.where(F.col("ts") < cutoff).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = stream_additive_agg_to_table(stream, table, ckpt, ["event_type"], agg)
+    q.processAllAvailable()
+    ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_type"]: (r["n"], r["sum_cents"])
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_cents"]) for r in agg(ev).collect()
+    }
+    assert got == want
+    # restart with the table gone: must FAIL, not rebuild from batch 2
+    shutil.rmtree(table)
+    ev.limit(10).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(ev.schema).parquet(src)
+    q2 = stream_additive_agg_to_table(stream2, table, ckpt, ["event_type"], agg)
+    with pytest.raises(Exception, match="missing"):
+        q2.processAllAvailable()
+    q2.stop()
