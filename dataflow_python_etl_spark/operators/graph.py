@@ -233,13 +233,21 @@ def weighted_shortest_paths(
     """
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
-    e = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__t"),
-        F.col(weight_col).cast("long").alias("__w"),
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    # Pay the (possibly fact-sized) edge derivation ONCE: without the
+    # registered persist, every relaxation round's broadcast re-runs
+    # the upstream lineage — k full fact scans instead of one
+    # (caught by tests/test_plans.py::test_fastest_paths_fact_scanned_once).
+    e = register_cache(
+        edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__t"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
     )
-    dist = e.select(
-        F.lit(source).alias("node"), F.lit(0).cast("long").alias("d")
-    ).limit(1)
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0)], "node " + e.schema["__s"].dataType.simpleString() + ", d long"
+    )
     for _ in range(max_hops):
         relax = (
             dist.join(F.broadcast(e), dist["node"] == e["__s"])

@@ -253,3 +253,78 @@ def test_seasonal_outliers_fact_never_shuffles_on_data_key(spark):
     df = _q(spark, "q109_seasonal_outliers")
     assert has_broadcast_join(df)
     assert "EvalPython" not in explain_str(df)
+
+
+def test_stickiness_spine_join_is_broadcast_equality(spark):
+    """q114: the 7x-exploded (user, day) frame joins the day spine by
+    EQUALITY against a BROADCAST — never a |user-days| x |spine|
+    nested-loop range join, which is the naive spelling's plan."""
+    df = _q(spark, "q114_stickiness")
+    s = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert count_exchanges(df) == 6, s
+    assert "EvalPython" not in s
+
+
+def test_order_consistency_two_exchanges(spark):
+    """q115: the lineitem rollup's one orderkey exchange plus the
+    1-row summary agg; the header side broadcasts."""
+    df = _q(spark, "q115_order_consistency")
+    assert count_exchanges(df) == 2
+    assert has_broadcast_join(df)
+    assert "EvalPython" not in explain_str(df)
+
+
+def test_join_key_skew_bounded_topk(spark):
+    """q116: heavy-key diagnostic is a hash agg on the join key, a
+    1-row totals broadcast, and a distributed TakeOrdered — no global
+    sort exchange of the full key histogram."""
+    df = _q(spark, "q116_join_key_skew")
+    s = explain_str(df)
+    assert count_exchanges(df) == 3, s
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in s, s
+    assert "EvalPython" not in s
+
+
+def test_fastest_paths_fact_scanned_once(spark):
+    """q117: Bellman-Ford rounds relax the |types|^2 edge table —
+    the edge derivation (the only fact-sized work) is behind a
+    REGISTERED persist, so each round's broadcast reads the cache,
+    not k re-scans of events. Explain still prints the cached
+    subtree's lineage inside every InMemoryRelation block, so the
+    pin is the cache wiring itself; persist semantics give the
+    one-materialization runtime property."""
+    df = _q(spark, "q117_fastest_paths")
+    s = explain_str(df)
+    assert "InMemoryTableScan" in s, s
+    assert "CartesianProduct" not in s
+    assert "EvalPython" not in s
+
+
+def test_snapshot_diff_single_join_then_one_row(spark):
+    """q118: table_diff is ONE full-outer key join (two side shuffles)
+    collapsing straight into the 1-row summary agg — no second pass
+    over either snapshot, no Python."""
+    df = _q(spark, "q118_snapshot_diff")
+    assert count_exchanges(df) == 3
+    assert "EvalPython" not in explain_str(df)
+
+
+def test_user_growth_windows_over_days_not_rows(spark):
+    """q119: the only global-order window runs AFTER the per-day
+    collapse (<= |days| rows): user min-agg, day agg, day-frame
+    window — three exchanges, the last over a bounded frame."""
+    df = _q(spark, "q119_user_growth")
+    assert count_exchanges(df) == 3
+    assert "EvalPython" not in explain_str(df)
+
+
+def test_entry_conversion_shares_user_exchange(spark):
+    """q120: session flag, running index, entry rank, and per-session
+    rollup all subset-cluster on the ONE user-keyed exchange; the
+    only other exchange is the |types|-keyed final agg."""
+    df = _q(spark, "q120_entry_conversion")
+    assert count_exchanges(df) == 2
+    assert "EvalPython" not in explain_str(df)

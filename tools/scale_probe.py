@@ -93,6 +93,19 @@ def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
     eout = pd.concat(eparts, ignore_index=True)
     pq.write_table(pa.Table.from_pandas(eout, preserve_index=False),
                    f"{out_dir}/events.parquet")
+
+    # orders replicates under the same key stride: keyed snapshot /
+    # reconciliation workloads (q118's full-outer diff) gain R×
+    # independent keys — linear by construction, like the rest.
+    od = pq.read_table(f"{src_dir}/orders.parquet").to_pandas()
+    oparts = []
+    for r in range(replicas):
+        part = od.copy()
+        part["o_orderkey"] = part["o_orderkey"] + r * ID_STRIDE
+        oparts.append(part)
+    oout = pd.concat(oparts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(oout, preserve_index=False),
+                   f"{out_dir}/orders.parquet")
     return len(out)
 
 
