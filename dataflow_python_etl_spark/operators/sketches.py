@@ -328,3 +328,124 @@ def streaming_hll_registers(
     drops is pinned in tests.
     """
     return hll_registers(item_stream, item_col=item_col, group_cols=group_cols, p=p)
+
+# --- KMV (k-minimum-values) distinct & overlap sketch ---------------------
+#
+# Bar-Yossef et al. 2002 / Beyer et al. 2007 ("distinct sampling"):
+# keep the k SMALLEST hash values of a set; the k-th smallest R_k
+# estimates cardinality as (k-1)·M/R_k (M = hash domain), and two
+# sketches support set-algebra estimates (union/intersection/Jaccard)
+# that neither Count-Min nor HLL can give without per-pair sketches.
+# Built on the portable 60-bit md5 hash, a KMV sketch is a
+# DETERMINISTIC function of the set — contents are bit-identical
+# across engines/runs, so the oracle reproduces the sketch itself.
+
+KMV_DOMAIN = 16**15  # md5_hash60 range: [0, 2^60)
+
+
+def kmv_sketches(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-set KMV sketch: ``(set_id, hashes)`` where ``hashes`` is
+    the ASCENDING array of the ≤ k smallest distinct portable hashes
+    of the set's keys. One distinct exchange on (set, key), then a
+    ``row_number() <= k`` rank — which plans as a PARTIAL
+    WindowGroupLimit, truncating each map task to k rows BEFORE the
+    shuffle (the repo's free-skew-protection shape), so a set of any
+    size ships at most k hashes per task. The collected array is ≤ k
+    longs per set by construction — THE point of sketching."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = (
+        df.select(F.col(set_col).alias("set_id"), F.col(key_col).alias("__k"))
+        .distinct()
+        .select("set_id", md5_hash60(F.col("__k").cast("string")).alias("h"))
+    )
+    w = Window.partitionBy("set_id").orderBy("h")
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy("set_id")
+        .agg(F.array_sort(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def _int_div(a, b):
+    """Exact integer division of two long columns whose quotient may
+    exceed 2^53: route through DECIMAL(38,0) so no double rounding
+    ever occurs (numerator is made exactly divisible first). ANSI
+    mode is on in Spark 4 — callers guarantee b > 0."""
+    an = (a - F.pmod(a, b)).cast("decimal(38,0)")
+    return (an / b.cast("decimal(38,0)")).cast("long")
+
+
+def _kmv_est_int(hashes_col, k: int):
+    """Distinct-count estimate from a KMV hash array, ALL-INTEGER:
+    exact size when unsaturated (< k hashes means every distinct key
+    is in the sketch), else ``(k-1) * (M div R_k)`` with R_k the
+    largest retained hash. Overflow-free by construction — R_k is
+    >= k-1 (k distinct non-negative hashes), so the product is <= M;
+    the floor costs <= (k-1)/R_k relative error, negligible exactly
+    when the estimator is in regime (R_k << M). R_k >= k-1 >= 1 also
+    rules out division by zero."""
+    rk = F.element_at(hashes_col, -1)
+    m = F.lit(KMV_DOMAIN).cast("long")
+    return F.when(
+        F.size(hashes_col) < k, F.size(hashes_col).cast("long")
+    ).otherwise(F.lit(k - 1).cast("long") * _int_div(m, rk))
+
+
+def kmv_overlap(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    set_a,
+    set_b,
+    k: int = 256,
+) -> DataFrame:
+    """Audience-overlap report between two keyed sets, sketch-only:
+    one row ``(k, est_a, est_b, est_union, n_common, jaccard_ppm)``.
+
+    The union sketch is the k smallest of the MERGED hash arrays
+    (KMV's merge law: kmv(A ∪ B) = k-min(kmv(A) ∪ kmv(B)), pinned in
+    tests); the Jaccard estimate is the fraction of the union
+    sketch's members present in BOTH input sketches (Beyer et al.'s
+    intersection-over-sketch), in positive-operand integer ppm.
+    Everything after the two per-set sketches is array math on a
+    2-row frame. At 100 TB the cost is the sketches' one distinct
+    exchange; the combine is constant-size."""
+    sk = kmv_sketches(
+        df.where(F.col(set_col).isin([set_a, set_b])), set_col, key_col, k
+    )
+    empty = F.array().cast("array<long>")
+    # a set absent from df entirely is a legal empty audience — its
+    # sketch is the empty array, not NULL (NULL would poison every
+    # downstream array op and the report row)
+    both = sk.groupBy().agg(
+        F.coalesce(
+            F.max(F.when(F.col("set_id") == set_a, F.col("hashes"))), empty
+        ).alias("a"),
+        F.coalesce(
+            F.max(F.when(F.col("set_id") == set_b, F.col("hashes"))), empty
+        ).alias("b"),
+    )
+    u = F.slice(F.array_sort(F.array_union(F.col("a"), F.col("b"))), 1, k)
+    common = F.array_intersect(F.array_intersect(u, F.col("a")), F.col("b"))
+    return both.select(
+        F.lit(k).alias("k"),
+        _kmv_est_int(F.col("a"), k).alias("est_a"),
+        _kmv_est_int(F.col("b"), k).alias("est_b"),
+        _kmv_est_int(u, k).alias("est_union"),
+        F.size(common).cast("long").alias("n_common"),
+        F.when(F.size(u) == 0, F.lit(0).cast("long")).otherwise(
+            _int_div(
+                F.size(common).cast("long") * F.lit(1_000_000).cast("long"),
+                F.size(u).cast("long"),
+            )
+        ).alias("jaccard_ppm"),
+    )

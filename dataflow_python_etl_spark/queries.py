@@ -4983,6 +4983,63 @@ def q120_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q121_kmv_audience_overlap",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT o_orderpriority AS set_id, o_custkey AS ck
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    h AS (SELECT set_id, {_md5h60_sql("CAST(ck AS VARCHAR)")} AS h FROM keys),
+    r AS (SELECT set_id, h,
+                 row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn
+          FROM h),
+    a AS (SELECT h FROM r WHERE set_id = '1-URGENT' AND rn <= 256),
+    b AS (SELECT h FROM r WHERE set_id = '2-HIGH' AND rn <= 256),
+    u AS (SELECT DISTINCT h
+          FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+          ORDER BY h LIMIT 256),
+    s AS (SELECT
+            (SELECT count(*) FROM a) AS na, (SELECT max(h) FROM a) AS ra,
+            (SELECT count(*) FROM b) AS nb, (SELECT max(h) FROM b) AS rb,
+            (SELECT count(*) FROM u) AS nu, (SELECT max(h) FROM u) AS ru,
+            (SELECT count(*) FROM u
+             WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS c)
+    SELECT CAST(256 AS INT) AS k,
+           CAST(CASE WHEN na < 256 THEN na
+                ELSE 255 * (1152921504606846976 // ra) END AS BIGINT) AS est_a,
+           CAST(CASE WHEN nb < 256 THEN nb
+                ELSE 255 * (1152921504606846976 // rb) END AS BIGINT) AS est_b,
+           CAST(CASE WHEN nu < 256 THEN nu
+                ELSE 255 * (1152921504606846976 // ru) END AS BIGINT) AS est_union,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(CASE WHEN nu = 0 THEN 0 ELSE c * 1000000 // nu END AS BIGINT) AS jaccard_ppm
+    FROM s
+    """,
+    "Audience overlap via KMV sketches (operators.sketches."
+    "kmv_overlap): customers who placed URGENT vs HIGH-priority "
+    "orders (both present at every SF, unlike order years), their "
+    "union size, and the Jaccard overlap — all from two 256-hash "
+    "sketches, never a full set intersection. KMV on the portable "
+    "60-bit md5 hash is a DETERMINISTIC function of each set, so the "
+    "oracle reproduces sketch CONTENTS; estimates are all-integer "
+    "((k-1) * (M div R_k), overflow-free since R_k >= k-1) and the "
+    "Jaccard is positive-operand integer ppm. The row_number <= k "
+    "rank plans as a partial WindowGroupLimit — map tasks truncate "
+    "to k rows BEFORE the shuffle, so a billion-member audience "
+    "ships k hashes per task. Set algebra no other sketch here "
+    "gives: CMS ranks frequencies, HLL sizes one set; KMV "
+    "intersects them",
+)
+def q121_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.sketches import kmv_overlap
+
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("set_id"), "o_custkey"
+    )
+    return kmv_overlap(od, "set_id", "o_custkey", "1-URGENT", "2-HIGH", k=256)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -170,3 +170,54 @@ def test_cms_heavy_hitters_never_hides_a_heavy_item(spark):
     assert got[0]["item"] == "whale" and got[0]["est"] >= 500
     ests = [r["est"] for r in got]
     assert ests == sorted(ests, reverse=True)
+
+
+def test_kmv_sketch_bounded_sorted_and_merge_law(spark):
+    """kmv(A ∪ B) == k-min of the merged sketches — THE property that
+    makes KMV shardable at 100 TB (sketch shards independently,
+    merge constant-size)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.sketches import kmv_sketches
+
+    k = 32
+    a = spark.createDataFrame([("a", i) for i in range(200)], "s string, x long")
+    b = spark.createDataFrame([("b", i) for i in range(150, 400)], "s string, x long")
+    u = a.union(b).select(F.lit("u").alias("s"), "x")
+    ska = kmv_sketches(a, "s", "x", k).first()["hashes"]
+    skb = kmv_sketches(b, "s", "x", k).first()["hashes"]
+    sku = kmv_sketches(u, "s", "x", k).first()["hashes"]
+    assert len(ska) == k and ska == sorted(ska)
+    assert sku == sorted(set(ska) | set(skb))[:k]
+
+
+def test_kmv_overlap_estimates_and_empty_set(spark):
+    from dataflow_python_etl_spark.operators.sketches import kmv_overlap
+
+    k = 64
+    rows = [("a", i) for i in range(500)] + [("b", i) for i in range(300, 1100)]
+    df = spark.createDataFrame(rows, "s string, x long")
+    r = kmv_overlap(df, "s", "x", "a", "b", k=k).first()
+    # within KMV's ~1/sqrt(k) regime of the true 500 / 800 / 1100
+    assert abs(r["est_a"] - 500) < 500 * 0.5
+    assert abs(r["est_b"] - 800) < 800 * 0.5
+    assert abs(r["est_union"] - 1100) < 1100 * 0.5
+    assert 0 < r["jaccard_ppm"] < 1_000_000
+    # unsaturated side reports EXACTLY (sketch holds every key)
+    small = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(5, 15)],
+        "s string, x long",
+    )
+    rs = kmv_overlap(small, "s", "x", "a", "b", k=k).first()
+    assert (rs["est_a"], rs["est_b"], rs["est_union"]) == (10, 10, 15)
+    assert rs["n_common"] == 5 and rs["jaccard_ppm"] == 5 * 1_000_000 // 15
+    # an audience absent from the frame is empty, not NULL-poisoned
+    re = kmv_overlap(small, "s", "x", "a", "zzz", k=k).first()
+    assert (re["est_a"], re["est_b"], re["est_union"]) == (10, 0, 10)
+    assert re["n_common"] == 0 and re["jaccard_ppm"] == 0
+    import pytest
+
+    from dataflow_python_etl_spark.operators.sketches import kmv_sketches
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketches(small, "s", "x", 1)
