@@ -302,3 +302,61 @@ def table_diff(
         .cast("long")
         .alias("n_unchanged"),
     )
+
+
+def freshness_check(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag_s: int = 259_200,
+    window_s: int = 604_800,
+) -> DataFrame:
+    """Feed freshness + volume expectation, per group: ``(grp, lag_s,
+    n_recent, n_prior, volume_ratio_ppm, stale)`` — how long since
+    the group last produced an event, its event volume in the most
+    recent ``window_s`` vs the window before, and a stale flag when
+    the lag exceeds ``max_lag_s``. The "did the feed die or quietly
+    halve" gate that runs before anyone trusts a daily refresh.
+
+    The reference instant is the CORPUS max timestamp (deterministic
+    and replayable — wall-clock "now" would make the expectation
+    unreproducible); it broadcasts as a 1-row frame onto the one
+    group-keyed aggregate, so the fact table is scanned once for the
+    stats plus one column-pruned scan for the max. All arithmetic is
+    exact-µs integer (`div`, the q101 rule); the volume ratio is
+    positive-operand integer ppm, NULL when the prior window is
+    empty (a new feed is not "infinitely grown")."""
+    if max_lag_s <= 0 or window_s <= 0:
+        raise ValueError("max_lag_s and window_s must be > 0")
+    now = events.agg(F.max(ts_col).alias("__now"))
+    us = F.unix_micros(F.col(ts_col))
+    now_us = F.unix_micros(F.col("__now"))
+    w_us = window_s * 1_000_000
+    per = (
+        events.join(F.broadcast(now))
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.max(us).alias("__last_us"),
+            F.max(now_us).alias("__now_us"),
+            F.sum(F.when(us > now_us - w_us, 1).otherwise(0))
+            .cast("long")
+            .alias("n_recent"),
+            F.sum(
+                F.when((us <= now_us - w_us) & (us > now_us - 2 * w_us), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_prior"),
+        )
+    )
+    return per.select(
+        "grp",
+        F.expr("(__now_us - __last_us) div 1000000").alias("lag_s"),
+        "n_recent",
+        "n_prior",
+        F.when(F.col("n_prior") == 0, F.lit(None).cast("long")).otherwise(
+            F.expr("(n_recent * 1000000) div n_prior")
+        ).alias("volume_ratio_ppm"),
+        (F.expr("(__now_us - __last_us) div 1000000") > max_lag_s)
+        .cast("int")
+        .alias("stale"),
+    )

@@ -5040,6 +5040,46 @@ def q121_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(od, "set_id", "o_custkey", "1-URGENT", "2-HIGH", k=256)
 
 
+@_q(
+    "q122_feed_freshness",
+    """
+    WITH nw AS (SELECT epoch_us(max(ts)) AS now_us FROM events),
+    per AS (
+        SELECT event_type AS grp,
+               max(epoch_us(ts)) AS last_us, max(now_us) AS now_us,
+               sum(CASE WHEN epoch_us(ts) > now_us - 604800000000
+                        THEN 1 ELSE 0 END) AS n_recent,
+               sum(CASE WHEN epoch_us(ts) <= now_us - 604800000000
+                         AND epoch_us(ts) > now_us - 1209600000000
+                        THEN 1 ELSE 0 END) AS n_prior
+        FROM events, nw GROUP BY event_type
+    )
+    SELECT grp,
+           CAST((now_us - last_us) // 1000000 AS BIGINT) AS lag_s,
+           CAST(n_recent AS BIGINT) AS n_recent,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           CAST(CASE WHEN n_prior = 0 THEN NULL
+                ELSE (n_recent * 1000000) // n_prior END AS BIGINT)
+               AS volume_ratio_ppm,
+           CAST(CASE WHEN (now_us - last_us) // 1000000 > 259200
+                THEN 1 ELSE 0 END AS INT) AS stale
+    FROM per
+    """,
+    "Feed freshness + volume expectation (operators.expectations."
+    "freshness_check): per event type, seconds since the last event "
+    "(vs the CORPUS max instant — deterministic, never wall-clock), "
+    "last-7-days volume vs the prior 7 days in positive-operand "
+    "integer ppm (NULL when the prior window is empty), stale flag "
+    "at 3 days. The 'did the feed die or quietly halve' gate. One "
+    "group-keyed aggregate with the 1-row max-instant broadcast; "
+    "exact-µs integer arithmetic throughout (the q101 div rule)",
+)
+def q122_feed_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.expectations import freshness_check
+
+    return freshness_check(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

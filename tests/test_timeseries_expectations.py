@@ -361,3 +361,39 @@ def test_table_diff_categories_and_validation(spark):
         table_diff(old, new, [], ["s"])
     with pytest.raises(ValueError, match="compare_cols"):
         table_diff(old, new, ["k"], [])
+
+
+def test_freshness_check_lag_volume_and_stale(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.expectations import freshness_check
+
+    # corpus "now" = 2024-01-29 00:00:00; type a fresh+growing, type b
+    # stale (last event 4 days back) + shrinking, type c new this week
+    rows = (
+        [("a", "2024-01-28 23:59:50"), ("a", "2024-01-28 00:00:00"),
+         ("a", "2024-01-16 00:00:00"),
+         ("b", "2024-01-25 00:00:00"), ("b", "2024-01-16 00:00:00"),
+         ("b", "2024-01-17 00:00:00"),
+         ("c", "2024-01-27 00:00:00"),
+         ("a", "2024-01-29 00:00:00")]
+    )
+    ev = spark.createDataFrame(rows, "event_type string, s string").select(
+        "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["grp"]: r.asDict()
+        for r in freshness_check(ev, max_lag_s=3 * 86400, window_s=7 * 86400).collect()
+    }
+    assert got["a"]["lag_s"] == 0 and got["a"]["stale"] == 0
+    assert got["a"]["n_recent"] == 3 and got["a"]["n_prior"] == 1
+    assert got["a"]["volume_ratio_ppm"] == 3_000_000
+    assert got["b"]["lag_s"] == 4 * 86400 and got["b"]["stale"] == 1
+    assert got["b"]["n_recent"] == 1 and got["b"]["n_prior"] == 2
+    assert got["b"]["volume_ratio_ppm"] == 500_000
+    # new feed: prior window empty -> NULL ratio, not a fake boom
+    assert got["c"]["n_prior"] == 0 and got["c"]["volume_ratio_ppm"] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        freshness_check(ev, max_lag_s=0)
