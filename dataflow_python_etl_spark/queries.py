@@ -5080,6 +5080,61 @@ def q122_feed_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freshness_check(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q123_daily_autocorrelation",
+    """
+    WITH b AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT g, min(d) AS mn, max(d) AS mx FROM b GROUP BY g),
+    spine AS (
+        SELECT g, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM r
+    ),
+    x AS (
+        SELECT spine.g, spine.d, coalesce(b.c, 0) AS x
+        FROM spine LEFT JOIN b ON spine.g = b.g AND spine.d = b.d
+    ),
+    p AS (
+        SELECT g, x, lead(x) OVER (PARTITION BY g ORDER BY d) AS y FROM x
+    ),
+    q AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM p WHERE y IS NOT NULL GROUP BY g
+    )
+    SELECT g AS grp,
+           CAST(n + 1 AS BIGINT) AS n_days,
+           n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                           6)
+           END AS r1
+    FROM q
+    """,
+    "Lag-1 autocorrelation of daily event volume (operators."
+    "timeseries.daily_autocorrelation): Pearson r over consecutive "
+    "(day, next-day) count pairs on the COMPLETE per-group day spine "
+    "(missing days are 0 — raw observed days would splice across "
+    "outages and fake continuity). Integer moments exactly, ONE "
+    "division by the product of two IEEE-exact sqrts, round 6 — the "
+    "rolling-anomalies float construction. The periodicity signal "
+    "that justifies seasonal_outliers' hour-of-week baseline. Fact "
+    "collapses map-side onto (group, day) in one exchange; all else "
+    "is day-spine-sized",
+)
+def q123_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import daily_autocorrelation
+
+    return daily_autocorrelation(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -397,3 +397,33 @@ def test_freshness_check_lag_volume_and_stale(spark):
 
     with pytest.raises(ValueError, match="must be > 0"):
         freshness_check(ev, max_lag_s=0)
+
+
+def test_daily_autocorrelation_known_series(spark):
+    """Alternating series -> r1 = -1; constant -> NULL; gap day
+    enters as 0 (the spine rule)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.timeseries import (
+        daily_autocorrelation,
+    )
+
+    rows = []
+    # 'alt': 2,1,2,1,... over 10 days (perfect negative lag-1)
+    for i in range(10):
+        for _ in range(2 if i % 2 == 0 else 1):
+            rows.append(("alt", f"2024-01-{i + 1:02d} 12:00:00"))
+    # 'flat': constant 1/day -> zero variance -> NULL
+    for i in range(5):
+        rows.append(("flat", f"2024-01-{i + 1:02d} 12:00:00"))
+    # 'gap': days 1 and 3 only -> spine inserts day 2 as 0 (3 days, 2 pairs)
+    rows += [("gap", "2024-01-01 12:00:00"), ("gap", "2024-01-03 12:00:00")]
+    ev = spark.createDataFrame(rows, "event_type string, s string").select(
+        "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {r["grp"]: r.asDict() for r in daily_autocorrelation(ev).collect()}
+    assert got["alt"]["n_days"] == 10 and got["alt"]["n_pairs"] == 9
+    assert got["alt"]["r1"] == -1.0
+    assert got["flat"]["r1"] is None
+    assert got["gap"]["n_days"] == 3 and got["gap"]["n_pairs"] == 2
+    assert got["gap"]["r1"] == -1.0  # 1,0,1 alternates too
