@@ -552,3 +552,63 @@ def daily_autocorrelation(
             F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6),
         ).alias("r1"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    season_days: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict day t with
+    day t − ``season_days``) on daily event volume: ``(grp, n_eval,
+    total_abs_err, total_actual, wmape_ppm)``. The baseline every
+    real forecast must beat — publishing a model without this number
+    is publishing noise — and the error floor that
+    :func:`daily_autocorrelation`'s r1 predicts.
+
+    Same complete day spine as the autocorrelation (missing days are
+    0; raw observed days would lag across outages); evaluation
+    starts at the first day with a valid seasonal lag. Errors are
+    reported as SUMS + a weighted MAPE in positive-operand integer
+    ppm (Σ|err|·10⁶ div Σactual) — the count/sum-shapes rule; a
+    plain mean-of-|err| would land round(avg) on half-boundaries.
+    NULL wmape when the evaluation window has zero actual volume.
+    Scale shape: one map-side (group, day) collapse of the fact
+    table; lag window and rollup on the day spine."""
+    if season_days < 1:
+        raise ValueError(f"season_days must be >= 1, got {season_days}")
+    b = (
+        events.groupBy(
+            F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = (
+        b.groupBy("g")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select("g", F.explode(F.sequence("mn", "mx")).alias("d"))
+    )
+    x = spine.join(b, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("c", F.lit(0).cast("long")).alias("x")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("d")
+    p = x.select("g", "x", F.lag("x", season_days).over(w).alias("f")).where(
+        F.col("f").isNotNull()
+    )
+    agg = p.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("x") - F.col("f"))).cast("long").alias("total_abs_err"),
+        F.sum("x").cast("long").alias("total_actual"),
+    )
+    return agg.select(
+        F.col("g").alias("grp"),
+        "n_eval",
+        "total_abs_err",
+        "total_actual",
+        F.when(F.col("total_actual") == 0, F.lit(None).cast("long")).otherwise(
+            F.expr("(total_abs_err * 1000000) div total_actual")
+        ).alias("wmape_ppm"),
+    )

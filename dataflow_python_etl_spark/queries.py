@@ -5135,6 +5135,104 @@ def q123_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_autocorrelation(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q124_segment_mode_priority",
+    """
+    WITH c AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT seg, pri, n_orders,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY n_orders DESC, pri) AS rn
+        FROM c
+    )
+    SELECT seg, pri AS mode_priority, n_orders FROM r WHERE rn = 1
+    """,
+    "Per-group MODE with a deterministic tie-break: the most common "
+    "order priority per customer market segment — groupBy count, "
+    "then row_number over (count DESC, value ASC) taking rank 1 "
+    "(ties break on the VALUE, never on engine-private hash order — "
+    "the rounded-score+id ranking rule). The argmax-per-group shape "
+    "every 'top category per X' dashboard tile reduces to; the "
+    "window runs on the |segments|x|priorities| rollup, never the "
+    "fact table",
+)
+def q124_segment_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    w = Window.partitionBy("seg").orderBy(F.col("n_orders").desc(), F.col("pri"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("seg", F.col("pri").alias("mode_priority"), "n_orders")
+    )
+
+
+@_q(
+    "q125_seasonal_naive_backtest",
+    """
+    WITH b AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT g, min(d) AS mn, max(d) AS mx FROM b GROUP BY g),
+    spine AS (
+        SELECT g, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM r
+    ),
+    x AS (
+        SELECT spine.g, spine.d, coalesce(b.c, 0) AS x
+        FROM spine LEFT JOIN b ON spine.g = b.g AND spine.d = b.d
+    ),
+    p AS (
+        SELECT g, x, lag(x, 7) OVER (PARTITION BY g ORDER BY d) AS f FROM x
+    ),
+    agg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(abs(x - f)) AS BIGINT) AS total_abs_err,
+               CAST(sum(x) AS BIGINT) AS total_actual
+        FROM p WHERE f IS NOT NULL GROUP BY g
+    )
+    SELECT g AS grp, n_eval, total_abs_err, total_actual,
+           CAST(CASE WHEN total_actual = 0 THEN NULL
+                ELSE (total_abs_err * 1000000) // total_actual END AS BIGINT)
+               AS wmape_ppm
+    FROM agg
+    """,
+    "Seasonal-naive forecast backtest (operators.timeseries."
+    "seasonal_naive_backtest): predict each day's event volume with "
+    "the same weekday LAST week on the complete day spine, report "
+    "Σ|err|, Σactual, and weighted MAPE in positive-operand integer "
+    "ppm (count/sum shapes — a mean of errors would round(avg) onto "
+    "half-boundaries). The baseline any forecast model must beat, "
+    "and the error floor q123's autocorrelation predicts. One "
+    "map-side (group, day) fact collapse; spine-sized lag window",
+)
+def q125_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    return seasonal_naive_backtest(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -427,3 +427,37 @@ def test_daily_autocorrelation_known_series(spark):
     assert got["flat"]["r1"] is None
     assert got["gap"]["n_days"] == 3 and got["gap"]["n_pairs"] == 2
     assert got["gap"]["r1"] == -1.0  # 1,0,1 alternates too
+
+
+def test_seasonal_naive_backtest_perfect_and_gappy(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    rows = []
+    # 'per': exact weekly periodicity over 21 days -> zero error
+    weekly = [3, 1, 1, 1, 1, 2, 1]
+    for i in range(21):
+        for _ in range(weekly[i % 7]):
+            rows.append(("per", f"2024-01-{i + 1:02d} 09:00:00"))
+    # 'jmp': constant 1/day for 14 days except day 10 has 3
+    for i in range(14):
+        for _ in range(3 if i == 9 else 1):
+            rows.append(("jmp", f"2024-01-{i + 1:02d} 09:00:00"))
+    ev = spark.createDataFrame(rows, "event_type string, s string").select(
+        "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {r["grp"]: r.asDict() for r in seasonal_naive_backtest(ev).collect()}
+    p = got["per"]
+    assert p["n_eval"] == 14 and p["total_abs_err"] == 0 and p["wmape_ppm"] == 0
+    # jmp: eval days 8..14; day 10 (actual 3 vs forecast 1, err 2);
+    # day 17 would see the spike as forecast but series ends day 14
+    j = got["jmp"]
+    assert j["n_eval"] == 7 and j["total_abs_err"] == 2
+    assert j["total_actual"] == 9 and j["wmape_ppm"] == 2_000_000 // 9
+    import pytest
+
+    with pytest.raises(ValueError, match="season_days"):
+        seasonal_naive_backtest(ev, season_days=0)
