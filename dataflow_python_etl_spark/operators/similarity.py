@@ -892,3 +892,88 @@ def ivf_topk_indexed(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_id,
+    k: int = 5,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): pick ``k`` results that are RELEVANT to the query but
+    DIVERSE among themselves — greedy argmax of ``½·rel(d) −
+    ½·max_{s∈S} sim(d, s)``. The retrieval-augmentation and
+    training-batch curation primitive plain top-k lacks: top-k
+    returns five near-copies of the best hit, MMR returns the best
+    hit plus four that ADD something.
+
+    λ is fixed at ½ — a power of two, so both MMR terms are EXACT
+    double scalings of the rounded-6 cosines and the comparison is
+    one correctly-rounded subtraction: the greedy argmax (rounded
+    score + id tie-break, the repo ranking rule) is reproducible
+    bit-for-bit cross-engine, which is what lets the DuckDB oracle
+    unroll the same k steps (the PageRank loop ≡ unrolled pin,
+    applied to a greedy).
+
+    Scale shape: relevance is :func:`cosine_topk` (corpus streams,
+    nothing collects); ONLY the ``n_candidates`` shortlist — bounded
+    by contract, like the query matrix and PQ fit samples — enters
+    the n²-pair stage and the k driver-coordinated argmax steps,
+    each a job over ≤ n_candidates rows. Returns ``(rank, vec_id,
+    relevance, mmr)`` in selection order."""
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    if not 1 <= k <= n_candidates:
+        raise ValueError(f"need 1 <= k <= n_candidates, got k={k}, n={n_candidates}")
+    rel = cosine_topk(
+        corpus, corpus.where(F.col(id_col) == query_id), k=n_candidates,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("neighbor_id").alias("id"), F.col("cos_sim").alias("rel"))
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    cand = register_cache(rel.join(vecs, "id"))
+    a, b = cand.alias("a"), cand.alias("b")
+    # the ONLY pair fan-out is shortlist x shortlist (n_candidates²,
+    # bounded by contract) — never corpus-sized
+    pairs = register_cache(
+        a.join(b, F.col("a.id") != F.col("b.id")).select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("sim"),
+        )
+    )
+    chosen: list = []
+    out_rows = []
+    for rank in range(1, k + 1):
+        pool = cand.select("id", "rel")
+        if chosen:
+            pool = pool.where(~F.col("id").isin(chosen))
+            ms = (
+                pairs.where(F.col("ib").isin(chosen))
+                .groupBy("ia")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            pool = pool.join(ms, pool["id"] == ms["ia"], "left").select(
+                "id", "rel", F.coalesce("maxsim", F.lit(0.0)).alias("maxsim")
+            )
+        else:
+            pool = pool.withColumn("maxsim", F.lit(0.0))
+        pick = (
+            pool.withColumn(
+                "mmr", F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
+            )
+            .orderBy(F.col("mmr").desc(), F.col("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(pick["id"])
+        out_rows.append((rank, pick["id"], pick["rel"], pick["mmr"]))
+    return corpus.sparkSession.createDataFrame(
+        out_rows, "rank int, vec_id long, relevance double, mmr double"
+    )

@@ -221,3 +221,29 @@ def test_kmv_overlap_estimates_and_empty_set(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketches(small, "s", "x", 1)
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    """Plain top-2 returns the two near-copies; MMR keeps the best
+    copy and swaps the second for the orthogonal-but-relevant one."""
+    from dataflow_python_etl_spark.operators.similarity import mmr_select
+
+    def vec(x, y, z):
+        return [float(x), float(y), float(z)] + [0.0] * 61
+
+    rows = [
+        (0, vec(1.0, 0.0, 0.0)),     # query
+        (1, vec(1.0, 0.01, 0.0)),    # near-copy of query (best rel)
+        (2, vec(1.0, 0.011, 0.0)),   # near-copy of 1
+        (3, vec(0.8, 0.0, 0.6)),     # less relevant, diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_select(emb, query_id=0, k=2, n_candidates=3).collect()
+    assert [r["vec_id"] for r in got] == [1, 3]
+    assert got[0]["rank"] == 1 and got[0]["mmr"] == 0.5 * got[0]["relevance"]
+    # rank 2 was penalized by its similarity to the already-chosen 1
+    assert got[1]["mmr"] < 0.5 * got[1]["relevance"]
+    import pytest
+
+    with pytest.raises(ValueError, match="1 <= k"):
+        mmr_select(emb, query_id=0, k=5, n_candidates=3)
