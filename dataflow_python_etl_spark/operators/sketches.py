@@ -449,3 +449,25 @@ def kmv_overlap(
             )
         ).alias("jaccard_ppm"),
     )
+
+
+def cms_self_join_size(sketch: DataFrame) -> DataFrame:
+    """Self-join-size / F2 estimate from a Count-Min sketch: one row
+    ``(est_pairs)`` = min over sketch rows of Σ_col cnt² (the
+    AMS-style second frequency moment read off CMS cells, Alon-
+    Matias-Szegedy 1996 via Cormode & Muthukrishnan 2005). This IS
+    the pre-flight for ``a JOIN b ON k = k`` self-joins: Σ_k f(k)²
+    is exactly the row count such a join produces, and the sketch
+    answers it in d×w integers without grouping the key — the
+    companion to :func:`~dataflow_python_etl_spark.operators.profile.
+    join_key_skew`, which exactifies the top-k keys AFTER this says
+    the join is dangerous. Overcounts only (hash collisions add
+    cross terms, never subtract), so a green estimate is trustworthy.
+    Integer arithmetic throughout; per-cell squares need cnt ≲ 3·10⁹
+    (beyond that Spark ANSI raises loudly — widen the sketch, which
+    also tightens the estimate)."""
+    return (
+        sketch.groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s"))
+        .agg(F.min("s").cast("long").alias("est_pairs"))
+    )

@@ -5315,6 +5315,69 @@ def q126_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_candidates=20)
 
 
+@_q(
+    "q127_cms_join_size",
+    f"""
+    WITH it AS (SELECT CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+    cells AS (
+        SELECT 0 AS row, ({_CMS_CELL(0)}) AS col FROM it UNION ALL
+        SELECT 1, ({_CMS_CELL(1)}) FROM it UNION ALL
+        SELECT 2, ({_CMS_CELL(2)}) FROM it UNION ALL
+        SELECT 3, ({_CMS_CELL(3)}) FROM it
+    ),
+    sk AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col),
+    est AS (
+        SELECT min(s) AS est_pairs
+        FROM (SELECT row, sum(cnt * cnt) AS s FROM sk GROUP BY row)
+    ),
+    exact AS (
+        SELECT sum(c * c) AS exact_pairs
+        FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT CAST(est_pairs AS BIGINT) AS est_pairs,
+           CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           (est_pairs >= exact_pairs) AS overcount_ok,
+           CAST((est_pairs - exact_pairs) * 1000000 // exact_pairs AS BIGINT)
+               AS overshoot_ppm
+    FROM est, exact
+    """,
+    "Join-size pre-flight from a sketch (operators.sketches."
+    "cms_self_join_size): the row count 'lineitem self-joined on "
+    "l_partkey' WOULD produce — Σ f(k)², the AMS second moment — "
+    "read off the 4x1024 portable-hash CMS in d·w integers, beside "
+    "the exact Σ f(k)² and the overshoot in ppm. Never undercounts "
+    "(collision cross terms only add — verified column), so a green "
+    "estimate clears the join; a red one routes to q116's exact "
+    "top-k skew diagnostic and salting. The 100 TB point: the "
+    "estimate needs no shuffle of the key — the sketch build is one "
+    "map-side explode + bounded agg",
+)
+def q127_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.sketches import (
+        cms_self_join_size,
+        count_min_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("item")
+    )
+    est = cms_self_join_size(count_min_sketch(li))
+    exact = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"))
+    )
+    return est.crossJoin(exact).select(
+        "est_pairs",
+        "exact_pairs",
+        (F.col("est_pairs") >= F.col("exact_pairs")).alias("overcount_ok"),
+        F.expr("((est_pairs - exact_pairs) * 1000000) div exact_pairs").alias(
+            "overshoot_ppm"
+        ),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

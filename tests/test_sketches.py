@@ -247,3 +247,23 @@ def test_mmr_prefers_diverse_over_near_duplicate(spark):
 
     with pytest.raises(ValueError, match="1 <= k"):
         mmr_select(emb, query_id=0, k=5, n_candidates=3)
+
+
+def test_cms_self_join_size_exact_without_collisions_overcounts_with(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.sketches import (
+        cms_self_join_size,
+        count_min_sketch,
+    )
+
+    # 3 keys with counts 2, 3, 5: F2 = 4 + 9 + 25 = 38. At width 1024
+    # three items collide with probability ~0 per row but min-over-
+    # rows protects even that; the estimate must be >= and here ==.
+    rows = [("a",)] * 2 + [("b",)] * 3 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "item string")
+    est = cms_self_join_size(count_min_sketch(df)).first()["est_pairs"]
+    assert est == 38
+    # force collisions: width 2 -> cross terms inflate, never deflate
+    est2 = cms_self_join_size(count_min_sketch(df, width=2)).first()["est_pairs"]
+    assert est2 >= 38
