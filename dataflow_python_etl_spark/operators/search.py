@@ -80,3 +80,220 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(top_k)
+
+
+# --- Persisted postings index -------------------------------------------
+#
+# bm25_search re-tokenizes the corpus per query — correct, but at
+# 100 TB a search service cannot pay a corpus scan per query. The
+# index persists the (term, doc, tf, dl) postings PARTITIONED BY a
+# hash bucket of the term, so a probe reads only the query terms'
+# buckets (partition pruning at the scan — plan-pinned), never the
+# corpus: per-query cost is postings-of-terms, independent of corpus
+# row count. Same family as the persisted LSH band index and the IVF
+# index (build + probe + incremental append + crash-safe staging).
+
+SEARCH_STATS = "_search_stats.json"  # "_"-prefixed: Spark scans skip it
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Python mirror of the JVM pbucket expression (md5_hash60 % n) —
+    the probe computes its pruning literals driver-side."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def _write_search_stats(path: str, stats: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, SEARCH_STATS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(path, SEARCH_STATS))
+
+
+def load_search_stats(path: str) -> dict:
+    import json
+    import os
+
+    sidecar = os.path.join(path, SEARCH_STATS)
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"search index at {path} has no {SEARCH_STATS} sidecar — not built "
+            "by build_search_index, or the sidecar was lost; rebuild the index "
+            "(BM25 needs the exact corpus-level (n_docs, sum_dl))"
+        )
+    with open(sidecar) as f:
+        return json.load(f)
+
+
+def build_search_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Build the postings index: ``pbucket=*/`` parquet partitions of
+    ``(w, doc_id, tf, dl)`` plus the stats sidecar ``{n_docs,
+    sum_dl, n_buckets}``. Document length rides ON the posting
+    (denormalized) so a probe needs no doclens join; df per term is
+    the term's posting count, derived at probe time — postings are
+    the ONLY authoritative state besides the two sidecar scalars.
+    Tokenization is `functions.text.tokens` — identical to
+    :func:`bm25_search`, so probe ≡ full-scan on the same corpus
+    (parity-pinned). Two passes over the corpus at build time (tf
+    explode + length scan), then never again."""
+    import os
+
+    from dataflow_python_etl_spark.functions.text import tokens
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if os.path.exists(path):
+        raise ValueError(
+            f"search index path {path} already exists — use "
+            "append_to_search_index for new documents, or remove it to rebuild"
+        )
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    lens = docs.select(F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl"))
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    postings = tf.join(lens, "doc_id").select(
+        "w", "doc_id", "tf", "dl",
+        F.pmod(md5_hash60(F.col("w")), F.lit(n_buckets)).cast("int").alias("pbucket"),
+    )
+    postings.write.partitionBy("pbucket").parquet(path)
+    s = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).first()
+    _write_search_stats(
+        path, {"n_docs": s["n"], "sum_dl": int(s["s"]), "n_buckets": n_buckets}
+    )
+
+
+def search_index(
+    spark,
+    path: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Probe the persisted index: identical BM25 semantics to
+    :func:`bm25_search` (same formula, same rounded-score + id
+    ranking), but the scan touches ONLY the query terms' pbucket
+    partitions (pruning literals computed driver-side from the same
+    portable hash) — per-query cost is the terms' postings, not the
+    corpus."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    stats = load_search_stats(path)
+    n_docs, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
+    buckets = sorted({_term_bucket_py(w, stats["n_buckets"]) for w in query_terms})
+    p = (
+        spark.read.parquet(path)
+        .where(F.col("pbucket").isin(buckets) & F.col("w").isin(*query_terms))
+        .select("w", "doc_id", "tf", "dl")
+    )
+    df_t = p.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1)
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        p.join(df_t, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(top_k)
+
+
+def append_to_search_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally index new documents: their postings are staged
+    to a hidden dir inside the index and moved into the ``pbucket=``
+    partitions (the IVF append protocol: concurrent readers never
+    see the stage; a leftover stage dir from a crash REFUSES the
+    next append with recovery instructions), then the sidecar scalars
+    are bumped. Caller contract: ``new_docs`` ids are not already
+    indexed (the dedup-ingest unique-id contract). A crash between
+    the move and the sidecar bump leaves scores computed with
+    slightly-stale (n_docs, sum_dl) — self-healing on the next
+    successful append, or recompute exactly by rebuilding; postings
+    themselves are never torn."""
+    import os
+    import shutil
+    import uuid
+
+    from dataflow_python_etl_spark.functions.text import md5_hash60, tokens
+
+    stats = load_search_stats(path)
+    n_buckets = stats["n_buckets"]
+    leftovers = [d for d in os.listdir(path) if d.startswith(".__append_tmp_")]
+    if leftovers:
+        raise ValueError(
+            f"search index at {path} has leftover append stage dir(s) "
+            f"{leftovers} from a crashed append. Recover first: move any "
+            "pbucket=*/ parquet files still inside them into the matching "
+            "index partitions, or delete the stage dirs and rebuild — then "
+            "retry. Re-running blindly would duplicate the moved postings."
+        )
+    lens = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl")
+    )
+    tf = (
+        new_docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    postings = tf.join(lens, "doc_id").select(
+        "w", "doc_id", "tf", "dl",
+        F.pmod(md5_hash60(F.col("w")), F.lit(n_buckets)).cast("int").alias("pbucket"),
+    )
+    stage = os.path.join(path, f".__append_tmp_{uuid.uuid4().hex}")
+    postings.write.partitionBy("pbucket").parquet(stage)
+    s = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).first()
+    for part in sorted(os.listdir(stage)):
+        src_dir = os.path.join(stage, part)
+        if not (part.startswith("pbucket=") and os.path.isdir(src_dir)):
+            continue
+        dst_dir = os.path.join(path, part)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fname in sorted(os.listdir(src_dir)):
+            if fname.startswith((".", "_")):
+                continue
+            dst = os.path.join(dst_dir, fname)
+            if os.path.exists(dst):  # job-UUID filenames make this ~impossible
+                raise ValueError(f"append target file already exists: {dst}")
+            os.rename(os.path.join(src_dir, fname), dst)
+    shutil.rmtree(stage)
+    _write_search_stats(
+        path,
+        {
+            "n_docs": stats["n_docs"] + s["n"],
+            "sum_dl": stats["sum_dl"] + int(s["s"]),
+            "n_buckets": n_buckets,
+        },
+    )

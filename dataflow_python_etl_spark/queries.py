@@ -5378,6 +5378,64 @@ def q127_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q128_bm25_indexed",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+        WHERE w IN ('table', 'vector', 'spark')
+        GROUP BY doc_id, w
+    ),
+    dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    sc AS (
+        SELECT t.doc_id,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * (t.tf * (1.2 + 1))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / avgdl)) AS s
+        FROM tf t
+        JOIN lens l USING (doc_id)
+        JOIN dft USING (w)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    "Persisted-postings BM25 probe (operators.search.build_search_"
+    "index/search_index): the SAME query and scores as q70, but "
+    "served from the on-disk postings index partitioned by a "
+    "portable term-hash bucket — the probe scan reads ONLY the "
+    "query terms' pbucket partitions (partition pruning, plan-"
+    "pinned) so per-query cost is the terms' postings, independent "
+    "of corpus size. Doc length rides on the posting (no doclens "
+    "join); df is the term's posting count; (n_docs, sum_dl) come "
+    "from the crash-safe sidecar. Same oracle as q70 BY DESIGN: "
+    "index-probe ≡ corpus-scan is the correctness contract, "
+    "incremental append ≡ rebuild is pinned in tests",
+)
+def q128_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dataflow_python_etl_spark.operators.search import (
+        build_search_index,
+        search_index,
+    )
+
+    # per-call temp index (left for OS cleanup: the returned frame
+    # reads it lazily, so deleting here would tear the collection)
+    path = tempfile.mkdtemp(prefix="bm25_index_") + "/idx"
+    build_search_index(_t(spark, sf_dir, "documents"), path)
+    return search_index(spark, path, ("table", "vector", "spark"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

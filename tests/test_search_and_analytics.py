@@ -426,3 +426,81 @@ def test_resolve_and_merge_entities_survivorship(spark):
         # new canonical entity inserts with its batch survivor row
         "jane doe": (15, 2),
     }
+
+
+def test_search_index_probe_equals_corpus_scan(spark, tmp_path):
+    """Index-probe ≡ bm25_search on the same corpus — the persisted
+    index's correctness contract (same formula, same ranking)."""
+    from dataflow_python_etl_spark.operators.search import (
+        bm25_search,
+        build_search_index,
+        search_index,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "idx")
+    build_search_index(docs, path)
+    terms = ("table", "vector", "spark")
+    got = search_index(spark, path, terms).collect()
+    want = bm25_search(docs, terms).collect()
+    assert [(r["doc_id"], r["bm25"], r["n_terms_matched"]) for r in got] == [
+        (r["doc_id"], r["bm25"], r["n_terms_matched"]) for r in want
+    ]
+
+
+def test_search_index_probe_prunes_partitions(spark, tmp_path):
+    """The probe scan must carry the pbucket partition filter — the
+    property that makes per-query cost term-sized at 100 TB."""
+    from dataflow_python_etl_spark.operators.search import (
+        build_search_index,
+        search_index,
+    )
+    from dataflow_python_etl_spark.plans.checks import explain_str
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "idx")
+    build_search_index(docs, path)
+    df = search_index(spark, path, ("table",))
+    s = explain_str(df)
+    assert "PartitionFilters" in s and "pbucket" in s, s
+    assert "EvalPython" not in s
+
+
+def test_search_index_append_equals_rebuild(spark, tmp_path):
+    """append(B) onto index(A) ≡ build(A ∪ B): postings, sidecar, and
+    scores all converge — the IVF append ≡ rebuild pin for search."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.search import (
+        append_to_search_index,
+        build_search_index,
+        load_search_stats,
+        search_index,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = docs.where(F.col("doc_id") % 5 != 0)
+    b_part = docs.where(F.col("doc_id") % 5 == 0)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_search_index(a, inc)
+    append_to_search_index(b_part, inc)
+    build_search_index(docs, full)
+    assert load_search_stats(inc) == load_search_stats(full)
+    terms = ("table", "vector", "spark")
+    assert (
+        search_index(spark, inc, terms).collect()
+        == search_index(spark, full, terms).collect()
+    )
+    # build refuses to clobber; append refuses a crashed stage
+    with pytest.raises(ValueError, match="already exists"):
+        build_search_index(docs, inc)
+    import os
+
+    os.makedirs(os.path.join(inc, ".__append_tmp_dead"))
+    with pytest.raises(ValueError, match="leftover append stage"):
+        append_to_search_index(b_part, inc)
