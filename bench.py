@@ -97,6 +97,10 @@ EXTENDED_QUERIES = [
     "q114_stickiness",
     "q118_snapshot_diff",
     "q120_entry_conversion",
+    "q121_kmv_audience_overlap",
+    "q126_mmr_diverse_topk",
+    "q127_cms_join_size",
+    "q128_bm25_indexed",
 ]
 
 

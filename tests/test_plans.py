@@ -328,3 +328,54 @@ def test_entry_conversion_shares_user_exchange(spark):
     df = _q(spark, "q120_entry_conversion")
     assert count_exchanges(df) == 2
     assert "EvalPython" not in explain_str(df)
+
+
+def test_kmv_overlap_truncates_map_side(spark):
+    """q121: the row_number <= k rank plans as a WindowGroupLimit, so
+    each map task ships at most k hashes per set — a billion-member
+    audience costs k rows per task; distinct + rank + 2-row combine
+    = three exchanges."""
+    df = _q(spark, "q121_kmv_audience_overlap")
+    s = explain_str(df)
+    assert "WindowGroupLimit" in s, s
+    assert count_exchanges(df) == 3
+    assert "EvalPython" not in s
+
+
+def test_feed_freshness_broadcast_now_two_exchanges(spark):
+    """q122: the 1-row corpus-max instant broadcasts onto the one
+    group-keyed aggregate."""
+    df = _q(spark, "q122_feed_freshness")
+    assert count_exchanges(df) == 2
+    assert has_broadcast_join(df)
+    assert "EvalPython" not in explain_str(df)
+
+
+def test_daily_series_fact_collapses_before_spine(spark):
+    """q123/q125: the fact table collapses map-side onto (group, day)
+    in ONE exchange; spine explode, lag window, and rollup run on
+    day-spine-sized frames (the spine join broadcasts)."""
+    for name in ("q123_daily_autocorrelation", "q125_seasonal_naive_backtest"):
+        df = _q(spark, name)
+        assert count_exchanges(df) == 2, name
+        assert has_broadcast_join(df), name
+        assert "EvalPython" not in explain_str(df), name
+
+
+def test_segment_mode_rolls_up_before_window(spark):
+    """q124: the argmax window runs on the |segments|x|priorities|
+    rollup (WindowGroupLimit truncates map-side), never the fact."""
+    df = _q(spark, "q124_segment_mode_priority")
+    s = explain_str(df)
+    assert count_exchanges(df) == 2
+    assert "WindowGroupLimit" in s, s
+    assert "EvalPython" not in s
+
+
+def test_cms_join_size_no_key_shuffle_for_estimate(spark):
+    """q127: the sketch side is a map-side explode + bounded d×w agg;
+    no corpus-keyed shuffle anywhere except the exact-comparison
+    side the query deliberately carries."""
+    df = _q(spark, "q127_cms_join_size")
+    assert "EvalPython" not in explain_str(df)
+    assert count_exchanges(df) == 5
