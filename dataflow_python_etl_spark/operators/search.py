@@ -160,6 +160,14 @@ def build_search_index(
     from dataflow_python_etl_spark.functions.text import md5_hash60
 
     lens = docs.select(F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl"))
+    s = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).first()
+    if s["n"] == 0:
+        raise ValueError(
+            "build_search_index: empty corpus — an index with n_docs = 0 "
+            "cannot score anything (BM25 divides by avgdl); nothing written"
+        )
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w"))
         .groupBy("doc_id", "w")
@@ -170,9 +178,6 @@ def build_search_index(
         F.pmod(md5_hash60(F.col("w")), F.lit(n_buckets)).cast("int").alias("pbucket"),
     )
     postings.write.partitionBy("pbucket").parquet(path)
-    s = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
-    ).first()
     _write_search_stats(
         path, {"n_docs": s["n"], "sum_dl": int(s["s"]), "n_buckets": n_buckets}
     )

@@ -948,6 +948,11 @@ def mmr_select(
             ).alias("sim"),
         )
     )
+    if cand.limit(1).count() == 0:
+        raise ValueError(
+            f"mmr_select: no candidates — query_id {query_id!r} absent from "
+            "the corpus, or the corpus has no other vectors"
+        )
     chosen: list = []
     out_rows = []
     for rank in range(1, k + 1):
@@ -964,14 +969,17 @@ def mmr_select(
             )
         else:
             pool = pool.withColumn("maxsim", F.lit(0.0))
-        pick = (
+        picked = (
             pool.withColumn(
                 "mmr", F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
             )
             .orderBy(F.col("mmr").desc(), F.col("id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:  # shortlist exhausted (k > live candidates)
+            break
+        pick = picked[0]
         chosen.append(pick["id"])
         out_rows.append((rank, pick["id"], pick["rel"], pick["mmr"]))
     return corpus.sparkSession.createDataFrame(
