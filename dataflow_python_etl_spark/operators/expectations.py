@@ -266,11 +266,25 @@ def table_diff(
     formatting them into hashed strings is exactly the cross-engine
     trap the repo's float rules exist to avoid. Cost: one key
     shuffle; the output is 1 row.
+
+    Snapshots must be KEYED (unique non-null key per row): a
+    duplicated key would fan out the full-outer join and silently
+    inflate every count, so both sides run through the repo's
+    duplicate-key guard (window count + raise_error on the SAME key
+    partitioning the join needs — no extra exchange). Duplicate
+    NULL-key rows can't match anything and count as one added plus
+    one removed each.
     """
+    from dataflow_python_etl_spark.operators.upsert import (
+        _guard_duplicate_source_keys,
+    )
+
     if not key_cols:
         raise ValueError("table_diff requires key_cols")
     if not compare_cols:
         raise ValueError("table_diff requires compare_cols")
+    old = _guard_duplicate_source_keys(old, key_cols, "table_diff(old)")
+    new = _guard_duplicate_source_keys(new, key_cols, "table_diff(new)")
     o = old.select(
         *[F.col(k).alias(f"__k{i}") for i, k in enumerate(key_cols)],
         F.struct(*[F.col(c) for c in compare_cols]).alias("__ov"),

@@ -244,23 +244,10 @@ def append_to_search_index(
     slightly-stale (n_docs, sum_dl) — self-healing on the next
     successful append, or recompute exactly by rebuilding; postings
     themselves are never torn."""
-    import os
-    import shutil
-    import uuid
-
     from dataflow_python_etl_spark.functions.text import md5_hash60, tokens
 
     stats = load_search_stats(path)
     n_buckets = stats["n_buckets"]
-    leftovers = [d for d in os.listdir(path) if d.startswith(".__append_tmp_")]
-    if leftovers:
-        raise ValueError(
-            f"search index at {path} has leftover append stage dir(s) "
-            f"{leftovers} from a crashed append. Recover first: move any "
-            "pbucket=*/ parquet files still inside them into the matching "
-            "index partitions, or delete the stage dirs and rebuild — then "
-            "retry. Re-running blindly would duplicate the moved postings."
-        )
     lens = new_docs.select(
         F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl")
     )
@@ -275,25 +262,14 @@ def append_to_search_index(
         "w", "doc_id", "tf", "dl",
         F.pmod(md5_hash60(F.col("w")), F.lit(n_buckets)).cast("int").alias("pbucket"),
     )
-    stage = os.path.join(path, f".__append_tmp_{uuid.uuid4().hex}")
-    postings.write.partitionBy("pbucket").parquet(stage)
+    from dataflow_python_etl_spark.operators.upsert import (
+        staged_partition_append,
+    )
+
+    staged_partition_append(postings, path, "pbucket", "search index")
     s = lens.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
     ).first()
-    for part in sorted(os.listdir(stage)):
-        src_dir = os.path.join(stage, part)
-        if not (part.startswith("pbucket=") and os.path.isdir(src_dir)):
-            continue
-        dst_dir = os.path.join(path, part)
-        os.makedirs(dst_dir, exist_ok=True)
-        for fname in sorted(os.listdir(src_dir)):
-            if fname.startswith((".", "_")):
-                continue
-            dst = os.path.join(dst_dir, fname)
-            if os.path.exists(dst):  # job-UUID filenames make this ~impossible
-                raise ValueError(f"append target file already exists: {dst}")
-            os.rename(os.path.join(src_dir, fname), dst)
-    shutil.rmtree(stage)
     _write_search_stats(
         path,
         {

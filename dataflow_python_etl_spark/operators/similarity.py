@@ -720,10 +720,6 @@ def append_to_ivf_index(
     ``quantize='pq'`` re-encodes with the index's own sidecar
     codebooks, so code/codebook drift is impossible by construction.
     """
-    import os
-    import shutil
-    import uuid
-
     if quantize not in (None, "int8", "pq"):
         raise ValueError(f"quantize must be None|'int8'|'pq', got {quantize!r}")
     spark = new_vectors.sparkSession
@@ -741,38 +737,16 @@ def append_to_ivf_index(
             f"quantize={index_mode!r}, append requested {quantize!r} — a mixed "
             "append would write rows later reads silently misinterpret"
         )
-    leftovers = [d for d in os.listdir(path) if d.startswith(".__append_tmp_")]
-    if leftovers:
-        raise ValueError(
-            f"IVF index at {path} has leftover append stage dir(s) "
-            f"{leftovers} from a crashed append. Recover first: move any "
-            "cid=*/ parquet files still inside them into the matching index "
-            "partitions (completing the interrupted move), or delete the "
-            "stage dirs and rebuild the index — then retry. Re-running the "
-            "append blindly would duplicate the already-moved ids."
-        )
+    from dataflow_python_etl_spark.operators.upsert import (
+        staged_partition_append,
+    )
 
     assigned = _assigned(new_vectors, centroids, id_col, vec_col)
     if quantize == "int8":
         assigned = _quantize_int8(assigned)
     elif quantize == "pq":
         assigned = _quantize_pq(assigned, load_pq_codebooks(path))
-    stage = os.path.join(path, f".__append_tmp_{uuid.uuid4().hex}")
-    assigned.write.partitionBy("cid").parquet(stage)
-    for cell in sorted(os.listdir(stage)):
-        src_dir = os.path.join(stage, cell)
-        if not (cell.startswith("cid=") and os.path.isdir(src_dir)):
-            continue  # _SUCCESS etc.
-        dst_dir = os.path.join(path, cell)
-        os.makedirs(dst_dir, exist_ok=True)
-        for fname in sorted(os.listdir(src_dir)):
-            if fname.startswith((".", "_")):
-                continue
-            dst = os.path.join(dst_dir, fname)
-            if os.path.exists(dst):  # job-UUID filenames make this ~impossible
-                raise ValueError(f"append target file already exists: {dst}")
-            os.rename(os.path.join(src_dir, fname), dst)
-    shutil.rmtree(stage)
+    staged_partition_append(assigned, path, "cid", "IVF index")
 
 
 def ivf_index_stats(
@@ -982,6 +956,22 @@ def mmr_select(
         pick = picked[0]
         chosen.append(pick["id"])
         out_rows.append((rank, pick["id"], pick["rel"], pick["mmr"]))
-    return corpus.sparkSession.createDataFrame(
-        out_rows, "rank int, vec_id long, relevance double, mmr double"
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    # id column keeps the corpus's own name and type — the operator
+    # is id-type-agnostic everywhere else, so the output schema must
+    # not bake in "long" (string doc ids are legal)
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField(id_col, corpus.schema[id_col].dataType),
+            StructField("relevance", DoubleType()),
+            StructField("mmr", DoubleType()),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame(out_rows, schema)

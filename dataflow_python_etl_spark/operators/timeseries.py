@@ -483,6 +483,32 @@ def weekly_drift(
     )
 
 
+def _daily_counts_spine(
+    events, group_col: str, ts_col: str
+):
+    """(g, d, x): daily event counts on the COMPLETE per-group day
+    spine — missing days are 0, so a week-long outage cannot splice
+    Friday onto the next Thursday and fake continuity. The shared
+    substrate of :func:`daily_autocorrelation` and
+    :func:`seasonal_naive_backtest`: ONE map-side fact collapse onto
+    (group, day); the spine explode and zero-fill join are
+    day-spine-sized."""
+    b = (
+        events.groupBy(
+            F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = (
+        b.groupBy("g")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select("g", F.explode(F.sequence("mn", "mx")).alias("d"))
+    )
+    return spine.join(b, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("c", F.lit(0).cast("long")).alias("x")
+    )
+
+
 def daily_autocorrelation(
     events: DataFrame,
     group_col: str = "event_type",
@@ -512,20 +538,7 @@ def daily_autocorrelation(
     day) key space in one exchange; the spine explode, join, lag
     window, and final rollup all run on day-spine-sized frames.
     """
-    b = (
-        events.groupBy(
-            F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    spine = (
-        b.groupBy("g")
-        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
-        .select("g", F.explode(F.sequence("mn", "mx")).alias("d"))
-    )
-    x = spine.join(b, ["g", "d"], "left").select(
-        "g", "d", F.coalesce("c", F.lit(0).cast("long")).alias("x")
-    )
+    x = _daily_counts_spine(events, group_col, ts_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy("g").orderBy("d")
@@ -578,20 +591,7 @@ def seasonal_naive_backtest(
     table; lag window and rollup on the day spine."""
     if season_days < 1:
         raise ValueError(f"season_days must be >= 1, got {season_days}")
-    b = (
-        events.groupBy(
-            F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    spine = (
-        b.groupBy("g")
-        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
-        .select("g", F.explode(F.sequence("mn", "mx")).alias("d"))
-    )
-    x = spine.join(b, ["g", "d"], "left").select(
-        "g", "d", F.coalesce("c", F.lit(0).cast("long")).alias("x")
-    )
+    x = _daily_counts_spine(events, group_col, ts_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy("g").orderBy("d")

@@ -50,6 +50,7 @@ def write_and_swap(
     fmt: str = "parquet",
     options: dict | None = None,
     partition_by: list[str] | None = None,
+    extra_files: dict[str, str] | None = None,
 ) -> None:
     """THE one overwrite path: write ``df`` (any datasource format —
     parquet default, json/orc/csv via ``fmt``/``options``) to a
@@ -63,7 +64,14 @@ def write_and_swap(
     depend on the exact ``.__tmp_`` / ``.__bak_`` naming conventions —
     five hand-rolled copies of this triple had already drifted (one
     crashed on single-file targets; a sixth copy in ``sources/
-    formats.py`` is now this function's ``fmt`` parameter)."""
+    formats.py`` is now this function's ``fmt`` parameter).
+
+    ``extra_files`` ({name: content}) are written INTO the tmp dir
+    before the swap, so sidecar state (e.g. the additive-refresh
+    batch ledger) becomes visible atomically WITH the data it
+    describes — a crash can never publish data without its sidecar
+    or vice versa. Underscore-prefix the names so Spark scans skip
+    them; directory-format tables only."""
     import os
 
     tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
@@ -73,6 +81,14 @@ def write_and_swap(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.format(fmt).save(tmp)
+    for name, content in (extra_files or {}).items():
+        if not os.path.isdir(tmp):
+            raise ValueError(
+                "extra_files requires a directory-format table "
+                f"(got single-file output at {tmp})"
+            )
+        with open(os.path.join(tmp, name), "w") as f:
+            f.write(content)
     if os.path.exists(table_path):
         swap_table_dir(table_path, tmp)
     else:
@@ -496,30 +512,53 @@ def forget_keys(
     )
 
 
+AGG_LEDGER = "_applied_batch.json"  # "_"-prefixed: Spark scans skip it
+
+
+def _read_agg_ledger(table_path: str):
+    import json
+    import os
+
+    p = os.path.join(table_path, AGG_LEDGER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["last_batch_id"]
+
+
 def refresh_additive_agg(
     spark,
     table_path: str,
     batch_agg: DataFrame,
     key_cols: list[str],
+    batch_id: int | None = None,
 ) -> None:
     """Incremental materialized-aggregate maintenance: fold an
     already-aggregated batch into a persisted aggregate table whose
-    measure columns are all ADDITIVE (counts, sums, min/max are NOT
+    measure columns are all ADDITIVE (counts, sums; min/max are NOT
     — a min can't be unmade by addition; averages must be carried as
     (sum, count) pairs and divided at read time).
 
     Contract (pinned in tests): ``refresh(agg(A), agg(B)) ≡
     agg(A ∪ B)`` — additivity is exactly the property that makes the
     per-refresh cost |aggregate| + |batch|, never the fact history.
-    The merged table goes through ``write_and_swap`` (crash-safe,
-    readers never torn). NOT idempotent under replay by itself —
-    re-adding a batch double-counts — so the streaming wiring is
-    ``stream_additive_agg_to_table`` (foreachBatch + checkpoint =
-    exactly-once per batch), and batch callers replay through their
-    own ledger. Schema must match the existing table exactly (a
-    silently-missing measure column would corrupt every later read);
-    summed measures are cast back to the table's own column types.
-    """
+    Both the creation and every fold go through ``write_and_swap``
+    (crash-safe, readers never torn).
+
+    Replay safety: the fold itself is NOT idempotent (re-adding a
+    batch double-counts), so callers with replayable inputs pass a
+    monotonic ``batch_id`` — it is recorded in a ledger sidecar
+    written ATOMICALLY with the folded data (write_and_swap
+    ``extra_files``), and a batch at or below the recorded id is a
+    loud no-op skip. foreachBatch is at-least-once: a crash after
+    the fold but before Spark's checkpoint commit re-delivers the
+    same batch_id on restart, and the ledger — not the checkpoint —
+    is what makes that replay a no-op. A pre-ledger table (built by
+    a batch caller without ids) starts protection at its first
+    ledgered fold. Schema must match the existing table exactly,
+    names AND types (a silently-widened measure would truncate
+    through the cast and drift the aggregate)."""
+    import json
     import os
 
     from pyspark.sql import functions as F
@@ -529,24 +568,34 @@ def refresh_additive_agg(
     missing = [k for k in key_cols if k not in batch_agg.columns]
     if missing:
         raise ValueError(f"key columns absent from batch: {missing}")
+    ledger = (
+        {AGG_LEDGER: json.dumps({"last_batch_id": batch_id})}
+        if batch_id is not None
+        else None
+    )
     if not os.path.exists(table_path):
-        batch_agg.write.parquet(table_path)
+        write_and_swap(batch_agg, table_path, extra_files=ledger)
         return
+    if batch_id is not None:
+        applied = _read_agg_ledger(table_path)
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch: already folded in, skip
     cur = spark.read.parquet(table_path)
-    if set(cur.columns) != set(batch_agg.columns):
+    cur_types = {f.name: f.dataType for f in cur.schema.fields}
+    new_types = {f.name: f.dataType for f in batch_agg.schema.fields}
+    if cur_types != new_types:
         raise ValueError(
-            f"schema mismatch: table {sorted(cur.columns)} vs "
-            f"batch {sorted(batch_agg.columns)}"
+            f"schema mismatch: table {sorted(cur_types.items(), key=str)} vs "
+            f"batch {sorted(new_types.items(), key=str)}"
         )
     measures = [c for c in cur.columns if c not in key_cols]
-    types = {f.name: f.dataType for f in cur.schema.fields}
     merged = (
         cur.select(cur.columns)
         .unionByName(batch_agg.select(cur.columns))
         .groupBy(*key_cols)
-        .agg(*[F.sum(c).cast(types[c]).alias(c) for c in measures])
+        .agg(*[F.sum(c).cast(cur_types[c]).alias(c) for c in measures])
     )
-    write_and_swap(merged, table_path)
+    write_and_swap(merged, table_path, extra_files=ledger)
 
 
 def stream_additive_agg_to_table(
@@ -559,9 +608,12 @@ def stream_additive_agg_to_table(
     """Streaming materialized-view maintenance: per micro-batch,
     aggregate with the caller's ``agg_fn(batch_df) -> DataFrame``
     (which must produce the additive ``(key_cols, measures)`` shape)
-    and fold it in via :func:`refresh_additive_agg`. The checkpoint
-    makes each batch apply exactly once — the idempotence
-    ``refresh_additive_agg`` itself does not provide — so the table
+    and fold it in via :func:`refresh_additive_agg` with the
+    micro-batch id as the replay ledger key. foreachBatch alone is
+    AT-LEAST-once — a crash between the fold and Spark's checkpoint
+    commit re-delivers the batch — so exactly-once comes from the
+    ledger sidecar swapped atomically with the data, which turns the
+    re-delivery into a no-op (replay-pinned in tests). The table
     converges to the full-history aggregate (parity-pinned)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -575,7 +627,8 @@ def stream_additive_agg_to_table(
 
         _guard_missing_table(table_path, batch_id)
         refresh_additive_agg(
-            batch_df.sparkSession, table_path, agg_fn(batch_df), key_cols
+            batch_df.sparkSession, table_path, agg_fn(batch_df), key_cols,
+            batch_id=batch_id,
         )
 
     return (
@@ -584,3 +637,56 @@ def stream_additive_agg_to_table(
         .outputMode("update")
         .start()
     )
+
+
+def staged_partition_append(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    label: str,
+) -> None:
+    """THE crash-safe partitioned-append protocol (shared by the IVF
+    index and the search postings index — one copy, like
+    ``write_and_swap``): write ``df``'s ``{partition_col}=*`` output
+    to a HIDDEN stage dir inside the table (``.``-prefixed, invisible
+    to concurrent readers), then move the completed parquet files
+    into the matching partitions.
+
+    Crash contract: a crash while WRITING leaves only the stage dir
+    (readers unaffected); a crash mid-MOVE leaves a complete-file
+    subset visible plus the unmoved remainder staged. Because rows
+    would duplicate, re-running is NOT the recovery — the next append
+    REFUSES while a leftover stage dir exists, and the error says how
+    to recover (finish moving the leftover files, or delete the stage
+    dirs and rebuild)."""
+    import os
+    import shutil
+    import uuid
+
+    leftovers = [d for d in os.listdir(path) if d.startswith(".__append_tmp_")]
+    if leftovers:
+        raise ValueError(
+            f"{label} at {path} has leftover append stage dir(s) {leftovers} "
+            f"from a crashed append. Recover first: move any "
+            f"{partition_col}=*/ parquet files still inside them into the "
+            "matching table partitions (completing the interrupted move), or "
+            "delete the stage dirs and rebuild — then retry. Re-running the "
+            "append blindly would duplicate the already-moved rows."
+        )
+    stage = os.path.join(path, f".__append_tmp_{uuid.uuid4().hex}")
+    df.write.partitionBy(partition_col).parquet(stage)
+    prefix = f"{partition_col}="
+    for part in sorted(os.listdir(stage)):
+        src_dir = os.path.join(stage, part)
+        if not (part.startswith(prefix) and os.path.isdir(src_dir)):
+            continue  # _SUCCESS etc.
+        dst_dir = os.path.join(path, part)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fname in sorted(os.listdir(src_dir)):
+            if fname.startswith((".", "_")):
+                continue
+            dst = os.path.join(dst_dir, fname)
+            if os.path.exists(dst):  # job-UUID filenames make this ~impossible
+                raise ValueError(f"append target file already exists: {dst}")
+            os.rename(os.path.join(src_dir, fname), dst)
+    shutil.rmtree(stage)

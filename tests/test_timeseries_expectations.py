@@ -361,6 +361,16 @@ def test_table_diff_categories_and_validation(spark):
         table_diff(old, new, [], ["s"])
     with pytest.raises(ValueError, match="compare_cols"):
         table_diff(old, new, ["k"], [])
+    # a duplicated key would fan out the join and inflate every
+    # count — must fail loudly (the MERGE duplicate-key guard)
+    dup = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 10), (2, "b", 20)], "k: long, s: string, v: long"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        table_diff(dup, new, ["k"], ["s", "v"]).first()
 
 
 def test_freshness_check_lag_volume_and_stale(spark):

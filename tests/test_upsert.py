@@ -421,14 +421,40 @@ def test_refresh_additive_agg_equals_full_recompute(spark, tmp_path):
         r["event_type"]: (r["n"], r["sum_cents"]) for r in agg(ev).collect()
     }
     assert got == want and sum(n for n, _ in want.values()) == ev.count()
-    # schema drift fails loudly
+    # schema drift fails loudly — names AND types (a widened measure
+    # would silently truncate through the cast)
     import pytest
 
     bad = agg(ev).withColumnRenamed("sum_cents", "sum_dollars")
     with pytest.raises(ValueError, match="schema mismatch"):
         refresh_additive_agg(spark, path, bad, ["event_type"])
+    drift = agg(ev).withColumn("sum_cents", F.col("sum_cents").cast("double"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        refresh_additive_agg(spark, path, drift, ["event_type"])
     with pytest.raises(ValueError, match="key columns"):
         refresh_additive_agg(spark, path, agg(ev), ["missing_col"])
+
+
+def test_refresh_additive_agg_ledger_makes_replay_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: the same batch_id delivered
+    twice (crash between fold and checkpoint commit) must fold ONCE —
+    the ledger sidecar, swapped atomically with the data, is what
+    provides exactly-once, not the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import refresh_additive_agg
+
+    path = str(tmp_path / "mv")
+    b0 = spark.createDataFrame([("a", 2)], "k string, n long")
+    b1 = spark.createDataFrame([("a", 3), ("b", 1)], "k string, n long")
+    refresh_additive_agg(spark, path, b0, ["k"], batch_id=0)
+    # replayed creation batch: no-op
+    refresh_additive_agg(spark, path, b0, ["k"], batch_id=0)
+    refresh_additive_agg(spark, path, b1, ["k"], batch_id=1)
+    # replayed fold batch: no-op
+    refresh_additive_agg(spark, path, b1, ["k"], batch_id=1)
+    got = {r["k"]: r["n"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 5, "b": 1}
 
 
 def test_stream_additive_agg_parity_and_restart_guard(spark, tmp_path):

@@ -18,6 +18,14 @@ A query regresses when BOTH hold:
 Queries present in only one report are listed informationally (new or
 retired bench entries), never failed on. The total is compared with
 the same ratio; improvements are reported so wins are visible too.
+
+The stdout bench line carries the extended set as a {total, n}
+SUMMARY (driver tail-capture budget); per-query extended detail
+lives in BENCH_FULL.json. This tool resolves a summary-form
+"extended" back to the sidecar when it belongs to the same run
+(matching headline total), and otherwise compares headline queries
+only, with a note — baseline against the committed BENCH_FULL.json
+when you want the extended set gated cross-round.
 """
 
 from __future__ import annotations
@@ -39,6 +47,32 @@ def load(path: str) -> dict:
         d = json.load(f)
     # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
     return d.get("parsed") or d
+
+
+def _ext(report: dict, notes: list[str], side: str) -> dict:
+    """Per-query extended timings: pass through the full form, and
+    resolve the {total, n} stdout summary via BENCH_FULL.json when it
+    is the same run (identical headline total) — never treat the
+    summary's own keys as query timings."""
+    import os
+
+    e = report.get("extended", {})
+    if not e or set(e) - {"total", "n"}:
+        return e
+    full_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_FULL.json",
+    )
+    if os.path.exists(full_path):
+        with open(full_path) as f:
+            full = json.load(f)
+        if full.get("value") == report.get("value"):
+            return full.get("extended", {})
+    notes.append(
+        f"{side} report has summary-form extended (per-query detail in its "
+        "round's BENCH_FULL.json) — extended set not gated this compare"
+    )
+    return {}
 
 
 def compare(
@@ -65,8 +99,14 @@ def compare(
         )
     # extended (non-headline) queries are compared the same way but
     # never contribute to the total
-    oq = {**old.get("queries", {}), **old.get("extended", {})}
-    nq = {**new.get("queries", {}), **new.get("extended", {})}
+    oe, ne = _ext(old, notes, "old"), _ext(new, notes, "new")
+    # only the INTERSECTION-capable union: if either side lost its
+    # extended detail, the other side's entries would all read as
+    # new/retired noise — drop extended from both in that case
+    if not oe or not ne:
+        oe, ne = {}, {}
+    oq = {**old.get("queries", {}), **oe}
+    nq = {**new.get("queries", {}), **ne}
     for name in sorted(set(oq) | set(nq)):
         if name not in oq:
             notes.append(f"new query {name}: {nq[name]:.3f}s (no baseline)")
