@@ -677,3 +677,117 @@ def stream_scd2_to_table(
         .outputMode("append")
         .start()
     )
+
+
+def apply_search_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """One micro-batch of streaming search-index ingest — EXACTLY-ONCE
+    BY CONSTRUCTION, not by ledger races: the batch's postings land
+    via DYNAMIC partition overwrite of their ``(pbucket, batch=N)``
+    partitions, so a replayed batch (foreachBatch is at-least-once)
+    REWRITES exactly its own partitions instead of duplicating them;
+    the stats sidecar carries ``last_batch_id`` and skips replayed
+    bumps. This index layout is streaming-owned (extra ``batch``
+    partition level under ``pbucket``) — probe it with the standard
+    :func:`~dataflow_python_etl_spark.operators.search.search_index`
+    (partition pruning on pbucket is unaffected; the batch column is
+    never read). Batch 0 creates the index; a restart that finds no
+    sidecar at batch > 0 fails loudly (the missing-table rule) rather
+    than rebuilding history from one batch.
+
+    Exposed as a module function (not a closure) so replay semantics
+    are directly testable."""
+    import json
+    import os
+
+    from dataflow_python_etl_spark.functions.text import md5_hash60, tokens
+    from dataflow_python_etl_spark.operators.search import (
+        SEARCH_STATS,
+        _write_search_stats,
+        load_search_stats,
+    )
+
+    have_sidecar = os.path.exists(os.path.join(path, SEARCH_STATS))
+    if have_sidecar:
+        stats = load_search_stats(path)
+        if stats.get("last_batch_id", -1) >= batch_id:
+            return  # replayed, fully applied batch: no-op
+        n_buckets = stats["n_buckets"]
+    elif batch_id > 0:
+        raise ValueError(
+            f"restarted search-index sink: {path} has no {SEARCH_STATS} but "
+            f"the checkpoint says batch {batch_id} — the index was lost or "
+            "torn mid-creation. Rebuilding from one batch would silently "
+            "drop history; restore the index or reset the checkpoint."
+        )
+    else:
+        stats = {"n_docs": 0, "sum_dl": 0, "n_buckets": n_buckets}
+    lens = batch_df.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl")
+    )
+    postings = (
+        batch_df.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .join(lens, "doc_id")
+        .select(
+            "w", "doc_id", "tf", "dl",
+            F.pmod(md5_hash60(F.col("w")), F.lit(n_buckets)).cast("int")
+            .alias("pbucket"),
+            F.lit(batch_id).alias("batch"),
+        )
+    )
+    (
+        postings.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pbucket", "batch")
+        .parquet(path)
+    )
+    s = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).first()
+    _write_search_stats(
+        path,
+        {
+            "n_docs": stats["n_docs"] + s["n"],
+            "sum_dl": stats["sum_dl"] + int(s["s"]),
+            "n_buckets": n_buckets,
+            "last_batch_id": batch_id,
+        },
+    )
+
+
+def stream_docs_to_search_index(
+    doc_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming twin of the persisted BM25 index: documents arriving
+    on a stream become searchable per micro-batch via
+    :func:`apply_search_index_batch` (dynamic-partition-overwrite
+    idempotence + sidecar batch ledger = exactly-once; batch-parity
+    pinned against ``build_search_index`` in tests). Unique-id
+    contract as everywhere: a document id appears in ONE batch."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_search_index_batch(
+            batch_df, batch_id, path, id_col, text_col, n_buckets
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -504,3 +504,57 @@ def test_search_index_append_equals_rebuild(spark, tmp_path):
     os.makedirs(os.path.join(inc, ".__append_tmp_dead"))
     with pytest.raises(ValueError, match="leftover append stage"):
         append_to_search_index(b_part, inc)
+
+
+def test_streaming_search_index_parity_and_replay(spark, tmp_path):
+    """Stream 2 batches of docs into the index, then search: scores
+    must equal a batch build over the union; a REPLAYED batch (the
+    at-least-once window) must be a no-op thanks to dynamic partition
+    overwrite + the sidecar batch ledger; a lost index at batch > 0
+    must fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.search import (
+        build_search_index,
+        load_search_stats,
+        search_index,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+    from dataflow_python_etl_spark.streaming.pipeline import (
+        apply_search_index_batch,
+        stream_docs_to_search_index,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    b0.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_docs_to_search_index(stream, idx, ckpt)
+    q.processAllAvailable()
+    b1.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    full = str(tmp_path / "full")
+    build_search_index(docs, full)
+    terms = ("table", "vector", "spark")
+    got = search_index(spark, idx, terms).collect()
+    want = search_index(spark, full, terms).collect()
+    assert got == want
+    # replay the last batch by hand: postings and sidecar unchanged
+    before = load_search_stats(idx)
+    apply_search_index_batch(b1, 1, idx)
+    assert load_search_stats(idx) == before
+    assert search_index(spark, idx, terms).collect() == want
+    # index lost mid-history: must FAIL, never rebuild from one batch
+    import shutil
+
+    shutil.rmtree(idx)
+    with pytest.raises(ValueError, match="restarted search-index sink"):
+        apply_search_index_batch(b1, 2, idx)
