@@ -1045,3 +1045,95 @@ def active_user_stickiness(
     return dau.join(wau, "day").select(
         "day", "dau", "wau", F.expr("dau * 1000000 div wau").alias("stickiness_ppm")
     )
+
+
+def attribution_timedecay(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    halflife_days: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-decay attribution: a conversion's credit is split across
+    its journey's touches with weights HALVING per ``halflife_days``
+    of age at conversion time — the standard recency model between
+    last-touch (:func:`attribution`) and linear
+    (:func:`attribution_multitouch`). ``(touch_type, credit_ppm)``
+    with total credit exactly ``n_conversions · 10⁶`` (pinned, the
+    q113 conservation law).
+
+    Exact-integer weights BY CONSTRUCTION: age in whole half-lives
+    is an exact-µs integer division, and the weight is the power of
+    two ``2^(30 − min(age, 30))`` (shiftleft on a bigint — ages
+    beyond 30 half-lives saturate at weight 1; 2^30 caps the per-
+    touch product ``10⁶·w`` at ~1.1e15, far inside int64). Per-touch
+    credit is ``(10⁶·w) div Σw`` with the journey's rounding
+    remainder absorbed by the NEAREST touch — deterministic,
+    conserving, float-free. Journeys, orphan conversions ('none'),
+    and the one-user-keyed-exchange scale shape all mirror
+    :func:`attribution_multitouch`.
+    """
+    from pyspark.sql import Window
+
+    if halflife_days < 1:
+        raise ValueError(f"halflife_days must be >= 1, got {halflife_days}")
+    is_conv = (F.col(type_col) == conversion_type).cast("long")
+    w_excl = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+        is_conv.alias("__c"),
+        F.coalesce(F.sum(is_conv).over(w_excl), F.lit(0)).alias("__j"),
+    )
+    conv = o.where(F.col("__c") == 1).select(
+        "__u", "__j", F.col("__ts").alias("__cts")
+    )
+    touches = o.where(F.col("__c") == 0).select("__u", "__j", "__t", "__ts", "__id")
+    hl_us = halflife_days * 86_400_000_000
+    m = touches.join(conv, ["__u", "__j"]).select(
+        "__u", "__j", "__t", "__ts", "__id",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), 30 - CAST(least((unix_micros(__cts) "
+            f"- unix_micros(__ts)) div {hl_us}, 30) AS INT))"
+        ).alias("__w"),
+    )
+    wj = Window.partitionBy("__u", "__j")
+    wn = Window.partitionBy("__u", "__j").orderBy(
+        F.col("__ts").desc(), F.col("__id").desc()
+    )
+    # the journey's rounding remainder goes to the nearest touch
+    per_journey = m.select(
+        "__u", "__j", "__t", "__ts", "__id",
+        F.expr("1000000 * __w").alias("__num"),
+        F.sum("__w").over(wj).alias("__sw"),
+        F.row_number().over(wn).alias("__near"),
+    ).withColumn("__base", F.expr("__num div __sw")).withColumn(
+        "__jbase", F.sum("__base").over(wj)
+    )
+    credited = per_journey.groupBy(F.col("__t").alias("touch_type")).agg(
+        F.sum(
+            F.col("__base")
+            + F.when(F.col("__near") == 1, F.lit(1_000_000) - F.col("__jbase"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("credit_ppm")
+    )
+    orphan = (
+        conv.join(touches.select("__u", "__j").distinct(), ["__u", "__j"], "left_anti")
+        .agg((F.count(F.lit(1)) * F.lit(1_000_000)).cast("long").alias("credit_ppm"))
+        .select(F.lit("none").alias("touch_type"), "credit_ppm")
+    )
+    return (
+        credited.unionAll(orphan)
+        .groupBy("touch_type")
+        .agg(F.sum("credit_ppm").cast("long").alias("credit_ppm"))
+    )

@@ -5446,6 +5446,72 @@ def q128_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEARCH_INDEX_CACHE: dict = {}
 
 
+@_q(
+    "q129_timedecay_attribution",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS j
+        FROM events
+    ),
+    conv AS (SELECT user_id, j, ts AS cts FROM o WHERE c = 1),
+    t AS (SELECT user_id, j, event_type, ts, event_id FROM o WHERE c = 0),
+    m AS (
+        SELECT t.user_id, t.j, t.event_type, t.ts, t.event_id,
+               (CAST(1 AS BIGINT) << CAST(30 - least(
+                   (epoch_us(conv.cts) - epoch_us(t.ts)) // 86400000000, 30)
+                   AS INT)) AS w
+        FROM t JOIN conv ON t.user_id = conv.user_id AND t.j = conv.j
+    ),
+    sc AS (
+        SELECT event_type,
+               (1000000 * w) // sum(w) OVER (PARTITION BY user_id, j) AS base,
+               row_number() OVER (PARTITION BY user_id, j
+                                  ORDER BY ts DESC, event_id DESC) AS near,
+               user_id, j
+        FROM m
+    ),
+    jb AS (
+        SELECT event_type, base, near,
+               sum(base) OVER (PARTITION BY user_id, j) AS jbase
+        FROM sc
+    ),
+    cr AS (
+        SELECT event_type AS touch_type,
+               sum(base + CASE WHEN near = 1 THEN 1000000 - jbase
+                          ELSE 0 END) AS credit_ppm
+        FROM jb GROUP BY event_type
+        UNION ALL
+        SELECT 'none',
+               (SELECT count(*) FROM conv cv
+                 WHERE NOT EXISTS (SELECT 1 FROM t
+                                   WHERE t.user_id = cv.user_id
+                                     AND t.j = cv.j))
+               * 1000000
+    )
+    SELECT touch_type, CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
+    FROM cr GROUP BY touch_type
+    """,
+    "Time-decay attribution (operators.events.attribution_timedecay): "
+    "journey credit weighted by recency at conversion, halving per "
+    "day of age — weights are EXACT powers of two (shiftleft on a "
+    "bigint, age saturating at 30 half-lives so 10⁶·w stays ~1.1e15, "
+    "far inside int64), per-touch credit (10⁶·w) div Σw with the "
+    "rounding remainder absorbed by the NEAREST touch — total credit "
+    "exactly n_conversions·10⁶ (the q113 conservation law), zero "
+    "float accumulation. The recency model between last-touch (q91 "
+    "family) and linear (q113); same one-user-keyed-exchange shape",
+)
+def q129_timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import attribution_timedecay
+
+    return attribution_timedecay(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

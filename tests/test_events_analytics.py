@@ -675,3 +675,42 @@ def test_stickiness_semantics_and_broadcast_spine(spark):
 
     with pytest.raises(ValueError, match="window_days"):
         active_user_stickiness(ev, 0)
+
+
+def test_timedecay_attribution_weights_and_conservation(spark):
+    """Crafted journey: touches 0, 1, and 2 days before conversion
+    get weights 2³⁰/2²⁹/2²⁸ (4:2:1); credits are (10⁶·w) div Σw with
+    the remainder to the NEAREST touch; total credit is exactly
+    n_conversions·10⁶; orphan conversions credit 'none'."""
+    import datetime as dt
+
+    from dataflow_python_etl_spark.operators.events import attribution_timedecay
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: ad (2d before), email (1d), click (0d), then purchase
+        (1, base - dt.timedelta(days=2), 1, "ad"),
+        (1, base - dt.timedelta(days=1), 2, "email"),
+        (1, base, 3, "click"),
+        (1, base + dt.timedelta(seconds=1), 4, "purchase"),
+        # user 2: conversion with no touches -> 'none'
+        (2, base, 5, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["touch_type"]: r["credit_ppm"]
+        for r in attribution_timedecay(ev).collect()
+    }
+    # weights 4:2:1 (sum 7): base credits 571428/285714/142857,
+    # remainder 10^6 - 999999 = 1 goes to the nearest (click)
+    assert got["click"] == 571428 + 1
+    assert got["email"] == 285714
+    assert got["ad"] == 142857
+    assert got["none"] == 1_000_000
+    assert sum(got.values()) == 2 * 1_000_000
+    import pytest
+
+    with pytest.raises(ValueError, match="halflife_days"):
+        attribution_timedecay(ev, halflife_days=0)
