@@ -332,15 +332,66 @@ def run_quality(args) -> None:
 
 
 def run_search(args) -> None:
-    """BM25 keyword search over a documents table — top-k ids and
-    scores (top-k-bounded collect, never corpus-sized)."""
-    from dataflow_python_etl_spark.operators.search import bm25_search
+    """BM25 keyword search — three modes sharing identical scoring
+    semantics (probe ≡ scan is operator-pinned): corpus scan
+    (--table + --terms), index build/append (--build-index /
+    --append), and index probe (--index + --terms; per-query cost is
+    the terms' postings, not the corpus). Collects are top-k- or
+    report-bounded, never corpus-sized."""
+    from dataflow_python_etl_spark.operators.search import (
+        append_to_search_index,
+        bm25_search,
+        build_search_index,
+        load_search_stats,
+        search_index,
+    )
 
     spark = get_spark("search")
-    docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+    if args.build_index or args.append:
+        if not (args.warehouse and args.table):
+            raise SystemExit("search: index build/append needs --warehouse and --table")
+        docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+        if args.build_index:
+            build_search_index(docs, args.build_index)
+            st = load_search_stats(args.build_index)
+            print(f"built {args.build_index}: {st['n_docs']} docs, "
+                  f"{st['sum_dl']} tokens, {st['n_buckets']} buckets")
+        else:
+            append_to_search_index(docs, args.append)
+            st = load_search_stats(args.append)
+            print(f"appended into {args.append}: now {st['n_docs']} docs, "
+                  f"{st['sum_dl']} tokens")
+        return
+    if not args.terms:
+        raise SystemExit("search: query mode needs --terms")
     terms = tuple(t for t in args.terms.split(",") if t)
-    for r in bm25_search(docs, terms, top_k=args.top_k).collect():
+    if args.index:
+        result = search_index(spark, args.index, terms, top_k=args.top_k)
+    else:
+        if not (args.warehouse and args.table):
+            raise SystemExit("search: scan mode needs --warehouse and --table")
+        docs = spark.read.parquet(_table_path(args.warehouse, args.table))
+        result = bm25_search(docs, terms, top_k=args.top_k)
+    for r in result.collect():
         print(f"{r[0]}\t{r['bm25']:.6f}\t{r['n_terms_matched']} terms")
+
+
+def run_overlap(args) -> None:
+    """KMV audience overlap: distinct sizes, union, and Jaccard for
+    two keyed sets — from two k-hash sketches, never a full
+    intersection. One report row printed."""
+    from dataflow_python_etl_spark.operators.sketches import kmv_overlap
+
+    spark = get_spark("overlap")
+    df = spark.read.parquet(_table_path(args.warehouse, args.table))
+    r = kmv_overlap(
+        df, args.set_col, args.key_col, args.set_a, args.set_b, k=args.k
+    ).first()
+    print(
+        f"k={r['k']} est_a={r['est_a']} est_b={r['est_b']} "
+        f"est_union={r['est_union']} n_common={r['n_common']} "
+        f"jaccard_ppm={r['jaccard_ppm']}"
+    )
 
 
 def run_mix(args) -> None:
@@ -795,12 +846,25 @@ def main(argv: list[str] | None = None) -> None:
     pq2.add_argument("--min-words", type=int, default=50)
     pq2.set_defaults(fn=run_quality)
 
-    pse = sub.add_parser("search", help="BM25 keyword search over a documents table")
-    pse.add_argument("--warehouse", required=True)
-    pse.add_argument("--table", required=True)
-    pse.add_argument("--terms", required=True, help="comma-separated query terms")
+    pse = sub.add_parser("search", help="BM25 keyword search (corpus scan or persisted index)")
+    pse.add_argument("--warehouse")
+    pse.add_argument("--table")
+    pse.add_argument("--terms", help="comma-separated query terms")
     pse.add_argument("--top-k", type=int, default=20)
+    pse.add_argument("--index", help="probe this persisted postings index instead of scanning")
+    pse.add_argument("--build-index", help="build a persisted postings index at this path")
+    pse.add_argument("--append", help="append --table's documents into this existing index")
     pse.set_defaults(fn=run_search)
+
+    po = sub.add_parser("overlap", help="KMV audience overlap between two keyed sets")
+    po.add_argument("--warehouse", required=True)
+    po.add_argument("--table", required=True)
+    po.add_argument("--set-col", required=True)
+    po.add_argument("--key-col", required=True)
+    po.add_argument("--set-a", required=True)
+    po.add_argument("--set-b", required=True)
+    po.add_argument("--k", type=int, default=256)
+    po.set_defaults(fn=run_overlap)
 
     pmx = sub.add_parser("mix", help="epoch-weighted training-mixture replication")
     pmx.add_argument("--warehouse", required=True)

@@ -427,3 +427,44 @@ def test_cli_forget_and_shard(spark, tmp_path, capsys):
     assert set(
         r["shard_id"] for r in exported.select("shard_id").distinct().collect()
     ) <= {0, 1, 2, 3}
+
+
+def test_cli_search_index_lifecycle_and_overlap(spark, tmp_path, capsys):
+    import os
+
+    import pytest as _pt
+
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "lake_sio")
+    os.makedirs(wh)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.where("doc_id % 2 = 0").write.parquet(os.path.join(wh, "docs_a"))
+    docs.where("doc_id % 2 = 1").write.parquet(os.path.join(wh, "docs_b"))
+    read_table(spark, "/root/testdata/sf0.001", "orders").write.parquet(
+        os.path.join(wh, "orders")
+    )
+
+    idx = str(tmp_path / "postings")
+    cli.main(["search", "--warehouse", wh, "--table", "docs_a",
+              "--build-index", idx])
+    assert "built" in capsys.readouterr().out
+    cli.main(["search", "--warehouse", wh, "--table", "docs_b",
+              "--append", idx])
+    assert "500 docs" in capsys.readouterr().out
+    # probe ≡ scan over the full corpus (the operator parity, via CLI)
+    cli.main(["search", "--index", idx, "--terms", "table,vector,spark",
+              "--top-k", "5"])
+    probe_out = capsys.readouterr().out
+    docs.write.parquet(os.path.join(wh, "docs_all"))
+    cli.main(["search", "--warehouse", wh, "--table", "docs_all",
+              "--terms", "table,vector,spark", "--top-k", "5"])
+    assert capsys.readouterr().out == probe_out
+    with _pt.raises(SystemExit, match="needs --terms"):
+        cli.main(["search", "--index", idx])
+
+    cli.main(["overlap", "--warehouse", wh, "--table", "orders",
+              "--set-col", "o_orderpriority", "--key-col", "o_custkey",
+              "--set-a", "1-URGENT", "--set-b", "2-HIGH"])
+    out = capsys.readouterr().out
+    assert "est_union=" in out and "jaccard_ppm=" in out
