@@ -379,3 +379,14 @@ def test_cms_join_size_no_key_shuffle_for_estimate(spark):
     df = _q(spark, "q127_cms_join_size")
     assert "EvalPython" not in explain_str(df)
     assert count_exchanges(df) == 5
+
+
+def test_timedecay_attribution_matches_multitouch_shape(spark):
+    """q129: same plan skeleton as q113 (shared journey-numbering
+    construction) — branching lineage re-reads the pruned scan per
+    branch but every exchange clusters on the user key; a shape
+    regression in either shows up as a count drift between them."""
+    a = _q(spark, "q113_multitouch_attribution")
+    b = _q(spark, "q129_timedecay_attribution")
+    assert count_exchanges(b) == count_exchanges(a) == 9
+    assert "EvalPython" not in explain_str(b)
