@@ -1137,3 +1137,83 @@ def attribution_timedecay(
         .groupBy("touch_type")
         .agg(F.sum("credit_ppm").cast("long").alias("credit_ppm"))
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly growth accounting: every active user-week is classified
+    as NEW (first week ever), RETAINED (also active the prior week)
+    or RESURRECTED (active before, but not the prior week), and every
+    lapse is booked as CHURNED in the first inactive week — the
+    standard growth ledger (new + retained + resurrected − prior
+    churn reconciles the active base week over week). Complements
+    :func:`retention_matrix` (cohort view) and q119's cumulative
+    sign-ups with the week-over-week flow view.
+
+    Scale shape: the fact is scanned ONCE and exchanged ONCE — an
+    explicit repartition on user feeds both the (user, week) dedup
+    agg (hash(u) satisfies the (u, wk) clustering) and the lag/lead
+    window. Each classified user-week then EXPLODES into its own
+    ledger entry plus (when the user lapses) a 'churned' entry at
+    week+7 — so the weekly rollup is one pass, not two branches that
+    would each recompute the fact-sized upstream. Churn is clipped
+    to the observed horizon (max ACTIVE week) by a window over the
+    |weeks|-sized rollup — no second fact scan, no crossJoin. All
+    outputs are exact integer counts.
+    """
+    from pyspark.sql import Window
+
+    uw = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
+        )
+        .repartition("u")
+        .groupBy("u", "wk")
+        .agg(F.lit(1).alias("__one"))
+    )
+    w = Window.partitionBy("u").orderBy("wk")
+    status = uw.select(
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    ).select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), F.lit("new"))
+        .when(F.col("prev_wk") == F.date_sub(F.col("wk"), 7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("st"),
+        F.when(
+            F.col("next_wk").isNull() | (F.col("next_wk") > F.date_add(F.col("wk"), 7)),
+            F.lit("churned"),
+        ).alias("ch"),
+    )
+    ledger = status.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("wk").alias("week"), F.col("st").alias("st")),
+                F.struct(F.date_add("wk", 7).alias("week"), F.col("ch").alias("st")),
+            )
+        ).alias("e")
+    ).where(F.col("e.st").isNotNull())
+    weekly = ledger.groupBy(F.col("e.week").alias("week")).agg(
+        F.sum((F.col("e.st") == "new").cast("long")).alias("new_users"),
+        F.sum((F.col("e.st") == "retained").cast("long")).alias("retained_users"),
+        F.sum((F.col("e.st") == "resurrected").cast("long")).alias("resurrected_users"),
+        F.sum((F.col("e.st") == "churned").cast("long")).alias("churned_users"),
+        F.max(F.col("e.st") != "churned").alias("__active"),
+    )
+    horizon = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        weekly.withColumn(
+            "__max_active",
+            F.max(F.when(F.col("__active"), F.col("week"))).over(horizon),
+        )
+        .where(F.col("week") <= F.col("__max_active"))
+        .select("week", "new_users", "retained_users", "resurrected_users", "churned_users")
+    )

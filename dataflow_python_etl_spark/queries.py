@@ -5512,6 +5512,59 @@ def q129_timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_timedecay(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q130_growth_accounting",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    seq AS (
+        SELECT u, wk,
+               lag(wk)  OVER (PARTITION BY u ORDER BY wk) AS prev_wk,
+               lead(wk) OVER (PARTITION BY u ORDER BY wk) AS next_wk
+        FROM uw
+    ),
+    status AS (
+        SELECT wk,
+               CASE WHEN prev_wk IS NULL THEN 'new'
+                    WHEN prev_wk = wk - 7 THEN 'retained'
+                    ELSE 'resurrected' END AS st,
+               next_wk
+        FROM seq
+    ),
+    weekly AS (
+        SELECT wk AS week,
+               CAST(sum(CASE WHEN st = 'new'         THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+               CAST(sum(CASE WHEN st = 'retained'    THEN 1 ELSE 0 END) AS BIGINT) AS retained_users,
+               CAST(sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users
+        FROM status GROUP BY wk
+    ),
+    churn AS (
+        SELECT wk + 7 AS week, CAST(count(*) AS BIGINT) AS churned_users
+        FROM status
+        WHERE (next_wk IS NULL OR next_wk > wk + 7)
+          AND wk + 7 <= (SELECT max(wk) FROM uw)
+        GROUP BY 1
+    )
+    SELECT week,
+           coalesce(new_users, 0)         AS new_users,
+           coalesce(retained_users, 0)    AS retained_users,
+           coalesce(resurrected_users, 0) AS resurrected_users,
+           coalesce(churned_users, 0)     AS churned_users
+    FROM weekly FULL JOIN churn USING (week)
+    """,
+    "Weekly growth accounting (new/retained/resurrected/churned ledger; "
+    "operators.events.growth_accounting): one (user, week) distinct "
+    "exchange, lag/lead classification, lead-derived churn clipped to "
+    "the observed horizon by a 1-row broadcast — all-integer counts.",
+)
+def q130_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import growth_accounting
+
+    return growth_accounting(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

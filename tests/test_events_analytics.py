@@ -714,3 +714,36 @@ def test_timedecay_attribution_weights_and_conservation(spark):
 
     with pytest.raises(ValueError, match="halflife_days"):
         attribution_timedecay(ev, halflife_days=0)
+
+
+def test_growth_accounting_ledger(spark):
+    """Crafted 4-week ledger: u1 new→retained→(churn)→resurrected,
+    u2 new→(churn), u3 new in the last week. Week 3 has NO activity
+    but books u1's churn (the ledger-entry explode path); u3's churn
+    would land past the horizon and must be clipped."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import growth_accounting
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-03 11:00:00", 1),  # same week dedups
+        (3, "2024-01-02 09:00:00", 2),
+        (4, "2024-01-08 10:00:00", 1),  # u1 retained wk2
+        (5, "2024-01-22 10:00:00", 1),  # u1 resurrected wk4 (skipped wk3)
+        (6, "2024-01-24 10:00:00", 3),  # u3 new wk4
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts_s: string, user_id: long"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    got = {str(r["week"]): r for r in growth_accounting(ev).collect()}
+    assert set(got) == {"2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"}
+    w1, w2, w3, w4 = (got[k] for k in sorted(got))
+    assert (w1["new_users"], w1["retained_users"], w1["resurrected_users"], w1["churned_users"]) == (2, 0, 0, 0)
+    assert (w2["new_users"], w2["retained_users"], w2["churned_users"]) == (0, 1, 1)  # u2 churns
+    assert (w3["new_users"], w3["retained_users"], w3["resurrected_users"], w3["churned_users"]) == (0, 0, 0, 1)  # u1 lapse books here
+    assert (w4["new_users"], w4["resurrected_users"], w4["churned_users"]) == (1, 1, 0)
+    # reconciliation: actives(wk) = actives(wk-1) + new + resurrected - churned(wk)... using ledger identity
+    # actives per week from the ledger: new + retained + resurrected
+    actives = {k: r["new_users"] + r["retained_users"] + r["resurrected_users"] for k, r in got.items()}
+    assert actives == {"2024-01-01": 2, "2024-01-08": 1, "2024-01-15": 0, "2024-01-22": 2}

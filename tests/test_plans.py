@@ -390,3 +390,19 @@ def test_timedecay_attribution_matches_multitouch_shape(spark):
     b = _q(spark, "q129_timedecay_attribution")
     assert count_exchanges(b) == count_exchanges(a) == 9
     assert "EvalPython" not in explain_str(b)
+
+
+def test_growth_accounting_single_fact_exchange(spark):
+    """q130: repartition(user) feeds BOTH the (user, week) dedup agg
+    (hash(u) subset-clusters (u, wk)) and the lag/lead window, so the
+    fact crosses exactly one exchange; the other two are the
+    |user-weeks|-sized week rollup and the |weeks|-sized horizon
+    window. The ledger explode means no branch recomputes the
+    fact-sized upstream (no second scan of events)."""
+    df = _q(spark, "q130_growth_accounting")
+    e = explain_str(df)
+    assert count_exchanges(df) == 3
+    assert "EvalPython" not in e
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", e)) == 1, e
