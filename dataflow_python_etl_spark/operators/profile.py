@@ -261,3 +261,96 @@ def join_key_skew(
             F.expr("n_rows * 1000000 div __total").alias("share_ppm"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 1,
+    top_k: int = 40,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal-Srikant shape):
+    for every co-occurring item pair, both directed rules a→b with
+    ``support_n`` (baskets containing both), ``conf_ppm``
+    (support/n_a) and ``lift_ppm`` (N·support/(n_a·n_b)) in half-up
+    integer ppm — the classic "customers who bought X also bought Y"
+    analytics the reference's mart layer feeds.
+
+    Scale shape: ONE groupBy collapses the fact to per-basket item
+    sets behind a registered persist; the pair fan-out (Σ|basket|²,
+    bounded by basket size — never an all-pairs over items), the
+    per-item basket counts, and the 1-row basket total are all
+    derived from that cache, so the fact is scanned and shuffled
+    exactly once. Ratios are positive-operand integer divisions
+    ((2a+b) div 2b = half-up), lift through DECIMAL(38,0) since
+    10⁶·N·support overflows int64 at real N. Ties in the top-k are
+    fully broken by (antecedent, consequent)."""
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+    from dataflow_python_etl_spark.operators.sketches import _int_div
+
+    if min_pair_support < 1:
+        raise ValueError(f"min_pair_support must be >= 1, got {min_pair_support}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    b = baskets.select(F.col(basket_col).alias("o"), F.col(item_col).alias("p"))
+    parts = register_cache(b.groupBy("o").agg(F.collect_set("p").alias("ps")))
+    totals = parts.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    items = (
+        parts.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("np"))
+    )
+    pairs = (
+        parts.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("c"))
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("pn"))
+        .where(F.col("pn") >= min_pair_support)
+    )
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("antecedent"),
+                    F.col("c").alias("consequent"),
+                    F.col("pn").alias("pn"),
+                ),
+                F.struct(
+                    F.col("c").alias("antecedent"),
+                    F.col("a").alias("consequent"),
+                    F.col("pn").alias("pn"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.antecedent", "e.consequent", "e.pn")
+    na = items.select(F.col("p").alias("antecedent"), F.col("np").alias("np_a"))
+    nc = items.select(F.col("p").alias("consequent"), F.col("np").alias("np_c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        rules.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(totals))
+    )
+    out = joined.select(
+        "antecedent",
+        "consequent",
+        F.col("pn").alias("support_n"),
+        _int_div(
+            F.lit(2_000_000).cast("long") * F.col("pn") + F.col("np_a"),
+            F.lit(2).cast("long") * F.col("np_a"),
+        ).alias("conf_ppm"),
+        _int_div(
+            dec(F.lit(2_000_000)) * dec(F.col("n_baskets")) * dec(F.col("pn"))
+            + dec(F.col("np_a")) * dec(F.col("np_c")),
+            dec(F.lit(2)) * dec(F.col("np_a")) * dec(F.col("np_c")),
+        ).alias("lift_ppm"),
+    )
+    return out.orderBy(
+        F.col("support_n").desc(),
+        F.col("lift_ppm").desc(),
+        F.col("conf_ppm").desc(),
+        "antecedent",
+        "consequent",
+    ).limit(top_k)

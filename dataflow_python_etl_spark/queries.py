@@ -5565,6 +5565,48 @@ def q130_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q131_association_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM b),
+    items AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM b GROUP BY p),
+    pairs AS (
+        SELECT b1.p AS a, b2.p AS c, CAST(count(*) AS BIGINT) AS pn
+        FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 1
+    ),
+    rules AS (
+        SELECT a AS antecedent, c AS consequent, pn FROM pairs
+        UNION ALL
+        SELECT c AS antecedent, a AS consequent, pn FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.pn AS support_n,
+           CAST((2000000 * r.pn + ia.np) // (2 * ia.np) AS BIGINT) AS conf_ppm,
+           CAST((CAST(2000000 AS HUGEINT) * t.n_baskets * r.pn
+                 + CAST(ia.np AS HUGEINT) * ic.np)
+                // (CAST(2 AS HUGEINT) * ia.np * ic.np) AS BIGINT) AS lift_ppm
+    FROM rules r
+    JOIN items ia ON r.antecedent = ia.p
+    JOIN items ic ON r.consequent = ic.p
+    CROSS JOIN tot t
+    ORDER BY support_n DESC, lift_ppm DESC, conf_ppm DESC, antecedent, consequent
+    LIMIT 40
+    """,
+    "Market-basket association rules over order baskets "
+    "(operators.profile.association_rules): one fact shuffle to "
+    "basket item-sets behind a registered persist, bounded pair "
+    "fan-out, half-up integer ppm confidence/lift (lift via "
+    "DECIMAL(38,0) — 10^6*N*support overflows int64 at real N).",
+)
+def q131_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.profile import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(li, "l_orderkey", "l_partkey")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

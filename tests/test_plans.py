@@ -406,3 +406,17 @@ def test_growth_accounting_single_fact_exchange(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", e)) == 1, e
+
+
+def test_association_rules_cached_baskets_no_python(spark):
+    """q131: every branch (pairs, item counts, basket total) reads the
+    REGISTERED basket cache — InMemoryTableScan in plan (the q117
+    pin shape; explain re-prints cached lineage so scan counts lie),
+    and the whole rule pipeline is JVM-side."""
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    df = _q(spark, "q131_association_rules")
+    e = explain_str(df)
+    assert "InMemoryTableScan" in e, e
+    assert "EvalPython" not in e
+    unpersist_all()

@@ -87,3 +87,35 @@ def test_rake_phrases_degrees_and_occurrences(spark):
         2, 2, 8, 4,
     )
     assert set(rows) == {"quick brown fox", "lazy dog"}
+
+
+def test_association_rules_conf_lift_exact(spark):
+    """Crafted baskets: {1,2},{1,2},{1,3},{2} — N=4, n1=3, n2=3, n3=1.
+    Rule 1→2: conf = half-up(2/3·10⁶) = 666667, lift = 8/9 → 888889;
+    rule 3→1: conf = 10⁶ exactly, lift = 4/3 → 1333333. Both
+    directions emitted; duplicate lineitems collapse (collect_set)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+    from dataflow_python_etl_spark.operators.profile import association_rules
+
+    rows = [(1, 1), (1, 2), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2)]
+    b = spark.createDataFrame(rows, "o: long, p: long")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+    for r in association_rules(b, "o", "p").collect()}
+    assert set(got) == {(1, 2), (2, 1), (1, 3), (3, 1)}
+    assert got[(1, 2)]["support_n"] == 2
+    assert got[(1, 2)]["conf_ppm"] == 666_667
+    assert got[(1, 2)]["lift_ppm"] == 888_889
+    assert got[(2, 1)]["conf_ppm"] == 666_667
+    assert got[(1, 3)]["conf_ppm"] == 333_333
+    assert got[(1, 3)]["lift_ppm"] == 1_333_333
+    assert got[(3, 1)]["conf_ppm"] == 1_000_000
+    assert got[(3, 1)]["lift_ppm"] == 1_333_333
+    assert unpersist_all() >= 1  # the basket cache is registered
+    with pytest.raises(ValueError, match="min_pair_support"):
+        association_rules(b, "o", "p", min_pair_support=0)
+    with pytest.raises(ValueError, match="top_k"):
+        association_rules(b, "o", "p", top_k=0)
