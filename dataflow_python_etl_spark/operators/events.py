@@ -1217,3 +1217,65 @@ def growth_accounting(
         .where(F.col("week") <= F.col("__max_active"))
         .select("week", "new_users", "retained_users", "resurrected_users", "churned_users")
     )
+
+
+def top_paths(
+    events: DataFrame,
+    n_steps: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top user journeys: each user's first ``n_steps`` event types
+    (ts then id order) joined into a path string, counted across
+    users — the path-analysis view beside :func:`event_transitions`
+    (which sees only adjacent pairs). ``(path, n_users)``.
+
+    Scale shape: the ``row_number() <= n_steps`` filter plans as a
+    PARTIAL WindowGroupLimit, truncating each map task to n_steps
+    rows per user BEFORE the user exchange (the repo's free-skew-
+    protection shape — a bot user with 10⁶ events ships n_steps rows
+    per task, and the per-user collect is ≤ n_steps structs by
+    construction, so the q74 bot-array caveat doesn't apply here).
+    The per-user assembly reuses the window's user partitioning
+    (zero extra exchange); the path rollup is user-sized → path-
+    sized; top-k is a distributed TakeOrdered with ties broken by
+    the path string itself."""
+    from pyspark.sql import Window
+
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    src = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("t"),
+    )
+    # window and groupBy must key on the SAME attribute (the alias) —
+    # partitioning on the pre-alias column makes Catalyst treat them
+    # as different keys and re-exchange the per-user frame
+    w = Window.partitionBy("u").orderBy(F.col("__ts"), F.col("__id"))
+    paths = (
+        src.select("u", "t", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= n_steps)
+        .groupBy("u")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "t"))),
+                    lambda s: s["t"],
+                ),
+                " > ",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(top_k)
+    )

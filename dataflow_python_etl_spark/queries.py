@@ -5607,6 +5607,34 @@ def q131_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(li, "l_orderkey", "l_partkey")
 
 
+@_q(
+    "q132_top_paths",
+    """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    "Top user journeys — first-3 event-type paths counted across "
+    "users (operators.events.top_paths): WindowGroupLimit truncates "
+    "map-side (bot-proof), per-user assembly reuses the window's "
+    "exchange, distributed TakeOrdered top-k.",
+)
+def q132_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import top_paths
+
+    return top_paths(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -747,3 +747,32 @@ def test_growth_accounting_ledger(spark):
     # actives per week from the ledger: new + retained + resurrected
     actives = {k: r["new_users"] + r["retained_users"] + r["resurrected_users"] for k, r in got.items()}
     assert actives == {"2024-01-01": 2, "2024-01-08": 1, "2024-01-15": 0, "2024-01-22": 2}
+
+
+def test_top_paths_semantics(spark):
+    """Crafted streams: u1 a,b,c,d (path caps at 3 steps), u2 a,b,c
+    with a same-ts tie broken by event_id, u3 single event."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.events import top_paths
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a"),
+        (2, "2024-01-01 10:01:00", 1, "b"),
+        (3, "2024-01-01 10:02:00", 1, "c"),
+        (4, "2024-01-01 10:03:00", 1, "d"),  # 4th event ignored
+        (6, "2024-01-01 09:00:00", 2, "a"),
+        (7, "2024-01-01 09:30:00", 2, "b"),  # same ts as 8: id order
+        (8, "2024-01-01 09:30:00", 2, "c"),
+        (9, "2024-01-01 08:00:00", 3, "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts_s: string, user_id: long, event_type: string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type")
+    got = {r["path"]: r["n_users"] for r in top_paths(ev).collect()}
+    assert got == {"a > b > c": 2, "x": 1}
+    with pytest.raises(ValueError, match="n_steps"):
+        top_paths(ev, n_steps=0)
+    with pytest.raises(ValueError, match="top_k"):
+        top_paths(ev, top_k=0)

@@ -420,3 +420,16 @@ def test_association_rules_cached_baskets_no_python(spark):
     assert "InMemoryTableScan" in e, e
     assert "EvalPython" not in e
     unpersist_all()
+
+
+def test_top_paths_truncates_map_side_two_exchanges(spark):
+    """q132: the rn <= n filter plans as a PARTIAL WindowGroupLimit
+    (each map task ships n rows per user before the shuffle); the
+    per-user assembly reuses the window's user exchange, so the plan
+    holds two exchanges: user, then path."""
+    df = _q(spark, "q132_top_paths")
+    e = explain_str(df)
+    assert "WindowGroupLimit" in e, e
+    assert count_exchanges(df) == 2, e
+    assert "EvalPython" not in e
+    assert "TakeOrdered" in e, e
