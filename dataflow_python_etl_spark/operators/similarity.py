@@ -975,3 +975,47 @@ def mmr_select(
         ]
     )
     return corpus.sparkSession.createDataFrame(out_rows, schema)
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column:
+    each query's label is the most common label among its exact
+    cosine top-k neighbors (``cosine_topk`` — rounded-score ranking,
+    id tie-breaks), vote ties broken by the SMALLEST label. Returns
+    ``(query_id, predicted_label, votes)`` — the standard
+    label-transfer / auto-tagging primitive over a labeled corpus.
+
+    Scale shape: inherits cosine_topk's one-pass corpus stream
+    (queries broadcast, norms precomputed before the fan-out); the
+    neighbor→label join keys the queries×k frame (broadcast-sized by
+    construction) against the corpus id — Spark broadcasts the small
+    side, so the corpus is never shuffled. Vote counting and the
+    argmax window run on queries×k rows."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    nb = cosine_topk(corpus, queries, k, id_col, vec_col)
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        nb.join(lab, "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__nl").asc()
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("query_id", F.col("__nl").alias("predicted_label"), "votes")
+    )

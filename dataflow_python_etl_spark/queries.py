@@ -5635,6 +5635,44 @@ def q132_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q133_knn_classify",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, label, {_cosine_sql('qv', 'cv')} AS cos_sim
+        FROM q, c WHERE neighbor_id != query_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM s
+    ),
+    v AS (
+        SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        FROM r WHERE rk <= 5 GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS pr
+        FROM v
+    )
+    SELECT query_id, label AS predicted_label, votes FROM p WHERE pr = 1
+    """,
+    "k-NN majority-vote label classification over embeddings "
+    "(operators.similarity.knn_classify): exact cosine top-5 with "
+    "rounded-score ranking, vote ties to the smallest label — the "
+    "label-transfer primitive for auto-tagging a corpus.",
+)
+def q133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_classify(emb, emb.where(F.col("vec_id") % 50 == 0), k=5)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -444,3 +444,35 @@ def test_pq_sidecar_required_for_query(spark, emb, centroids, pq_books, tmp_path
     os.remove(os.path.join(path, PQ_SIDECAR))
     with pytest.raises(ValueError, match="sidecar"):
         ivf_topk_indexed(spark, path, queries, centroids, k=2).count()
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """Crafted 2-D vectors: query at (1,0); corpus has 3 label-1
+    vectors near (1,0), 2 label-0 vectors near (0,1) — k=5 votes
+    3:2 for label 1. A second query at (0,1) flips it. Vote ties
+    (k=2 case) go to the smallest label."""
+    import pytest
+
+    from dataflow_python_etl_spark.operators.similarity import knn_classify
+
+    rows = [
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1), (3, [0.8, 0.2], 1),
+        (4, [0.1, 0.9], 0), (5, [0.0, 1.0], 0),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>, label: int")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05], 9), (101, [0.05, 1.0], 9)],
+        "vec_id: long, embedding: array<double>, label: int",
+    )
+    got = {r["query_id"]: r for r in knn_classify(corpus, queries, k=5).collect()}
+    assert got[100]["predicted_label"] == 1 and got[100]["votes"] == 3
+    # k=5 sees the WHOLE 5-vector corpus, so majority is label 1 even
+    # for the (0,1)-side query — the k-locality only kicks in below
+    assert got[101]["predicted_label"] == 1 and got[101]["votes"] == 3
+    # with k=2 only the two nearest vote: query 100 -> two label-1s,
+    # query 101 -> two label-0s
+    got2 = {r["query_id"]: r for r in knn_classify(corpus, queries, k=2).collect()}
+    assert got2[100]["predicted_label"] == 1 and got2[100]["votes"] == 2
+    assert got2[101]["predicted_label"] == 0 and got2[101]["votes"] == 2
+    with pytest.raises(ValueError, match="k must be"):
+        knn_classify(corpus, queries, k=0)

@@ -433,3 +433,14 @@ def test_top_paths_truncates_map_side_two_exchanges(spark):
     assert count_exchanges(df) == 2, e
     assert "EvalPython" not in e
     assert "TakeOrdered" in e, e
+
+
+def test_knn_classify_broadcasts_queries_corpus_unshuffled(spark):
+    """q133: the corpus streams through the broadcast score stage
+    exactly as q27; everything after the top-k is queries*k-sized.
+    Three exchanges total (top-k window, vote agg, argmax window),
+    none fact-sized beyond the first."""
+    df = _q(spark, "q133_knn_classify")
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3, explain_str(df, "simple")
+    assert "EvalPython" not in explain_str(df)
