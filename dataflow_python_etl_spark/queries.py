@@ -5673,6 +5673,43 @@ def q133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_classify(emb, emb.where(F.col("vec_id") % 50 == 0), k=5)
 
 
+@_q(
+    "q134_trend_slope",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT)                          AS n,
+               CAST(sum(x) AS HUGEINT)                            AS sx,
+               CAST(sum(y) AS HUGEINT)                            AS sy,
+               CAST(sum(CAST(x AS BIGINT) * y) AS HUGEINT)        AS sxy,
+               CAST(sum(CAST(x AS BIGINT) * x) AS HUGEINT)        AS sxx
+        FROM d GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0
+                THEN  (2000000 * (n * sxy - sx * sy) + (n * sxx - sx * sx))
+                      // (2 * (n * sxx - sx * sx))
+                ELSE -((2000000 * (sx * sy - n * sxy) + (n * sxx - sx * sx))
+                      // (2 * (n * sxx - sx * sx)))
+                END AS BIGINT) AS slope_micro
+    FROM s
+    """,
+    "Per-event-type OLS trend of daily volume in micro-events/day "
+    "(operators.timeseries.trend_slope): exact-integer numerator/"
+    "denominator, one sign-split half-up division through "
+    "DECIMAL(38,0) — cross-engine bit-stable by construction.",
+)
+def q134_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.timeseries import trend_slope
+
+    return trend_slope(_t(spark, sf_dir, "events"), "event_type")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -444,3 +444,11 @@ def test_knn_classify_broadcasts_queries_corpus_unshuffled(spark):
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 3, explain_str(df, "simple")
     assert "EvalPython" not in explain_str(df)
+
+
+def test_trend_slope_two_exchanges(spark):
+    """q134: one map-side-combined (group, day) rollup — the only
+    fact-sized exchange — then a |groups|-keyed sum pass."""
+    df = _q(spark, "q134_trend_slope")
+    assert count_exchanges(df) == 2, explain_str(df, "simple")
+    assert "EvalPython" not in explain_str(df)

@@ -471,3 +471,36 @@ def test_seasonal_naive_backtest_perfect_and_gappy(spark):
 
     with pytest.raises(ValueError, match="season_days"):
         seasonal_naive_backtest(ev, season_days=0)
+
+
+def test_trend_slope_exact_values(spark):
+    """Crafted series: group 'up' has daily counts 1,2,3 on days
+    0,1,2 -> slope exactly 1 (1_000_000 micro); group 'down' has
+    3,1 on days 0,1 -> slope -2; group 'flat23' has counts 1,2 on
+    days 0,1 -> slope +1; single-day group dropped. Half-up check:
+    counts 1,2,2 -> slope 1/2 -> 500000."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.timeseries import trend_slope
+
+    def mk(g, day_counts):
+        rows = []
+        for day, cnt in day_counts.items():
+            for i in range(cnt):
+                rows.append((g, f"1970-01-0{day + 1} 10:{i:02d}:00"))
+        return rows
+
+    rows = (
+        mk("up", {0: 1, 1: 2, 2: 3})
+        + mk("down", {0: 3, 1: 1})
+        + mk("half", {0: 1, 1: 2, 2: 2})
+        + mk("solo", {0: 4})
+    )
+    ev = spark.createDataFrame(rows, "event_type: string, ts_s: string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {r["event_type"]: r for r in trend_slope(ev, "event_type").collect()}
+    assert "solo" not in got  # single active day: no slope
+    assert got["up"]["slope_micro"] == 1_000_000 and got["up"]["n_days"] == 3
+    assert got["down"]["slope_micro"] == -2_000_000
+    assert got["half"]["slope_micro"] == 500_000  # exact half rounds up
