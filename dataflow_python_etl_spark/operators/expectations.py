@@ -374,3 +374,68 @@ def freshness_check(
         .cast("int")
         .alias("stale"),
     )
+
+
+# log10(1 + 1/d) for d = 1..9, in half-up micro-units. HARDCODED on
+# both engines (the oracle embeds the same literals) because log10 is
+# engine-private at the last ulp — the repo's ln/HLL rule. The nine
+# values sum to exactly 10⁶.
+BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic fabricated-data / broken-feed screen (Newcomb 1881,
+    Benford 1938; used by auditors exactly this way). One row per
+    digit 1–9: observed count, observed frequency and the Benford
+    expectation in micro-units, and the absolute deviation
+    ``dev_micro`` (the max over digits is the L∞ test statistic;
+    readers threshold it per use case).
+
+    ALL-INTEGER: values are lifted to cents (2-decimal data, exact),
+    the leading digit is the first character of the INTEGER's decimal
+    string (cross-engine safe — no float formatting), observed
+    frequency is one half-up integer division to micro-units, and the
+    expected frequencies are hardcoded literals on both engines since
+    ``log10`` is engine-private at the last ulp. Non-positive values
+    are excluded (Benford is defined on positive magnitudes).
+
+    Scale shape: a 9-bucket map-side-combined count — one fact scan,
+    one 9-row exchange; the digit spine is built driver-side so every
+    digit reports even at zero observations."""
+    from dataflow_python_etl_spark.operators.sketches import _int_div
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    counts = (
+        df.select(cents.alias("c"))
+        .where(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d + 1, BENFORD_MICRO[d]) for d in range(9)],
+        "digit int, expected_micro long",
+    )
+    filled = spine.join(counts, "digit", "left").select(
+        "digit",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        "expected_micro",
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy(F.lit(1)))
+    obs = F.when(
+        total > 0, _int_div(F.lit(2_000_000) * F.col("n") + total, F.lit(2) * total)
+    ).otherwise(F.lit(0))
+    return (
+        filled.withColumn("obs_micro", obs.cast("long"))
+        .select(
+            "digit",
+            "n",
+            "obs_micro",
+            "expected_micro",
+            F.abs(F.col("obs_micro") - F.col("expected_micro")).alias("dev_micro"),
+        )
+    )

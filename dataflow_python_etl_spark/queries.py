@@ -5710,6 +5710,50 @@ def q134_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(_t(spark, sf_dir, "events"), "event_type")
 
 
+@_q(
+    "q135_benford_audit",
+    """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c WHERE cents > 0 GROUP BY 1
+    ),
+    spine AS (
+        SELECT * FROM (VALUES
+            (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+            (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+        ) t(digit, expected_micro)
+    ),
+    f AS (
+        SELECT s.digit, coalesce(d.n, 0) AS n,
+               CAST(s.expected_micro AS BIGINT) AS expected_micro,
+               (SELECT sum(n) FROM d) AS total
+        FROM spine s LEFT JOIN d ON s.digit = d.digit
+    )
+    SELECT digit, n,
+           CAST(CASE WHEN total > 0
+                THEN (2000000 * n + total) // (2 * total) ELSE 0 END AS BIGINT)
+               AS obs_micro,
+           expected_micro,
+           abs(CAST(CASE WHEN total > 0
+                THEN (2000000 * n + total) // (2 * total) ELSE 0 END AS BIGINT)
+               - expected_micro) AS dev_micro
+    FROM f
+    """,
+    "Benford first-digit audit of order totals "
+    "(operators.expectations.benford_deviation): cents-lifted integer "
+    "leading digits, 9-bucket map-side count, hardcoded log10 "
+    "literals both engines (ln/log10 are engine-private at the ulp).",
+)
+def q135_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.expectations import benford_deviation
+
+    return benford_deviation(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

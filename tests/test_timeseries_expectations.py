@@ -504,3 +504,27 @@ def test_trend_slope_exact_values(spark):
     assert got["up"]["slope_micro"] == 1_000_000 and got["up"]["n_days"] == 3
     assert got["down"]["slope_micro"] == -2_000_000
     assert got["half"]["slope_micro"] == 500_000  # exact half rounds up
+
+
+def test_benford_deviation_integer_construction(spark):
+    """Crafted cents values: leading digits 1,1,2,9; zero/negative
+    excluded. obs for digit 1 = half-up(2/4 · 10⁶) = 500000; digits
+    with no observations still report (spine join) with obs 0."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.expectations import (
+        BENFORD_MICRO,
+        benford_deviation,
+    )
+
+    assert sum(BENFORD_MICRO) == 1_000_000  # the table is a partition of 1
+    rows = [(1.23,), (150.00,), (0.25,), (9.99,), (0.0,), (-5.0,)]
+    df = spark.createDataFrame(rows, "v: double")
+    got = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    assert got[1]["n"] == 2 and got[1]["obs_micro"] == 500_000
+    assert got[1]["dev_micro"] == 500_000 - 301_030
+    assert got[2]["n"] == 1 and got[2]["obs_micro"] == 250_000
+    assert got[9]["n"] == 1
+    assert got[3]["n"] == 0 and got[3]["obs_micro"] == 0
+    assert got[3]["dev_micro"] == 124_939
