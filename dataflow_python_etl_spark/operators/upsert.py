@@ -690,3 +690,67 @@ def staged_partition_append(
                 raise ValueError(f"append target file already exists: {dst}")
             os.rename(os.path.join(src_dir, fname), dst)
     shutil.rmtree(stage)
+
+
+def refresh_kmv_agg(
+    spark: SparkSession,
+    table_path: str,
+    batch_sketch: DataFrame,
+    key_cols: list[str],
+    k: int,
+) -> None:
+    """Incremental DISTINCT-COUNT materialized view via mergeable KMV
+    sketches — the non-additive counterpart of
+    :func:`refresh_additive_agg`. A count-distinct can NOT be folded
+    additively (re-seen keys double-count), and keeping the exact key
+    sets makes the MV as big as the data; the standard answer is a
+    mergeable sketch: the table stores one KMV hash array per key
+    (``operators.sketches.kmv_sketches`` shape) and each refresh
+    merges under the KMV merge law — k smallest of the DISTINCT
+    union (``kmv(A ∪ B) = k-min(kmv(A) ∪ kmv(B))``), so
+    ``refresh(kmv(A), kmv(B)) ≡ kmv(A ∪ B)`` exactly (pinned).
+
+    Replay safety WITHOUT a ledger: set union is idempotent — a
+    re-delivered batch merges to the same arrays (per-key
+    convergence, the MERGE/SCD2 free lunch — unlike the additive
+    fold, which needs the ledger sidecar). Per-refresh cost is
+    |aggregate| + |batch|, never the fact history; estimates are
+    read off the arrays all-integer (``est ≈ (k−1)·(M div R_k)``).
+    Writes go through ``write_and_swap`` (crash-safe, never torn)."""
+    import os
+
+    if not key_cols:
+        raise ValueError("refresh_kmv_agg requires key_cols")
+    if "hashes" not in batch_sketch.columns:
+        raise ValueError("batch_sketch must carry a 'hashes' array column")
+    missing = [c for c in key_cols if c not in batch_sketch.columns]
+    if missing:
+        raise ValueError(f"key columns absent from batch: {missing}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not os.path.exists(table_path):
+        write_and_swap(batch_sketch, table_path)
+        return
+    cur = spark.read.parquet(table_path)
+    # simpleString: parquet round-trips drop containsNull=False on the
+    # hash array, so nullability must not fail the name+type contract
+    cur_types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in batch_sketch.schema.fields}
+    if cur_types != new_types:
+        raise ValueError(
+            f"schema mismatch: table {sorted(cur_types.items())} vs "
+            f"batch {sorted(new_types.items())}"
+        )
+    merged = (
+        cur.select(cur.columns)
+        .unionByName(batch_sketch.select(cur.columns))
+        .groupBy(*key_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))),
+                1,
+                k,
+            ).alias("hashes")
+        )
+    )
+    write_and_swap(merged, table_path)

@@ -5754,6 +5754,62 @@ def q135_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_deviation(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+@_q(
+    "q136_kmv_distinct_mv",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT event_type AS set_id, user_id AS u FROM events
+    ),
+    h AS (SELECT set_id, {_md5h60_sql("CAST(u AS VARCHAR)")} AS h FROM keys),
+    r AS (SELECT set_id, h,
+                 row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn
+          FROM h),
+    t AS (SELECT set_id, count(*) AS n, max(h) AS rk
+          FROM r WHERE rn <= 256 GROUP BY set_id)
+    SELECT set_id AS event_type,
+           CAST(CASE WHEN n < 256 THEN n
+                ELSE 255 * (1152921504606846976 // rk) END AS BIGINT) AS est_users
+    FROM t
+    """,
+    "Distinct-users-per-event-type MATERIALIZED VIEW maintained "
+    "incrementally by KMV sketch merge (operators.upsert."
+    "refresh_kmv_agg): two half-batches folded under the KMV merge "
+    "law, then estimates read off the stored arrays. The ORACLE is "
+    "the direct full-data sketch — hash-green IS the "
+    "refresh(kmv(A), kmv(B)) = kmv(A U B) law end-to-end. Non-"
+    "additive maintenance: replay-idempotent (set union), no ledger.",
+)
+def q136_kmv_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dataflow_python_etl_spark.operators.sketches import _kmv_est_int, kmv_sketches
+    from dataflow_python_etl_spark.operators.upsert import refresh_kmv_agg
+
+    # ONE MV per sf_dir per process (the q128 memoization rule): an MV
+    # exists to be maintained once and read many times — rebuilding
+    # per call would measure the build and leak table trees.
+    path = _KMV_MV_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="kmv_mv_") + "/mv"
+        ev = _t(spark, sf_dir, "events")
+        for parity in (0, 1):
+            batch = ev.where(F.col("event_id") % 2 == parity)
+            refresh_kmv_agg(
+                spark, path,
+                kmv_sketches(batch, "event_type", "user_id", 256),
+                ["set_id"], 256,
+            )
+        _KMV_MV_CACHE[sf_dir] = path
+    mv = spark.read.parquet(path)
+    return mv.select(
+        F.col("set_id").alias("event_type"),
+        _kmv_est_int(F.col("hashes"), 256).cast("long").alias("est_users"),
+    )
+
+
+_KMV_MV_CACHE: dict = {}
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

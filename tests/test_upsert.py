@@ -505,3 +505,47 @@ def test_stream_additive_agg_parity_and_restart_guard(spark, tmp_path):
     with pytest.raises(Exception, match="missing"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_refresh_kmv_agg_merge_law_and_replay(spark, tmp_path):
+    """refresh(kmv(A), kmv(B), kmv(C)) == kmv(A∪B∪C) exactly, and
+    re-delivering a batch (at-least-once replay) converges — set
+    union is idempotent, so the KMV MV needs NO ledger (unlike the
+    additive fold)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.sketches import kmv_sketches
+    from dataflow_python_etl_spark.operators.upsert import refresh_kmv_agg
+
+    rows = [(g, i * 7 % 97) for g in ("a", "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "grp: string, member: long")
+    path = str(tmp_path / "mv")
+    k = 16
+    batches = [
+        df.where(F.col("member") % 3 == p) for p in range(3)
+    ]
+    for b in batches:
+        refresh_kmv_agg(spark, path, kmv_sketches(b, "grp", "member", k), ["set_id"], k)
+
+    def arrays(frame):
+        return {r["set_id"]: list(r["hashes"]) for r in frame.collect()}
+
+    full = arrays(kmv_sketches(df, "grp", "member", k))
+    assert arrays(spark.read.parquet(path)) == full
+    # replay batch 1: table must not move
+    refresh_kmv_agg(spark, path, kmv_sketches(batches[1], "grp", "member", k), ["set_id"], k)
+    assert arrays(spark.read.parquet(path)) == full
+    # schema contract: a renamed key column fails loudly
+    bad = kmv_sketches(df, "grp", "member", k).withColumnRenamed("set_id", "sid")
+    with pytest.raises(ValueError, match="key columns absent"):
+        refresh_kmv_agg(spark, path, bad, ["set_id"], k)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        refresh_kmv_agg(
+            spark, path,
+            kmv_sketches(df, "grp", "member", k)
+            .withColumn("set_id", F.col("set_id").cast("binary")),
+            ["set_id"], k,
+        )
+    with pytest.raises(ValueError, match="k must be"):
+        refresh_kmv_agg(spark, path, kmv_sketches(df, "grp", "member", k), ["set_id"], 1)
