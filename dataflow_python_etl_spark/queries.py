@@ -5810,6 +5810,30 @@ def q136_kmv_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_MV_CACHE: dict = {}
 
 
+@_q(
+    "q137_conversion_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS trigger_id,
+           p.event_id AS conv_id,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS lag_seconds
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+    """,
+    "View→purchase pair attribution within 60 min "
+    "(streaming.pipeline.conversion_join, BATCH surface of the "
+    "stream-stream inner join; watermark-bounded state when run on "
+    "streams — stream/batch parity pinned in tests).",
+)
+def q137_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.streaming.pipeline import conversion_join
+
+    return conversion_join(_t(spark, sf_dir, "events"))
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

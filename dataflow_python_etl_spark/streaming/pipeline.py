@@ -791,3 +791,57 @@ def stream_docs_to_search_index(
         .outputMode("append")
         .start()
     )
+
+
+def conversion_join(
+    events: DataFrame,
+    trigger_type: str = "view",
+    conversion_type: str = "purchase",
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join — the Structured Streaming surface the
+    stateful operators don't cover: every (trigger, conversion) pair
+    for a user where the conversion lands within ``window_minutes``
+    of the trigger (ad-tech view-through attribution at the pair
+    grain; :func:`streaming.stateful` holds per-user scalars, this
+    emits the joined rows). Returns ``(user_id, trigger_id, conv_id,
+    lag_seconds)`` with lag as exact integer seconds (floor).
+
+    Both sides carry the SAME watermark and the join condition bounds
+    conversion time to [trigger, trigger + window], so Spark can
+    evict trigger state once the watermark passes trigger_ts +
+    window and conversion state immediately — bounded state at any
+    stream length (the unbounded-state stream-stream join is the
+    classic production OOM). Inner-join rows emit as soon as both
+    sides arrive (no watermark hold-back). On a BATCH frame the same
+    plan is the q36-family range join — one function, both surfaces,
+    which is what the parity test pins."""
+    if window_minutes < 1:
+        raise ValueError(f"window_minutes must be >= 1, got {window_minutes}")
+    t = events.where(F.col("event_type") == trigger_type).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("trigger_id"),
+        F.col("ts").alias("t_ts"),
+    )
+    c = events.where(F.col("event_type") == conversion_type).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    if events.isStreaming:
+        t = t.withWatermark("t_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (t["t_user"] == c["c_user"])
+        & (c["c_ts"] >= t["t_ts"])
+        & (c["c_ts"] <= t["t_ts"] + F.expr(f"INTERVAL {int(window_minutes)} MINUTES"))
+    )
+    return t.join(c, cond).select(
+        F.col("t_user").alias("user_id"),
+        "trigger_id",
+        "conv_id",
+        F.expr("(unix_micros(c_ts) - unix_micros(t_ts)) div 1000000").alias(
+            "lag_seconds"
+        ),
+    )

@@ -615,3 +615,44 @@ def test_stream_scd2_matches_batch_and_replay_noop(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert snap(spark.read.parquet(table)) == want
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, event_drop):
+    """The stream-stream inner join (watermarked both sides, time-
+    bounded condition) must emit exactly the batch twin's pairs —
+    q137's oracle-checked frame — when the whole drop is drained."""
+    from dataflow_python_etl_spark.streaming.pipeline import (
+        conversion_join,
+        read_event_stream,
+    )
+
+    stream = read_event_stream(spark, event_drop)
+    joined = conversion_join(stream)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("conv_pairs")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["trigger_id"], r["conv_id"], r["lag_seconds"])
+        for r in spark.table("conv_pairs").collect()
+    }
+    batch = conversion_join(read_table(spark, SF_DIR, "events"))
+    want = {
+        (r["user_id"], r["trigger_id"], r["conv_id"], r["lag_seconds"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_stream_conversion_join_guard():
+    import pytest
+
+    from dataflow_python_etl_spark.streaming.pipeline import conversion_join
+
+    with pytest.raises(ValueError, match="window_minutes"):
+        conversion_join(None, window_minutes=0)
