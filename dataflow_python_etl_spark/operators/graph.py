@@ -255,3 +255,80 @@ def weighted_shortest_paths(
         )
         dist = dist.unionAll(relax).groupBy("node").agg(F.min("d").alias("d"))
     return dist
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient — ``cc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1))`` with T(v) the triangles through v — the
+    node-grain companion of :func:`triangle_count` (same Suri-
+    Vassilvitskii degree-ordered orientation, same determinism
+    contract). Nodes of degree < 2 have no defined coefficient and
+    are dropped. Returns ``(node, degree, n_triangles, cc_ppm)``
+    with the coefficient in half-up integer ppm (one positive-
+    operand division through DECIMAL — 4·10⁶·T(v) brushes int64 at
+    hub degrees).
+
+    Scale shape: identical to triangle_count (degree agg, wedge
+    self-join bounded Σ out-deg² = O(m^1.5), closing-edge join) plus
+    one |triangles|×3 explode and a node-keyed count."""
+    from dataflow_python_etl_spark.operators.sketches import _int_div
+
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    ranked = (
+        e.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select("a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b"))
+    )
+    lower_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
+        ),
+    ).select(F.col("o1.u").alias("w_u"), F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    per_node = (
+        tri.select(F.explode(F.array("w_u", "x", "y")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d_, t_ = F.col("d").cast("long"), F.coalesce(F.col("t"), F.lit(0)).cast("long")
+    pairs2 = dec(d_) * dec(d_ - 1)  # 2 × the wedge count at v
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            d_.alias("degree"),
+            t_.alias("n_triangles"),
+            _int_div(dec(F.lit(4_000_000)) * dec(t_) + pairs2, dec(F.lit(2)) * pairs2)
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+    )

@@ -5834,6 +5834,71 @@ def q137_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_join(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q138_clustering_coefficients",
+    """
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ),
+    wedges AS (
+        SELECT o1.u AS u, o1.v AS x, o2.v AS y
+        FROM oriented o1 JOIN oriented o2
+          ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+    ),
+    tri AS (
+        SELECT w.u, w.x, w.y
+        FROM wedges w JOIN oriented o ON w.x = o.u AND w.y = o.v
+    ),
+    pern AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS t
+        FROM (SELECT u AS n FROM tri UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri)
+        GROUP BY n
+    )
+    SELECT d.n AS node, CAST(d.d AS BIGINT) AS degree,
+           coalesce(p.t, 0) AS n_triangles,
+           CAST((CAST(4000000 AS HUGEINT) * coalesce(p.t, 0)
+                 + CAST(d.d AS HUGEINT) * (d.d - 1))
+                // (CAST(2 AS HUGEINT) * d.d * (d.d - 1)) AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN pern p ON d.n = p.n
+    WHERE d.d >= 2
+    ORDER BY cc_ppm DESC, degree DESC, node
+    LIMIT 20
+    """,
+    "Per-node local clustering coefficient on the part co-purchase "
+    "graph (operators.graph.clustering_coefficients): same degree-"
+    "ordered orientation as q87 plus a |triangles|x3 explode and a "
+    "node-keyed count; coefficient in half-up integer ppm.",
+)
+def q138_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.graph import clustering_coefficients
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        parts.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+    )
+    return (
+        clustering_coefficients(edges)
+        .orderBy(F.col("cc_ppm").desc(), F.col("degree").desc(), "node")
+        .limit(20)
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -194,3 +194,25 @@ def test_join_key_skew_ranking_and_shares(spark):
         (1, 6, 36, 600_000),
         (2, 3, 9, 300_000),
     ]
+
+
+def test_clustering_coefficients_known_graph(spark):
+    """K4 minus one edge: nodes 1-2-3-4 with edges 12,13,14,23,24
+    (missing 34). T(1)=2 (123,124), T(2)=2, T(3)=1, T(4)=1;
+    deg 1=3, 2=3, 3=2, 4=2. cc(1)=2·2/(3·2)=2/3→666667;
+    cc(3)=2·1/2=1→1000000. Degree-1 node 5 (edge 5-1... keep out:
+    add isolated pair 5-6: both degree 1 -> dropped."""
+    from dataflow_python_etl_spark.operators.graph import clustering_coefficients
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 6), (2, 1)],
+        "src: long, dst: long",
+    )
+    got = {r["node"]: r for r in clustering_coefficients(edges).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["degree"] == 3 and got[1]["n_triangles"] == 2
+    assert got[1]["cc_ppm"] == 666_667
+    assert got[2]["cc_ppm"] == 666_667
+    assert got[3]["degree"] == 2 and got[3]["n_triangles"] == 1
+    assert got[3]["cc_ppm"] == 1_000_000
+    assert got[4]["cc_ppm"] == 1_000_000
