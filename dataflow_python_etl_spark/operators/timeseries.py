@@ -672,3 +672,65 @@ def trend_slope(
         F.col("n").alias("n_days"),
         F.when(num >= 0, mag_pos).otherwise(-mag_neg).cast("long").alias("slope_micro"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    n_buckets: int = 20,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    series and time bucket keep min, max, FIRST and LAST values —
+    the four points per pixel column that make a line-chart render
+    ERROR-FREE at any zoom level, which is why it's the standard
+    visualization-pipeline rollup (vs naive sampling that clips
+    spikes). ``(series, bucket, n, v_first, v_min, v_max, v_last)``.
+
+    Determinism: bucket index is EXACT integer micros arithmetic
+    over the observed span (``(t−lo)·n div (hi−lo+1)`` — the +1
+    closes the top edge with no float division at all); first/last
+    are window row_numbers ordered by (ts, id) so same-timestamp
+    ties are stable cross-engine; min/max/first/last are raw data
+    values (no arithmetic — rounding them is identity on 2-decimal
+    data, applied anyway as belt and braces).
+
+    Scale shape: a 1-row bounds broadcast (the q83 histogram
+    pattern), then ONE (series, bucket)-keyed exchange shared by the
+    first/last windows AND the final aggregation."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    src = df.select(
+        F.col(series_col).alias("series"),
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    bounds = src.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    b = src.crossJoin(F.broadcast(bounds)).select(
+        "series",
+        F.expr(f"(t - lo) * {int(n_buckets)} div (hi - lo + 1)")
+        .cast("long")
+        .alias("bucket"),
+        "t",
+        "i",
+        "v",
+    )
+    wf = Window.partitionBy("series", "bucket").orderBy(F.col("t"), F.col("i"))
+    wl = Window.partitionBy("series", "bucket").orderBy(
+        F.col("t").desc(), F.col("i").desc()
+    )
+    return (
+        b.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .groupBy("series", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max(F.when(F.col("rf") == 1, F.col("v"))), 2).alias("v_first"),
+            F.round(F.min("v"), 2).alias("v_min"),
+            F.round(F.max("v"), 2).alias("v_max"),
+            F.round(F.max(F.when(F.col("rl") == 1, F.col("v"))), 2).alias("v_last"),
+        )
+    )

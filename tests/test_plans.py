@@ -452,3 +452,14 @@ def test_trend_slope_two_exchanges(spark):
     df = _q(spark, "q134_trend_slope")
     assert count_exchanges(df) == 2, explain_str(df, "simple")
     assert "EvalPython" not in explain_str(df)
+
+
+def test_m4_downsample_single_series_bucket_exchange(spark):
+    """q139: bounds broadcast + ONE (series, bucket) exchange shared
+    by both row_number windows and the final agg (plus the 1-row
+    bounds agg's own singleton exchange)."""
+    df = _q(spark, "q139_m4_downsample")
+    e = explain_str(df)
+    assert "EvalPython" not in e
+    # exchanges: fact->(series,bucket) once; bounds agg singleton
+    assert count_exchanges(df) <= 2, explain_str(df, "simple")

@@ -528,3 +528,34 @@ def test_benford_deviation_integer_construction(spark):
     assert got[9]["n"] == 1
     assert got[3]["n"] == 0 and got[3]["obs_micro"] == 0
     assert got[3]["dev_micro"] == 124_939
+
+
+def test_m4_downsample_four_points(spark):
+    """Two buckets over a crafted span: bucket 0 gets values
+    10, 3, 99 (first=10, min=3, max=99, last=99); bucket 1 gets a
+    single point (all four collapse). Same-timestamp tie broken by
+    id (ids 4,5 share ts: first=the lower id's value)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.timeseries import m4_downsample
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (2, "2024-01-01 00:10:00", 3.0),
+        (3, "2024-01-01 00:20:00", 99.0),
+        (4, "2024-01-01 01:00:00", 7.0),   # same ts as 5
+        (5, "2024-01-01 01:00:00", 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id: long, ts_s: string, value: double").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit("s").alias("event_type"), "value",
+    )
+    got = {r["bucket"]: r for r in m4_downsample(ev, "event_type", "ts", "value", n_buckets=2).collect()}
+    assert set(got) == {0, 1}
+    b0 = got[0]
+    assert (b0["v_first"], b0["v_min"], b0["v_max"], b0["v_last"], b0["n"]) == (10.0, 3.0, 99.0, 99.0, 3)
+    b1 = got[1]
+    assert (b1["v_first"], b1["v_min"], b1["v_max"], b1["v_last"], b1["n"]) == (7.0, 7.0, 8.0, 8.0, 2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        m4_downsample(ev, "event_type", "ts", "value", n_buckets=0)
