@@ -498,16 +498,7 @@ def run_events_report(args) -> None:
     from dataflow_python_etl_spark.operators.timeseries import rolling_anomalies
 
     spark = get_spark("events-report")
-    p = _table_path(args.warehouse, args.table)
-    if p.endswith(".parquet"):
-        # single-file tables (the driver's testdata shape) may carry
-        # TIMESTAMP(NANOS); read_table handles the conversion — the
-        # CLAUDE.md invariant for anything reading events
-        from dataflow_python_etl_spark.sources.catalog import read_table
-
-        ev = read_table(spark, args.warehouse, args.table)
-    else:
-        ev = spark.read.parquet(p)
+    ev = _read_events_table(spark, args.warehouse, args.table)
     steps = tuple(s for s in args.funnel.split(",") if s)
     print("== funnel ==")
     for r in funnel_report(ev, steps).orderBy("step").collect():
@@ -696,6 +687,51 @@ def run_decontaminate(args) -> None:
         f"{args.table}: {n_flag} contaminated docs flagged (>= {args.min_overlap} "
         f"shared shingles with {args.eval_table}), {n_clean} clean -> {args.output}"
     )
+
+
+def _read_events_table(spark, warehouse: str, table: str):
+    """Events tables may be single-file TIMESTAMP(NANOS) parquet (the
+    driver's testdata shape) — route those through read_table (the
+    CLAUDE.md invariant); dir tables written by this CLI are plain."""
+    p = _table_path(warehouse, table)
+    if p.endswith(".parquet"):
+        from dataflow_python_etl_spark.sources.catalog import read_table
+
+        return read_table(spark, warehouse, table)
+    return spark.read.parquet(p)
+
+
+def run_growth(args) -> None:
+    """Weekly growth-accounting ledger: new / retained / resurrected /
+    churned per week — the collect is |weeks|-sized by construction."""
+    from dataflow_python_etl_spark.operators.events import growth_accounting
+
+    spark = get_spark("growth")
+    ev = _read_events_table(spark, args.warehouse, args.table)
+    print("week        new  retained  resurrected  churned")
+    for r in growth_accounting(ev).orderBy("week").collect():
+        print(
+            f"{r['week']}  {r['new_users']:>4}  {r['retained_users']:>8}  "
+            f"{r['resurrected_users']:>11}  {r['churned_users']:>7}"
+        )
+
+
+def run_rules(args) -> None:
+    """Market-basket association rules: top-k directed rules with
+    integer-ppm confidence and lift. The collect is top-k-sized."""
+    from dataflow_python_etl_spark.operators.profile import association_rules
+
+    spark = get_spark("rules")
+    df = spark.read.parquet(_table_path(args.warehouse, args.table))
+    rules = association_rules(
+        df, args.basket_col, args.item_col,
+        min_pair_support=args.min_support, top_k=args.top_k,
+    )
+    for r in rules.collect():
+        print(
+            f"{r['antecedent']} -> {r['consequent']}: support={r['support_n']} "
+            f"conf_ppm={r['conf_ppm']} lift_ppm={r['lift_ppm']}"
+        )
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -900,6 +936,20 @@ def main(argv: list[str] | None = None) -> None:
     psh.add_argument("--id-col", default="doc_id")
     psh.add_argument("--text-col", default="text")
     psh.set_defaults(fn=run_shard)
+
+    pg = sub.add_parser("growth", help="weekly growth-accounting ledger over an events table")
+    pg.add_argument("--warehouse", required=True)
+    pg.add_argument("--table", default="events")
+    pg.set_defaults(fn=run_growth)
+
+    pr = sub.add_parser("rules", help="market-basket association rules over a basket table")
+    pr.add_argument("--warehouse", required=True)
+    pr.add_argument("--table", default="lineitem")
+    pr.add_argument("--basket-col", default="l_orderkey")
+    pr.add_argument("--item-col", default="l_partkey")
+    pr.add_argument("--min-support", type=int, default=1)
+    pr.add_argument("--top-k", type=int, default=20)
+    pr.set_defaults(fn=run_rules)
 
     args = p.parse_args(argv)
     if args.cmd == "sql" and not (args.query or args.file):

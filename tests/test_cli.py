@@ -468,3 +468,32 @@ def test_cli_search_index_lifecycle_and_overlap(spark, tmp_path, capsys):
               "--set-a", "1-URGENT", "--set-b", "2-HIGH"])
     out = capsys.readouterr().out
     assert "est_union=" in out and "jaccard_ppm=" in out
+
+
+def test_cli_growth_and_rules(spark, tmp_path, capsys):
+    """The growth ledger prints one |weeks|-sized report; rules prints
+    top-k directed rules with ppm columns — both end-to-end through
+    the CLI against driver-shaped tables."""
+    import os
+
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    wh = str(tmp_path / "lake_gr")
+    os.makedirs(wh)
+    read_table(spark, "/root/testdata/sf0.001", "events").write.parquet(
+        os.path.join(wh, "events")
+    )
+    read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).write.parquet(os.path.join(wh, "lineitem"))
+
+    cli.main(["growth", "--warehouse", wh])
+    out = capsys.readouterr().out
+    assert "week" in out and "resurrected" in out
+    assert len([l for l in out.splitlines() if l and l[0].isdigit()]) >= 2
+
+    cli.main(["rules", "--warehouse", wh, "--top-k", "5"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if "->" in l]
+    assert 0 < len(lines) <= 5
+    assert "conf_ppm=" in lines[0] and "lift_ppm=" in lines[0]
