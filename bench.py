@@ -101,6 +101,13 @@ EXTENDED_QUERIES = [
     "q126_mmr_diverse_topk",
     "q127_cms_join_size",
     "q128_bm25_indexed",
+    "q130_growth_accounting",
+    "q131_association_rules",
+    "q132_top_paths",
+    "q133_knn_classify",
+    "q137_conversion_join",
+    "q138_clustering_coefficients",
+    "q139_m4_downsample",
 ]
 
 

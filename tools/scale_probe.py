@@ -106,6 +106,23 @@ def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
     oout = pd.concat(oparts, ignore_index=True)
     pq.write_table(pa.Table.from_pandas(oout, preserve_index=False),
                    f"{out_dir}/orders.parquet")
+
+    # lineitem replicates with BOTH the basket key and the item key
+    # strided, so each replica is an independent copy of the
+    # co-purchase graph — basket sizes, item frequencies, pair and
+    # triangle structure all preserved per replica; cross-replica
+    # pairs impossible. Basket analytics (q131) and graph metrics
+    # (q87/q138) are therefore linear-in-R by construction.
+    li = pq.read_table(f"{src_dir}/lineitem.parquet").to_pandas()
+    lparts = []
+    for r in range(replicas):
+        part = li.copy()
+        part["l_orderkey"] = part["l_orderkey"] + r * ID_STRIDE
+        part["l_partkey"] = part["l_partkey"] + r * ID_STRIDE
+        lparts.append(part)
+    lout = pd.concat(lparts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(lout, preserve_index=False),
+                   f"{out_dir}/lineitem.parquet")
     return len(out)
 
 
