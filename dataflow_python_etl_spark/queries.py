@@ -5937,6 +5937,67 @@ def q139_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m4_downsample(_t(spark, sf_dir, "events"), "event_type", "ts", "value")
 
 
+@_q(
+    "q140_vocab_growth",
+    """
+    WITH d AS (
+        SELECT doc_id, text, ntile(10) OVER (ORDER BY doc_id) AS decile
+        FROM documents
+    ),
+    t AS (
+        SELECT decile, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM d
+    ),
+    f AS (SELECT term, min(decile) AS d0 FROM t WHERE term != '' GROUP BY term),
+    c AS (SELECT d0 AS decile, CAST(count(*) AS BIGINT) AS new_terms FROM f GROUP BY 1),
+    s AS (
+        SELECT CAST(r.range AS INT) AS decile, coalesce(c.new_terms, 0) AS new_terms
+        FROM range(1, 11) r LEFT JOIN c ON c.decile = r.range
+    )
+    SELECT decile, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_vocab
+    FROM s
+    """,
+    "Vocabulary growth curve (Heaps-law view, log-free): distinct "
+    "terms seen after each ingestion-order decile of the corpus — "
+    "cumulative-distinct reduces to first-seen min-agg + a 10-row "
+    "prefix sum (the q119 trick), deciles via the distributed exact "
+    "NTILE (operators.events.global_ntile — range exchange, never a "
+    "single-task global window).",
+)
+def q140_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.events import global_ntile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = global_ntile(docs, 10, [("doc_id", "asc")], "decile")
+    first = (
+        d.select(
+            "decile",
+            F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("decile").alias("d0"))
+    )
+    counts = first.groupBy(F.col("d0").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(counts, "decile", "left")
+        .select("decile", F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"))
+        .select(
+            "decile",
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+        )
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -291,3 +291,34 @@ def test_span_dedup_keep_first_policy(spark):
 
     with _pytest.raises(ValueError, match="policy"):
         dedup_spans(docs, policy="nope").collect()
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    """q140 invariants on real data: cumulative vocab is monotone
+    non-decreasing, the last point equals the corpus-wide distinct
+    term count, and every decile 1..10 reports."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.functions import text as TX
+    from dataflow_python_etl_spark.queries import QUERIES
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    rows = (
+        QUERIES["q140_vocab_growth"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .orderBy("decile")
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cum = [r["cum_vocab"] for r in rows]
+    assert cum == sorted(cum)
+    assert cum[-1] == sum(r["new_terms"] for r in rows)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    total_terms = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert cum[-1] == total_terms
