@@ -5998,6 +5998,49 @@ def q140_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q141_df_spectrum",
+    """
+    WITH t AS (
+        SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+        FROM documents
+    ),
+    f AS (SELECT term, count(*) AS df FROM t WHERE term != '' GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT CAST(df * 10 // n_docs AS INT) AS coverage_decile,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS total_postings
+    FROM f CROSS JOIN n GROUP BY 1
+    """,
+    "Document-frequency spectrum by CORPUS-COVERAGE decile — how "
+    "many vocabulary terms appear in 0-10%, 10-20%, ... of documents "
+    "(df·10 div n_docs; scale-invariant where an absolute-k histogram "
+    "degenerates) — the Zipf-tail profile behind stopword lists, "
+    "min-df cuts, and posting-list sizing (q128's index). Per-doc "
+    "array_distinct keeps the term exchange map-side reduced; "
+    "all-integer arithmetic, 1-row doc-count broadcast.",
+)
+def q141_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    f = (
+        docs.select(F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        f.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("df * 10 div n_docs").cast("int").alias("coverage_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+        )
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

