@@ -845,3 +845,43 @@ def conversion_join(
             "lag_seconds"
         ),
     )
+
+
+def m4_stream(
+    events: DataFrame,
+    bucket: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming M4 rollup — the live-dashboard twin of
+    ``operators.timeseries.m4_downsample``: per (series, event-time
+    tumbling bucket) keep count/min/max/FIRST/LAST, the four points
+    that render a line chart error-free. Works identically on a
+    batch frame (the watermark is only attached to streams), which
+    is what the parity test pins.
+
+    first/last are ``min_by``/``max_by`` on (ts, id) — declarative
+    aggregates, so the streaming planner keeps ONE state row per
+    (series, bucket) updated incrementally; the watermark bounds
+    state to the buckets still inside the lateness horizon. No
+    arbitrary stateful operator needed — this is the "windowed agg
+    beats applyInPandasWithState when the metric is declarative"
+    case."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            F.window("ts", bucket).alias("w"),
+            F.col("event_type").alias("series"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min_by("value", order), 2).alias("v_first"),
+            F.round(F.min("value"), 2).alias("v_min"),
+            F.round(F.max("value"), 2).alias("v_max"),
+            F.round(F.max_by("value", order), 2).alias("v_last"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "series", "n", "v_first", "v_min", "v_max", "v_last",
+        )
+    )

@@ -656,3 +656,31 @@ def test_stream_stream_conversion_join_guard():
 
     with pytest.raises(ValueError, match="window_minutes"):
         conversion_join(None, window_minutes=0)
+
+
+def test_streaming_m4_matches_batch(spark, event_drop):
+    """m4_stream is ONE declarative windowed agg (min_by/max_by on
+    (ts, id)), so the streaming planner runs it with per-(series,
+    bucket) state and the drained stream must equal the SAME function
+    on the batch frame — no custom stateful operator."""
+    from dataflow_python_etl_spark.streaming.pipeline import (
+        m4_stream,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_event_stream(spark, event_drop)
+    out = m4_stream(stream)
+    assert out.isStreaming
+    run_to_memory_sink(out, "m4_live")
+
+    def key(rows):
+        return {
+            (r["bucket_start"], r["series"]):
+            (r["n"], r["v_first"], r["v_min"], r["v_max"], r["v_last"])
+            for r in rows
+        }
+
+    got = key(spark.table("m4_live").collect())
+    want = key(m4_stream(read_table(spark, SF_DIR, "events")).collect())
+    assert got == want and len(want) > 0
