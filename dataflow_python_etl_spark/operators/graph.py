@@ -83,6 +83,67 @@ def pagerank(
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def _oriented_triangles(edges: DataFrame, src: str, dst: str):
+    """Shared Suri-Vassilvitskii (2011) triangle enumeration used by
+    :func:`triangle_count` (global count, q87) and
+    :func:`clustering_coefficients` (per-node, q138) — one
+    implementation so the orientation/tie-break contract cannot
+    desynchronize between the two. Returns ``(e, deg, tri)`` where
+    ``tri`` has one row per triangle as ``(w_u, x, y)`` (apex, then
+    the two higher-rank corners).
+
+    ``e``, ``deg`` and ``oriented`` sit behind REGISTERED persists:
+    each is consumed 2-3× (deg twice for the rank join, oriented
+    three times as o1/o2/closing) and unregistered they re-derive
+    the whole upstream edge fan-out per consumer — the q117 lesson,
+    measured again on q138's plan. ``unpersist_all()`` reclaims
+    them (bench does per trial)."""
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = register_cache(
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = register_cache(
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    ranked = (
+        e.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select("a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b"))
+    )
+    lower_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = register_cache(
+        ranked.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dv"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
+        ),
+    ).select(
+        F.col("o1.u").alias("w_u"), F.col("o1.v").alias("x"), F.col("o2.v").alias("y")
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    return e, deg, tri
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count of the UNDIRECTED graph under ``edges``
     (direction and duplicates ignored, self-loops dropped) — one row
@@ -104,51 +165,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     rank ties break by node id, making the orientation — and each
     intermediate — deterministic cross-engine.
     """
-    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    e = (
-        edges.select(a.alias("a"), b.alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .union(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da, db = deg.alias("da"), deg.alias("db")
-    ranked = (
-        e.join(da, F.col("a") == F.col("da.n"))
-        .join(db, F.col("b") == F.col("db.n"))
-        .select(
-            "a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b")
-        )
-    )
-    lower_first = (F.col("d_a") < F.col("d_b")) | (
-        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lower_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dv"),
-    )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.u") == F.col("o2.u"))
-        & (
-            (F.col("o1.dv") < F.col("o2.dv"))
-            | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
-        ),
-    ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
-    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
+    e, deg, tri = _oriented_triangles(edges, src, dst)
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     counts = e.agg(
         F.count(F.lit(1)).cast("long").alias("n_edges")
     ).crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
-    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    return counts.crossJoin(n_tri).select("n_nodes", "n_edges", "n_triangles")
 
 
 def bfs_hops(
@@ -272,54 +294,18 @@ def clustering_coefficients(
 
     Scale shape: identical to triangle_count (degree agg, wedge
     self-join bounded Σ out-deg² = O(m^1.5), closing-edge join) plus
-    one |triangles|×3 explode and a node-keyed count."""
-    from dataflow_python_etl_spark.operators.sketches import _int_div
+    one |triangles|×3 explode and a node-keyed count — the shared
+    cached :func:`_oriented_triangles` enumeration."""
+    from dataflow_python_etl_spark.operators.sketches import _int_div, dec38
 
-    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    e = (
-        edges.select(a.alias("a"), b.alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .union(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da, db = deg.alias("da"), deg.alias("db")
-    ranked = (
-        e.join(da, F.col("a") == F.col("da.n"))
-        .join(db, F.col("b") == F.col("db.n"))
-        .select("a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b"))
-    )
-    lower_first = (F.col("d_a") < F.col("d_b")) | (
-        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lower_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dv"),
-    )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.u") == F.col("o2.u"))
-        & (
-            (F.col("o1.dv") < F.col("o2.dv"))
-            | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
-        ),
-    ).select(F.col("o1.u").alias("w_u"), F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
-    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, ["x", "y"])
+    _, deg, tri = _oriented_triangles(edges, src, dst)
     per_node = (
         tri.select(F.explode(F.array("w_u", "x", "y")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     d_, t_ = F.col("d").cast("long"), F.coalesce(F.col("t"), F.lit(0)).cast("long")
-    pairs2 = dec(d_) * dec(d_ - 1)  # 2 × the wedge count at v
+    pairs2 = dec38(d_) * dec38(d_ - 1)  # 2 × the wedge count at v
     return (
         deg.where(F.col("d") >= 2)
         .join(per_node, "n", "left")
@@ -327,7 +313,10 @@ def clustering_coefficients(
             F.col("n").alias("node"),
             d_.alias("degree"),
             t_.alias("n_triangles"),
-            _int_div(dec(F.lit(4_000_000)) * dec(t_) + pairs2, dec(F.lit(2)) * pairs2)
+            _int_div(
+                dec38(F.lit(4_000_000)) * dec38(t_) + pairs2,
+                dec38(F.lit(2)) * pairs2,
+            )
             .cast("long")
             .alias("cc_ppm"),
         )

@@ -325,9 +325,10 @@ def association_rules(
             )
         ).alias("e")
     ).select("e.antecedent", "e.consequent", "e.pn")
+    from dataflow_python_etl_spark.operators.sketches import dec38 as dec
+
     na = items.select(F.col("p").alias("antecedent"), F.col("np").alias("np_a"))
     nc = items.select(F.col("p").alias("consequent"), F.col("np").alias("np_c"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     joined = (
         rules.join(na, "antecedent")
         .join(nc, "consequent")

@@ -350,21 +350,26 @@ def kmv_sketches(
     k: int = 256,
 ) -> DataFrame:
     """Per-set KMV sketch: ``(set_id, hashes)`` where ``hashes`` is
-    the ASCENDING array of the ≤ k smallest distinct portable hashes
-    of the set's keys. One distinct exchange on (set, key), then a
-    ``row_number() <= k`` rank — which plans as a PARTIAL
-    WindowGroupLimit, truncating each map task to k rows BEFORE the
-    shuffle (the repo's free-skew-protection shape), so a set of any
-    size ships at most k hashes per task. The collected array is ≤ k
-    longs per set by construction — THE point of sketching."""
+    the ASCENDING array of the ≤ k smallest DISTINCT portable hashes
+    of the set's keys. One distinct exchange on (set, hash) — the
+    HASH VALUE is the identity, so a re-seen key collapses (what
+    makes :func:`refresh_kmv_agg`'s merge ≡ full-data sketch EXACT,
+    not just collision-improbable) and two distinct keys colliding
+    in 60 bits collapse too (KMV's sample-of-distinct-hashes
+    semantics; ~k²/2⁶¹ estimate effect). Then a ``row_number() <= k``
+    rank — which plans as a PARTIAL WindowGroupLimit, truncating
+    each map task to k rows BEFORE the shuffle (the repo's free-
+    skew-protection shape), so a set of any size ships at most k
+    hashes per task. The collected array is ≤ k longs per set by
+    construction — THE point of sketching."""
     from pyspark.sql import Window
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     h = (
         df.select(F.col(set_col).alias("set_id"), F.col(key_col).alias("__k"))
-        .distinct()
         .select("set_id", md5_hash60(F.col("__k").cast("string")).alias("h"))
+        .distinct()
     )
     w = Window.partitionBy("set_id").orderBy("h")
     return (
@@ -373,6 +378,13 @@ def kmv_sketches(
         .groupBy("set_id")
         .agg(F.array_sort(F.collect_list("h")).alias("hashes"))
     )
+
+
+def dec38(c):
+    """The decimal lift that accompanies :func:`_int_div` whenever an
+    integer PRODUCT can brush int64 (the sums fit, their products
+    don't): one definition so a precision change lands everywhere."""
+    return c.cast("decimal(38,0)")
 
 
 def _int_div(a, b):

@@ -638,9 +638,8 @@ def trend_slope(
     Scale shape: one (group, day) map-side-combined rollup — the
     only fact-sized exchange — then a |groups|-keyed sum pass.
     """
-    from dataflow_python_etl_spark.operators.sketches import _int_div
+    from dataflow_python_etl_spark.operators.sketches import _int_div, dec38 as dec
 
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     daily = (
         df.select(
             F.col(group_col).alias("g"),

@@ -708,7 +708,11 @@ def refresh_kmv_agg(
     (``operators.sketches.kmv_sketches`` shape) and each refresh
     merges under the KMV merge law — k smallest of the DISTINCT
     union (``kmv(A ∪ B) = k-min(kmv(A) ∪ kmv(B))``), so
-    ``refresh(kmv(A), kmv(B)) ≡ kmv(A ∪ B)`` exactly (pinned).
+    ``refresh(kmv(A), kmv(B)) ≡ kmv(A ∪ B)`` EXACTLY — not just
+    collision-improbably — because ``kmv_sketches`` itself dedups on
+    the HASH value (the hash is the identity on both the build and
+    the merge side, so a 60-bit collision between distinct keys
+    collapses identically everywhere).
 
     Replay safety WITHOUT a ledger: set union is idempotent — a
     re-delivered batch merges to the same arrays (per-key
@@ -726,6 +730,12 @@ def refresh_kmv_agg(
     missing = [c for c in key_cols if c not in batch_sketch.columns]
     if missing:
         raise ValueError(f"key columns absent from batch: {missing}")
+    extra = [c for c in batch_sketch.columns if c not in key_cols and c != "hashes"]
+    if extra:
+        # the merge regroups on key_cols and rebuilds ONLY the hash
+        # array — a column it can't carry must be rejected up front,
+        # not silently dropped on the first fold
+        raise ValueError(f"unexpected non-sketch columns in batch: {extra}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if not os.path.exists(table_path):

@@ -4990,7 +4990,7 @@ def q120_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT o_orderpriority AS set_id, o_custkey AS ck
         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     ),
-    h AS (SELECT set_id, {_md5h60_sql("CAST(ck AS VARCHAR)")} AS h FROM keys),
+    h AS (SELECT DISTINCT set_id, {_md5h60_sql("CAST(ck AS VARCHAR)")} AS h FROM keys),
     r AS (SELECT set_id, h,
                  row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn
           FROM h),
@@ -5760,7 +5760,7 @@ def q135_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keys AS (
         SELECT DISTINCT event_type AS set_id, user_id AS u FROM events
     ),
-    h AS (SELECT set_id, {_md5h60_sql("CAST(u AS VARCHAR)")} AS h FROM keys),
+    h AS (SELECT DISTINCT set_id, {_md5h60_sql("CAST(u AS VARCHAR)")} AS h FROM keys),
     r AS (SELECT set_id, h,
                  row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn
           FROM h),

@@ -549,3 +549,11 @@ def test_refresh_kmv_agg_merge_law_and_replay(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="k must be"):
         refresh_kmv_agg(spark, path, kmv_sketches(df, "grp", "member", k), ["set_id"], 1)
+    # a column the merge can't carry is rejected up front, never
+    # silently dropped on the first fold
+    with pytest.raises(ValueError, match="unexpected non-sketch columns"):
+        refresh_kmv_agg(
+            spark, path,
+            kmv_sketches(df, "grp", "member", k).withColumn("updated_at", F.lit(1)),
+            ["set_id"], k,
+        )

@@ -57,7 +57,7 @@ def _rotation(r: int) -> dict[int, int] | None:
 
 
 def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
-    """Write ``documents.parquet`` and ``events.parquet`` with
+    """Write ``documents/events/orders/lineitem.parquet`` with
     ``replicas``× the source rows (pandas/pyarrow only — no second
     Spark JVM during generation). Documents replicate under the
     alphabet bijection (pair structure preserved per replica); events
