@@ -764,3 +764,44 @@ def refresh_kmv_agg(
         )
     )
     write_and_swap(merged, table_path)
+
+
+def stream_kmv_agg_to_table(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    set_col: str,
+    key_col: str,
+    k: int = 256,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming DISTINCT-COUNT materialized view: per micro-batch,
+    sketch the batch (``kmv_sketches``) and merge it into the
+    persisted per-key KMV table via :func:`refresh_kmv_agg` — the
+    non-additive sibling of :func:`stream_additive_agg_to_table`,
+    and the one where foreachBatch's at-least-once delivery needs NO
+    ledger at all: the KMV merge is a set union, so a replayed batch
+    merges to the same arrays (replay convergence pinned). The table
+    converges to the full-history sketch (parity-pinned); estimates
+    are read off the arrays with ``_kmv_est_int``."""
+    from dataflow_python_etl_spark.operators.sketches import kmv_sketches
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from dataflow_python_etl_spark.streaming.pipeline import (
+            _guard_missing_table,
+        )
+
+        _guard_missing_table(table_path, batch_id)
+        refresh_kmv_agg(
+            batch_df.sparkSession,
+            table_path,
+            kmv_sketches(batch_df, set_col, key_col, k),
+            ["set_id"],
+            k,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

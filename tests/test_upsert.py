@@ -557,3 +557,48 @@ def test_refresh_kmv_agg_merge_law_and_replay(spark, tmp_path):
             kmv_sketches(df, "grp", "member", k).withColumn("updated_at", F.lit(1)),
             ["set_id"], k,
         )
+
+
+def test_stream_kmv_agg_parity_and_replay_free(spark, tmp_path):
+    """The streaming KMV MV converges to the full-history sketch
+    across micro-batches with NO ledger — the set-union merge makes
+    at-least-once delivery safe by construction. Restart with the
+    table gone must fail loudly (never rebuild from one batch)."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.sketches import kmv_sketches
+    from dataflow_python_etl_spark.operators.upsert import stream_kmv_agg_to_table
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "kmv_mv")
+    ckpt = str(tmp_path / "ckpt")
+    cutoff = "2024-01-15"
+    ev.where(F.col("ts") < cutoff).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = stream_kmv_agg_to_table(stream, table, ckpt, "event_type", "user_id", k=64)
+    q.processAllAvailable()
+    ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    def arrays(frame):
+        return {r["set_id"]: list(r["hashes"]) for r in frame.collect()}
+
+    got = arrays(spark.read.parquet(table))
+    want = arrays(kmv_sketches(ev, "event_type", "user_id", 64))
+    assert got == want and len(want) > 0
+    # lost table on restart: fail loudly
+    shutil.rmtree(table)
+    ev.limit(10).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(ev.schema).parquet(src)
+    q2 = stream_kmv_agg_to_table(stream2, table, ckpt, "event_type", "user_id", k=64)
+    with pytest.raises(Exception, match="missing"):
+        q2.processAllAvailable()
+    q2.stop()
