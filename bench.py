@@ -108,6 +108,8 @@ EXTENDED_QUERIES = [
     "q137_conversion_join",
     "q138_clustering_coefficients",
     "q139_m4_downsample",
+    "q140_vocab_growth",
+    "q141_df_spectrum",
 ]
 
 
