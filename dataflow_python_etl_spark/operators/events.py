@@ -677,6 +677,65 @@ def peak_concurrency(
     )
 
 
+def _global_ranked(df: DataFrame, order_by, partitions: int) -> DataFrame:
+    """Shared distributed total-order machinery under
+    :func:`global_rank` and :func:`global_ntile`: range-repartition
+    on the sort keys, rank within each partition via
+    ``monotonically_increasing_id`` taken AFTER sortWithinPartitions
+    (post-sort, mid's per-partition ordinal IS the sort rank — a
+    pid-keyed row_number window would add a second data-sized
+    exchange), and broadcast each partition's prefix offset back.
+    Returns the frame with ``_rn`` (in-partition rank), ``_off``
+    (prefix offset) and ``_n`` (total rows); the frame sits behind a
+    REGISTERED persist because mid values are execution-dependent and
+    the sizes/ranked branches must read ONE materialization."""
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    sort_cols = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
+    ]
+    part = register_cache(
+        df.repartitionByRange(partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright(F.col("_mid"), 33)
+    ordinal = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    sizes = part.groupBy(pid.alias("_pid")).agg(F.count(F.lit(1)).alias("_cnt"))
+    tiny = Window.orderBy("_pid")  # partitions-row frame, not data-sized
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_cnt")
+        .over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n"),
+    )
+    return part.withColumn("_pid", pid).withColumn("_rn", ordinal + 1).join(
+        F.broadcast(offsets), "_pid"
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    out_col: str,
+    partitions: int = 32,
+) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY ...)`` over a TOTAL order
+    without the single-partition window — the rank sibling of
+    :func:`global_ntile` (same distributed machinery, same
+    total-order requirement: append an id tie-break)."""
+    ranked = _global_ranked(df, order_by, partitions)
+    return ranked.withColumn(
+        out_col, (F.col("_off") + F.col("_rn")).cast("long")
+    ).drop("_mid", "_pid", "_rn", "_off", "_n")
+
+
 def global_ntile(
     df: DataFrame,
     n_buckets: int,
@@ -717,37 +776,9 @@ def global_ntile(
     the extra row, so the result is bit-identical to
     ``ntile(b) OVER (ORDER BY ...)`` on any engine.
     """
-    from pyspark.sql import Window
-
-    from dataflow_python_etl_spark.operators.dedup import register_cache
-
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    sort_cols = [
-        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
-    ]
-    part = register_cache(
-        df.repartitionByRange(partitions, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-    )
-    pid = F.shiftright(F.col("_mid"), 33)
-    ordinal = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
-    sizes = part.groupBy(pid.alias("_pid")).agg(F.count(F.lit(1)).alias("_cnt"))
-    tiny = Window.orderBy("_pid")  # partitions-row frame, not data-sized
-    offsets = sizes.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_cnt").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("_off"),
-        F.sum("_cnt")
-        .over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("_n"),
-    )
-    ranked = part.withColumn("_pid", pid).withColumn("_rn", ordinal + 1).join(
-        F.broadcast(offsets), "_pid"
-    )
+    ranked = _global_ranked(df, order_by, partitions)
     rank = F.col("_off") + F.col("_rn")
     b = F.lit(n_buckets).cast("long")
     small = F.floor(F.col("_n") / b)

@@ -6041,6 +6041,67 @@ def q141_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q142_revenue_gini",
+    """
+    WITH r AS (
+        SELECT o_custkey, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    k AS (
+        SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rk FROM r
+    ),
+    s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(cents) AS HUGEINT) AS sx,
+               sum(CAST(rk AS HUGEINT) * cents) AS sxr
+        FROM k
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST((2000000 * (2 * sxr - (n + 1) * sx) + n * sx)
+                // (2 * n * sx) AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+    "Gini coefficient of per-customer revenue in half-up integer ppm "
+    "— the concentration number beside q106's Pareto curve. Exact by "
+    "construction: rank-weighted sum formula G = (2*Sum(i*x_i) - "
+    "(n+1)*Sum(x)) / (n*Sum(x)) over cents with the global rank from "
+    "operators.events.global_rank (distributed range-rank, never a "
+    "single-task ORDER BY window); products through DECIMAL since "
+    "rank*cents sums brush int64 at real customer counts.",
+)
+def q142_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.events import global_rank
+    from dataflow_python_etl_spark.operators.sketches import _int_div, dec38
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    k = global_rank(rev, [("cents", "asc"), ("o_custkey", "asc")], "rk")
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(dec38(F.col("rk")) * dec38(F.col("cents"))).alias("sxr"),
+    )
+    n, sx, sxr = dec38(F.col("n")), dec38(F.col("sx")), F.col("sxr")
+    num = dec38(F.lit(2)) * sxr - (n + dec38(F.lit(1))) * sx
+    den = n * sx
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        _int_div(dec38(F.lit(2_000_000)) * num + den, dec38(F.lit(2)) * den)
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

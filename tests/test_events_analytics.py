@@ -776,3 +776,55 @@ def test_top_paths_semantics(spark):
         top_paths(ev, n_steps=0)
     with pytest.raises(ValueError, match="top_k"):
         top_paths(ev, top_k=0)
+
+
+def test_global_rank_and_gini_fixture(spark):
+    """global_rank must equal row_number over the total order; the
+    Gini construction on a crafted base: values 1,1,1,1 -> G=0;
+    values 0,0,0,4 (one customer owns everything) -> G=(n-1)/n=3/4."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+    from dataflow_python_etl_spark.operators.events import global_rank
+
+    df = spark.createDataFrame(
+        [(1, 30), (2, 10), (3, 20), (4, 10)], "id: long, v: long"
+    )
+    got = {
+        r["id"]: r["rk"]
+        for r in global_rank(df, [("v", "asc"), ("id", "asc")], "rk").collect()
+    }
+    assert got == {2: 1, 4: 2, 3: 3, 1: 4}
+    unpersist_all()
+
+    def gini_ppm(vals):
+        rows = [(i + 1, v) for i, v in enumerate(vals)]
+        d = spark.createDataFrame(rows, "o_custkey: long, cents: long")
+        xs = sorted(vals)
+        n, sx = len(xs), sum(xs)
+        sxr = sum((i + 1) * x for i, x in enumerate(xs))
+        num = 2 * sxr - (n + 1) * sx
+        den = n * sx
+        expect = (2_000_000 * num + den) // (2 * den)
+        from dataflow_python_etl_spark.operators.sketches import _int_div, dec38
+
+        k = global_rank(d, [("cents", "asc"), ("o_custkey", "asc")], "rk")
+        s = k.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").alias("sx"),
+            F.sum(dec38(F.col("rk")) * dec38(F.col("cents"))).alias("sxr"),
+        )
+        nn, sxc = dec38(F.col("n")), dec38(F.col("sx"))
+        numc = dec38(F.lit(2)) * F.col("sxr") - (nn + dec38(F.lit(1))) * sxc
+        denc = nn * sxc
+        got = s.select(
+            _int_div(dec38(F.lit(2_000_000)) * numc + denc, dec38(F.lit(2)) * denc)
+            .cast("long")
+            .alias("g")
+        ).first()["g"]
+        unpersist_all()
+        assert got == expect
+        return got
+
+    assert gini_ppm([5, 5, 5, 5]) == 0
+    assert gini_ppm([0, 0, 0, 4]) == 750_000  # (n-1)/n with n=4
