@@ -516,6 +516,11 @@ def run_events_report(args) -> None:
         .collect()
     ):
         print(f"{r['from_type']} -> {r['to_type']}: {r['transitions']}")
+    print("== top journeys ==")
+    from dataflow_python_etl_spark.operators.events import top_paths
+
+    for r in top_paths(ev, top_k=5).collect():
+        print(f"journey {r['path']}: {r['n_users']} users")
     n_anom = rolling_anomalies(ev).where("is_anomaly").count()
     print(f"== anomalies ==\n{n_anom} anomalous buckets")
     print("== last-touch attribution ==")

@@ -383,6 +383,7 @@ def test_events_report_subcommand(spark, tmp_path, capsys):
     assert "step 1 signup:" in out and "step 3 purchase:" in out
     assert "+0w:" in out  # cohort size row
     assert "-> " in out  # at least one transition
+    assert "journey " in out  # top-paths line
     assert "anomalous buckets" in out
     assert "conversions, value" in out  # attribution rows
     assert "CUSUM-alarmed buckets" in out
