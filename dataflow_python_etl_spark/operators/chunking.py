@@ -299,12 +299,23 @@ def write_training_shards(
     reader verifies a shard by recomputing :func:`shard_manifest`
     over the partition and comparing checksums (pinned in tests).
     """
+    import os
+
     from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
     assigned = shard_assign(docs, n_shards, id_col, salt)
-    write_and_swap(assigned, path, partition_by=["shard_id"])
     manifest = shard_manifest(docs, n_shards, id_col, text_col, salt)
-    # sidecar lives inside the (already-swapped) export dir; "_" prefix
-    # keeps it out of any parquet scan of the table itself
-    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+
+    def _manifest_into(tmp_dir: str) -> None:
+        # sidecar written into the TMP dir so the swap publishes data
+        # and manifest in one rename — a crash can never expose an
+        # export without its manifest; "_" prefix keeps it out of any
+        # parquet scan of the table itself
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp_dir, "_manifest")
+        )
+
+    write_and_swap(
+        assigned, path, partition_by=["shard_id"], pre_swap=_manifest_into
+    )
     return manifest

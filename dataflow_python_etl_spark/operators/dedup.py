@@ -522,6 +522,39 @@ def simhash_pairs(
     (the mask discards the extended bits) and matches the DuckDB
     oracle expression bit-for-bit (q59).
     """
+    # registered cache: the self-join consumes the band frame twice,
+    # and the signature expression (per token: 1 md5 + `bits` affine
+    # updates, interpreted HOFs) is the dominant cost — uncached it
+    # evaluates once per side (measured 6.6 s -> ~4 s at sf0.1)
+    sig = _persist(simhash(df, id_col, text_col, bits))
+    return hamming_banded_pairs(
+        sig, id_col, "simhash", max_hamming, n_bands, bits
+    )
+
+
+def hamming_banded_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    n_bands: int,
+    bits: int = 64,
+) -> DataFrame:
+    """Pigeonhole-exact Hamming pair search over ANY 64-bit-packed
+    fingerprint frame ``(id_col, sig_col)`` — the candidate/verify
+    core shared by :func:`simhash_pairs` (text) and the image
+    perceptual-hash tier (``multimodal.image_near_dup_pairs``): two
+    signatures within ``max_hamming`` bits must agree exactly on at
+    least one of ``n_bands`` disjoint bit-blocks, so banded candidate
+    generation misses nothing; verification is one JVM
+    ``bit_count(xor)`` on the signatures carried through the band
+    frame. Returns ``(doc_a, doc_b, hamming)`` with doc_a < doc_b.
+
+    Callers whose signature is expensive to derive should pass an
+    already-persisted frame (the self-join consumes it twice). Band
+    buckets shuffle on (band, band-bits); correlated fingerprints can
+    skew a bucket — AQE skew-join splits it at runtime (same posture
+    as the MinHash band index)."""
     if not 0 <= max_hamming < n_bands:
         raise ValueError(
             f"exactness needs 0 <= max_hamming < n_bands, got {max_hamming}/{n_bands}"
@@ -530,17 +563,12 @@ def simhash_pairs(
         raise ValueError(f"bits ({bits}) must divide evenly into {n_bands} bands")
     width = bits // n_bands
     mask = (1 << width) - 1
-    # registered cache: the self-join consumes the band frame twice,
-    # and the signature expression (per token: 1 md5 + `bits` affine
-    # updates, interpreted HOFs) is the dominant cost — uncached it
-    # evaluates once per side (measured 6.6 s -> ~4 s at sf0.1)
-    sig = _persist(simhash(df, id_col, text_col, bits))
     bands = sig.select(
         F.col(id_col).alias("doc"),
-        "simhash",
+        F.col(sig_col).alias("__sig"),
         F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
     ).withColumn(
-        "val", F.expr(f"shiftright(simhash, band * {width}) & {mask}")
+        "val", F.expr(f"shiftright(__sig, band * {width}) & {mask}")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -554,7 +582,7 @@ def simhash_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()

@@ -319,3 +319,194 @@ def extract_audio_features(
             )
 
     return df.select(id_col, "payload").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate tier: perceptual hash over REAL decoded pixels
+# ---------------------------------------------------------------------------
+
+IMAGE_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("variant", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+# Deterministic near-dup plant for the synthetic image corpus: the
+# positions variant 2 perturbs (one pixel in each of 5 distinct 4x4
+# blocks of a 32x32 image), and the brightness shift of variant 1.
+_HOT_PIXELS = (0, 131, 262, 393, 524)
+_BRIGHT_SHIFT = 9
+
+
+def synthetic_image_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a REAL image corpus (actual PNG bytes) deterministically
+    from a text table, with planted near-duplicates — the fixture
+    generator for the image near-dup tier, same role the documents
+    table's planted text dups play for MinHash/SimHash.
+
+    Per document (empty texts dropped), a 32x32 grayscale base image:
+    pixel i (row-major) = unicode code point of text character
+    ``i mod len(text)``, mod 256 — tiling the text across the frame.
+    Four variants per doc (``image_id = doc_id*10 + v``):
+
+    - v0: the base image;
+    - v1: every pixel ``+9 mod 256`` — a global brightness shift,
+      which the block-average hash is invariant to BY CONSTRUCTION
+      (aHash's textbook property), so hamming(v0, v1) = 0;
+    - v2: 5 "hot" pixels (one per distinct 4x4 block) ``+128 mod
+      256`` — a small edit, hamming <= 5;
+    - v3: inverted (``255 - p``) — a far image, never paired.
+
+    Every pixel is an integer function of the text, so a SQL oracle
+    reproduces the pixels — and therefore the perceptual hashes —
+    bit-for-bit WITHOUT decoding PNG: the Spark side's real
+    encode -> decode -> hash path is verified end-to-end by hash
+    parity (any codec or hash defect breaks it). mapInPandas fan-out,
+    no shuffle."""
+    import numpy as np
+
+    from dataflow_python_etl_spark.operators.codecs import encode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dids, vs, payloads = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                codes = np.array([ord(c) % 256 for c in text], dtype=np.uint8)
+                base = np.resize(codes, 32 * 32).astype(np.int64)
+                hot = base.copy()
+                hot[list(_HOT_PIXELS)] = (hot[list(_HOT_PIXELS)] + 128) % 256
+                for v, px in enumerate(
+                    (base, (base + _BRIGHT_SHIFT) % 256, hot, 255 - base)
+                ):
+                    ids.append(int(doc_id) * 10 + v)
+                    dids.append(int(doc_id))
+                    vs.append(v)
+                    payloads.append(
+                        encode_png(px.astype(np.uint8).reshape(32, 32))
+                    )
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(dids, dtype="int64"),
+                    "variant": pd.Series(vs, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, IMAGE_CORPUS_SCHEMA)
+
+
+def ahash64(pixels) -> int:
+    """Portable 64-bit average hash of a decoded pixel array: exact
+    integer arithmetic only, so the fingerprint is bit-identical
+    across engines, platforms, and numpy versions.
+
+    Luma per pixel (integer, x1000 scale): grayscale ``1000*g``; RGB
+    ``299*R + 587*G + 114*B`` (BT.601 milli-weights); alpha channels
+    ignored. The frame is cut into an 8x8 grid with exact boundaries
+    ``floor(k*H/8)``; bit ``r*8+c`` is set iff the block's luma sum
+    strictly exceeds the global mean scaled to the block —
+    ``s_blk * (H*W) > total * n_blk``, an integer cross-multiply (no
+    division, no floats; a global brightness shift cancels on both
+    sides, giving the aHash invariance the near-dup tier relies on).
+    Python-int accumulation: no overflow at any image size. Bit 63 is
+    packed as the two's-complement minimum (the simhash discipline),
+    so the value round-trips signed 64-bit storage on every engine.
+    """
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        luma = px.astype(object) * 1000
+    elif px.ndim == 3 and px.shape[2] in (3, 4):
+        p = px.astype(object)
+        luma = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    elif px.ndim == 3 and px.shape[2] == 2:  # gray + alpha
+        luma = px[:, :, 0].astype(object) * 1000
+    else:
+        raise ValueError(f"expected (h,w[,2|3|4]) pixels, got {px.shape}")
+    h, w = luma.shape[:2]
+    if h < 8 or w < 8:
+        raise ValueError(f"image too small for an 8x8 grid: {h}x{w}")
+    total = int(luma.sum())
+    n_px = h * w
+    fp = 0
+    for r in range(8):
+        r0, r1 = r * h // 8, (r + 1) * h // 8
+        for c in range(8):
+            c0, c1 = c * w // 8, (c + 1) * w // 8
+            s = int(luma[r0:r1, c0:c1].sum())
+            if s * n_px > total * (r1 - r0) * (c1 - c0):
+                k = r * 8 + c
+                fp += -(1 << 63) if k == 63 else (1 << k)
+    return fp
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "image_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual fingerprint per image: REALLY decode each binary
+    payload (any container ``operators.codecs`` reads — PNG, JPEG,
+    GIF, BMP, netpbm, TIFF) and compute the portable integer
+    :func:`ahash64` over the decoded pixels. Arrow-batched
+    mapInPandas, partition-parallel, no shuffle — the map-side cost
+    is one decode + one pass over the pixels per image."""
+    from dataflow_python_etl_spark.operators.codecs import decode_image
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                _fmt, pixels = decode_image(bytes(payload))
+                hashes.append(ahash64(pixels))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf[id_col].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pair search: :func:`image_phash` per
+    image, then pigeonhole-EXACT Hamming banding via
+    ``dedup.hamming_banded_pairs`` (the machinery SimHash text dedup
+    uses) — never all-pairs; candidates form only inside
+    (band, band-bits) buckets and verification is one
+    ``bit_count(xor)``. Returns (doc_a, doc_b, hamming), a < b.
+
+    The fingerprint frame is persisted through the dedup cache
+    registry (the self-join consumes it twice; an unregistered
+    persist would leak and flatter bench medians — CLAUDE.md rule).
+    At 100 TB the decode cost dominates and stays map-side; the
+    shuffle carries only (id, 64-bit hash) rows."""
+    from dataflow_python_etl_spark.operators.dedup import (
+        _persist,
+        hamming_banded_pairs,
+    )
+
+    sig = _persist(image_phash(images, id_col, payload_col))
+    return hamming_banded_pairs(sig, "image_id", "phash", max_hamming, n_bands)

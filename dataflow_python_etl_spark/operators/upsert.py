@@ -51,6 +51,7 @@ def write_and_swap(
     options: dict | None = None,
     partition_by: list[str] | None = None,
     extra_files: dict[str, str] | None = None,
+    pre_swap=None,
 ) -> None:
     """THE one overwrite path: write ``df`` (any datasource format —
     parquet default, json/orc/csv via ``fmt``/``options``) to a
@@ -71,7 +72,13 @@ def write_and_swap(
     batch ledger) becomes visible atomically WITH the data it
     describes — a crash can never publish data without its sidecar
     or vice versa. Underscore-prefix the names so Spark scans skip
-    them; directory-format tables only."""
+    them; directory-format tables only.
+
+    ``pre_swap`` (callable, receives the tmp dir path) runs after the
+    data write but before the swap, for sidecars that are themselves
+    Spark jobs (e.g. a ``_manifest`` parquet) — same atomicity
+    contract as ``extra_files``, for content a plain string can't
+    express."""
     import os
 
     tmp = f"{table_path}.__tmp_{uuid.uuid4().hex[:8]}"
@@ -89,6 +96,13 @@ def write_and_swap(
             )
         with open(os.path.join(tmp, name), "w") as f:
             f.write(content)
+    if pre_swap is not None:
+        if not os.path.isdir(tmp):
+            raise ValueError(
+                "pre_swap requires a directory-format table "
+                f"(got single-file output at {tmp})"
+            )
+        pre_swap(tmp)
     if os.path.exists(table_path):
         swap_table_dir(table_path, tmp)
     else:
@@ -555,7 +569,10 @@ def refresh_additive_agg(
     same batch_id on restart, and the ledger — not the checkpoint —
     is what makes that replay a no-op. A pre-ledger table (built by
     a batch caller without ids) starts protection at its first
-    ledgered fold. Schema must match the existing table exactly,
+    ledgered fold; conversely a ledgerless fold into a LEDGERED
+    table carries the existing ledger forward unchanged (pinned) —
+    a mixed batch+streaming maintenance schedule never drops replay
+    protection. Schema must match the existing table exactly,
     names AND types (a silently-widened measure would truncate
     through the cast and drift the aggregate)."""
     import json
@@ -576,10 +593,17 @@ def refresh_additive_agg(
     if not os.path.exists(table_path):
         write_and_swap(batch_agg, table_path, extra_files=ledger)
         return
+    applied = _read_agg_ledger(table_path)
     if batch_id is not None:
-        applied = _read_agg_ledger(table_path)
         if applied is not None and batch_id <= applied:
             return  # replayed batch: already folded in, skip
+    elif applied is not None:
+        # Ledgerless fold into a LEDGERED table: carry the existing
+        # ledger forward. write_and_swap rebuilds the table dir from
+        # scratch, so omitting it here would silently erase replay
+        # protection — a later streaming restart would find no ledger
+        # and re-apply its last delivered batch (double-count).
+        ledger = {AGG_LEDGER: json.dumps({"last_batch_id": applied})}
     cur = spark.read.parquet(table_path)
     cur_types = {f.name: f.dataType for f in cur.schema.fields}
     new_types = {f.name: f.dataType for f in batch_agg.schema.fields}

@@ -657,7 +657,11 @@ def stream_scd2_to_table(
         _guard_missing_table(table_path, batch_id)
         if not os.path.exists(table_path):
             hist = scd2_intervals(batch_df, user_col, ts_col, attr_col, id_col)
-            hist.write.parquet(table_path)
+            # atomic create (rename of a completed tmp dir): a crash
+            # mid-bootstrap must not leave a torn table_path that the
+            # batch-0 replay would then treat as a valid dimension and
+            # apply incrementally against
+            write_and_swap(hist, table_path)
             return
         dim = spark.read.parquet(table_path)
         cur = dim.where(F.col("is_current")).select(

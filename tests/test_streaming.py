@@ -365,6 +365,28 @@ def test_stream_cdc_conflicting_ops_fail_loudly(spark, tmp_path):
     q.stop()
 
 
+def _poll_parquet_ids(spark, path, col, want, timeout=120):
+    """Bounded sink polling (the repo's streaming-test rule): read the
+    parquet sink until the SORTED id list (duplicates visible) equals
+    ``want`` or the deadline passes; return the last observed list.
+    Asserting immediately after ``processAllAvailable()`` raced a
+    foreachBatch swap once in a certify run — the poll absorbs any
+    micro-batch/swap timing without weakening what is asserted."""
+    import time
+
+    deadline = time.time() + timeout
+    got = None
+    while time.time() < deadline:
+        try:
+            got = sorted(r[col] for r in spark.read.parquet(path).collect())
+        except Exception:
+            got = None  # sink mid-swap or not yet created
+        if got == want:
+            return got
+        time.sleep(0.5)
+    return got
+
+
 def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
     """Continuous corpus ingestion: in-batch dups, cross-batch dups
     (vs the persisted corpus/index), and id-order-independent removal
@@ -393,8 +415,7 @@ def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
         ckpt,
     )
     q.processAllAvailable()
-    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
-    assert got1 == {1, 3}
+    assert _poll_parquet_ids(spark, corpus, "doc_id", [1, 3]) == [1, 3]
 
     # batch 2: 11 copies corpus doc 3 (cross-batch dup), 12 unique,
     # 13 copies 12 in-batch. Also 0 copies corpus doc 1 despite having
@@ -403,17 +424,16 @@ def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
         (0, texts["a"]), (11, texts["b"]), (12, texts["c"]), (13, texts["c"])
     ).write.mode("append").parquet(src)
     q.processAllAvailable()
-    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
-    assert got2 == {1, 3, 12}
+    assert _poll_parquet_ids(spark, corpus, "doc_id", [1, 3, 12]) == [1, 3, 12]
 
     # batch 3: replayed ids (already ingested) are anti-joined away,
-    # fresh non-dup doc lands
+    # fresh non-dup doc lands; the sorted-list poll also pins the
+    # replay guard (a duplicate corpus row would show as a 5th entry)
     mk((12, texts["c"]), (14, texts["d"])).write.mode("append").parquet(src)
     q.processAllAvailable()
+    got3 = _poll_parquet_ids(spark, corpus, "doc_id", [1, 3, 12, 14])
     q.stop()
-    rows = spark.read.parquet(corpus).collect()
-    assert {r["doc_id"] for r in rows} == {1, 3, 12, 14}
-    assert len(rows) == 4  # replay guard: no duplicate corpus rows
+    assert got3 == [1, 3, 12, 14]
 
     # the persisted index covers exactly the corpus survivors
     assert {r["doc"] for r in spark.read.parquet(index).collect()} == {1, 3, 12, 14}

@@ -457,6 +457,31 @@ def test_refresh_additive_agg_ledger_makes_replay_noop(spark, tmp_path):
     assert got == {"a": 5, "b": 1}
 
 
+def test_refresh_additive_agg_ledgerless_fold_keeps_ledger(spark, tmp_path):
+    """A batch caller folding WITHOUT a batch_id into a ledgered table
+    must not erase the ledger (write_and_swap rebuilds the dir, so the
+    sidecar must be carried forward explicitly): a streaming restart
+    after such a mixed fold would otherwise find no ledger and
+    double-count its replayed batch."""
+    from dataflow_python_etl_spark.operators.upsert import (
+        _read_agg_ledger,
+        refresh_additive_agg,
+    )
+
+    path = str(tmp_path / "mv")
+    b0 = spark.createDataFrame([("a", 2)], "k string, n long")
+    refresh_additive_agg(spark, path, b0, ["k"], batch_id=7)
+    assert _read_agg_ledger(path) == 7
+    # ledgerless (batch-side backfill) fold: ledger survives the swap
+    b_extra = spark.createDataFrame([("b", 4)], "k string, n long")
+    refresh_additive_agg(spark, path, b_extra, ["k"])
+    assert _read_agg_ledger(path) == 7
+    # streaming replay of batch 7 after the mixed fold: still a no-op
+    refresh_additive_agg(spark, path, b0, ["k"], batch_id=7)
+    got = {r["k"]: r["n"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 2, "b": 4}
+
+
 def test_stream_additive_agg_parity_and_restart_guard(spark, tmp_path):
     import shutil
 
