@@ -565,6 +565,9 @@ def curate_corpus(
     boilerplate_split: str = "\n",
     boilerplate_joiner: str = "\n",
     gopher_rules: bool = False,
+    images: DataFrame | None = None,
+    image_payload_col: str = "payload",
+    image_max_hamming: int = 6,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
@@ -627,6 +630,16 @@ def curate_corpus(
        banded near-dup pairs (EXACT by pigeonhole for distance <
        8 bands) remove the higher id of each pair — catches small-edit
        near-dups whose Jaccard sits under ``jaccard_threshold``;
+    3c. optional image near-dup tier (``images``: a ``(id_col,
+       image_payload_col)`` frame carrying each document's image
+       bytes): payloads of SURVIVING docs are really decoded
+       (``operators.codecs``), fingerprinted with the portable
+       integer aHash, and Hamming-banded
+       (``multimodal.image_near_dup_pairs``) — the higher-id doc of
+       each pair within ``image_max_hamming`` is dropped. Pruned to
+       survivors first, so decode cost never exceeds the surviving
+       corpus — the re-encoded/brightness-shifted duplicate image
+       tier a multimodal crawl needs;
     4. semantic near-dup removal (embedding cosine over LSH buckets —
        paraphrases; skipped when ``embeddings`` is None);
     5. per-domain quota (``cap_per_key``; skipped when ``domain_col``
@@ -777,6 +790,26 @@ def curate_corpus(
         )
         out = out.join(
             sh.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
+        )
+    if images is not None:
+        from dataflow_python_etl_spark.operators.multimodal import (
+            image_near_dup_pairs,
+        )
+
+        # prune to current survivors FIRST: the decode is the dominant
+        # cost of this tier and must only touch documents that passed
+        # the cheaper text gates (same contract as the embedding prune)
+        img_pruned = images.join(
+            out.select(id_col), id_col, "left_semi"
+        )
+        ip = image_near_dup_pairs(
+            img_pruned,
+            id_col=id_col,
+            payload_col=image_payload_col,
+            max_hamming=image_max_hamming,
+        )
+        out = out.join(
+            ip.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
         )
     if embeddings is not None:
         # prune the vector table to current survivors FIRST — the

@@ -6102,6 +6102,76 @@ def q142_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q143_image_phash_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) > 0
+    ),
+    base AS (
+        SELECT d.doc_id, g.i,
+               ascii(substr(d.text, ((g.i % d.len) + 1)::INT, 1)) % 256 AS p
+        FROM d CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) g
+    ),
+    px AS (
+        SELECT doc_id * 10 + v AS img, i,
+               CASE v WHEN 0 THEN p WHEN 1 THEN (p + 9) % 256
+                      WHEN 2 THEN CASE WHEN i IN (0, 131, 262, 393, 524)
+                                       THEN (p + 128) % 256 ELSE p END
+                      ELSE 255 - p END AS pv
+        FROM base CROSS JOIN (SELECT unnest(range(0, 4)) AS v) vv
+    ),
+    blk AS (
+        SELECT img, (i // 32 // 4) * 8 + ((i % 32) // 4) AS b, sum(pv) AS s
+        FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT img, sum(s) AS t FROM blk GROUP BY 1),
+    ph AS (
+        SELECT blk.img,
+               CAST(sum(CASE WHEN s * 64 > t THEN
+                    CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << b::INT) END
+                    ELSE 0 END) AS BIGINT) AS phash
+        FROM blk JOIN tot USING (img) GROUP BY 1
+    ),
+    bands AS (
+        SELECT img, phash, band, (phash >> (band * 8)) & 255 AS val
+        FROM ph, (SELECT unnest(range(0, 8)) AS band) u
+    )
+    SELECT DISTINCT x.img AS img_a, y.img AS img_b,
+           CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.val = y.val AND x.img < y.img
+    WHERE bit_count(xor(x.phash, y.phash)) <= 6
+    """,
+    "Image near-duplicate pair search over REAL decoded pixels: a "
+    "deterministic PNG corpus derived from documents (4 variants per "
+    "doc — base, brightness-shifted, 5-hot-pixel edit, inverted; "
+    "multimodal.synthetic_image_corpus), REALLY encoded and decoded "
+    "through operators.codecs, fingerprinted by the portable integer "
+    "aHash (multimodal.ahash64: block-sum cross-multiply, no floats), "
+    "then pigeonhole-EXACT Hamming banding shared with SimHash "
+    "(dedup.hamming_banded_pairs, radius 6 over 8 bands). The oracle "
+    "reproduces every pixel — hence every fingerprint — analytically "
+    "from the text, so hash parity verifies the encode->decode->hash "
+    "path end-to-end: brightness variants land at hamming 0 (aHash's "
+    "invariance, exact by the cross-multiply construction), hot-pixel "
+    "edits at <= 5, inversions are never paired.",
+)
+def q143_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = MM.synthetic_image_corpus(docs)
+    pairs = MM.image_near_dup_pairs(imgs, max_hamming=6, n_bands=8)
+    return pairs.select(
+        F.col("doc_a").alias("img_a"),
+        F.col("doc_b").alias("img_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
