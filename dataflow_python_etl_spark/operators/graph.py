@@ -24,21 +24,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _maybe_checkpoint(df: DataFrame, step: int, every: int | None) -> DataFrame:
+    """Truncate the iterated frame's lineage every ``every`` steps
+    (1-based ``step``). ``localCheckpoint(eager=True)`` materializes
+    the current state to executor storage and replaces the logical
+    plan with a leaf — the standard cadence for deep iterative jobs
+    where an unbounded plan tree bloats Catalyst analysis time and
+    (on a real cluster) task-serialization size. Values are
+    unchanged, only lineage; oracle rows stay bit-identical.
+    ``None`` (the default) keeps full lineage — right for shallow
+    fixed depths where re-computation-on-executor-loss matters more
+    than plan size."""
+    if every is not None and step % every == 0:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous PageRank steps
     over the DISTINCT directed edge set. ``rank`` is rounded to 9
     places (ranks live at 1/N scale; 6 places would quantize away
-    real structure at large N)."""
+    real structure at large N). ``checkpoint_every`` bounds plan
+    depth for deep runs (see :func:`_maybe_checkpoint`)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
     # Pay the upstream distinct once, not per round. A registered
@@ -47,7 +67,7 @@ def pagerank(
     # and no eager job runs at plan-construction time. Lineage
     # truncation is not needed for `e` — only the iterated `ranks`
     # chain grows, which is fine at the default 3 iterations
-    # (re-checkpoint ranks on a cadence for deep runs; docs/SCALE.md).
+    # (pass checkpoint_every for deep runs; docs/SCALE.md).
     e = register_cache(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
@@ -62,7 +82,7 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("cnt")).alias("rank")
     )
     base = (F.lit(1.0) - F.lit(damping)) / F.col("cnt")
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -80,17 +100,16 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        ranks = _maybe_checkpoint(ranks, it, checkpoint_every)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
-def _oriented_triangles(edges: DataFrame, src: str, dst: str):
-    """Shared Suri-Vassilvitskii (2011) triangle enumeration used by
-    :func:`triangle_count` (global count, q87) and
-    :func:`clustering_coefficients` (per-node, q138) — one
-    implementation so the orientation/tie-break contract cannot
-    desynchronize between the two. Returns ``(e, deg, tri)`` where
-    ``tri`` has one row per triangle as ``(w_u, x, y)`` (apex, then
-    the two higher-rank corners).
+def _orient(edges: DataFrame, src: str, dst: str):
+    """Degree-ordered orientation shared by the triangle family:
+    returns ``(e, deg, oriented)`` — the distinct undirected edge
+    set, per-node degrees, and every edge oriented from its lower-
+    ``(degree, node)`` endpoint ``u`` toward the higher ``v`` (with
+    ``dv`` = v's degree carried for the wedge rank compare).
 
     ``e``, ``deg`` and ``oriented`` sit behind REGISTERED persists:
     each is consumed 2-3× (deg twice for the rank join, oriented
@@ -128,8 +147,17 @@ def _oriented_triangles(edges: DataFrame, src: str, dst: str):
             F.when(lower_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dv"),
         )
     )
+    return e, deg, oriented
+
+
+def _wedges(oriented: DataFrame) -> DataFrame:
+    """The apex self-join — the heaviest shuffle in the repo (q87/
+    q138). Join key is the apex node ``u``; the orientation bounds
+    apex out-degree at O(√m), but a residual hot apex is exactly the
+    shape AQE skew-join splits (measured pin:
+    ``tests/test_graph_anomaly.py::test_wedge_join_hot_apex_skew_split``)."""
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
+    return o1.join(
         o2,
         (F.col("o1.u") == F.col("o2.u"))
         & (
@@ -139,8 +167,19 @@ def _oriented_triangles(edges: DataFrame, src: str, dst: str):
     ).select(
         F.col("o1.u").alias("w_u"), F.col("o1.v").alias("x"), F.col("o2.v").alias("y")
     )
+
+
+def _oriented_triangles(edges: DataFrame, src: str, dst: str):
+    """Shared Suri-Vassilvitskii (2011) triangle enumeration used by
+    :func:`triangle_count` (global count, q87) and
+    :func:`clustering_coefficients` (per-node, q138) — one
+    implementation so the orientation/tie-break contract cannot
+    desynchronize between the two. Returns ``(e, deg, tri)`` where
+    ``tri`` has one row per triangle as ``(w_u, x, y)`` (apex, then
+    the two higher-rank corners)."""
+    e, deg, oriented = _orient(edges, src, dst)
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, ["x", "y"])
+    tri = _wedges(oriented).join(closing, ["x", "y"])
     return e, deg, tri
 
 
@@ -180,6 +219,7 @@ def bfs_hops(
     dst: str = "dst",
     seed_col: str = "node",
     max_hops: int = 3,
+    checkpoint_every: int | None = 4,
 ) -> DataFrame:
     """Breadth-first reach from a seed set over the UNDIRECTED graph
     under ``edges``: ``(hop, n_nodes)`` — how many nodes first become
@@ -195,12 +235,20 @@ def bfs_hops(
     ids — no floats anywhere, so the DuckDB oracle is a recursive CTE
     whose ``min(hop)`` per node provably equals the BFS distance
     (every ≤ max_hops walk is enumerated; dedup on (node, hop) bounds
-    CTE state at (max_hops+1)·|V| rows). Lineage grows one join per
-    hop — fine at small fixed depths; re-checkpoint the visited set on
-    a cadence for deep traversals (same contract as pagerank).
+    CTE state at (max_hops+1)·|V| rows). Lineage is NOT linear here:
+    each hop's frontier references both the previous frontier and the
+    previous visited set, so the plan TREE grows ~3× per hop —
+    measured 1.2 MB of analyzed-plan string by hop 10, and the
+    driver OOMs formatting the execution description long before any
+    data is large. ``checkpoint_every`` (default 4 — a no-op at the
+    shallow depths the registered queries use, a hard bound on plan
+    size for deep traversals) localCheckpoints both iterated frames
+    on cadence; values are unchanged, only lineage.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -218,8 +266,15 @@ def bfs_hops(
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(h).alias("hop"))
         )
-        nxt = register_cache(nxt)
-        visited = visited.union(nxt)
+        # On cadence, truncate BOTH iterated chains: the frontier's
+        # lineage references the previous frontier AND the previous
+        # visited set, so its plan tree grows ~3× per hop — measured
+        # 1.2 MB of analyzed-plan STRING by hop 10 untruncated, which
+        # OOMs the driver formatting the execution description long
+        # before the data is large. Checkpointing visited alone
+        # leaves the frontier chain exponential.
+        nxt = _maybe_checkpoint(register_cache(nxt), h, checkpoint_every)
+        visited = _maybe_checkpoint(visited.union(nxt), h, checkpoint_every)
         frontier = nxt.select("node")
     return visited.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")

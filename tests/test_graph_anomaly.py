@@ -216,3 +216,150 @@ def test_clustering_coefficients_known_graph(spark):
     assert got[3]["degree"] == 2 and got[3]["n_triangles"] == 1
     assert got[3]["cc_ppm"] == 1_000_000
     assert got[4]["cc_ppm"] == 1_000_000
+
+
+def test_checkpoint_cadence_bounds_plan_depth(spark):
+    """checkpoint_every truncates the iterated frame's lineage on
+    cadence: at depth 10, the un-checkpointed PageRank plan carries
+    all 10 rounds' joins while the cadence-2 plan carries at most
+    one cadence window's worth above an ExistingRDD leaf — and the
+    ranks are bit-identical (localCheckpoint changes lineage, never
+    values)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+    from dataflow_python_etl_spark.operators.graph import bfs_hops, pagerank
+
+    edges = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+    )
+    try:
+        deep = pagerank(edges, iterations=10)
+        capped = pagerank(edges, iterations=10, checkpoint_every=2)
+        plan_deep = deep._jdf.queryExecution().optimizedPlan().toString()
+        plan_capped = capped._jdf.queryExecution().optimizedPlan().toString()
+        assert plan_deep.count("Join") >= 20  # 2 joins per round x 10
+        # cadence 2 -> at most the last (unfinished) window's joins
+        assert plan_capped.count("Join") <= 4, plan_capped.count("Join")
+        assert "LogicalRDD" in plan_capped and "LogicalRDD" not in plan_deep
+        assert sorted(map(tuple, capped.collect())) == sorted(
+            map(tuple, deep.collect())
+        )
+
+        # BFS is the op that NEEDS the cadence: the frontier chain
+        # references both prior frames, so the plan tree grows ~3x
+        # per hop — at depth 10 with checkpoint_every=None the driver
+        # OOMs formatting the execution description (measured; hence
+        # the default cadence of 4). Depth 10 runs only WITH a
+        # cadence; value identity vs full lineage is pinned at the
+        # deepest depth full lineage still survives.
+        path = _edges(spark, [(str(i), str(i + 1)) for i in range(10)])
+        seeds = spark.createDataFrame([("0",)], "node string")
+        b = bfs_hops(path, seeds, max_hops=10, checkpoint_every=3)
+        assert "LogicalRDD" in b._jdf.queryExecution().optimizedPlan().toString()
+        assert {r["hop"]: r["n_nodes"] for r in b.collect()} == {
+            h: 1 for h in range(11)
+        }
+        a6 = bfs_hops(path, seeds, max_hops=6, checkpoint_every=None)
+        b6 = bfs_hops(path, seeds, max_hops=6, checkpoint_every=2)
+        assert sorted(map(tuple, b6.collect())) == sorted(map(tuple, a6.collect()))
+
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            pagerank(edges, iterations=2, checkpoint_every=0)
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            bfs_hops(path, seeds, max_hops=2, checkpoint_every=-1)
+    finally:
+        unpersist_all()
+
+
+def test_wedge_join_hot_apex_skew_split(spark):
+    """Planted-hub skew evidence for the repo's heaviest shuffle
+    (the q87/q138 wedge self-join, graph._wedges). The orientation
+    bounds apex out-degree at O(sqrt m), but a residual hot apex is
+    still one join key holding C(out_deg, 2) wedges. Construction:
+    hub 'a_hub' tied-by-id into 250 'heavy' spokes (each padded with
+    249 leaves so degree ties orient hub->heavy), so EVERY wedge has
+    the hub as apex — 31,125 rows on one key. MEASURED pin, mirroring
+    test_band_index: with AQE skew-join (session default; thresholds
+    lowered to fire at test bytes) the hot apex's join rows spread
+    across >= 4 tasks with a bounded max share, vs the control run
+    (skew off) where one task eats essentially everything. Output
+    identical either way."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+    from dataflow_python_etl_spark.operators.graph import _orient, _wedges, triangle_count
+
+    k = 250
+    # md5-suffixed ids keep the hot partition's shuffle bytes
+    # incompressible (sequential h0001/h0002... compressed below the
+    # detection threshold and the splitter never fired)
+    heavy = lambda c: F.concat(F.lit("h_"), F.md5(c.cast("string")))  # noqa: E731
+    spokes = spark.range(k).select(
+        F.lit("a_hub").alias("src"), heavy(F.col("id")).alias("dst")
+    )
+    leaves = spark.range(k * (k - 1)).select(
+        heavy(F.col("id") % k).alias("src"),
+        F.concat(F.lit("z_"), F.md5((F.col("id") + 1_000_000).cast("string"))).alias("dst"),
+    )
+    # 10 disjoint heavy-heavy pairs -> exactly 10 hub triangles
+    pairs = spark.range(10).select(
+        heavy(F.col("id") * 2).alias("src"),
+        heavy(F.col("id") * 2 + 1).alias("dst"),
+    )
+    edges = spokes.union(leaves).union(pairs)
+    try:
+        _, _, oriented = _orient(edges, "src", "dst")
+        wedges = _wedges(oriented)
+
+        def run(skew_conf):
+            conf = {
+                # at 100 TB the oriented edge set never broadcasts
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                # AQE skew detection is INPUT-byte based: with 512
+                # reduce partitions the hot apex's 250 rows are ~3x
+                # the median partition (vs 1.1x at 32, where the
+                # leaf-edge padding drowns the signal and the
+                # splitter — correctly — sees no input skew)
+                "spark.sql.shuffle.partitions": "512",
+                **skew_conf,
+            }
+            prev = {c: spark.conf.get(c, None) for c in conf}
+            for c, v in conf.items():
+                spark.conf.set(c, v)
+            try:
+                dist = (
+                    wedges.withColumn("pid", F.spark_partition_id())
+                    .groupBy("pid")
+                    .count()
+                    .collect()
+                )
+            finally:
+                for c, v in prev.items():
+                    spark.conf.set(c, v) if v is not None else spark.conf.unset(c)
+            rows = sorted((r["count"] for r in dist), reverse=True)
+            return rows, sum(rows)
+
+        control, total_c = run({"spark.sql.adaptive.skewJoin.enabled": "false"})
+        balanced, total_b = run({
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        })
+        # identical wedge output: every wedge sits at the hub apex
+        assert total_c == total_b == k * (k - 1) // 2
+        # control: the hot apex is one task holding everything
+        assert control[0] / total_c > 0.85, control[:5]
+        # skew split: hot key demonstrably divided, bounded max share
+        assert len(balanced) >= 4, balanced
+        assert balanced[0] / total_b <= 0.5, balanced[:8]
+        assert balanced[0] < control[0] / 2, (balanced[0], control[0])
+
+        # and the end-to-end count on the planted graph is exact
+        tri = triangle_count(edges).collect()[0]
+        assert tri["n_triangles"] == 10
+    finally:
+        unpersist_all()

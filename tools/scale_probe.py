@@ -20,7 +20,10 @@ measured super-linear exponent indicts the PLAN, not the data. This
 is a bench-only synthetic (documented as such in docs/SCALE.md);
 oracle correctness always runs on the driver's parquet unmodified.
 
-Usage: python tools/scale_probe.py [query ...]   (default q54 q58 q59)
+Usage: python tools/scale_probe.py [--replicas 1,2,4[,8]] [query ...]
+(default replicas 1,2,4; default queries q54 q58 q59). Pass
+``--replicas 1,2,4,8`` for a fourth point (three decades) on the
+heaviest shuffles — the graph family's round-7 evidence ask.
 Prints one JSON line: {"points": {"1": {...}}, "exponent": {...},
 "superlinear": [...]}.
 """
@@ -139,7 +142,15 @@ def _fit_exponent(ns: list[int], ts: list[float]) -> float:
 
 
 def main() -> int:
-    queries = sys.argv[1:] or DEFAULT_QUERIES
+    argv = sys.argv[1:]
+    replicas = list(REPLICAS)
+    if argv and argv[0] == "--replicas":
+        replicas = sorted({int(x) for x in argv[1].split(",")})
+        argv = argv[2:]
+        if len(replicas) < 3:
+            print("--replicas needs >= 3 points for a slope", file=sys.stderr)
+            return 2
+    queries = argv or DEFAULT_QUERIES
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from dataflow_python_etl_spark.operators.dedup import unpersist_all
@@ -158,15 +169,15 @@ def main() -> int:
     try:
         dirs: dict[int, str] = {}
         rows: dict[int, int] = {}
-        for r in REPLICAS:
+        for r in replicas:
             d = f"{root}/x{r}"
             rows[r] = build_replicated(src_dir, d, r)
             dirs[r] = d
 
-        points: dict[str, dict[str, float]] = {str(r): {} for r in REPLICAS}
+        points: dict[str, dict[str, float]] = {str(r): {} for r in replicas}
         for name in queries:
             fn = QUERIES[name].fn
-            for r in REPLICAS:
+            for r in replicas:
                 times = []
                 for i in range(3):  # run 0 = codegen warm-up, then 2 timed
                     t0 = time.perf_counter()
@@ -178,15 +189,15 @@ def main() -> int:
 
         exponent = {
             name: _fit_exponent(
-                [rows[r] for r in REPLICAS],
-                [points[str(r)][name] for r in REPLICAS],
+                [rows[r] for r in replicas],
+                [points[str(r)][name] for r in replicas],
             )
             for name in queries
         }
         report = {
             "probe": "replicated-tables",
             "src": src_dir,
-            "rows": {str(r): rows[r] for r in REPLICAS},
+            "rows": {str(r): rows[r] for r in replicas},
             "points": points,
             "exponent": exponent,
             "superlinear": sorted(
