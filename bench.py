@@ -110,6 +110,8 @@ EXTENDED_QUERIES = [
     "q139_m4_downsample",
     "q140_vocab_growth",
     "q141_df_spectrum",
+    "q143_image_phash_pairs",
+    "q144_quantile_sketch",
 ]
 
 

@@ -244,37 +244,58 @@ def shard_manifest(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "shard-v1",
+    binary_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-shard accounting for a training-data export: ``(shard_id,
-    n_docs, n_tokens, n_chars, checksum)``.
+    n_docs, n_tokens, n_chars, checksum)`` — plus
+    ``n_payload_bytes`` when ``binary_cols`` names multimodal payload
+    columns (images/audio as opaque ``binary``; real corpora ship
+    interleaved text+binary rows).
 
     ``checksum`` is the bit-XOR of each document's 60-bit content
     hash (md5 of ``"ck-v1:" ++ id ++ ":" ++ text``): order-independent
     and associative, so it map-side-combines, never overflows, and
     detects any changed/missing/extra document in a shard — the
     cheap end-to-end integrity check a dataloader runs against the
-    manifest before training. One hash-aggregate keyed on
-    ``shard_id`` (a single shuffle of ≤ ``n_shards`` partial rows per
-    task); every term is an exact integer, so the manifest is
-    bit-identical across engines and runs.
+    manifest before training. With ``binary_cols``, each payload's
+    md5 hex (NULL → a fixed sentinel, distinct from the empty bytes'
+    md5) is concatenated into the hashed content, so a flipped BYTE
+    in any payload changes the shard checksum exactly like a text
+    edit would — same XOR algebra, same map-side combine. One
+    hash-aggregate keyed on ``shard_id`` (a single shuffle of ≤
+    ``n_shards`` partial rows per task); every term is an exact
+    integer, so the manifest is bit-identical across engines and
+    runs.
     """
     assigned = shard_assign(docs, n_shards, id_col, salt)
     from dataflow_python_etl_spark.functions.text import md5_hash60, token_count
 
-    doc_ck = md5_hash60(
-        F.concat(
-            F.lit("ck-v1:"),
-            F.col(id_col).cast("string"),
-            F.lit(":"),
-            F.col(text_col),
-        )
-    )
-    return assigned.groupBy("shard_id").agg(
+    bins = list(binary_cols or [])
+    missing = [c for c in bins if c not in docs.columns]
+    if missing:
+        raise ValueError(f"binary_cols absent from frame: {missing}")
+    content = [
+        F.lit("ck-v1:"),
+        F.col(id_col).cast("string"),
+        F.lit(":"),
+        F.col(text_col),
+    ]
+    for b in bins:
+        content += [F.lit(":"), F.coalesce(F.md5(F.col(b)), F.lit("<null-payload>"))]
+    doc_ck = md5_hash60(F.concat(*content))
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
         F.sum(F.length(text_col)).cast("long").alias("n_chars"),
         F.bit_xor(doc_ck).alias("checksum"),
-    )
+    ]
+    if bins:
+        n_bytes = sum(
+            (F.coalesce(F.length(F.col(b)), F.lit(0)).cast("long") for b in bins),
+            F.lit(0).cast("long"),
+        )
+        aggs.append(F.sum(n_bytes).cast("long").alias("n_payload_bytes"))
+    return assigned.groupBy("shard_id").agg(*aggs)
 
 
 def write_training_shards(
@@ -284,6 +305,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "shard-v1",
+    binary_cols: list[str] | None = None,
 ) -> DataFrame:
     """Export a corpus as ``n_shards`` hash-sharded parquet
     partitions (``shard_id=K/`` dirs) plus a ``_manifest`` sidecar,
@@ -298,13 +320,21 @@ def write_training_shards(
     assignment expression, so manifest and data cannot drift. A
     reader verifies a shard by recomputing :func:`shard_manifest`
     over the partition and comparing checksums (pinned in tests).
+
+    ``binary_cols`` ships multimodal corpora: binary payload columns
+    (images/audio) ride the same parquet rows — parquet stores
+    binary natively, the shard assignment stays content-addressed on
+    the id, and the manifest checksum covers every payload byte (see
+    :func:`shard_manifest`), so a dataloader verifies interleaved
+    text+image shards with the same one XOR pass. Byte-exact
+    round-trip through the real codecs is pinned in tests.
     """
     import os
 
     from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
     assigned = shard_assign(docs, n_shards, id_col, salt)
-    manifest = shard_manifest(docs, n_shards, id_col, text_col, salt)
+    manifest = shard_manifest(docs, n_shards, id_col, text_col, salt, binary_cols)
 
     def _manifest_into(tmp_dir: str) -> None:
         # sidecar written into the TMP dir so the swap publishes data

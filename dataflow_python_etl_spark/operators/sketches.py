@@ -483,3 +483,158 @@ def cms_self_join_size(sketch: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s"))
         .agg(F.min("s").cast("long").alias("est_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch — HDR-histogram-style base-2 grid
+# (Tene's HdrHistogram bucketing, re-expressed as pure integer
+# Catalyst expressions). The missing member of the sketch family:
+# CMS answers frequency, Bloom membership, HLL/KMV distinct — this
+# answers "p99 latency / length distribution" as a maintainable MV.
+# ---------------------------------------------------------------------------
+
+QSK_PRECISION = 7  # sub-bucket bits: relative error <= 2^-7 (~0.8%)
+
+
+def _qsk_shift(v, p: int):
+    """How many low bits the grid discards for value ``v``: 0 while
+    v < 2^(p+1) (bucket = exact value), else bitlen(v)-1-p. Bit
+    length via ``length(bin(v))`` — pure integer/string ops that
+    Spark and DuckDB evaluate identically (no engine-private log)."""
+    return F.greatest(F.lit(0), (F.length(F.bin(v)) - F.lit(1 + p)).cast("int"))
+
+
+def quantile_bucket(col, precision_bits: int = QSK_PRECISION):
+    """Deterministic bucket id for a NON-NEGATIVE long: with
+    ``s = max(0, bitlen(v)-1-p)``, ``bucket = (s << p) + (v >> s)``.
+    Values below 2^(p+1) map to themselves (exact); above, the top
+    p+1 bits index a linear subdivision of each power-of-two range —
+    monotone in v, contiguous across ranges, relative bucket width
+    <= 2^-p. A pure function of the value: sketch contents are
+    bit-identical across engines, partitionings, and runs."""
+    p = int(precision_bits)
+    v = col.cast("long")
+    s = _qsk_shift(v, p)
+    # variable shift amounts: the PySpark wrappers only accept
+    # literal ints, but the underlying SQL functions take expressions
+    return F.shiftleft(s.cast("long"), p) + F.call_function("shiftright", v, s)
+
+
+def quantile_bucket_lo(bucket, precision_bits: int = QSK_PRECISION):
+    """Inverse of :func:`quantile_bucket`: the smallest value in the
+    bucket — ``s = max(0, (bucket >> p) - 1)``, then
+    ``(bucket - (s << p)) << s``. The estimator's returned value, so
+    estimates are always <= the true quantile and within 2^-p of it
+    (accuracy band pinned in tests)."""
+    p = int(precision_bits)
+    b = bucket.cast("long")
+    s = F.greatest(F.lit(0), (F.shiftright(b, p) - F.lit(1)).cast("int"))
+    sub = b - F.shiftleft(s.cast("long"), p)
+    return F.call_function("shiftleft", sub, s)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    precision_bits: int = QSK_PRECISION,
+) -> DataFrame:
+    """Per-group quantile sketch: ``(group..., bucket, cnt)`` — the
+    base-2 grid histogram of the NON-NEGATIVE integer measure.
+    Bucket count is bounded by construction (<= (64-p)·2^p + 2^(p+1)
+    rows per group, ~7.4k at p=7, regardless of data size), counts
+    are plain longs, and the whole build is ONE groupBy — map-side
+    partial aggregation collapses each task to the bounded bucket
+    set before the shuffle, so a 100 TB column ships kilobytes.
+
+    Mergeability is additivity: ``sketch(A) ⊎ sketch(B)`` summed
+    per (group, bucket) ≡ ``sketch(A ∪ B)`` exactly (the merge-law
+    pin), so :func:`~dataflow_python_etl_spark.operators.upsert.
+    refresh_additive_agg` and ``stream_additive_agg_to_table``
+    maintain it as a materialized view with no quantile-specific
+    code. NULL measures are dropped (absent measurements); negative
+    values raise loudly through the repo's filter-anchored
+    raise_error pattern — a silent abs() or drop would skew every
+    downstream percentile."""
+    if not 1 <= int(precision_bits) <= 16:
+        raise ValueError(f"precision_bits must be in [1, 16], got {precision_bits}")
+    gb = list(group_cols or [])
+    missing = [c for c in gb + [value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns absent from frame: {missing}")
+    v = F.col(value_col).cast("long")
+    guarded = (
+        df.select(*gb, v.alias("__v"))
+        .where(v.isNotNull())
+        .where(
+            F.when(
+                F.col("__v") < 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit("quantile_sketch: negative value "),
+                        F.col("__v").cast("string"),
+                        F.lit(f" in column {value_col} — the base-2 grid"),
+                        F.lit(" is defined for non-negative measures"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+    )
+    return (
+        guarded.select(
+            *gb, quantile_bucket(F.col("__v"), precision_bits).alias("bucket")
+        )
+        .groupBy(*gb, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+    quantiles_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    precision_bits: int = QSK_PRECISION,
+) -> DataFrame:
+    """Quantile readout from a sketch: ``(group..., q_ppm, est,
+    n_rows)`` — for each requested quantile q (in ppm), the lower
+    bound of the bucket containing the rank-``ceil(q·n)`` value
+    (the "lower quantile" definition; exact integer rank arithmetic,
+    so both engines pick the identical bucket). Two window passes
+    over the (bounded-size) sketch share one exchange; the quantile
+    fan-out is a literal-array explode. est <= true quantile
+    < est·(1 + 2^-p) whenever the true quantile >= 2^(p+1) (below
+    that the bucket is the exact value)."""
+    gb = list(group_cols or [])
+    qs = [int(q) for q in quantiles_ppm]
+    if not qs or any(not 0 < q <= 1_000_000 for q in qs):
+        raise ValueError(f"quantiles_ppm must be in (0, 1e6], got {quantiles_ppm}")
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*gb)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gb)
+    c = sketch.select(
+        *gb,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_all).alias("n_rows"),
+    )
+    e = c.select(
+        *gb,
+        "bucket",
+        "cnt",
+        "__cum",
+        "n_rows",
+        F.explode(F.array(*[F.lit(q).cast("long") for q in qs])).alias("q_ppm"),
+    )
+    rank = F.expr("(n_rows * q_ppm + 999999) div 1000000")
+    return e.where((F.col("__cum") >= rank) & (F.col("__cum") - F.col("cnt") < rank)).select(
+        *gb,
+        "q_ppm",
+        quantile_bucket_lo(F.col("bucket"), precision_bits).alias("est"),
+        "n_rows",
+    )

@@ -6172,6 +6172,82 @@ def q143_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q144_quantile_sketch",
+    """
+    WITH vals AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    b AS (
+        SELECT l_returnflag,
+               (CAST(greatest(0, length(bin(v)) - 8) AS BIGINT) << 7)
+                 + (v >> greatest(0, length(bin(v)) - 8)) AS bucket
+        FROM vals
+    ),
+    sk AS (
+        SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY l_returnflag, bucket
+    ),
+    c AS (
+        SELECT l_returnflag, bucket, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows
+        FROM sk
+    ),
+    e AS (
+        SELECT c.*, CAST(q.q_ppm AS BIGINT) AS q_ppm
+        FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]) AS q_ppm) q
+    ),
+    p AS (
+        SELECT l_returnflag, q_ppm,
+               CAST(
+                 (bucket - (greatest(0, (bucket >> 7) - 1) << 7))
+                   << greatest(0, (bucket >> 7) - 1)
+                 AS BIGINT) AS est_cents,
+               n_rows
+        FROM e
+        WHERE cum >= (n_rows * q_ppm + 999999) // 1000000
+          AND cum - cnt < (n_rows * q_ppm + 999999) // 1000000
+    )
+    SELECT * FROM p ORDER BY l_returnflag, q_ppm
+    """,
+    "Mergeable quantile sketch (operators.sketches.quantile_sketch / "
+    "quantile_estimate): HDR-histogram-style base-2 grid over "
+    "l_extendedprice in exact cents, p50/p90/p99 per return flag. "
+    "Bucketing is pure integer expressions (bitlen via length(bin(v))"
+    " — no engine-private log), so the sketch contents AND the "
+    "estimates are bit-identical cross-engine; the sketch is "
+    "additive per (group, bucket), so refresh_additive_agg / "
+    "stream_additive_agg_to_table maintain it as an MV with no new "
+    "machinery (merge law pinned in tests). Relative error <= 2^-7",
+)
+def q144_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # 2-decimal doubles lift to exact integer cents (the round-5
+    # float-discipline rule: sums/ranks on the 0.01 grid are
+    # boundary-free once integers)
+    vals = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+    )
+    sk = quantile_sketch(vals, "v", ["l_returnflag"])
+    est = quantile_estimate(sk, ["l_returnflag"])
+    return est.select(
+        "l_returnflag",
+        "q_ppm",
+        F.col("est").alias("est_cents"),
+        "n_rows",
+    ).orderBy("l_returnflag", "q_ppm")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -62,6 +62,12 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULTS)
+    # local-mode heap override for oversized offline jobs (e.g. the
+    # 8x scale probe) — on a real cluster you'd size executors via
+    # spark-submit instead
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
+    if mem:
+        conf["spark.driver.memory"] = mem
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

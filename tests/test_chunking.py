@@ -321,3 +321,95 @@ def test_write_training_shards_manifest_roundtrip(spark, tmp_path):
     bad = {r["shard_id"]: r["checksum"] for r in shard_manifest(mutated, 4).collect()}
     diff = [s for s in manifest if bad[s] != manifest[s]["checksum"]]
     assert len(diff) == 1
+
+
+def test_multimodal_shards_roundtrip_byte_exact(spark, tmp_path):
+    """Interleaved text+image corpus through write_training_shards
+    (binary_cols): payloads ride the parquet rows byte-exact and
+    decode back through the real codecs; the embedded manifest
+    equals a recompute over the written table; a single flipped
+    payload BYTE flips exactly its shard's checksum (payload bytes
+    are covered by the XOR, not just text)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.chunking import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from dataflow_python_etl_spark.operators.codecs import decode_image
+    from dataflow_python_etl_spark.operators.multimodal import (
+        synthetic_image_corpus,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .where(F.length("text") > 0)
+        .limit(40)
+    )
+    imgs = synthetic_image_corpus(docs).where(F.col("variant") == 0)
+    corpus = docs.join(imgs.select("doc_id", "payload"), "doc_id").select(
+        "doc_id", "text", F.col("payload").alias("image")
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        corpus, path, 4, binary_cols=["image"]
+    )
+    wrote = {r["shard_id"]: r.asDict() for r in manifest.collect()}
+    assert set(manifest.columns) == {
+        "shard_id", "n_docs", "n_tokens", "n_chars", "checksum", "n_payload_bytes"
+    }
+
+    back = spark.read.parquet(path)
+    # manifest == recompute over what was actually written
+    redo = {
+        r["shard_id"]: r.asDict()
+        for r in shard_manifest(back, 4, binary_cols=["image"]).collect()
+    }
+    assert redo == wrote
+    # payload bytes survive the shard write byte-exact, and the REAL
+    # codec decodes them to the same pixels as the pre-write payload
+    orig = {r["doc_id"]: bytes(r["image"]) for r in corpus.collect()}
+    got = {r["doc_id"]: bytes(r["image"]) for r in back.collect()}
+    assert got == orig
+    some = next(iter(orig))
+    mime_a, px_a = decode_image(orig[some])
+    mime_b, px_b = decode_image(got[some])
+    assert mime_a == mime_b == "image/png"
+    assert np.array_equal(px_a, px_b) and px_a.shape == (32, 32)
+
+    # a one-BYTE payload edit flips exactly that doc's shard checksum
+    victim = back.orderBy("doc_id").limit(1).collect()[0]
+    mutated = back.withColumn(
+        "image",
+        F.when(
+            F.col("doc_id") == victim["doc_id"],
+            F.concat(F.expr("substring(image, 1, length(image) - 1)"), F.lit(b"\x00")),
+        ).otherwise(F.col("image")),
+    )
+    bad = {
+        r["shard_id"]: r["checksum"]
+        for r in shard_manifest(mutated, 4, binary_cols=["image"]).collect()
+    }
+    flipped = [s for s in wrote if bad[s] != wrote[s]["checksum"]]
+    assert flipped == [victim["shard_id"]]
+
+    # NULL payload is legal (text-only row in a multimodal corpus)
+    # and distinct from empty bytes
+    mixed = corpus.withColumn(
+        "image", F.when(F.col("doc_id") == victim["doc_id"], F.lit(None)).otherwise(F.col("image"))
+    )
+    m_null = shard_manifest(mixed, 4, binary_cols=["image"]).collect()
+    empty = corpus.withColumn(
+        "image", F.when(F.col("doc_id") == victim["doc_id"], F.lit(b"")).otherwise(F.col("image"))
+    )
+    m_empty = shard_manifest(empty, 4, binary_cols=["image"]).collect()
+    ck = lambda rows, s: next(r["checksum"] for r in rows if r["shard_id"] == s)  # noqa: E731
+    assert ck(m_null, victim["shard_id"]) != ck(m_empty, victim["shard_id"])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="binary_cols absent"):
+        shard_manifest(corpus, 4, binary_cols=["nope"])

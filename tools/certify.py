@@ -14,7 +14,16 @@ then prints ONE JSON line with the four outcomes. Exit 0 only if all
 four pass (bench "passes" when it emits valid JSON with an empty
 superlinear list). Use --skip-tests to re-certify queries only.
 
-    python tools/certify.py [--skip-tests]
+    python tools/certify.py [--skip-tests] [--changed-since REV]
+
+``--changed-since REV`` is the MID-ROUND cadence mode (VERDICT r6
+item 8): oracle gates run only the registry-diff subset
+(tools/changed.py), pytest runs only test files changed since REV or
+named after changed package modules, and bench is skipped (a timing
+run on a subset proves nothing). The report carries
+``"scoped": REV`` so a scoped line can never masquerade as the
+round-end certificate — the FULL run (no flag) remains mandatory at
+round end.
 """
 
 from __future__ import annotations
@@ -35,47 +44,97 @@ def _run(cmd: list[str]) -> tuple[int, str]:
     return p.returncode, p.stdout
 
 
+def _scoped_test_files(rev: str) -> list[str] | None:
+    """Test files worth re-running for a scoped certify: tests that
+    changed since ``rev`` plus ``tests/test_<leaf>*.py`` for every
+    changed package module. None → run everything (infra changed)."""
+    sys.path.insert(0, str(ROOT / "tools"))
+    from changed import _module_of, changed_files, queries_affected_since
+
+    if queries_affected_since(rev) is None:
+        return None
+    picked: set[str] = set()
+    for f in changed_files(rev):
+        if f.startswith("tests/") and f.endswith(".py"):
+            if (ROOT / f).exists():
+                picked.add(f)
+            continue
+        mod = _module_of(f)
+        if mod is None:
+            continue
+        leaf = mod.rsplit(".", 1)[-1]
+        picked.update(
+            str(p.relative_to(ROOT)) for p in (ROOT / "tests").glob(f"test_{leaf}*.py")
+        )
+    return sorted(picked)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     report: dict = {}
     ok = True
+    since: str | None = None
+    if "--changed-since" in argv:
+        since = argv[argv.index("--changed-since") + 1]
+        report["scoped"] = since
 
-    if "--skip-tests" not in argv:
-        rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
-        tail = out.strip().splitlines()[-1] if out.strip() else ""
-        report["pytest"] = tail
-        ok &= rc == 0 and " passed" in tail and "failed" not in tail
-    else:
+    if "--skip-tests" in argv:
         report["pytest"] = "skipped"
+    else:
+        pytest_cmd = [sys.executable, "-m", "pytest", "-q"]
+        if since is None:
+            pytest_cmd.append("tests/")
+        else:
+            scoped = _scoped_test_files(since)
+            if scoped is None:
+                pytest_cmd.append("tests/")
+            elif scoped:
+                pytest_cmd.extend(scoped)
+            else:
+                pytest_cmd = None
+        if pytest_cmd is None:
+            report["pytest"] = "scoped: no affected test files"
+        else:
+            rc, out = _run(pytest_cmd)
+            tail = out.strip().splitlines()[-1] if out.strip() else ""
+            report["pytest"] = tail
+            ok &= rc == 0 and " passed" in tail and "failed" not in tail
 
     for sf in ("sf0.001", "sf0.01"):
-        rc, out = _run(
-            [sys.executable, "tools/check_oracle.py", f"/root/testdata/{sf}"]
-        )
+        cmd = [sys.executable, "tools/check_oracle.py"]
+        if since is not None:
+            cmd += ["--changed-since", since]
+        cmd.append(f"/root/testdata/{sf}")
+        rc, out = _run(cmd)
         m = re.search(r"(\d+) failures", out)
         n_fail = int(m.group(1)) if m else -1
         n_ok = len(re.findall(r"^ok ", out, re.M))
         report[f"oracle_{sf}"] = {"ok": n_ok, "failures": n_fail}
         ok &= rc == 0 and n_fail == 0
 
-    rc, out = _run([sys.executable, "bench.py"])
-    bench = None
-    for line in out.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            bench = json.loads(line)
-    if bench is None or rc != 0:
-        report["bench"] = "FAILED"
-        ok = False
+    if since is not None:
+        report["bench"] = "skipped (scoped run)"
     else:
-        report["bench"] = {
-            "total_s": bench["value"],
-            "sf": bench["sf"],
-            "superlinear": bench.get("superlinear", []),
-        }
-        ok &= not bench.get("superlinear")
+        rc, out = _run([sys.executable, "bench.py"])
+        bench = None
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                bench = json.loads(line)
+        if bench is None or rc != 0:
+            report["bench"] = "FAILED"
+            ok = False
+        else:
+            report["bench"] = {
+                "total_s": bench["value"],
+                "sf": bench["sf"],
+                "superlinear": bench.get("superlinear", []),
+            }
+            ok &= not bench.get("superlinear")
 
-    report["certified"] = ok
+    report["certified"] = ok and since is None
+    if since is not None:
+        report["scoped_ok"] = ok
     print(json.dumps(report))
     return 0 if ok else 1
 

@@ -2,7 +2,14 @@
 query on Spark and its oracle on DuckDB, compare row count, column
 names, and an order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--changed-since REV] [sf_dir] [query ...]
+
+``--changed-since REV`` scopes the run to the registry-diff subset
+(tools/changed.py): queries whose queries.py block changed since REV
+plus queries referencing any transitively-changed package module.
+Infra changes (session/sources/schema/plans) force the full set. The
+FULL run (no flag) remains mandatory at round end — the subset exists
+for mid-round commit cadence only.
 """
 
 from __future__ import annotations
@@ -49,8 +56,25 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    since: str | None = None
+    if argv and argv[0] == "--changed-since":
+        since = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    if since is not None:
+        from changed import queries_affected_since
+
+        scoped = queries_affected_since(since)
+        if scoped is None:
+            print(f"# --changed-since {since}: infra changed -> FULL run")
+        else:
+            only = (only & scoped) if only else scoped
+            print(f"# --changed-since {since}: {len(only)} queries in scope")
+            if not only:
+                print("0 failures")
+                return 0
     spark = get_spark(app_name="oracle-check", extra_conf={"spark.ui.enabled": "false"})
 
     con = duckdb.connect()

@@ -97,35 +97,57 @@ def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
     pq.write_table(pa.Table.from_pandas(eout, preserve_index=False),
                    f"{out_dir}/events.parquet")
 
-    # orders replicates under the same key stride: keyed snapshot /
-    # reconciliation workloads (q118's full-outer diff) gain R×
-    # independent keys — linear by construction, like the rest.
+    # orders replicates with the order AND customer keys strided:
+    # keyed snapshot / reconciliation workloads (q118's full-outer
+    # diff) gain R× independent keys, and the customer—supplier
+    # co-transaction graph (q100's BFS) gains R independent
+    # components — linear by construction, like the rest.
     od = pq.read_table(f"{src_dir}/orders.parquet").to_pandas()
     oparts = []
     for r in range(replicas):
         part = od.copy()
         part["o_orderkey"] = part["o_orderkey"] + r * ID_STRIDE
+        part["o_custkey"] = part["o_custkey"] + r * ID_STRIDE
         oparts.append(part)
     oout = pd.concat(oparts, ignore_index=True)
     pq.write_table(pa.Table.from_pandas(oout, preserve_index=False),
                    f"{out_dir}/orders.parquet")
 
-    # lineitem replicates with BOTH the basket key and the item key
+    # lineitem replicates with the basket, item, AND supplier keys
     # strided, so each replica is an independent copy of the
-    # co-purchase graph — basket sizes, item frequencies, pair and
-    # triangle structure all preserved per replica; cross-replica
-    # pairs impossible. Basket analytics (q131) and graph metrics
-    # (q87/q138) are therefore linear-in-R by construction.
+    # co-purchase and co-transaction graphs — basket sizes, item
+    # frequencies, pair/triangle/BFS structure all preserved per
+    # replica; cross-replica edges impossible. Basket analytics
+    # (q131) and graph metrics (q87/q138/q100) are therefore
+    # linear-in-R by construction.
     li = pq.read_table(f"{src_dir}/lineitem.parquet").to_pandas()
     lparts = []
     for r in range(replicas):
         part = li.copy()
         part["l_orderkey"] = part["l_orderkey"] + r * ID_STRIDE
         part["l_partkey"] = part["l_partkey"] + r * ID_STRIDE
+        part["l_suppkey"] = part["l_suppkey"] + r * ID_STRIDE
         lparts.append(part)
     lout = pd.concat(lparts, ignore_index=True)
     pq.write_table(pa.Table.from_pandas(lout, preserve_index=False),
                    f"{out_dir}/lineitem.parquet")
+
+    # customer replicates under the custkey stride (nationkey kept, so
+    # every replica contributes its own NATION_3 seed set); the small
+    # dimension tables copy through unchanged.
+    cu = pq.read_table(f"{src_dir}/customer.parquet").to_pandas()
+    cparts = []
+    for r in range(replicas):
+        part = cu.copy()
+        part["c_custkey"] = part["c_custkey"] + r * ID_STRIDE
+        cparts.append(part)
+    cout = pd.concat(cparts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(cout, preserve_index=False),
+                   f"{out_dir}/customer.parquet")
+    for small in ("region", "nation", "supplier", "part", "embeddings"):
+        src = f"{src_dir}/{small}.parquet"
+        if os.path.exists(src):
+            shutil.copyfile(src, f"{out_dir}/{small}.parquet")
     return len(out)
 
 
