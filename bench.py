@@ -112,6 +112,7 @@ EXTENDED_QUERIES = [
     "q141_df_spectrum",
     "q143_image_phash_pairs",
     "q144_quantile_sketch",
+    "q145_url_canonical_dedup",
 ]
 
 

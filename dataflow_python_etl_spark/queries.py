@@ -6248,6 +6248,116 @@ def q144_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "q_ppm")
 
 
+@_q(
+    "q145_url_canonical_dedup",
+    r"""
+    WITH raw AS (
+        SELECT doc_id * 10 + v AS raw_id,
+               CASE v
+                 WHEN 0 THEN 'https://' || source || '.example.com/doc/'
+                             || CAST(doc_id % 40 AS VARCHAR)
+                             || '?id=' || CAST(doc_id % 40 AS VARCHAR)
+                 WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM:443/doc/'
+                             || CAST(doc_id % 40 AS VARCHAR)
+                             || '/?id=' || CAST(doc_id % 40 AS VARCHAR)
+                             || '&utm_source=feed'
+                 ELSE 'https://' || source || '.example.com//doc//'
+                             || CAST(doc_id % 40 AS VARCHAR)
+                             || '?utm_campaign=x&id=' || CAST(doc_id % 40 AS VARCHAR)
+               END AS url
+        FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS v)
+    ),
+    t AS (SELECT raw_id, trim(url) AS u FROM raw),
+    parts AS (
+        SELECT raw_id,
+            lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS lscheme,
+            regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest,
+            regexp_extract(u, '\?([^#]*)', 1) AS query
+        FROM t
+    ),
+    p2 AS (
+        SELECT raw_id, lscheme,
+            lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS host0,
+            regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path0,
+            query
+        FROM parts
+    ),
+    p3 AS (
+        SELECT raw_id, lscheme,
+            CASE WHEN lscheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+                 WHEN lscheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                 ELSE host0 END AS host,
+            -- NOTE 'g': DuckDB regexp_replace is FIRST-match unless
+            -- flagged global; Spark's is always global
+            CASE WHEN regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+                                     '/$', '') = ''
+                 THEN '/'
+                 ELSE regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+                                     '/$', '') END AS npath,
+            coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT starts_with(p, 'utm_')
+                     AND NOT starts_with(p, 'gclid=')
+                     AND NOT starts_with(p, 'fbclid=')
+                     AND NOT starts_with(p, 'ref='))), '&'), '') AS qs
+        FROM p2
+    ),
+    canon AS (
+        SELECT raw_id,
+            (CASE WHEN lscheme = '' THEN '' ELSE lscheme || '://' END)
+            || host || npath
+            || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+        FROM p3
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           min(raw_id) AS keep_id
+    FROM canon GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    "Canonical-URL dedup (functions.url.canonical_url + url_dedup): "
+    "the crawl-pipeline tier that collapses refetches BEFORE any "
+    "content hashing. Raw fetches derived deterministically from "
+    "documents (three messy variants per doc: cased host + default "
+    "port + trailing slash + utm params + doubled slashes + shuffled "
+    "param order), canonicalized by pure regexp/array expressions "
+    "that Java regex and RE2 evaluate identically, grouped on the "
+    "canonical string with keep-min-id survivorship. The oracle "
+    "replays the construction AND the canonicalization in SQL — "
+    "pitfall encoded: DuckDB regexp_replace needs the 'g' flag where "
+    "Spark replaces globally",
+)
+def q145_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.functions.url import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    page = (F.col("doc_id") % 40).cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    v0 = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"), page, F.lit("?id="), page
+    )
+    v1 = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(host),
+        F.lit(":443/doc/"),
+        page,
+        F.lit("/?id="),
+        page,
+        F.lit("&utm_source=feed"),
+    )
+    v2 = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("//doc//"),
+        page,
+        F.lit("?utm_campaign=x&id="),
+        page,
+    )
+    raw = docs.select(
+        "doc_id", F.posexplode(F.array(v0, v1, v2)).alias("v", "url")
+    ).select((F.col("doc_id") * 10 + F.col("v")).alias("raw_id"), "url")
+    return url_dedup(raw, "url", "raw_id").orderBy("canonical_url")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
