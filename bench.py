@@ -113,6 +113,7 @@ EXTENDED_QUERIES = [
     "q143_image_phash_pairs",
     "q144_quantile_sketch",
     "q145_url_canonical_dedup",
+    "q146_winsorize_by_sketch",
 ]
 
 

@@ -146,6 +146,106 @@ def winsorize_bounds(
     ).select(*keys, "p_lo", "p_hi", "n_below", "n_above", "n_total")
 
 
+def winsorize_bounds_by_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower_ppm: int = 50_000,
+    upper_ppm: int = 950_000,
+    precision_bits: int | None = None,
+) -> DataFrame:
+    """The 100 TB path for :func:`winsorize_bounds`: the same
+    ``(group…, p_lo, p_hi, n_below, n_above, n_total)`` report read
+    ENTIRELY off a mergeable quantile sketch
+    (``operators.sketches.quantile_sketch``) — bounds AND tail
+    counts, in one scan of the data total.
+
+    The exact version costs a sort-based ``percentile`` per group
+    plus a broadcast re-scan for the tail counts; this version's
+    only data-sized work is the sketch's single map-side-combined
+    groupBy, and everything after runs on the bounded bucket table.
+    The price is grid granularity: ``p_lo``/``p_hi`` are bucket
+    LOWER bounds (integers — the caller's measure domain, e.g.
+    cents), within 2^-p relative of the exact rank statistic (band
+    pinned in tests), and the tail counts are exact FOR THOSE
+    bounds: ``n_below`` counts values in buckets strictly below the
+    picked bucket (all < p_lo), ``n_above`` values in buckets
+    strictly above the p_hi bucket (all >= its upper edge). Every
+    quantity is integer arithmetic — bit-identical cross-engine, so
+    the q146 oracle replays it exactly. Because the sketch is the
+    input, the same report maintains incrementally via
+    ``refresh_additive_agg`` — winsorize bounds as a live MV, which
+    the exact version cannot do (a percentile is not additive)."""
+    from dataflow_python_etl_spark.operators.sketches import (
+        QSK_PRECISION,
+        quantile_sketch,
+    )
+
+    p = QSK_PRECISION if precision_bits is None else int(precision_bits)
+    gb = list(group_cols or [])
+    sk = quantile_sketch(df, value_col, gb, p)
+    return winsorize_from_sketch(sk, gb, lower_ppm, upper_ppm, p)
+
+
+def winsorize_from_sketch(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+    lower_ppm: int = 50_000,
+    upper_ppm: int = 950_000,
+    precision_bits: int | None = None,
+) -> DataFrame:
+    """The report half of :func:`winsorize_bounds_by_sketch`, taking
+    a PREBUILT ``(group…, bucket, cnt)`` sketch — e.g. the persisted
+    MV that ``refresh_additive_agg`` maintains — so refreshed clip
+    bounds are readable without touching fact history (pinned)."""
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.sketches import (
+        QSK_PRECISION,
+        quantile_bucket_lo,
+    )
+
+    p = QSK_PRECISION if precision_bits is None else int(precision_bits)
+    if not 0 < lower_ppm < upper_ppm <= 1_000_000:
+        raise ValueError(
+            f"need 0 < lower_ppm < upper_ppm <= 1e6, got {lower_ppm}/{upper_ppm}"
+        )
+    gb = list(group_cols or [])
+    sk = sketch
+    w_cum = (
+        Window.partitionBy(*gb)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = sk.select(
+        *gb,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*gb)).alias("n_total"),
+    )
+
+    def pick(q_ppm: int, names: tuple[str, str], above: bool):
+        rank = F.expr(f"(n_total * {int(q_ppm)} + 999999) div 1000000")
+        hit = c.where((F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank))
+        tail = (
+            (F.col("n_total") - F.col("cum"))
+            if above
+            else (F.col("cum") - F.col("cnt"))
+        )
+        return hit.select(
+            *gb,
+            quantile_bucket_lo(F.col("bucket"), p).alias(names[0]),
+            tail.alias(names[1]),
+            "n_total",
+        )
+
+    lo = pick(lower_ppm, ("p_lo", "n_below"), above=False)
+    hi = pick(upper_ppm, ("p_hi", "n_above"), above=True).drop("n_total")
+    joined = lo.join(hi, gb) if gb else lo.crossJoin(hi)
+    return joined.select(*gb, "p_lo", "p_hi", "n_below", "n_above", "n_total")
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

@@ -6358,6 +6358,78 @@ def q145_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(raw, "url", "raw_id").orderBy("canonical_url")
 
 
+@_q(
+    "q146_winsorize_by_sketch",
+    """
+    WITH vals AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    b AS (
+        SELECT l_returnflag,
+               (CAST(greatest(0, length(bin(v)) - 8) AS BIGINT) << 7)
+                 + (v >> greatest(0, length(bin(v)) - 8)) AS bucket
+        FROM vals
+    ),
+    sk AS (
+        SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY l_returnflag, bucket
+    ),
+    c AS (
+        SELECT l_returnflag, bucket, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_total
+        FROM sk
+    ),
+    lo AS (
+        SELECT l_returnflag,
+               CAST((bucket - (greatest(0, (bucket >> 7) - 1) << 7))
+                      << greatest(0, (bucket >> 7) - 1) AS BIGINT) AS p_lo,
+               cum - cnt AS n_below, n_total
+        FROM c
+        WHERE cum >= (n_total * 10000 + 999999) // 1000000
+          AND cum - cnt < (n_total * 10000 + 999999) // 1000000
+    ),
+    hi AS (
+        SELECT l_returnflag,
+               CAST((bucket - (greatest(0, (bucket >> 7) - 1) << 7))
+                      << greatest(0, (bucket >> 7) - 1) AS BIGINT) AS p_hi,
+               n_total - cum AS n_above
+        FROM c
+        WHERE cum >= (n_total * 990000 + 999999) // 1000000
+          AND cum - cnt < (n_total * 990000 + 999999) // 1000000
+    )
+    SELECT lo.l_returnflag, p_lo, p_hi, n_below, n_above, n_total
+    FROM lo JOIN hi ON lo.l_returnflag = hi.l_returnflag
+    ORDER BY lo.l_returnflag
+    """,
+    "Sketch-path winsorization report (operators.expectations."
+    "winsorize_bounds_by_sketch): p1/p99 clip bounds AND exact tail "
+    "counts for those bounds, all read off the mergeable quantile "
+    "sketch — ONE scan of the fact total, vs the exact version's "
+    "percentile sort + broadcast re-scan; maintainable incrementally "
+    "as an MV because the sketch is additive. Bounds are bucket "
+    "lower edges (integer cents, within 2^-7 of the exact rank "
+    "statistic — band pinned in tests); every quantity integer, "
+    "bit-identical cross-engine",
+)
+def q146_winsorize_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.expectations import (
+        winsorize_bounds_by_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    vals = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+    )
+    return winsorize_bounds_by_sketch(
+        vals, "v", ["l_returnflag"], lower_ppm=10_000, upper_ppm=990_000
+    ).orderBy("l_returnflag")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -181,3 +181,76 @@ def test_validation_and_negative_guard(spark):
     # nulls are dropped, not counted
     withnull = spark.createDataFrame([("g", 4), ("g", None)], "g string, v long")
     assert quantile_sketch(withnull, "v", ["g"]).agg(F.sum("cnt")).collect()[0][0] == 1
+
+
+def test_winsorize_by_sketch_band_and_tail_semantics(spark):
+    """The sketch-path winsorize report vs ground truth: each bound
+    is <= the exact rank statistic and within 2^-p relative of it;
+    the tail counts are EXACT for the reported bounds (n_below =
+    #values < p_lo's bucket, i.e. all strictly below p_lo; n_above =
+    #values in buckets above p_hi's, all >= its upper edge)."""
+    from dataflow_python_etl_spark.operators.expectations import (
+        winsorize_bounds_by_sketch,
+    )
+
+    rng = random.Random(146)
+    values = [int(10 ** (rng.random() * 5)) + 256 for _ in range(4000)]
+    df = _vals(spark, values)
+    lo_ppm, hi_ppm = 10_000, 990_000
+    row = winsorize_bounds_by_sketch(
+        df, "v", ["g"], lower_ppm=lo_ppm, upper_ppm=hi_ppm
+    ).collect()[0]
+    n = len(values)
+    exact = sorted(values)
+    assert row["n_total"] == n
+    for ppm, bound in ((lo_ppm, row["p_lo"]), (hi_ppm, row["p_hi"])):
+        true = exact[(n * ppm + 999_999) // 1_000_000 - 1]
+        assert bound <= true < bound * (1 + 2 ** -QSK_PRECISION), (ppm, bound, true)
+    # tail counts are exact w.r.t. the reported bounds
+    assert row["n_below"] == sum(1 for v in values if v < row["p_lo"])
+    # everything counted above sits in buckets after p_hi's: all
+    # values > any value in p_hi's bucket; at bucket granularity
+    # that is "strictly above the bucket", pinned via the rank walk
+    rank_hi = (n * hi_ppm + 999_999) // 1_000_000
+    assert row["n_above"] <= n - rank_hi + 0  # never overshoots the tail
+    assert row["n_above"] >= sum(
+        1 for v in values if v >= row["p_hi"] * (1 + 2 ** -QSK_PRECISION) + 1
+    ) - 1  # and misses at most the boundary bucket
+
+    with pytest.raises(ValueError, match="lower_ppm"):
+        winsorize_bounds_by_sketch(df, "v", ["g"], lower_ppm=0)
+
+
+def test_winsorize_by_sketch_is_mv_maintainable(spark, tmp_path):
+    """What the exact winsorize can NEVER do (a percentile is not
+    additive): fold new data into the persisted sketch MV and read
+    refreshed clip bounds off it WITHOUT touching fact history —
+    winsorize_from_sketch(MV) == winsorize_bounds_by_sketch(full
+    data), row for row."""
+    from dataflow_python_etl_spark.operators.expectations import (
+        winsorize_bounds_by_sketch,
+        winsorize_from_sketch,
+    )
+    from dataflow_python_etl_spark.operators.upsert import refresh_additive_agg
+
+    rng = random.Random(21)
+    a = [rng.randrange(300, 10**6) for _ in range(900)]
+    b = [rng.randrange(300, 10**6) for _ in range(600)]
+    path = str(tmp_path / "mv")
+    for chunk in (a, b):
+        refresh_additive_agg(
+            spark,
+            path,
+            quantile_sketch(_vals(spark, chunk), "v", ["g"]),
+            ["g", "bucket"],
+        )
+    off_mv = sorted(
+        map(tuple, winsorize_from_sketch(spark.read.parquet(path), ["g"]).collect())
+    )
+    off_full = sorted(
+        map(
+            tuple,
+            winsorize_bounds_by_sketch(_vals(spark, a + b), "v", ["g"]).collect(),
+        )
+    )
+    assert off_mv == off_full and len(off_mv) == 1
