@@ -627,3 +627,92 @@ def test_stream_kmv_agg_parity_and_replay_free(spark, tmp_path):
     with pytest.raises(Exception, match="missing"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_compact_table_rows_sidecars_and_file_count(spark, tmp_path):
+    """compact_table: many small files -> few even files, rows
+    byte-identical, every _-prefixed sidecar (the replay ledger, a
+    _manifest dir) swapped WITH the data — compaction must never be
+    the separate write that drops replay protection."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import (
+        _read_agg_ledger,
+        compact_table,
+        refresh_additive_agg,
+    )
+
+    import json
+
+    path = str(tmp_path / "t")
+    # an append-grown table (the streaming-sink shape): one file per
+    # micro-write — 6 writes, >= 6 data files
+    for b in range(6):
+        spark.createDataFrame([(b, b * 10)], "k long, n long").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    # sidecar state a maintenance pass MUST carry: a replay ledger
+    # and a _manifest dir (the shard-export shape)
+    with open(os.path.join(path, "_applied_batch.json"), "w") as f:
+        json.dump({"last_batch_id": 5}, f)
+    os.makedirs(os.path.join(path, "_manifest"))
+    with open(os.path.join(path, "_manifest", "part-0.txt"), "w") as f:
+        f.write("manifest-bytes")
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert _read_agg_ledger(path) == 5
+
+    report = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert report["n_rows"] == len(before) == 6
+    assert report["n_files_before"] >= 6
+    assert report["n_files_after"] == 1  # tiny table -> one file
+    # rows identical; BOTH sidecars survived the swap byte-identically
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert _read_agg_ledger(path) == 5
+    with open(os.path.join(path, "_manifest", "part-0.txt")) as f:
+        assert f.read() == "manifest-bytes"
+    # the carried ledger still suppresses a replayed fold
+    dup = spark.createDataFrame([(0, 999)], "k long, n long")
+    refresh_additive_agg(spark, path, dup, ["k"], batch_id=5)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_table(spark, path, target_file_bytes=0)
+    with pytest.raises(ValueError, match="directory"):
+        compact_table(spark, str(tmp_path / "absent"))
+
+
+def test_compact_table_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned tables compact to ~one file per live
+    partition value and KEEP the partitioned layout (a dataloader
+    listing shard_id=K still sees its directory)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import compact_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        (F.col("id") % 3).alias("part"), F.col("id").alias("v")
+    )
+    # many small files per partition: one write per slice
+    for s in range(5):
+        df.where(F.col("v") % 5 == s).write.mode("append").partitionBy(
+            "part"
+        ).parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    report = compact_table(spark, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert report["n_files_after"] < report["n_files_before"]
+    dirs = {d.split("=")[0] for d in os.listdir(path) if "=" in d}
+    assert dirs == {"part"}
+    # one data file per partition value
+    for d in os.listdir(path):
+        if d.startswith("part="):
+            files = [f for f in os.listdir(os.path.join(path, d))
+                     if not f.startswith(".") and not f.startswith("_")]
+            assert len(files) == 1, (d, files)
