@@ -219,6 +219,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Set-CONTAINMENT near-dup pairs: ``(doc_a, doc_b, containment)``
+    with ``containment = |A∩B| / min(|A|,|B|) ≥ threshold`` over
+    n-gram shingle sets — the subset-duplication detector Jaccard
+    structurally misses (a document embedded verbatim inside a 10×
+    larger one has Jaccard ≈ 0.1 but containment 1.0; think quoted
+    articles, aggregator pages, chunk-of-a-book crawl items).
+
+    EXACT, via prefix filtering (Chaudhuri-Ganti-Kaushik 2006; the
+    PPJoin family, Xiao et al. 2008) instead of an all-pairs join:
+    order every doc's shingles by ASCENDING global document frequency
+    (ties by shingle — deterministic), and probe only each doc's
+    PREFIX of size ``sz - ceil(t·sz) + 1`` against the full inverted
+    index. Completeness: a qualifying pair shares ``o ≥ ceil(t·m)``
+    shingles (m = smaller size), and any o-overlap must intersect the
+    smaller doc's first ``m - o + 1`` shingles in ANY global order —
+    so the smaller side's probe finds the pair; probing every doc
+    covers both roles. The frequency order makes prefixes hit the
+    RAREST postings, so candidate volume tracks rare-shingle df, not
+    posting-size²; candidates are then verified with the exact
+    intersection count (no false positives) and the threshold test is
+    an INTEGER cross-multiply (no float boundary). ``max_shingle_df``
+    drops boilerplate shingles from the sets on BOTH the index and
+    the verify side (the q24 contract — scores computed over the
+    same capped sets). One doc-keyed window for prefixes + two
+    shingle-keyed joins; everything JVM-side.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < threshold_ppm <= 1_000_000:
+        raise ValueError(f"threshold_ppm must be in (0, 1e6], got {threshold_ppm}")
+    sh = _doc_shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_df is not None:
+        dfreq = dfreq.where(F.col("__df") <= max_shingle_df)
+    # (doc, shingle, __df) over the capped sets — consumed by the
+    # prefix build, the index side, and twice by verification
+    shf = _persist(sh.join(dfreq, "shingle").select("doc", "shingle", "__df"))
+    sizes = shf.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc").orderBy("__df", "shingle")
+    o_req = F.expr(f"(sz * {int(threshold_ppm)} + 999999) div 1000000")
+    prefix = (
+        shf.withColumn("__pos", F.row_number().over(w))
+        .join(sizes, "doc")
+        .where(F.col("__pos") <= F.col("sz") - o_req + 1)
+        .select("doc", "shingle")
+    )
+    idx = shf.select("shingle", F.col("doc").alias("__idoc"))
+    cand = (
+        prefix.join(idx, "shingle")
+        .where(F.col("doc") != F.col("__idoc"))
+        .select(
+            F.least("doc", "__idoc").alias("doc_a"),
+            F.greatest("doc", "__idoc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = shf.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = shf.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    za = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("__sa"))
+    zb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("__sb"))
+    m = F.least("__sa", "__sb")
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(F.col("__c") * F.lit(1_000_000) >= F.lit(int(threshold_ppm)) * m)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__c") / m, 6).alias("containment"),
+        )
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 #
 # Signature: for permutation i, sig_i(doc) = min over shingles s of

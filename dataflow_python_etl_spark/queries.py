@@ -754,7 +754,10 @@ def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE chain: exact capped 3-gram Jaccard pairs over `documents`
 # (the q24 oracle body; q48 builds its recursive-CTE components oracle
 # on the same pair set so both stay literally in sync).
-_NGRAM_PAIR_CTES = """tok AS (
+# tok..sz: capped 3-gram shingle SETS per document — shared by the
+# Jaccard pairs (q24/q48), the containment pairs (q147), and the
+# recursive cluster CTE
+_NGRAM_SET_CTES = """tok AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
     ),
     sh0 AS (
@@ -764,7 +767,9 @@ _NGRAM_PAIR_CTES = """tok AS (
     ),
     hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 64),
     sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
-    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id)"""
+
+_NGRAM_PAIR_CTES = _NGRAM_SET_CTES + """,
     co AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -6428,6 +6433,47 @@ def q146_winsorize_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_bounds_by_sketch(
         vals, "v", ["l_returnflag"], lower_ppm=10_000, upper_ppm=990_000
     ).orderBy("l_returnflag")
+
+
+@_q(
+    "q147_containment_pairs",
+    f"""
+    WITH {_NGRAM_SET_CTES},
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / least(sa.s, sb.s), 6) AS containment
+    FROM co
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE c * 1000000 >= 800000 * least(sa.s, sb.s)
+    ORDER BY doc_a, doc_b
+    """,
+    "Set-containment near-dup pairs (operators.dedup."
+    "containment_pairs): |A∩B| / min(|A|,|B|) >= 0.8 over capped "
+    "3-gram shingle sets — the subset-duplication detector Jaccard "
+    "structurally misses (doc embedded in a 10x larger one: Jaccard "
+    "~0.1, containment 1.0). EXACT via prefix filtering (Chaudhuri "
+    "2006 / PPJoin): probe each doc's rarest sz-ceil(t*sz)+1 "
+    "shingles against the inverted index (completeness: any "
+    "qualifying overlap intersects the smaller doc's prefix in any "
+    "global order), verify candidates with the exact intersection "
+    "count, threshold as an integer cross-multiply. The oracle runs "
+    "the brute-force all-pairs join — equality IS the no-false-"
+    "negatives proof of the filter",
+)
+def q147_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_ppm=800_000,
+        max_shingle_df=64,
+    ).orderBy("doc_a", "doc_b")
 
 
 # The registry is re-inserted in numeric key order so dict iteration

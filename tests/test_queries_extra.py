@@ -345,3 +345,83 @@ def test_df_spectrum_buckets_and_conservation(spark):
     )
     assert sum(r["n_terms"] for r in rows) == vocab.distinct().count()
     assert sum(r["total_postings"] for r in rows) == vocab.count()
+
+
+def test_containment_pairs_catches_subset_dup_jaccard_misses(spark):
+    """The planted case containment exists for: doc 2 is doc 1
+    embedded verbatim in ~9x more text — Jaccard ~0.1 (below any
+    useful threshold), containment 1.0. Plus: prefix-filtered result
+    == brute-force all-pairs on a random corpus (the no-false-
+    negatives proof, both directions), and the integer threshold
+    cross-multiply keeps boundary pairs exact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        unpersist_all,
+    )
+
+    inner = " ".join(f"core{i}" for i in range(30))
+    filler = " ".join(f"pad{i}" for i in range(270))
+    rng = random.Random(147)
+    noise = [
+        (100 + i, " ".join(f"n{rng.randrange(10**6)}" for _ in range(25)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        [(1, inner), (2, inner + " " + filler)] + noise, "doc_id long, text string"
+    )
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, threshold_ppm=900_000).collect()
+        }
+        assert got[(1, 2)] == 1.0  # subset dup found
+        jac = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert (1, 2) not in jac  # ...which Jaccard misses
+
+        # exactness: prefix-filtered == brute force (all shared-shingle
+        # pairs verified directly) on a corpus with overlapping halves
+        base = [f"w{i}" for i in range(40)]
+        corpus = [
+            (i, " ".join(base[s : s + 20]))
+            for i, s in enumerate([0, 5, 10, 18, 20, 2])
+        ]
+        df2 = spark.createDataFrame(corpus, "doc_id long, text string")
+        for t_ppm in (500_000, 800_000, 1_000_000):
+            fast = {
+                (r["doc_a"], r["doc_b"]): r["containment"]
+                for r in containment_pairs(df2, threshold_ppm=t_ppm).collect()
+            }
+            # brute force: exact containment over every pair
+            sh = {
+                r["doc_id"]: set(
+                    " ".join(p)
+                    for p in zip(
+                        r["text"].split(), r["text"].split()[1:], r["text"].split()[2:]
+                    )
+                )
+                for r in df2.collect()
+            }
+            brute = {}
+            ids = sorted(sh)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    c = len(sh[a] & sh[b])
+                    mn = min(len(sh[a]), len(sh[b]))
+                    if mn and c * 1_000_000 >= t_ppm * mn:
+                        brute[(a, b)] = round(c / mn, 6)
+            assert fast == brute, (t_ppm, fast, brute)
+
+        import pytest
+
+        with pytest.raises(ValueError, match="threshold_ppm"):
+            containment_pairs(docs, threshold_ppm=0)
+    finally:
+        unpersist_all()
