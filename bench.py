@@ -114,6 +114,7 @@ EXTENDED_QUERIES = [
     "q144_quantile_sketch",
     "q145_url_canonical_dedup",
     "q146_winsorize_by_sketch",
+    "q147_containment_pairs",
 ]
 
 
