@@ -115,6 +115,7 @@ EXTENDED_QUERIES = [
     "q145_url_canonical_dedup",
     "q146_winsorize_by_sketch",
     "q147_containment_pairs",
+    "q148_quantile_mv",
 ]
 
 
