@@ -568,9 +568,18 @@ def curate_corpus(
     images: DataFrame | None = None,
     image_payload_col: str = "payload",
     image_max_hamming: int = 6,
+    url_col: str | None = None,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
+    0. optional canonical-URL dedup (``url_col``): raw fetches whose
+       URLs canonicalize identically (case/port/fragment/tracking-
+       param/slash variants — ``functions.url.canonical_url``)
+       collapse to the min-id survivor BEFORE any content work — the
+       cheapest possible tier (one projection + one hash shuffle on
+       the canonical string), so every content-hashing tier below
+       sees each page once. NULL/absent URLs pass through untouched
+       (a docs table without provenance skips the tier entirely);
     1. PII scrub (typed placeholders — before anything downstream can
        memorize raw identifiers);
     1b. optional in-document line dedup (``line_dedup``): repeated
@@ -656,6 +665,19 @@ def curate_corpus(
     (pinned in tests).
     """
     from dataflow_python_etl_spark.functions.text import dedup_lines, pii_scrub
+
+    if url_col is not None:
+        # tier 0: collapse re-fetches by canonical URL (min-id
+        # survivor); null-canonical rows (no URL) pass through — a
+        # null is not a page identity
+        from dataflow_python_etl_spark.functions.url import canonical_url, url_dedup
+
+        keep_ids = url_dedup(docs, url_col, id_col).select(
+            F.col("keep_id").alias(id_col)
+        ).unionByName(
+            docs.where(canonical_url(url_col).isNull()).select(id_col)
+        )
+        docs = docs.join(keep_ids, id_col, "left_semi")
 
     txt = pii_scrub(text_col)
     if line_dedup:

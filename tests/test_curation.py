@@ -428,3 +428,40 @@ def test_curate_corpus_span_dedup_tier(spark):
     assert any(
         r["doc_id"] in plain and r["text"] != plain[r["doc_id"]] for r in got_rows
     ), "span tier should rewrite at least one surviving document"
+
+
+def test_curate_corpus_url_tier_zero(spark):
+    """tier 0 (url_col): re-fetches whose URLs canonicalize
+    identically collapse to the min-id survivor BEFORE any content
+    tier — even when their texts differ (the later content tiers get
+    one page, not N fetch variants); null-URL docs pass through."""
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    import random
+
+    rng = random.Random(8)
+    prose = lambda: " ".join(  # noqa: E731
+        rng.choice(["river", "stone", "gentle", "meadow", "harbor", "lantern",
+                    "orchard", "winter", "travels", "quietly", "morning"])
+        for _ in range(60)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, prose() + " fetch one", "HTTP://Site.com:80/a/?utm_source=x"),
+            (2, prose() + " fetch two", "http://site.com/a"),  # same page
+            (3, prose() + " other page", "http://site.com/b"),
+            (4, prose() + " no provenance", None),
+        ],
+        "doc_id long, text string, url string",
+    )
+    try:
+        out = curate_corpus(docs, min_quality=0.0, url_col="url")
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 2 not in ids  # higher-id re-fetch collapsed by URL alone
+        assert {1, 3, 4} <= ids  # distinct page + null-URL doc survive
+        # without the tier, both fetches survive (texts differ)
+        base = {r["doc_id"] for r in curate_corpus(docs.drop("url"), min_quality=0.0).collect()}
+        assert {1, 2, 3, 4} <= base
+    finally:
+        unpersist_all()
