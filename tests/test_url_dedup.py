@@ -95,3 +95,88 @@ def test_q145_shape(spark):
         and "//doc" not in r["canonical_url"]
         for r in rows
     )
+
+
+def test_canonical_url_property_variants_collapse(spark):
+    """Property (hypothesis-driven construction, one Spark round
+    trip): for ANY clean canonical form, every messy variant built
+    from transformations the normalizer must undo — scheme/host
+    case, default port, fragment, tracking params, param shuffle,
+    doubled slashes, trailing slash, surrounding whitespace —
+    canonicalizes back to the clean form, and the canonical form is
+    a fixed point."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "https"]),
+        host=st.lists(
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8)
+            .filter(lambda s: not s.startswith("-") and not s.endswith("-")),
+            min_size=1, max_size=3,
+        ),
+        segs=st.lists(
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-", min_size=1, max_size=8),
+            min_size=0, max_size=4,
+        ),
+        params=st.dictionaries(
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=6)
+            .filter(lambda k: not k.startswith("utm") and k not in ("gclid", "fbclid", "ref")),
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=0, max_size=6),
+            max_size=4,
+        ),
+        seed=st.integers(0, 2**31),
+    )
+    def build(scheme, host, segs, params, seed):
+        rng = random.Random(seed)
+        hostname = ".".join(host)
+        path = "/" + "/".join(segs) if segs else "/"
+        qs = "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+        clean = f"{scheme}://{hostname}{path.rstrip('/') or '/'}" + (f"?{qs}" if qs else "")
+        # messy variant: transformations the normalizer must undo
+        mhost = "".join(c.upper() if rng.random() < 0.5 else c for c in hostname)
+        mport = {"http": ":80", "https": ":443"}[scheme] if rng.random() < 0.5 else ""
+        mpath = path.replace("/", "//") if rng.random() < 0.5 else path
+        if rng.random() < 0.5 and mpath != "/":
+            mpath += "/"
+        items = [f"{k}={v}" for k, v in params.items()]
+        if rng.random() < 0.5:
+            items.append(rng.choice(["utm_source=x", "gclid=abc", "fbclid=1", "ref=rss"]))
+        rng.shuffle(items)
+        mqs = "?" + "&".join(items) if items else ""
+        frag = "#frag" if rng.random() < 0.5 else ""
+        pad = " " if rng.random() < 0.5 else ""
+        messy = f"{pad}{scheme.upper()}://{mhost}{mport}{mpath}{mqs}{frag}{pad}"
+        cases.append((clean, messy))
+
+    build()
+    df = spark.createDataFrame(cases, "clean string, messy string")
+    bad = df.where(
+        (canonical_url("messy") != F.col("clean"))
+        | (canonical_url("clean") != F.col("clean"))
+    )
+    offenders = bad.limit(5).collect()
+    assert not offenders, [(r["clean"], r["messy"]) for r in offenders]
+
+
+def test_containment_plan_jvm_only(spark):
+    """containment_pairs never leaves the JVM: no EvalPython in the
+    plan (regexps, window, joins all Catalyst expressions)."""
+    from dataflow_python_etl_spark.operators.dedup import (
+        containment_pairs,
+        unpersist_all,
+    )
+    from dataflow_python_etl_spark.plans.checks import explain_str
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    try:
+        assert "EvalPython" not in explain_str(containment_pairs(df))
+    finally:
+        unpersist_all()
