@@ -41,15 +41,20 @@ def _url_parts(u: Column) -> tuple[Column, Column, Column, Column]:
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # the non-greedy [^#]*? anchors the '?' BEFORE any fragment: a
+    # '?' inside the fragment ('/a#sec?id=5') is NOT a query string
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
     return scheme, hostport, path, query
 
 
 def canonical_url(col: Column | str) -> Column:
     """The canonical form of a URL string (see module docstring).
     Idempotent — canonical(canonical(u)) == canonical(u), pinned in
-    tests. NULL in → NULL out; a scheme-less string canonicalizes
-    its path/query anyway (host treated as the leading segment)."""
+    tests. NULL or blank/whitespace in → NULL out (an empty string
+    is ABSENT provenance, not a page identity — canonicalizing it to
+    '/' would collapse every provenance-free doc into one dedup
+    group); a scheme-less non-blank string canonicalizes its
+    path/query anyway (host treated as the leading segment)."""
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     scheme, hostport, path, query = _url_parts(u)
     lscheme = F.lower(scheme)
@@ -78,7 +83,9 @@ def canonical_url(col: Column | str) -> Column:
         npath,
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
-    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(out)
+    return F.when(
+        u.isNull() | (u == ""), F.lit(None).cast("string")
+    ).otherwise(out)
 
 
 def url_dedup(

@@ -278,15 +278,23 @@ def shard_manifest(
         F.lit("ck-v1:"),
         F.col(id_col).cast("string"),
         F.lit(":"),
-        F.col(text_col),
+        # NULL text must still be covered: concat null-propagates, so
+        # an unguarded text column would NULL the whole doc hash and
+        # bit_xor would silently SKIP the row — its payloads could
+        # then corrupt without moving the shard checksum (review-
+        # caught; exactly the image-only rows binary_cols ships).
+        # Sentinel is distinct from the empty string.
+        F.coalesce(F.col(text_col), F.lit("<null-text>")),
     ]
     for b in bins:
         content += [F.lit(":"), F.coalesce(F.md5(F.col(b)), F.lit("<null-payload>"))]
     doc_ck = md5_hash60(F.concat(*content))
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
-        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        # coalesce: a shard of text-NULL (image-only) rows reports 0
+        # tokens/chars, not NULL
+        F.coalesce(F.sum(token_count(text_col)), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.length(text_col)), F.lit(0)).cast("long").alias("n_chars"),
         F.bit_xor(doc_ck).alias("checksum"),
     ]
     if bins:

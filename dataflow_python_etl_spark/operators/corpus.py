@@ -576,10 +576,11 @@ def curate_corpus(
        URLs canonicalize identically (case/port/fragment/tracking-
        param/slash variants — ``functions.url.canonical_url``)
        collapse to the min-id survivor BEFORE any content work — the
-       cheapest possible tier (one projection + one hash shuffle on
-       the canonical string), so every content-hashing tier below
-       sees each page once. NULL/absent URLs pass through untouched
-       (a docs table without provenance skips the tier entirely);
+       cheapest possible tier (ONE scan: one projection + one hash
+       shuffle on the canonical string), so every content-hashing
+       tier below sees each page once. NULL and blank URLs pass
+       through untouched (absent provenance is not a page identity —
+       each such doc keys on a private sentinel);
     1. PII scrub (typed placeholders — before anything downstream can
        memorize raw identifiers);
     1b. optional in-document line dedup (``line_dedup``): repeated
@@ -668,16 +669,27 @@ def curate_corpus(
 
     if url_col is not None:
         # tier 0: collapse re-fetches by canonical URL (min-id
-        # survivor); null-canonical rows (no URL) pass through — a
-        # null is not a page identity
-        from dataflow_python_etl_spark.functions.url import canonical_url, url_dedup
+        # survivor) in ONE scan + ONE hash shuffle: null/blank URLs
+        # (absent provenance — not a page identity) get a per-row
+        # sentinel key so they pass through untouched; \x00 cannot
+        # appear in a real canonical. A union-of-two-filters shape
+        # here would scan the raw corpus twice and re-evaluate the
+        # regex chain per branch (review-caught).
+        from pyspark.sql import Window
 
-        keep_ids = url_dedup(docs, url_col, id_col).select(
-            F.col("keep_id").alias(id_col)
-        ).unionByName(
-            docs.where(canonical_url(url_col).isNull()).select(id_col)
+        from dataflow_python_etl_spark.functions.url import canonical_url
+
+        key = F.coalesce(
+            canonical_url(url_col),
+            F.concat(F.lit("\x00noid:"), F.col(id_col).cast("string")),
         )
-        docs = docs.join(keep_ids, id_col, "left_semi")
+        w_url = Window.partitionBy("__curl")
+        docs = (
+            docs.withColumn("__curl", key)
+            .withColumn("__keep", F.min(id_col).over(w_url))
+            .where(F.col(id_col) == F.col("__keep"))
+            .drop("__curl", "__keep")
+        )
 
     txt = pii_scrub(text_col)
     if line_dedup:

@@ -6277,7 +6277,9 @@ def q144_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT raw_id,
             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS lscheme,
             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest,
-            regexp_extract(u, '\?([^#]*)', 1) AS query
+            -- non-greedy prefix anchors '?' BEFORE any fragment, as
+            -- in functions.url._url_parts
+            regexp_extract(u, '^[^#]*?\?([^#]*)', 1) AS query
         FROM t
     ),
     p2 AS (

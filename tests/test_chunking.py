@@ -413,3 +413,27 @@ def test_multimodal_shards_roundtrip_byte_exact(spark, tmp_path):
 
     with pytest.raises(ValueError, match="binary_cols absent"):
         shard_manifest(corpus, 4, binary_cols=["nope"])
+
+
+def test_shard_checksum_covers_payload_of_text_null_rows(spark):
+    """Review-caught: concat null-propagates, so an unguarded text
+    column NULLed the whole doc hash and bit_xor silently SKIPPED
+    image-only rows — their payloads could corrupt without moving
+    the shard checksum. Pinned: flipping a payload byte on a
+    text-NULL row flips its shard's checksum; text-NULL-only shards
+    report 0 tokens/chars, not NULL."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.chunking import shard_manifest
+
+    rows = [(1, None, b"\x01\x02\x03"), (2, "has text", b"\x04\x05")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, image binary")
+    base = {r["shard_id"]: r for r in shard_manifest(df, 2, binary_cols=["image"]).collect()}
+    flipped = spark.createDataFrame(
+        [(1, None, b"\x01\x02\xff"), rows[1]], "doc_id long, text string, image binary"
+    )
+    after = {r["shard_id"]: r for r in shard_manifest(flipped, 2, binary_cols=["image"]).collect()}
+    # doc 1's shard checksum moved; every n_* stays defined (never NULL)
+    moved = [s for s in base if base[s]["checksum"] != after[s]["checksum"]]
+    assert len(moved) == 1
+    assert all(r["n_tokens"] is not None and r["n_chars"] is not None for r in base.values())

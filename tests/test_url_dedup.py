@@ -22,6 +22,12 @@ CASES = [
     ("http://a.com/p?refresh=1", "http://a.com/p?refresh=1"),  # 'ref=' prefix, not 'ref*'
     ("http://a.com/p?utm_source=x", "http://a.com/p"),  # all params stripped -> no '?'
     ("HTTPS://A.COM/Path/Is/CaseSensitive", "https://a.com/Path/Is/CaseSensitive"),
+    # '?' INSIDE the fragment is not a query (review-caught): same
+    # page as /a, NOT the same as /a?id=5
+    ("http://example.com/a#sec?id=5", "http://example.com/a"),
+    # blank/whitespace URL = absent provenance, NOT the page '/'
+    ("", None),
+    ("   ", None),
 ]
 
 

@@ -46,26 +46,38 @@ def _run(cmd: list[str]) -> tuple[int, str]:
 
 def _scoped_test_files(rev: str) -> list[str] | None:
     """Test files worth re-running for a scoped certify: tests that
-    changed since ``rev`` plus ``tests/test_<leaf>*.py`` for every
-    changed package module. None → run everything (infra changed)."""
+    changed since ``rev``, plus every test file that NAMES a changed
+    package module — filename match (``tests/test_<leaf>*.py``) OR a
+    word-boundary content match, because the real pins for a module
+    often live elsewhere (operators/multimodal.py pins sit in
+    test_image_dedup.py; operators/expectations.py pins in
+    test_timeseries_expectations.py — review-caught). Over-inclusion
+    only widens the scoped run. None → run everything (infra
+    changed)."""
+    import re as _re
+
     sys.path.insert(0, str(ROOT / "tools"))
     from changed import _module_of, changed_files, queries_affected_since
 
     if queries_affected_since(rev) is None:
         return None
     picked: set[str] = set()
+    leaves: set[str] = set()
     for f in changed_files(rev):
         if f.startswith("tests/") and f.endswith(".py"):
             if (ROOT / f).exists():
                 picked.add(f)
             continue
         mod = _module_of(f)
-        if mod is None:
-            continue
-        leaf = mod.rsplit(".", 1)[-1]
-        picked.update(
-            str(p.relative_to(ROOT)) for p in (ROOT / "tests").glob(f"test_{leaf}*.py")
+        if mod is not None:
+            leaves.add(mod.rsplit(".", 1)[-1])
+    if leaves:
+        pat = _re.compile(
+            r"\b(" + "|".join(_re.escape(l) for l in sorted(leaves)) + r")\b"
         )
+        for p in sorted((ROOT / "tests").glob("test_*.py")):
+            if pat.search(p.read_text()):
+                picked.add(str(p.relative_to(ROOT)))
     return sorted(picked)
 
 
@@ -75,7 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     ok = True
     since: str | None = None
     if "--changed-since" in argv:
-        since = argv[argv.index("--changed-since") + 1]
+        i = argv.index("--changed-since")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
+            print("usage: certify.py [--skip-tests] [--changed-since REV]",
+                  file=sys.stderr)
+            return 2
+        since = argv[i + 1]
         report["scoped"] = since
 
     if "--skip-tests" in argv:

@@ -174,13 +174,17 @@ def _query_module_refs() -> dict[str, set[str]]:
             mods.add(m)
         for m in re.findall(rf"{PKG}\.([\w.]+)", block):
             mods.add(m)
-        # `from PKG.operators import graph` style inside the block
+        # `from PKG.operators import graph` / `import multimodal as MM`
+        # style inside the block (including multiline parenthesized
+        # lists); over-capture is harmless — pieces must name a real
+        # module file to count, and over-INCLUSION only widens the
+        # scoped run (conservative direction)
         for pkgdir, leaf in re.findall(
-            rf"from {PKG}\.(\w+) import \(?([\w, ]+)", block
+            rf"from {PKG}\.(\w+) import \(?([\w,\n ]+)", block
         ):
             for piece in leaf.split(","):
-                piece = piece.strip()
-                if (ROOT / PKG / pkgdir / (piece + ".py")).exists():
+                piece = piece.split(" as ")[0].strip()
+                if piece and (ROOT / PKG / pkgdir / (piece + ".py")).exists():
                     mods.add(f"{pkgdir}.{piece}")
         refs[name] = mods
     return refs

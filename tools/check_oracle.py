@@ -59,6 +59,9 @@ def main() -> int:
     argv = sys.argv[1:]
     since: str | None = None
     if argv and argv[0] == "--changed-since":
+        if len(argv) < 2 or argv[1].startswith("-"):
+            print("usage: check_oracle.py [--changed-since REV] [sf_dir] [query ...]")
+            return 2
         since = argv[1]
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"

@@ -132,19 +132,27 @@ def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
     pq.write_table(pa.Table.from_pandas(lout, preserve_index=False),
                    f"{out_dir}/lineitem.parquet")
 
-    # customer replicates under the custkey stride (nationkey kept, so
-    # every replica contributes its own NATION_3 seed set); the small
-    # dimension tables copy through unchanged.
-    cu = pq.read_table(f"{src_dir}/customer.parquet").to_pandas()
-    cparts = []
-    for r in range(replicas):
-        part = cu.copy()
-        part["c_custkey"] = part["c_custkey"] + r * ID_STRIDE
-        cparts.append(part)
-    cout = pd.concat(cparts, ignore_index=True)
-    pq.write_table(pa.Table.from_pandas(cout, preserve_index=False),
-                   f"{out_dir}/customer.parquet")
-    for small in ("region", "nation", "supplier", "part", "embeddings"):
+    # customer and supplier replicate under the same key stride as
+    # the fact columns that reference them (o_custkey, l_suppkey) —
+    # copying either unstrided would leave replicas r>=1 with
+    # dangling FKs, and any probed query joining through them would
+    # measure a SHRINKING join, not the plan (review-caught). The
+    # keyless small dims copy through unchanged.
+    for tbl, keys in (("customer", ["c_custkey"]), ("supplier", ["s_suppkey"])):
+        src = f"{src_dir}/{tbl}.parquet"
+        if not os.path.exists(src):
+            continue
+        base = pq.read_table(src).to_pandas()
+        tparts = []
+        for r in range(replicas):
+            part = base.copy()
+            for k in keys:
+                part[k] = part[k] + r * ID_STRIDE
+            tparts.append(part)
+        tout = pd.concat(tparts, ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(tout, preserve_index=False),
+                       f"{out_dir}/{tbl}.parquet")
+    for small in ("region", "nation", "part", "embeddings"):
         src = f"{src_dir}/{small}.parquet"
         if os.path.exists(src):
             shutil.copyfile(src, f"{out_dir}/{small}.parquet")
