@@ -116,6 +116,7 @@ EXTENDED_QUERIES = [
     "q146_winsorize_by_sketch",
     "q147_containment_pairs",
     "q148_quantile_mv",
+    "q149_quantile_rollup",
 ]
 
 

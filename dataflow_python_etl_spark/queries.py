@@ -6561,6 +6561,87 @@ def q148_quantile_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILE_MV_CACHE: dict = {}
 
 
+@_q(
+    "q149_quantile_rollup",
+    """
+    WITH vals AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    b AS (
+        SELECT l_returnflag,
+               (CAST(greatest(0, length(bin(v)) - 8) AS BIGINT) << 7)
+                 + (v >> greatest(0, length(bin(v)) - 8)) AS bucket
+        FROM vals
+    ),
+    sk AS (
+        SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY l_returnflag, bucket
+    ),
+    rolled AS (
+        SELECT l_returnflag AS scope, bucket, cnt FROM sk
+        UNION ALL
+        SELECT '<all>' AS scope, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM sk GROUP BY bucket
+    ),
+    c AS (
+        SELECT scope, bucket, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY scope ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY scope) AS BIGINT) AS n_rows
+        FROM rolled
+    ),
+    e AS (
+        SELECT c.*, CAST(q.q_ppm AS BIGINT) AS q_ppm
+        FROM c CROSS JOIN (SELECT unnest([500000, 990000]) AS q_ppm) q
+    )
+    SELECT scope, q_ppm,
+           CAST((bucket - (greatest(0, (bucket >> 7) - 1) << 7))
+                  << greatest(0, (bucket >> 7) - 1) AS BIGINT) AS est_cents,
+           n_rows
+    FROM e
+    WHERE cum >= (n_rows * q_ppm + 999999) // 1000000
+      AND cum - cnt < (n_rows * q_ppm + 999999) // 1000000
+    ORDER BY scope, q_ppm
+    """,
+    "Quantile ROLLUP off one sketch (sketches.quantile_sketch + "
+    "quantile_estimate): per-return-flag AND corpus-global p50/p99 "
+    "from the SAME per-group sketch table — the cross-group corner "
+    "of the sketch's merge algebra (global buckets = per-group "
+    "buckets summed; a percentile MV answers every coarser grain "
+    "without re-reading facts, which an exact percentile never can). "
+    "The global rows' hash-match against the direct full-data walk "
+    "IS the cross-group merge law. Rollup input is the grid-bounded "
+    "sketch, so the extra grain costs bucket-table work only",
+)
+def q149_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    vals = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+    )
+    sk = quantile_sketch(vals, "v", ["l_returnflag"])
+    # cross-group rollup ON THE SKETCH: global buckets are the
+    # per-group buckets summed (additivity again — never the facts)
+    rolled = sk.select(
+        F.col("l_returnflag").alias("scope"), "bucket", "cnt"
+    ).unionByName(
+        sk.groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(F.lit("<all>").alias("scope"), "bucket", "cnt")
+    )
+    est = quantile_estimate(rolled, ["scope"], quantiles_ppm=(500_000, 990_000))
+    return est.select(
+        "scope", "q_ppm", F.col("est").alias("est_cents"), "n_rows"
+    ).orderBy("scope", "q_ppm")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

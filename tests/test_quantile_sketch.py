@@ -254,3 +254,37 @@ def test_winsorize_by_sketch_is_mv_maintainable(spark, tmp_path):
         )
     )
     assert off_mv == off_full and len(off_mv) == 1
+
+
+def test_quantile_rollup_global_equals_ungrouped_sketch(spark):
+    """Cross-group merge algebra: summing per-group buckets per
+    bucket id == the sketch built with no grouping, so a grouped
+    quantile MV answers every coarser grain exactly as if built at
+    that grain."""
+    rng = random.Random(149)
+    rows = [(f"g{i % 7}", rng.randrange(0, 10**6)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    per_group = quantile_sketch(df, "v", ["g"])
+    rolled = {
+        r["bucket"]: r["cnt"]
+        for r in per_group.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    flat = {
+        r["bucket"]: r["cnt"] for r in quantile_sketch(df, "v", []).collect()
+    }
+    assert rolled == flat
+    # and the estimates read at the rolled-up grain match exactly
+    est_rolled = sorted(
+        map(
+            tuple,
+            quantile_estimate(
+                per_group.groupBy("bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt")),
+                [],
+            ).collect(),
+        )
+    )
+    est_flat = sorted(
+        map(tuple, quantile_estimate(quantile_sketch(df, "v", []), []).collect())
+    )
+    assert est_rolled == est_flat
