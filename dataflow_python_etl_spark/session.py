@@ -67,6 +67,24 @@ def get_spark(
     # spark-submit instead
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
     if mem:
+        # spark.driver.memory is a JVM-LAUNCH-time setting: if a
+        # SparkContext already exists in this process (pytest / the
+        # certify pipeline reuse get_spark), getOrCreate() silently
+        # ignores it and the oversized job OOMs with no hint why. Warn
+        # loudly — the env var must be set before the first get_spark.
+        from pyspark import SparkContext
+
+        if SparkContext._active_spark_context is not None:
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_DRIVER_MEMORY=%s ignored: a SparkContext "
+                "already exists in this process and spark.driver.memory "
+                "only applies at JVM launch. Set the env var before the "
+                "first get_spark() call." % mem,
+                RuntimeWarning,
+                stacklevel=2,
+            )
         conf["spark.driver.memory"] = mem
     if extra_conf:
         conf.update(extra_conf)

@@ -53,3 +53,23 @@ def test_unpersist_all_releases_caches(spark):
     ngram_jaccard_pairs(df).count()
     assert unpersist_all() >= 1
     assert unpersist_all() == 0
+
+
+def test_driver_memory_override_warns_when_context_exists(spark, monkeypatch):
+    """ADVICE r7: spark.driver.memory is JVM-launch-time — a
+    SPARK_GRAFT_DRIVER_MEMORY set after the first get_spark is
+    silently ignored by getOrCreate, so the factory must warn."""
+    import warnings
+
+    from dataflow_python_etl_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEMORY", "64g")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = get_spark()
+    assert got is spark
+    assert any(
+        issubclass(x.category, RuntimeWarning)
+        and "SPARK_GRAFT_DRIVER_MEMORY" in str(x.message)
+        for x in w
+    )

@@ -716,3 +716,77 @@ def test_compact_table_partitioned_layout(spark, tmp_path):
             files = [f for f in os.listdir(os.path.join(path, d))
                      if not f.startswith(".") and not f.startswith("_")]
             assert len(files) == 1, (d, files)
+
+
+def test_compact_table_nested_sidecar_and_zero_padded_partition(spark, tmp_path):
+    """ADVICE r7 regressions: (a) a '_'-prefixed sidecar NESTED inside
+    a partition dir must survive compaction like a top-level one;
+    (b) a string partition column with zero-padded numeric-looking
+    values (shard=007) must NOT be renormalized by partition type
+    inference (shard=7 would rename the paths a dataloader keys on)."""
+    import os
+
+    from dataflow_python_etl_spark.operators.upsert import compact_table
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("007", 1), ("007", 2), ("042", 3)], "shard string, v long"
+    )
+    for _ in range(2):  # two appends -> >1 file per partition
+        df.write.mode("append").partitionBy("shard").parquet(path)
+    os.makedirs(os.path.join(path, "shard=007", "_meta"))
+    with open(os.path.join(path, "shard=007", "_meta", "ledger.json"), "w") as f:
+        f.write('{"nested": true}')
+
+    report = compact_table(spark, path)
+    assert report["n_rows"] == 6
+    # zero-padded partition dirs preserved exactly
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == ["shard=007", "shard=042"]
+    # nested sidecar carried through the swap byte-identically
+    with open(os.path.join(path, "shard=007", "_meta", "ledger.json")) as f:
+        assert f.read() == '{"nested": true}'
+    # values still read back as the original strings (a reader that
+    # pins inference off — e.g. a dynamic-overwrite replay keying on
+    # the literal dir names — sees the exact pre-compaction values;
+    # default readers re-infer types exactly as before compaction)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        got = sorted(
+            map(tuple, spark.read.parquet(path).select("v", "shard").collect())
+        )
+    finally:
+        spark.conf.set(key, prev)
+    assert got == [(1, "007"), (1, "007"), (2, "007"), (2, "007"),
+                   (3, "042"), (3, "042")]
+
+
+def test_compact_table_refuses_unrecovered_crash_state(spark, tmp_path):
+    """compact_table must REFUSE to run over unrecovered crash state
+    (a leftover .__append_tmp_* stage dir or sibling .__bak_*) instead
+    of silently deleting the only copy of in-flight data."""
+    import os
+
+    import pytest
+
+    from dataflow_python_etl_spark.operators.upsert import compact_table
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 2)], "k long, n long").write.parquet(path)
+
+    stage = os.path.join(path, ".__append_tmp_deadbeef")
+    os.makedirs(stage)
+    with pytest.raises(RuntimeError, match="unrecovered"):
+        compact_table(spark, path)
+    os.rmdir(stage)
+
+    os.makedirs(path + ".__bak_12345678")
+    with pytest.raises(RuntimeError, match="unrecovered"):
+        compact_table(spark, path)
+    os.rmdir(path + ".__bak_12345678")
+
+    # clean state compacts fine afterwards
+    report = compact_table(spark, path)
+    assert report["n_rows"] == 1

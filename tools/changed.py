@@ -190,6 +190,32 @@ def _query_module_refs() -> dict[str, set[str]]:
     return refs
 
 
+def _residue(source: str) -> str:
+    """``queries.py`` with every query block removed — the shared
+    module-level surface (imports, _NGRAM_*_CTES constants, _t/TODAY
+    helpers) that any oracle f-string may reference. If THIS differs
+    between revisions, block-level diffing cannot scope the change."""
+    lines = source.splitlines()
+    drop = [False] * len(lines)
+    tree = ast.parse(source)
+    for node in tree.body:
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        if not any(
+            isinstance(d, ast.Call)
+            and d.args
+            and isinstance(d.args[0], ast.Constant)
+            and isinstance(d.args[0].value, str)
+            and d.args[0].value.startswith("q")
+            for d in node.decorator_list
+        ):
+            continue
+        start = min([node.lineno] + [d.lineno for d in node.decorator_list])
+        for i in range(start - 1, node.end_lineno):
+            drop[i] = True
+    return "\n".join(ln for ln, d in zip(lines, drop) if not d)
+
+
 def queries_affected_since(rev: str) -> set[str] | None:
     """The subset of registered query names whose behavior could have
     changed since ``rev``; ``None`` means "cannot scope — run the
@@ -203,6 +229,11 @@ def queries_affected_since(rev: str) -> set[str] | None:
         if f == QUERIES_PY:
             old = _git("show", f"{rev}:{QUERIES_PY}")
             new = (ROOT / QUERIES_PY).read_text()
+            if _residue(old) != _residue(new):
+                # module-level state changed (shared CTE constants,
+                # helper fns the oracle f-strings close over) — block
+                # diffs can't see which oracles that rewrote: full run
+                return None
             ob, nb = _query_blocks(old), _query_blocks(new)
             affected |= {q for q, seg in nb.items() if ob.get(q) != seg}
             continue
