@@ -118,6 +118,7 @@ EXTENDED_QUERIES = [
     "q148_quantile_mv",
     "q149_quantile_rollup",
     "q150_audio_fingerprint_pairs",
+    "q151_video_frame_jaccard_pairs",
 ]
 
 

@@ -734,12 +734,11 @@ VIDEO_CORPUS_SCHEMA = T.StructType(
 )
 
 # Synthetic-corpus plant geometry: 6 frames of 16x16, frame f's pixels
-# offset by 7*f characters into the text; the far variant adds 997.
+# offset by 7*f characters into the text; the far variant inverts.
 # Hot pixels for the one-frame edit live in 5 distinct 2x2 blocks.
 _VIDEO_FRAMES = 6
 _VIDEO_HW = 16
 _VIDEO_STRIDE = 7
-_VIDEO_FAR = 997
 _VIDEO_HOT = (0, 37, 101, 149, 255)
 
 
@@ -763,7 +762,10 @@ def synthetic_video_corpus(
     - v2: frames 0..4 plus frame 5 with 5 hot pixels ``+128 mod 256``
       (one per distinct 2x2 block) — 5 common frames of <= 7 union,
       Jaccard >= 5/7;
-    - v3: every frame offset by a further 997 chars — a far video.
+    - v3: every frame INVERTED (``255 - p``) — a far video, never
+      paired (the q143 far-variant discipline: inversion flips the
+      hash far from the base, where a mere tiling offset measurably
+      does not under the coarse 8x8 aHash).
 
     Every pixel is an integer function of the text, so a SQL oracle
     reproduces the per-frame hashes — and the pair Jaccards — exactly
@@ -796,12 +798,12 @@ def synthetic_video_corpus(
                     hot[list(_VIDEO_HOT)].astype(np.int64) + 128
                 ) % 256
                 edited = base[:-1] + [hot.reshape(hw, hw, 3).astype(np.uint8)]
-                far = [
-                    frame(_VIDEO_STRIDE * f + _VIDEO_FAR)
-                    for f in range(_VIDEO_FRAMES)
+                inverted = [
+                    (255 - fr.astype(np.int64)).astype(np.uint8)
+                    for fr in base
                 ]
                 for v, frames in enumerate(
-                    (base, base[::-1], edited, far)
+                    (base, base[::-1], edited, inverted)
                 ):
                     ids.append(int(doc_id) * 10 + v)
                     dids.append(int(doc_id))

@@ -6723,6 +6723,91 @@ def q150_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q151_video_frame_jaccard_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+        SELECT d.doc_id, vv.v, ff.f, g.i,
+               ascii(substr(d.text,
+                   (((g.i + 7 * (CASE WHEN vv.v = 1 THEN 5 - ff.f
+                                      ELSE ff.f END)) % d.len) + 1)::INT,
+                   1)) % 256 AS p0
+        FROM d CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g
+             CROSS JOIN (SELECT unnest(range(0, 6)) AS f) ff
+             CROSS JOIN (SELECT unnest(range(0, 4)) AS v) vv
+    ),
+    pv AS (
+        SELECT doc_id, v, f, i,
+               CASE WHEN v = 3 THEN 255 - p0
+                    WHEN v = 2 AND f = 5 AND i IN (0, 37, 101, 149, 255)
+                    THEN (p0 + 128) % 256
+                    ELSE p0 END AS p
+        FROM px
+    ),
+    blk AS (
+        SELECT doc_id, v, f,
+               (i // 16 // 2) * 8 + ((i % 16) // 2) AS b, sum(p) AS s
+        FROM pv GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT doc_id, v, f, sum(s) AS t FROM blk GROUP BY 1, 2, 3),
+    ph AS (
+        SELECT blk.doc_id, blk.v, blk.f,
+               CAST(sum(CASE WHEN s * 64 > t THEN
+                    CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << b::INT) END
+                    ELSE 0 END) AS BIGINT) AS fh
+        FROM blk JOIN tot USING (doc_id, v, f) GROUP BY 1, 2, 3
+    ),
+    hs AS (SELECT DISTINCT doc_id * 10 + v AS vid, fh FROM ph),
+    sz AS (SELECT vid, count(*) AS n FROM hs GROUP BY 1),
+    cm AS (
+        SELECT x.vid AS vid_a, y.vid AS vid_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM hs x JOIN hs y ON x.fh = y.fh AND x.vid < y.vid
+        GROUP BY 1, 2
+    )
+    SELECT cm.vid_a, cm.vid_b, cm.n_common,
+           CAST((1000000 * cm.n_common) // (sa.n + sb.n - cm.n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM cm JOIN sz sa ON sa.vid = cm.vid_a
+            JOIN sz sb ON sb.vid = cm.vid_b
+    WHERE 1000000 * cm.n_common >= 500000 * (sa.n + sb.n - cm.n_common)
+    """,
+    "Video near-duplicate pair search by frame-hash-set Jaccard over "
+    "REAL decoded frames: a deterministic animated-GIF corpus derived "
+    "from documents (4 variants per doc — base, frames REVERSED, one "
+    "frame hot-pixel-edited, inverted; "
+    "multimodal.synthetic_video_corpus), REALLY encoded and decoded "
+    "frame-by-frame through operators.codecs.decode_gif_frames, each "
+    "frame fingerprinted by the portable integer aHash "
+    "(multimodal.ahash64 — shared with the image tier), then pairs "
+    "form ONLY where two videos SHARE a frame hash (equi-join on the "
+    "hash, never all-pairs) with exact integer Jaccard "
+    "((1e6*common) div union, cross-multiply threshold at 0.5). The "
+    "oracle reproduces every frame hash analytically from the text, "
+    "so hash parity verifies encode -> decode -> hash -> set-join "
+    "end-to-end: reversed variants land at Jaccard 1.0 exactly "
+    "(set semantics: re-mux/re-order must not matter), one-frame "
+    "edits at >= 5/7, inverted variants are never paired.",
+)
+def q151_video_frame_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = MM.synthetic_video_corpus(docs)
+    pairs = MM.video_near_dup_pairs(vids, min_jaccard_ppm=500_000)
+    return pairs.select(
+        "vid_a",
+        "vid_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
