@@ -676,6 +676,73 @@ def hamming_banded_pairs(
     )
 
 
+def hamming_banded_pairs_incremental(
+    corpus_sig: DataFrame | None,
+    new_sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    n_bands: int,
+    bits: int = 64,
+) -> DataFrame:
+    """Incremental twin of :func:`hamming_banded_pairs`: pairs of a
+    NEW fingerprint batch against an already-fingerprinted corpus
+    (and against itself) — the probe the streaming image/audio ingest
+    runs per micro-batch. Only the NEW side's bands ever probe, so
+    the per-batch candidate cost scales with the batch; the corpus
+    side contributes bands from its stored 16-byte ``(id, sig)`` rows
+    (band extraction is a shift/mask, re-derived at probe time —
+    storing exploded bands would 8x the index for no win). Returns
+    ``(doc_a, doc_b, hamming)`` with doc_a < doc_b, each pair having
+    at least one new member; pigeonhole-exact like the batch form.
+
+    Ids must be unique across corpus and batch. Duplicate corpus sig
+    rows (a crash-replayed index append) only re-propose the same
+    candidate pair — the final ``distinct`` absorbs them."""
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"exactness needs 0 <= max_hamming < n_bands, got {max_hamming}/{n_bands}"
+        )
+    if bits % n_bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into {n_bands} bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias("doc"),
+            F.col(sig_col).alias("__sig"),
+            F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+        ).withColumn(
+            "val", F.expr(f"shiftright(__sig, band * {width}) & {mask}")
+        )
+
+    new_bands = _bands(new_sig)
+    all_bands = (
+        new_bands if corpus_sig is None
+        else _bands(corpus_sig.select(id_col, sig_col)).unionByName(new_bands)
+    )
+    a = new_bands.alias("a")
+    b = all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least("a.doc", "b.doc").alias("doc_a"),
+            F.greatest("a.doc", "b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs_incremental(
     corpus: DataFrame,
     new_docs: DataFrame,

@@ -611,6 +611,169 @@ def stream_dedup_ingest(
     )
 
 
+def stream_image_dedup_ingest(
+    stream_images: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "image_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    replay_guard: str = "anti_join",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Online near-dup-filtered MULTIMODAL ingestion: each micro-batch
+    of images is perceptually fingerprinted (real decode,
+    ``multimodal.image_phash``), Hamming-matched against the
+    ALREADY-INGESTED corpus via the persisted fingerprint index (and
+    against itself), and only survivors are appended — the streaming
+    composition of ``multimodal.image_near_dup_pairs``, mirroring what
+    :func:`stream_dedup_ingest` is to MinHash text dedup (VERDICT r7
+    gap 3: a live crawl could dedup text online but not images).
+
+    The EXPENSIVE work per batch scales with the BATCH: only batch
+    payloads are decoded, and the probe
+    (``dedup.hamming_banded_pairs_incremental``) explodes only batch
+    bands against the index's 16-byte ``(id, phash)`` rows — the
+    corpus's binary payloads are never re-read on the ingest path.
+    Survivor rule matches the text sink: a batch image is dropped if
+    it near-dups any ingested image, or a lower-id image of its own
+    batch.
+
+    Crash safety mirrors :func:`stream_dedup_ingest` exactly (same
+    guard functions): a restart whose corpus vanished but whose index/
+    watermark artifacts survive FAILS instead of silently rebuilding
+    from one batch; a lost index is rebuilt FROM the corpus (one
+    re-decode) and persisted before use, never probed partial; the
+    index is appended before the corpus, so a crash between the two
+    re-proposes candidates that the probe's ``distinct`` and the
+    anti-join replay guard absorb; ``replay_guard="watermark"``
+    (monotone ids) replaces the corpus-sized anti-join with a pure
+    filter and makes corpus appends per-batch dynamic partition
+    OVERWRITES, so a replayed batch rewrites its own partition.
+    foreachBatch is AT-LEAST-once: every write here is per-key
+    idempotent or partition-overwritten — never an additive fold
+    (CLAUDE.md round-6 rule)."""
+    import json
+    import os
+
+    from dataflow_python_etl_spark.operators.dedup import (
+        _persist,
+        hamming_banded_pairs_incremental,
+        unpersist_all,
+    )
+    from dataflow_python_etl_spark.operators.multimodal import image_phash
+
+    if replay_guard not in ("anti_join", "watermark"):
+        raise ValueError(
+            f"replay_guard must be anti_join|watermark, got {replay_guard!r}"
+        )
+
+    wm_path = corpus_path + ".__ingest_watermark"
+
+    def _read_wm() -> dict | None:
+        if not os.path.exists(wm_path):
+            return None
+        with open(wm_path) as f:
+            return json.load(f)
+
+    def _write_wm(batch_id: int, max_id) -> None:
+        tmp = wm_path + ".__tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "max_id": max_id}, f)
+        os.replace(tmp, wm_path)
+
+    def _corpus_append(survivors: DataFrame, batch_id: int) -> None:
+        if replay_guard == "watermark":
+            (
+                survivors.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(corpus_path)
+            )
+        else:
+            survivors.write.mode("append").parquet(corpus_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, payload_col)
+        if (
+            not os.path.exists(corpus_path)
+            and batch_id > 0
+            and (os.path.exists(index_path) or os.path.exists(wm_path))
+        ):
+            raise RuntimeError(
+                f"stream_image_dedup_ingest restart at batch {batch_id} but "
+                f"corpus {corpus_path} is missing — refusing to rebuild from "
+                "a single batch; restore the corpus or start a fresh "
+                "checkpoint."
+            )
+        wm = _read_wm() if replay_guard == "watermark" else None
+        if wm is not None and batch_id == wm["batch_id"]:
+            return  # this exact batch fully committed — replay is a no-op
+        index_sig = None
+        if os.path.exists(corpus_path):
+            corpus = spark.read.parquet(corpus_path)
+            batch = _guard_replay(batch, corpus, id_col, replay_guard, wm)
+            if not os.path.exists(index_path):
+                # rebuild the FULL corpus fingerprint index and PERSIST
+                # it before use — a partial index silently blinds every
+                # later batch (the poisoned-index failure mode)
+                image_phash(
+                    corpus.select(id_col, payload_col), id_col, payload_col
+                ).withColumnRenamed("image_id", id_col).write.parquet(index_path)
+            index_sig = spark.read.parquet(index_path)
+        sig = _persist(
+            image_phash(batch, id_col, payload_col).withColumnRenamed(
+                "image_id", id_col
+            )
+        )
+        pairs = hamming_banded_pairs_incremental(
+            index_sig, sig, id_col, "phash", max_hamming, n_bands
+        )
+        # a new image is removed when it pairs with anything already
+        # decided: an ingested image (either side of the pair) or a
+        # lower-id image of its own batch (doc_b of a new-new pair)
+        new_ids = batch.select(F.col(id_col).alias("__nid"))
+        b_new = pairs.join(
+            new_ids, pairs["doc_b"] == F.col("__nid"), "left_semi"
+        ).select(F.col("doc_b").alias(id_col))
+        a_new_b_corpus = (
+            pairs.join(new_ids, pairs["doc_b"] == F.col("__nid"), "left_anti")
+            .join(new_ids, pairs["doc_a"] == F.col("__nid"), "left_semi")
+            .select(F.col("doc_a").alias(id_col))
+        )
+        removals = b_new.union(a_new_b_corpus).distinct()
+        max_ingested = None
+        if replay_guard == "watermark":
+            max_ingested = batch.agg(F.max(id_col)).first()[0]
+            if max_ingested is None:
+                if wm is not None:
+                    _write_wm(batch_id, wm["max_id"])
+                unpersist_all()
+                return
+        survivors = batch.join(removals, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        # index first, then corpus (same ordering argument as the text
+        # sink: an orphan index row only re-proposes a candidate)
+        sig.join(survivors, id_col, "left_semi").write.mode("append").parquet(
+            index_path
+        )
+        _corpus_append(survivors, batch_id)
+        if replay_guard == "watermark":
+            _write_wm(batch_id, max_ingested)
+        unpersist_all()
+
+    return (
+        stream_images.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_scd2_to_table(
     stream_df: DataFrame,
     table_path: str,

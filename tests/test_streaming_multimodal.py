@@ -1,0 +1,181 @@
+"""Streaming multimodal ingest: online image near-dup filtering
+(VERDICT r7 gap 3 — `stream_dedup_ingest` covered text only; a live
+crawl could not dedup images online)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.operators.codecs import encode_png
+from dataflow_python_etl_spark.streaming.pipeline import stream_image_dedup_ingest
+
+
+def _img(seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    # pixels in [0, 200]: +10 stays non-wrapping, a TRUE brightness shift
+    return rng.randint(0, 200, size=(32, 32)).astype(np.uint8)
+
+
+def _rows(spark, *pairs):
+    data = [(i, bytearray(encode_png(px))) for i, px in pairs]
+    return spark.createDataFrame(data, "image_id: long, payload: binary")
+
+
+def _poll_ids(spark, path, want, timeout=30.0):
+    deadline = time.time() + timeout
+    got = None
+    while time.time() < deadline:
+        try:
+            got = sorted(r["image_id"] for r in spark.read.parquet(path).collect())
+        except Exception:
+            got = None
+        if got == want:
+            return got
+        time.sleep(0.5)
+    return got
+
+
+def test_stream_image_dedup_ingest_online_filtering(spark, tmp_path):
+    """In-batch perceptual dups, cross-batch dups (vs the persisted
+    fingerprint index), and brightness-shift invariance — all decided
+    ONLINE, batch payloads decoded once, corpus payloads never
+    re-read."""
+    a, b, c, d = _img(1), _img(2), _img(3), _img(4)
+    a_bright = a + 10  # aHash-identical by construction (hamming 0)
+    src = str(tmp_path / "imgs_in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: 2 is a brightness-shifted copy of 1 (in-batch dup)
+    _rows(spark, (1, a), (2, a_bright), (3, b)).write.parquet(src)
+    q = stream_image_dedup_ingest(
+        spark.readStream.schema("image_id long, payload binary").parquet(src),
+        corpus,
+        index,
+        ckpt,
+    )
+    q.processAllAvailable()
+    assert _poll_ids(spark, corpus, [1, 3]) == [1, 3]
+
+    # batch 2: 11 copies corpus image 3 (cross-batch, via the index);
+    # 12 unique; 13 copies 12 in-batch; 0 copies corpus image 1
+    # despite the LOWER id — the corpus is immutable, 0 must drop
+    _rows(spark, (0, a), (11, b), (12, c), (13, c)).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    assert _poll_ids(spark, corpus, [1, 3, 12]) == [1, 3, 12]
+
+    # batch 3: replayed id anti-joined away; fresh image lands
+    _rows(spark, (12, c), (14, d)).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14])
+    q.stop()
+    assert got3 == [1, 3, 12, 14]
+
+    # the persisted index covers exactly the corpus survivors, one
+    # 16-byte fingerprint row each — the probe side of every future batch
+    idx = spark.read.parquet(index)
+    assert {r["image_id"] for r in idx.collect()} == {1, 3, 12, 14}
+    assert set(idx.columns) == {"image_id", "phash"}
+
+
+def test_stream_image_ingest_lost_index_rebuilt_and_missing_corpus_refused(
+    spark, tmp_path
+):
+    """A lost index is rebuilt FROM the corpus before use (a partial
+    index would blind later batches); a lost CORPUS with surviving
+    artifacts fails loudly instead of rebuilding from one batch."""
+    import shutil
+
+    a, b = _img(21), _img(22)
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    _rows(spark, (1, a)).write.parquet(src)
+    q = stream_image_dedup_ingest(
+        spark.readStream.schema("image_id long, payload binary").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt1"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # index vanishes; the next batch must still see image 1 as a dup
+    shutil.rmtree(index)
+    _rows(spark, (2, a + 5), (3, b)).write.mode("append").parquet(src)
+    q = stream_image_dedup_ingest(
+        spark.readStream.schema("image_id long, payload binary").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt1"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert _poll_ids(spark, corpus, [1, 3]) == [1, 3]
+    # rebuilt index covers the full corpus, not just the last batch
+    assert {r["image_id"] for r in spark.read.parquet(index).collect()} == {1, 3}
+
+    # corpus vanishes; restart must refuse
+    shutil.rmtree(corpus)
+    _rows(spark, (4, b + 5)).write.mode("append").parquet(src)
+    q = stream_image_dedup_ingest(
+        spark.readStream.schema("image_id long, payload binary").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt1"),
+    )
+    try:
+        q.processAllAvailable()
+        raise AssertionError("expected the restarted sink to fail")
+    except Exception as e:
+        assert "refusing to rebuild" in str(e)
+    finally:
+        q.stop()
+
+
+def test_hamming_incremental_probe_matches_batch_form(spark):
+    """hamming_banded_pairs_incremental == the batch form restricted
+    to pairs touching a new id (the exactness contract the streaming
+    sink relies on), and a no-corpus call degrades to in-batch pairs."""
+    from dataflow_python_etl_spark.operators.dedup import (
+        hamming_banded_pairs,
+        hamming_banded_pairs_incremental,
+    )
+
+    rng = np.random.RandomState(5)
+    base = int(rng.randint(0, 1 << 62))
+    sigs = {}
+    for i in range(8):
+        v = base
+        for bit in rng.choice(64, size=i, replace=False):
+            v ^= 1 << int(bit)
+        sigs[i] = v - (1 << 63) if v >= (1 << 63) else v
+    rows = [(i, s) for i, s in sigs.items()]
+    corpus = spark.createDataFrame(rows[:5], "id: long, sig: long")
+    new = spark.createDataFrame(rows[5:], "id: long, sig: long")
+    both = corpus.union(new)
+
+    full = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_banded_pairs(both, "id", "sig", 6, 8).collect()
+    }
+    want = {t for t in full if t[0] >= 5 or t[1] >= 5}
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_banded_pairs_incremental(
+            corpus, new, "id", "sig", 6, 8
+        ).collect()
+    }
+    assert got == want and want  # non-vacuous
+    got_solo = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_banded_pairs_incremental(
+            None, new, "id", "sig", 6, 8
+        ).collect()
+    }
+    assert got_solo == {t for t in full if t[0] >= 5 and t[1] >= 5}
