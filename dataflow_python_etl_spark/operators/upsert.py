@@ -225,6 +225,7 @@ def merge_df(
     when_not_matched_insert: dict[str, Column] | None = None,
     when_not_matched_insert_condition: Column | None = None,
     fail_on_duplicate_source_keys: bool = True,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """General MERGE (the Delta/Iceberg ``MERGE INTO`` clause family)
     as a single full-outer-join recompute — the closed form of the
@@ -246,7 +247,16 @@ def merge_df(
     Conditions and assignment values are ``Column`` expressions over
     the aliases ``t`` (target) and ``s`` (source), e.g.
     ``F.col("s.v") > F.col("t.v")`` — the same referencing rule as
-    Delta's MERGE. Output schema = target schema.
+    Delta's MERGE. Output schema = target schema — unless
+    ``allow_schema_evolution``, the Delta ``autoMerge`` analog for
+    long-lived lake tables whose CDC feed grows columns (VERDICT r7
+    gap 4): columns new in ``source`` are APPENDED to the output
+    schema, NULL everywhere except where an update/insert assignment
+    explicitly sets them (``upsert_df``'s additive-only discipline:
+    type changes on shared columns stay loud errors). Assignment maps
+    may then target the new columns; without the flag, assigning a
+    column the target lacks is an error (it would otherwise be
+    silently dropped by the output projection).
 
     Null join keys never match — standard ``MERGE ON t.k = s.k``
     semantics: null-key target rows are kept unchanged, null-key
@@ -274,6 +284,30 @@ def merge_df(
         missing = set(target.columns) - set(when_not_matched_insert)
         if missing:
             raise ValueError(f"insert assignments missing target columns: {sorted(missing)}")
+
+    new_cols: list[str] = []
+    s_types = dict(source.dtypes)
+    if allow_schema_evolution:
+        t_types = dict(target.dtypes)
+        clash = [
+            c for c in t_types.keys() & s_types.keys() if t_types[c] != s_types[c]
+        ]
+        if clash:
+            raise ValueError(
+                f"schema evolution is additive-only; type changes on {sorted(clash)}"
+            )
+        new_cols = [c for c in source.columns if c not in t_types]
+    assignable = set(target.columns) | set(new_cols)
+    for label, m in (
+        ("update", when_matched_update),
+        ("insert", when_not_matched_insert),
+    ):
+        unknown = set(m or ()) - assignable
+        if unknown:
+            raise ValueError(
+                f"{label} assignments target unknown columns {sorted(unknown)}"
+                " (pass allow_schema_evolution=True to add source columns)"
+            )
 
     if fail_on_duplicate_source_keys:
         source = _guard_duplicate_source_keys(source, key_cols, "merge_df")
@@ -316,11 +350,17 @@ def merge_df(
 
     kept = joined.where(t_only | (matched & ~delete_hit) | insert_hit)
     out_cols = []
-    for c in target.columns:
-        col = F.col(f"t.{c}")
+    for c in list(target.columns) + new_cols:
+        # evolved columns have no target value: NULL (typed from the
+        # source) everywhere an assignment below doesn't set them
+        col = (
+            F.col(f"t.{c}")
+            if c in set(target.columns)
+            else F.lit(None).cast(s_types[c])
+        )
         if when_matched_update is not None and c in when_matched_update:
             col = F.when(update_hit, when_matched_update[c]).otherwise(col)
-        if when_not_matched_insert is not None:
+        if when_not_matched_insert is not None and c in when_not_matched_insert:
             col = F.when(insert_hit, when_not_matched_insert[c]).otherwise(col)
         out_cols.append(col.alias(c))
     return kept.select(*out_cols)

@@ -790,3 +790,92 @@ def test_compact_table_refuses_unrecovered_crash_state(spark, tmp_path):
     # clean state compacts fine afterwards
     report = compact_table(spark, path)
     assert report["n_rows"] == 1
+
+
+def test_merge_df_schema_evolution_additive(spark):
+    """VERDICT r7 gap 4: a CDC feed that grows a column merges into a
+    long-lived table — new source columns append to the output schema,
+    NULL except where an assignment sets them; type changes and
+    un-flagged new-column assignments stay loud errors."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import merge_df
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 20), (4, "D", 40)], "k long, v string, extra long"
+    )
+    got = merge_df(
+        target,
+        source,
+        ["k"],
+        when_matched_update={"v": F.col("s.v"), "extra": F.col("s.extra")},
+        when_not_matched_insert={
+            "k": F.col("s.k"),
+            "v": F.col("s.v"),
+            "extra": F.col("s.extra"),
+        },
+        allow_schema_evolution=True,
+    )
+    assert got.columns == ["k", "v", "extra"]
+    rows = {r["k"]: (r["v"], r["extra"]) for r in got.collect()}
+    assert rows == {
+        1: ("a", None),  # untouched target row: evolved col backfills NULL
+        2: ("B", 20),    # updated: assignment sets it
+        3: ("c", None),
+        4: ("D", 40),    # inserted: assignment sets it
+    }
+
+    # unassigned evolved column stays NULL even on updated rows
+    got2 = merge_df(
+        target,
+        source,
+        ["k"],
+        when_matched_update={"v": F.col("s.v")},
+        allow_schema_evolution=True,
+    )
+    rows2 = {r["k"]: (r["v"], r["extra"]) for r in got2.collect()}
+    assert rows2 == {1: ("a", None), 2: ("B", None), 3: ("c", None)}
+
+    # without the flag, assigning a column the target lacks is an error
+    # (previously it was silently dropped by the output projection)
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_df(
+            target,
+            source,
+            ["k"],
+            when_matched_update={"extra": F.col("s.extra")},
+        )
+    # type changes on shared columns stay loud
+    retyped = spark.createDataFrame([(2, 9)], "k long, v long")
+    with pytest.raises(ValueError, match="additive-only"):
+        merge_df(target, retyped, ["k"], allow_schema_evolution=True)
+
+
+def test_merge_table_schema_evolution_roundtrip(spark, tmp_path):
+    """merge_table forwards the evolution flag; the swapped table
+    carries the widened schema and the next non-evolving merge reads
+    it back cleanly."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.upsert import merge_table
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(
+        path
+    )
+    src = spark.createDataFrame([(2, "B", 7)], "k long, v string, n long")
+    out = merge_table(
+        spark,
+        path,
+        src,
+        ["k"],
+        when_matched_update={"v": F.col("s.v"), "n": F.col("s.n")},
+        allow_schema_evolution=True,
+    )
+    assert set(out.columns) == {"k", "v", "n"}
+    rows = {r["k"]: (r["v"], r["n"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("a", None), 2: ("B", 7)}
