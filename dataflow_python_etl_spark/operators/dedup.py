@@ -70,13 +70,22 @@ register_cache = _persist
 
 def unpersist_all() -> int:
     """Release every cache registered by dedup operators; returns count."""
+    import warnings
+
     n = 0
     while _PERSISTED:
         try:
             _PERSISTED.pop().unpersist()
             n += 1
-        except Exception:
-            pass
+        except Exception as e:  # dead session/context: nothing to free,
+            # but say so — a swallowed failure here is exactly the
+            # invisible-cache-leak signal the CLAUDE.md invariant
+            # worries about
+            warnings.warn(
+                f"unpersist_all: failed to release a registered cache ({e!r})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return n
 
 

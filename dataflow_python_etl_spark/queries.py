@@ -1548,7 +1548,7 @@ def q42_custom_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     import numpy as np
     from pyspark.sql import types as T
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     out_schema = T.StructType(
         [
@@ -1568,11 +1568,17 @@ def q42_custom_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    # functionType passed explicitly: `from __future__ import annotations`
-    # stringifies type hints, so signature-based inference can't apply.
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wmean(v, w):
+    # Modern pandas_udf signature inference (the PandasUDFType enum is
+    # deprecated): `from __future__ import annotations` stringifies
+    # inline hints and pd only exists in FUNCTION scope, so
+    # get_type_hints could not resolve them — attach real class
+    # objects to __annotations__ instead; Series->scalar hints infer
+    # the grouped-agg eval type.
+    def _wmean(v, w):
         return round(float((v * w).sum() / w.sum()), 6)
+
+    _wmean.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    wmean = pandas_udf(_wmean, "double")
 
     ev = _t(spark, sf_dir, "events")
     g = (
