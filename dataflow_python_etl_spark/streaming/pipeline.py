@@ -621,6 +621,7 @@ def stream_image_dedup_ingest(
     max_hamming: int = 6,
     n_bands: int = 8,
     replay_guard: str = "anti_join",
+    fingerprint_fn=None,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Online near-dup-filtered MULTIMODAL ingestion: each micro-batch
     of images is perceptually fingerprinted (real decode,
@@ -653,7 +654,14 @@ def stream_image_dedup_ingest(
     OVERWRITES, so a replayed batch rewrites its own partition.
     foreachBatch is AT-LEAST-once: every write here is per-key
     idempotent or partition-overwritten — never an additive fold
-    (CLAUDE.md round-6 rule)."""
+    (CLAUDE.md round-6 rule).
+
+    ``fingerprint_fn`` swaps the perceptual kernel: any
+    ``(df, id_col, payload_col) -> (id, phash)`` fingerprinter — pass
+    ``multimodal.audio_phash`` to stream AUDIO clips through the same
+    sink (the fingerprint frame's first column is renamed to
+    ``id_col`` positionally, so the kernels' differing default id
+    names don't matter). Default: ``multimodal.image_phash``."""
     import json
     import os
 
@@ -663,6 +671,9 @@ def stream_image_dedup_ingest(
         unpersist_all,
     )
     from dataflow_python_etl_spark.operators.multimodal import image_phash
+
+    if fingerprint_fn is None:
+        fingerprint_fn = image_phash
 
     if replay_guard not in ("anti_join", "watermark"):
         raise ValueError(
@@ -720,14 +731,12 @@ def stream_image_dedup_ingest(
                 # rebuild the FULL corpus fingerprint index and PERSIST
                 # it before use — a partial index silently blinds every
                 # later batch (the poisoned-index failure mode)
-                image_phash(
+                fingerprint_fn(
                     corpus.select(id_col, payload_col), id_col, payload_col
-                ).withColumnRenamed("image_id", id_col).write.parquet(index_path)
+                ).toDF(id_col, "phash").write.parquet(index_path)
             index_sig = spark.read.parquet(index_path)
         sig = _persist(
-            image_phash(batch, id_col, payload_col).withColumnRenamed(
-                "image_id", id_col
-            )
+            fingerprint_fn(batch, id_col, payload_col).toDF(id_col, "phash")
         )
         pairs = hamming_banded_pairs_incremental(
             index_sig, sig, id_col, "phash", max_hamming, n_bands

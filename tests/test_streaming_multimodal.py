@@ -24,12 +24,12 @@ def _rows(spark, *pairs):
     return spark.createDataFrame(data, "image_id: long, payload: binary")
 
 
-def _poll_ids(spark, path, want, timeout=30.0):
+def _poll_ids(spark, path, want, timeout=30.0, id_col="image_id"):
     deadline = time.time() + timeout
     got = None
     while time.time() < deadline:
         try:
-            got = sorted(r["image_id"] for r in spark.read.parquet(path).collect())
+            got = sorted(r[id_col] for r in spark.read.parquet(path).collect())
         except Exception:
             got = None
         if got == want:
@@ -136,6 +136,54 @@ def test_stream_image_ingest_lost_index_rebuilt_and_missing_corpus_refused(
         assert "refusing to rebuild" in str(e)
     finally:
         q.stop()
+
+
+def test_stream_audio_dedup_ingest_via_fingerprint_fn(spark, tmp_path):
+    """The sink is kernel-agnostic: AUDIO clips stream through the same
+    guards/index/banding machinery with ``fingerprint_fn=audio_phash``
+    — a gain-scaled copy drops (hamming 0 by the strict-comparison
+    construction), in-batch and cross-batch, and the persisted index
+    keys on the caller's ``id_col``."""
+    from dataflow_python_etl_spark.operators.codecs import encode_wav
+    from dataflow_python_etl_spark.operators.multimodal import audio_phash
+
+    def _clip(seed, n=2048, amp=2000):
+        rng = np.random.RandomState(seed)
+        return rng.randint(-amp, amp, size=n).astype(np.int64)
+
+    def _arows(*pairs):
+        data = [(i, bytearray(encode_wav(s))) for i, s in pairs]
+        return spark.createDataFrame(data, "audio_id: long, payload: binary")
+
+    a, b, c = _clip(31), _clip(32), _clip(33)
+    src = str(tmp_path / "clips_in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    # batch 1: clip 2 is a gain x4 copy of 1 (in-batch dup); 3 unique
+    _arows((1, a), (2, a * 4), (3, b)).write.parquet(src)
+    q = stream_image_dedup_ingest(
+        spark.readStream.schema("audio_id long, payload binary").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        id_col="audio_id",
+        fingerprint_fn=audio_phash,
+    )
+    q.processAllAvailable()
+    assert _poll_ids(spark, corpus, [1, 3], id_col="audio_id") == [1, 3]
+
+    # batch 2: 11 is a gain x2 copy of corpus clip 3 (cross-batch, via
+    # the persisted index — clip 3's PAYLOAD is never re-read); 12 fresh
+    _arows((11, b * 2), (12, c)).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got = _poll_ids(spark, corpus, [1, 3, 12], id_col="audio_id")
+    q.stop()
+    assert got == [1, 3, 12]
+
+    idx = spark.read.parquet(index)
+    assert {r["audio_id"] for r in idx.collect()} == {1, 3, 12}
+    assert set(idx.columns) == {"audio_id", "phash"}
 
 
 def test_hamming_incremental_probe_matches_batch_form(spark):
