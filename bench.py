@@ -119,6 +119,7 @@ EXTENDED_QUERIES = [
     "q149_quantile_rollup",
     "q150_audio_fingerprint_pairs",
     "q151_video_frame_jaccard_pairs",
+    "q152_audio_containment_pairs",
 ]
 
 

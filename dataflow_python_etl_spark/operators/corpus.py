@@ -568,6 +568,12 @@ def curate_corpus(
     images: DataFrame | None = None,
     image_payload_col: str = "payload",
     image_max_hamming: int = 6,
+    audio: DataFrame | None = None,
+    audio_payload_col: str = "payload",
+    audio_max_hamming: int = 6,
+    videos: DataFrame | None = None,
+    video_payload_col: str = "payload",
+    video_min_jaccard_ppm: int = 500_000,
     url_col: str | None = None,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
@@ -650,6 +656,24 @@ def curate_corpus(
        survivors first, so decode cost never exceeds the surviving
        corpus — the re-encoded/brightness-shifted duplicate image
        tier a multimodal crawl needs;
+    3d. optional audio near-dup tier (``audio``: a ``(id_col,
+       audio_payload_col)`` frame carrying each document's clip
+       bytes): surviving docs' clips are really decoded (WAV/FLAC,
+       ``operators.codecs``), fingerprinted with the portable integer
+       successive-window energy hash, and Hamming-banded
+       (``multimodal.audio_near_dup_pairs``) — the higher-id doc of
+       each pair within ``audio_max_hamming`` is dropped (gain-scaled
+       re-encodes land at hamming 0 by construction);
+    3e. optional video near-dup tier (``videos``): surviving docs'
+       clips are frame-decoded and per-frame aHashed, pairs form only
+       where two videos SHARE a frame hash, and the higher-id doc of
+       each pair with frame-hash-set Jaccard ≥
+       ``video_min_jaccard_ppm`` (exact integer ppm) is dropped
+       (``multimodal.video_near_dup_pairs`` — re-ordered/re-muxed
+       copies score 1.0; a clip trimmed from a longer reel is the
+       containment case, see ``dedup.containment_pairs``).
+       Together with 3c this completes the multimodal near-dup
+       matrix (text + image + audio + video) inside one pipeline;
     4. semantic near-dup removal (embedding cosine over LSH buckets —
        paraphrases; skipped when ``embeddings`` is None);
     5. per-domain quota (``cap_per_key``; skipped when ``domain_col``
@@ -844,6 +868,38 @@ def curate_corpus(
         )
         out = out.join(
             ip.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
+        )
+    if audio is not None:
+        from dataflow_python_etl_spark.operators.multimodal import (
+            audio_near_dup_pairs,
+        )
+
+        # same prune-first contract as the image tier: the decode is
+        # the dominant cost and must only touch text-gate survivors
+        aud_pruned = audio.join(out.select(id_col), id_col, "left_semi")
+        ap = audio_near_dup_pairs(
+            aud_pruned,
+            id_col=id_col,
+            payload_col=audio_payload_col,
+            max_hamming=audio_max_hamming,
+        )
+        out = out.join(
+            ap.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
+        )
+    if videos is not None:
+        from dataflow_python_etl_spark.operators.multimodal import (
+            video_near_dup_pairs,
+        )
+
+        vid_pruned = videos.join(out.select(id_col), id_col, "left_semi")
+        vp = video_near_dup_pairs(
+            vid_pruned,
+            id_col=id_col,
+            payload_col=video_payload_col,
+            min_jaccard_ppm=video_min_jaccard_ppm,
+        )
+        out = out.join(
+            vp.select(F.col("vid_b").alias(id_col)).distinct(), id_col, "left_anti"
         )
     if embeddings is not None:
         # prune the vector table to current survivors FIRST — the

@@ -914,3 +914,258 @@ def video_near_dup_pairs(
             F.expr("(1000000 * n_common) div __union").alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio containment tier: content-defined chunking (CDC) segment hashes
+# (the TRIMMED-clip case the global fingerprint cannot see — a clip cut
+# out of a longer recording shares no window grid with its source, but
+# shares content-defined segment boundaries by construction)
+# ---------------------------------------------------------------------------
+
+# CDC geometry: a boundary is cut AFTER sample i when the rolling hash
+# of the last _CDC_WINDOW samples is divisible by _CDC_DIVISOR, so the
+# expected segment length is ~_CDC_DIVISOR samples and boundary
+# placement depends ONLY on local content — a sub-clip at ANY offset
+# reproduces its source's interior boundaries (the LBFS/rsync
+# content-defined-chunking idea applied to PCM samples). Exact integer
+# arithmetic end-to-end: divisibility is sign-safe in every engine,
+# and the per-segment hash is a positionally-weighted sum folded to a
+# canonical non-negative residue, so a SQL oracle reproduces every
+# segment hash bit-for-bit.
+#
+# Constant choices are MEASURED, not guessed (the round-8 fingerprint
+# lesson): base 31 has multiplicative order 2 mod any 2^k (31 ≡ -1 mod
+# 32), which collapses the rolling hash to an alternating ±sum whose
+# residues can structurally MISS 0 on a narrow alphabet — 8 of 500
+# text-derived clips produced ZERO cuts in 4096 samples under
+# (B=31, D=64). A PRIME divisor with base 131 spreads the residues:
+# same corpus, every clip cut (min 17 segments), planted-trim
+# containment >= 888888 ppm, zero cross-clip or inverted-content pairs
+# above 500000 ppm. The rolling hash uses the MOD-REDUCED weights
+# 131^j mod 61 (divisibility mod 61 is unchanged; the raw 131^7 weight
+# would overflow int64 on 16-bit PCM), and segments shorter than
+# _CDC_MIN_SEG samples are dropped — micro-segments between adjacent
+# cuts hash tiny weighted sums that collide across unrelated clips
+# (the same degenerate-fragment noise the minhash tier's stop-shingle
+# cap handles).
+_CDC_WINDOW = 8
+_CDC_BASE = 131
+_CDC_DIVISOR = 61
+_CDC_MIN_SEG = 4
+_CDC_WEIGHT_MUL = 2_654_435_761  # Knuth multiplicative constant
+_CDC_WEIGHT_MOD = 1_000_003
+_CDC_HASH_MOD = 1_000_000_007
+
+
+def cdc_segment_hashes(samples) -> list:
+    """Content-defined segment hashes (a MULTISET, order dropped) of
+    one decoded sample array.
+
+    Rolling hash at position ``i >= W-1``:
+    ``rh_i = sum_{j=0..W-1} s[i-j] * (B^j mod D)`` — congruent mod D
+    to the textbook polynomial hash, and int64-safe for any PCM bit
+    depth (|term| <= 32768*60). A boundary is cut AFTER ``i`` when
+    ``D`` divides ``rh_i``. Each segment of length >= ``_CDC_MIN_SEG``
+    hashes to ``(sum_j s_j * ((j*MUL + 1) mod WMOD)) mod HMOD`` folded
+    non-negative, ``j`` the position INSIDE the segment — equal
+    content hashes equal regardless of clip offset. Clips shorter
+    than the window are one (possibly dropped) segment."""
+    import numpy as np
+
+    s = np.rint(np.asarray(samples, dtype=np.float64)).astype(np.int64)
+    n = int(s.shape[0])
+    if n == 0:
+        return []
+    w = _CDC_WINDOW
+    cuts = np.zeros(n, dtype=np.int64)
+    if n >= w:
+        # row t of the sliding view is s[t..t+w-1] and scores position
+        # i = t+w-1, where s[i-j] pairs with B^j mod D — so the dot
+        # vector is [B^(w-1) % D, ..., B^0 % D]
+        weights = np.array(
+            [pow(_CDC_BASE, j, _CDC_DIVISOR) for j in range(w - 1, -1, -1)],
+            dtype=np.int64,
+        )
+        rh = np.lib.stride_tricks.sliding_window_view(s, w) @ weights
+        cuts[w - 1 :] = (rh % _CDC_DIVISOR) == 0
+    seg = np.concatenate(([0], np.cumsum(cuts)[:-1]))
+    starts = np.flatnonzero(np.concatenate(([1], np.diff(seg))))
+    lens = np.diff(np.concatenate((starts, [n])))
+    pos_in_seg = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    wgt = (pos_in_seg * _CDC_WEIGHT_MUL + 1) % _CDC_WEIGHT_MOD
+    sums = np.add.reduceat(s * wgt, starts)
+    hs = ((sums % _CDC_HASH_MOD) + _CDC_HASH_MOD) % _CDC_HASH_MOD
+    return [int(h) for h, L in zip(hs, lens) if L >= _CDC_MIN_SEG]
+
+
+SEGMENT_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.LongType()),
+        T.StructField("seg_hash", T.LongType()),
+    ]
+)
+
+
+def audio_cdc_segments(
+    df: DataFrame, id_col: str = "audio_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Content-defined segment fingerprints per clip: REALLY decode
+    each binary payload (WAV/FLAC — ``operators.codecs``) and emit one
+    ``(audio_id, seg_hash)`` row per kept CDC segment
+    (:func:`cdc_segment_hashes` — duplicates preserved: the pair
+    search is multiset containment). Fan-out mapInPandas (the
+    ``video_frame_hashes`` shape), partition-parallel, no shuffle —
+    decode cost stays map-side and only (id, int64 hash) rows move."""
+    from dataflow_python_etl_spark.operators.codecs import decode_audio
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _rate, samples = decode_audio(bytes(payload))
+                for h in cdc_segment_hashes(samples):
+                    ids.append(int(aid))
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "audio_id": pd.Series(ids, dtype="int64"),
+                    "seg_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, SEGMENT_HASH_SCHEMA)
+
+
+def audio_containment_pairs(
+    clips: DataFrame,
+    id_col: str = "audio_id",
+    payload_col: str = "payload",
+    min_containment_ppm: int = 600_000,
+) -> DataFrame:
+    """Audio CONTAINMENT pair search by CDC segment-hash MULTISETS: a
+    clip trimmed out of a longer recording shares its source's
+    interior content-defined segments at ANY offset (the near-dup
+    case the q150 global fingerprint cannot see — trimming shifts the
+    fixed 64-window grid). Candidates form ONLY where two clips SHARE
+    a segment hash (equi-join on the hash, never all-pairs); the
+    multiset intersection ``sum(least(count_a, count_b))`` — not the
+    distinct-set form — keeps repeated content (a looped sample, a
+    tiled signal) weighted by how often it occurs. Containment is
+    exact-integer: ``containment_ppm = (1e6 * common) div
+    min(na, nb)``, filtered by cross-multiply. Returns ``(clip_a,
+    clip_b, n_common, containment_ppm)`` with clip_a < clip_b.
+
+    Scale shape is :func:`video_near_dup_pairs`'s: decode map-side,
+    shuffles carry (id, hash) rows keyed by hash; a degenerate
+    segment shared by many clips (digital silence) fans out
+    quadratically on its key — AQE skew-split plus a stop-hash cap
+    (drop hashes above a document-frequency bound) is the escape
+    hatch, as for video frames and rare-shingle text."""
+    from dataflow_python_etl_spark.operators.dedup import _persist
+
+    counts = _persist(
+        audio_cdc_segments(clips, id_col, payload_col)
+        .groupBy("audio_id", "seg_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sizes = counts.groupBy("audio_id").agg(F.sum("c").alias("n"))
+    a, b = counts.alias("a"), counts.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.seg_hash") == F.col("b.seg_hash"))
+            & (F.col("a.audio_id") < F.col("b.audio_id")),
+        )
+        .groupBy(
+            F.col("a.audio_id").alias("clip_a"),
+            F.col("b.audio_id").alias("clip_b"),
+        )
+        .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("audio_id").alias("clip_a"), F.col("n").alias("__na"))
+    sb = sizes.select(F.col("audio_id").alias("clip_b"), F.col("n").alias("__nb"))
+    return (
+        common.join(sa, "clip_a")
+        .join(sb, "clip_b")
+        .withColumn("__min", F.least(F.col("__na"), F.col("__nb")))
+        .where(
+            F.col("n_common") * F.lit(1_000_000)
+            >= F.lit(min_containment_ppm) * F.col("__min")
+        )
+        .select(
+            "clip_a",
+            "clip_b",
+            "n_common",
+            F.expr("(1000000 * n_common) div __min").alias("containment_ppm"),
+        )
+    )
+
+
+# Containment-corpus plant geometry: 4096-sample clips with the text
+# POSITION-MIXED into every sample (s_i = (c(i mod len)*31 + i*17) mod
+# 256 - 128) — plain tiling makes the clip periodic, which collapses
+# the distinct-segment population and let 8/500 real documents produce
+# single-segment clips (measured); the i*17 mixing de-periodizes
+# without breaking trim alignment, because the trim variant reproduces
+# its source's ABSOLUTE positions. The far variant applies the
+# byte-wise bijection x -> (7x+13) mod 256 to the text first — a
+# tiling OFFSET of the same text would be a rotation sharing nearly
+# every segment (the q151 far-variant lesson, doubly so here).
+_CDC_N = 4096
+_CDC_TRIM = (1024, 3072)
+
+
+def synthetic_audio_containment_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a REAL audio corpus (actual 16-bit PCM WAV bytes) with a
+    planted TRIMMED sub-clip per document — the containment twin of
+    :func:`synthetic_audio_corpus`. Per document (empty texts
+    dropped), ``audio_id = doc_id*10 + v``:
+
+    - v0: 4096 samples, ``s_i = (codepoint(text[i mod len])*31 +
+      i*17) mod 256 - 128``;
+    - v1: v0's samples [1024, 3072) — a trim at a NON-grid offset
+      whose interior CDC segments equal v0's by construction (the
+      rolling hash sees identical windows), measured containment
+      >= 888888 ppm across all 500 sf0.001 documents;
+    - v2: the same formula over the byte bijection ``(7x+13) mod
+      256`` of the text — a far clip that is still doc-specific
+      (measured: never pairs above 500000 ppm).
+
+    Every sample is an integer function of the text, so a SQL oracle
+    reproduces samples, boundaries, segment hashes, and pair scores
+    bit-for-bit without parsing WAV (the q150 discipline)."""
+    import numpy as np
+
+    from dataflow_python_etl_spark.operators.codecs import encode_wav
+
+    lo, hi = _CDC_TRIM
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dids, vs, payloads = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                raw = np.array([ord(c) for c in text], dtype=np.int64)
+                i = np.arange(_CDC_N, dtype=np.int64)
+                base = (raw[i % len(raw)] * 31 + i * 17) % 256 - 128
+                trim = base[lo:hi]
+                far = ((raw[i % len(raw)] * 7 + 13) * 31 + i * 17) % 256 - 128
+                for v, samples in enumerate((base, trim, far)):
+                    ids.append(int(doc_id) * 10 + v)
+                    dids.append(int(doc_id))
+                    vs.append(v)
+                    payloads.append(encode_wav(samples))
+            yield pd.DataFrame(
+                {
+                    "audio_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(dids, dtype="int64"),
+                    "variant": pd.Series(vs, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, AUDIO_CORPUS_SCHEMA)

@@ -6814,6 +6814,108 @@ def q151_video_frame_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_q(
+    "q152_audio_containment_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+        SELECT d.doc_id * 10 + vv.v AS aid, g.i,
+               CASE vv.v
+                 WHEN 1 THEN (ascii(substr(d.text,
+                        (((g.i + 1024) % d.len) + 1)::INT, 1)) * 31
+                        + (g.i + 1024) * 17) % 256 - 128
+                 WHEN 2 THEN ((ascii(substr(d.text,
+                        ((g.i % d.len) + 1)::INT, 1)) * 7 + 13) * 31
+                        + g.i * 17) % 256 - 128
+                 ELSE (ascii(substr(d.text,
+                        ((g.i % d.len) + 1)::INT, 1)) * 31
+                        + g.i * 17) % 256 - 128
+               END AS s
+        FROM d CROSS JOIN (SELECT unnest(range(0, 4096)) AS i) g
+             CROSS JOIN (SELECT unnest(range(0, 3)) AS v) vv
+        WHERE NOT (vv.v = 1 AND g.i >= 2048)
+    ),
+    rh AS (
+        SELECT aid, i, s,
+               CASE WHEN i >= 7 THEN
+                 (s * 1 + lag(s, 1) OVER w * 9 + lag(s, 2) OVER w * 20
+                  + lag(s, 3) OVER w * 58 + lag(s, 4) OVER w * 34
+                  + lag(s, 5) OVER w * 1 + lag(s, 6) OVER w * 9
+                  + lag(s, 7) OVER w * 20) % 61 = 0
+               ELSE FALSE END AS cut
+        FROM px
+        WINDOW w AS (PARTITION BY aid ORDER BY i)
+    ),
+    sg AS (
+        SELECT aid, i, s,
+               coalesce(sum(cut::INT) OVER (PARTITION BY aid ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS seg
+        FROM rh
+    ),
+    pos AS (
+        SELECT aid, seg, s, i,
+               min(i) OVER (PARTITION BY aid, seg) AS i0,
+               count(*) OVER (PARTITION BY aid, seg) AS slen
+        FROM sg
+    ),
+    sh AS (
+        SELECT aid, seg,
+               ((sum(s * (((i - i0) * 2654435761 + 1) % 1000003))
+                 % 1000000007) + 1000000007) % 1000000007 AS h
+        FROM pos WHERE slen >= 4 GROUP BY aid, seg
+    ),
+    cnt AS (SELECT aid, h, count(*) AS c FROM sh GROUP BY 1, 2),
+    sz AS (SELECT aid, sum(c) AS n FROM cnt GROUP BY 1),
+    cm AS (
+        SELECT x.aid AS clip_a, y.aid AS clip_b,
+               CAST(sum(least(x.c, y.c)) AS BIGINT) AS n_common
+        FROM cnt x JOIN cnt y ON x.h = y.h AND x.aid < y.aid
+        GROUP BY 1, 2
+    )
+    SELECT cm.clip_a, cm.clip_b, cm.n_common,
+           CAST((1000000 * cm.n_common) // least(sa.n, sb.n) AS BIGINT)
+               AS containment_ppm
+    FROM cm JOIN sz sa ON sa.aid = cm.clip_a
+            JOIN sz sb ON sb.aid = cm.clip_b
+    WHERE 1000000 * cm.n_common >= 600000 * least(sa.n, sb.n)
+    """,
+    "Audio CONTAINMENT pair search by content-defined chunking: a "
+    "deterministic 16-bit PCM WAV corpus derived from documents (3 "
+    "variants per doc — a 4096-sample base with the text POSITION-"
+    "MIXED into every sample, its [1024,3072) TRIM, and a byte-"
+    "bijection far clip; multimodal.synthetic_audio_containment_"
+    "corpus), REALLY encoded and decoded through operators.codecs, "
+    "cut into content-defined segments (rolling hash of the last 8 "
+    "samples divisible by 61 — boundaries depend only on local "
+    "content, so a trim at ANY offset reproduces its source's "
+    "interior segments; the q150 global fingerprint is blind to "
+    "trims because trimming shifts its fixed 64-window grid), each "
+    "segment hashed by an exact-integer positional weighted sum, "
+    "then MULTISET containment over shared-hash candidates only "
+    "(equi-join on the hash, never all-pairs): containment_ppm = "
+    "(1e6*common) div min(na,nb), cross-multiply threshold 0.6. The "
+    "oracle reproduces every sample — hence every boundary, segment "
+    "hash, and pair score — analytically from the text (lag-window "
+    "rolling hash, prefix-sum segment ids), so hash parity verifies "
+    "encode -> decode -> chunk -> hash -> multiset-join end-to-end. "
+    "Constants are MEASURED (round-8 discipline): base 131 / prime "
+    "divisor 61 because base 31 mod 2^k collapses to an alternating "
+    "sum that produced ZERO cuts on 8/500 real documents; planted "
+    "trims score >= 888888 ppm, far/cross-clip pairs never reach "
+    "500000.",
+)
+def q152_audio_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    clips = MM.synthetic_audio_containment_corpus(docs)
+    return MM.audio_containment_pairs(clips, min_containment_ppm=600_000)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

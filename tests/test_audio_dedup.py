@@ -140,3 +140,116 @@ def test_planted_structure_and_discriminative_corpus(spark):
     cross = [(a, b) for (a, b) in got if a // 10 != b // 10]
     assert len(cross) <= 2 * n_docs
     unpersist_all()
+
+
+def test_curate_corpus_audio_tier(spark):
+    """The optional audio tier drops the higher-id doc of each clip
+    near-dup pair, only decodes clips of docs that SURVIVED the text
+    tiers, and keeps docs whose clips are genuinely distinct."""
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    texts = {
+        0: "benchmark leakage sentinel paragraph that decontamination must remove from training",
+        1: "the archival record of mercantile shipping routes spans four centuries of ledgers",
+        2: "volcanic soil chemistry shapes the mineral profile of every vineyard in the valley",
+        3: "orbital mechanics textbooks derive the transfer ellipse from conservation principles",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    bench = spark.createDataFrame([(900, texts[0])], "doc_id long, text string")
+    base = _rng_clip(41, amp=2000)
+    audio = spark.createDataFrame(
+        [
+            # doc 0 is decontaminated away by the TEXT phase; its clip
+            # is a LOWER-id gain twin of doc 1's — if the tier failed
+            # to prune to survivors, pair (0,1) would wrongly drop 1
+            (0, bytearray(encode_wav(base * 2))),
+            (1, bytearray(encode_wav(base))),
+            (2, bytearray(encode_wav(base * 4))),  # gain twin of 1
+            (3, bytearray(encode_wav(_rng_clip(43)))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = curate_corpus(docs, audio=audio, decontaminate_against=bench)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 3}
+    out_no_audio = curate_corpus(docs, decontaminate_against=bench)
+    assert {r["doc_id"] for r in out_no_audio.select("doc_id").collect()} == {1, 2, 3}
+    unpersist_all()
+
+
+def test_cdc_segment_hashes_trim_and_far_properties():
+    """Pure-kernel CDC contract: a trim at a non-grid offset shares
+    its source's interior segments (multiset containment near 1), a
+    byte-bijection of the same text shares ~nothing, and boundaries
+    are content-defined (the hash multiset of equal content is
+    offset-invariant by construction)."""
+    import collections
+
+    from dataflow_python_etl_spark.operators.multimodal import (
+        cdc_segment_hashes,
+    )
+
+    text = (
+        "volcanic soil chemistry shapes the mineral profile of every "
+        "vineyard in the valley and the archival record of mercantile "
+        "shipping routes spans four centuries of ledgers"
+    )
+    raw = np.array([ord(c) for c in text], dtype=np.int64)
+    i = np.arange(4096, dtype=np.int64)
+    base = (raw[i % len(raw)] * 31 + i * 17) % 256 - 128
+    far = ((raw[i % len(raw)] * 7 + 13) * 31 + i * 17) % 256 - 128
+    c0 = collections.Counter(cdc_segment_hashes(base))
+    c1 = collections.Counter(cdc_segment_hashes(base[1024:3072]))
+    c2 = collections.Counter(cdc_segment_hashes(far))
+
+    def ppm(cx, cy):
+        common = sum(min(c, cy[h]) for h, c in cx.items() if h in cy)
+        return 1_000_000 * common // min(sum(cx.values()), sum(cy.values()))
+
+    assert sum(c0.values()) >= 17  # base 131 / divisor 61 cuts densely
+    assert ppm(c0, c1) >= 800_000
+    assert ppm(c0, c2) < 300_000
+    # empty input and shorter-than-window input behave
+    assert cdc_segment_hashes(np.array([])) == []
+    assert cdc_segment_hashes(np.array([1, 2, 3, 4, 5])) != []
+
+
+def test_audio_containment_pairs_planted(spark):
+    """Spark end-to-end through the REAL WAV decode: planted trims
+    pair with their base above 800k ppm, far variants and cross-doc
+    clips never appear, and WAV == FLAC segment multisets (the
+    fingerprint is a property of the samples)."""
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+    from dataflow_python_etl_spark.operators.multimodal import (
+        audio_cdc_segments,
+        audio_containment_pairs,
+        synthetic_audio_containment_corpus,
+    )
+
+    texts = [
+        (7, "the archival record of mercantile shipping routes spans four centuries of ledgers"),
+        (9, "orbital mechanics textbooks derive the transfer ellipse from conservation principles"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    clips = synthetic_audio_containment_corpus(docs)
+    got = {
+        (r["clip_a"], r["clip_b"]): r["containment_ppm"]
+        for r in audio_containment_pairs(clips).collect()
+    }
+    assert set(got) == {(70, 71), (90, 91)}
+    assert all(v >= 800_000 for v in got.values())
+
+    # container independence: the same clip as WAV and FLAC yields the
+    # same segment multiset through the real per-container decoders
+    clip = _rng_clip(61, amp=3000)
+    rows = [
+        (1, bytearray(encode_wav(clip))),
+        (2, bytearray(encode_flac(clip))),
+    ]
+    df = spark.createDataFrame(rows, "audio_id long, payload binary")
+    segs = audio_cdc_segments(df).collect()
+    by_id = {}
+    for r in segs:
+        by_id.setdefault(r["audio_id"], []).append(r["seg_hash"])
+    assert sorted(by_id[1]) == sorted(by_id[2]) and by_id[1]
+    unpersist_all()

@@ -89,3 +89,39 @@ def test_planted_corpus_structure(spark):
     assert len(rev) == n_docs and set(rev.values()) == {1_000_000}
     assert len(edit) == n_docs and min(edit.values()) >= 714_285
     assert not any(a % 10 == 0 and b == a + 3 for (a, b) in got)
+
+
+def test_curate_corpus_video_tier(spark):
+    """The optional video tier drops the higher-id doc of each
+    frame-hash-set near-dup pair (re-ordered copies score Jaccard
+    1.0), only decodes clips of docs that SURVIVED the text tiers,
+    and keeps docs whose clips are genuinely distinct."""
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    texts = {
+        0: "benchmark leakage sentinel paragraph that decontamination must remove from training",
+        1: "the archival record of mercantile shipping routes spans four centuries of ledgers",
+        2: "volcanic soil chemistry shapes the mineral profile of every vineyard in the valley",
+        3: "orbital mechanics textbooks derive the transfer ellipse from conservation principles",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    bench = spark.createDataFrame([(900, texts[0])], "doc_id long, text string")
+    fa = _rng_frames(51)
+    videos = spark.createDataFrame(
+        [
+            # doc 0 is decontaminated away by the TEXT phase; its clip
+            # is a LOWER-id re-mux of doc 1's — if the tier failed to
+            # prune to survivors, pair (0,1) would wrongly drop doc 1
+            (0, bytearray(encode_gif(fa[::-1]))),
+            (1, bytearray(encode_gif(fa))),
+            (2, bytearray(encode_gif(fa[::-1]))),  # re-mux twin of 1
+            (3, bytearray(encode_gif(_rng_frames(53)))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = curate_corpus(docs, videos=videos, decontaminate_against=bench)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 3}
+    out_no_vid = curate_corpus(docs, decontaminate_against=bench)
+    assert {r["doc_id"] for r in out_no_vid.select("doc_id").collect()} == {1, 2, 3}
+    unpersist_all()
