@@ -1169,3 +1169,69 @@ def synthetic_audio_containment_corpus(
             )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, AUDIO_CORPUS_SCHEMA)
+
+
+def video_jaccard_pairs_incremental(
+    corpus_hashes: DataFrame | None,
+    new_hashes: DataFrame,
+    min_jaccard_ppm: int = 500_000,
+) -> DataFrame:
+    """Incremental twin of :func:`video_near_dup_pairs`: frame-hash-set
+    Jaccard pairs of a NEW video batch against an already-indexed
+    corpus (and against itself) — the probe the streaming video ingest
+    runs per micro-batch. ``corpus_hashes`` carries the stored index
+    rows ``(video_id, frame_hash, n)`` where ``n`` is that video's
+    DISTINCT frame-hash count (stored denormalized per row so the
+    probe never re-aggregates the corpus — per-batch cost scales with
+    the batch and the hash-matched rows only); ``new_hashes`` is the
+    raw ``(video_id, frame_hash)`` fan-out of the batch. Returns
+    ``(vid_a, vid_b, n_common, jaccard_ppm)`` with vid_a < vid_b, each
+    pair touching at least one new video — exactly the batch form
+    restricted to new-id pairs (pinned in tests). ``countDistinct``
+    absorbs both the new-new direction double-count and replayed
+    duplicate index rows (a crash between index and corpus appends
+    only re-proposes candidates — the streaming contract)."""
+    from dataflow_python_etl_spark.operators.dedup import _persist
+
+    new_h = _persist(
+        new_hashes.select("video_id", "frame_hash").distinct()
+    )
+    new_sizes = new_h.groupBy("video_id").agg(F.count(F.lit(1)).alias("n"))
+    if corpus_hashes is None:
+        all_h = new_h
+        sizes = new_sizes
+    else:
+        all_h = corpus_hashes.select("video_id", "frame_hash").unionByName(new_h)
+        sizes = corpus_hashes.select("video_id", "n").distinct().unionByName(
+            new_sizes
+        )
+    a, b = new_h.alias("a"), all_h.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.frame_hash") == F.col("b.frame_hash"))
+            & (F.col("a.video_id") != F.col("b.video_id")),
+        )
+        .groupBy(
+            F.least("a.video_id", "b.video_id").alias("vid_a"),
+            F.greatest("a.video_id", "b.video_id").alias("vid_b"),
+        )
+        .agg(F.count_distinct(F.col("a.frame_hash")).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("video_id").alias("vid_a"), F.col("n").alias("__na"))
+    sb = sizes.select(F.col("video_id").alias("vid_b"), F.col("n").alias("__nb"))
+    return (
+        common.join(sa, "vid_a")
+        .join(sb, "vid_b")
+        .withColumn("__union", F.col("__na") + F.col("__nb") - F.col("n_common"))
+        .where(
+            F.col("n_common") * F.lit(1_000_000)
+            >= F.lit(min_jaccard_ppm) * F.col("__union")
+        )
+        .select(
+            "vid_a",
+            "vid_b",
+            "n_common",
+            F.expr("(1000000 * n_common) div __union").alias("jaccard_ppm"),
+        )
+    )

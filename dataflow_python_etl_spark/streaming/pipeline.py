@@ -783,6 +783,170 @@ def stream_image_dedup_ingest(
     )
 
 
+def stream_video_dedup_ingest(
+    stream_videos: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "video_id",
+    payload_col: str = "payload",
+    min_jaccard_ppm: int = 500_000,
+    replay_guard: str = "anti_join",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Online near-dup-filtered VIDEO ingestion — the set-fingerprint
+    sibling of :func:`stream_image_dedup_ingest` (a video's identity
+    is its frame-hash SET, not one 64-bit value, so the probe is
+    shared-hash Jaccard, not Hamming banding). Each micro-batch is
+    frame-decoded once (``multimodal.video_frame_hashes``, map-side),
+    Jaccard-matched against the already-ingested corpus via the
+    persisted index (``multimodal.video_jaccard_pairs_incremental``)
+    and against itself, and only survivors are appended. Survivor
+    rule matches every other sink: a batch video drops if it near-dups
+    any ingested video, or a lower-id video of its own batch.
+
+    The index stores ``(video_id, frame_hash, n)`` rows — ``n`` (the
+    video's distinct-hash count) is denormalized per row so the probe
+    NEVER re-aggregates the corpus: per-batch cost scales with the
+    batch and the hash-matched index rows only; corpus payloads are
+    never re-read on the ingest path.
+
+    Crash safety mirrors the image sink exactly (same guard
+    functions): missing-corpus-with-surviving-artifacts restarts FAIL
+    loudly; a lost index is rebuilt FROM the corpus (one re-decode)
+    and persisted before use; the index is appended before the
+    corpus, so a crash between the two only re-proposes candidates
+    (the probe's ``count_distinct`` absorbs duplicate index rows);
+    ``replay_guard="watermark"`` (monotone ids) replaces the
+    corpus-sized anti-join with a pure filter and makes corpus
+    appends per-batch dynamic partition OVERWRITES. foreachBatch is
+    AT-LEAST-once: every write here is per-key idempotent or
+    partition-overwritten — never an additive fold."""
+    import json
+    import os
+
+    from dataflow_python_etl_spark.operators.dedup import _persist, unpersist_all
+    from dataflow_python_etl_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_jaccard_pairs_incremental,
+    )
+
+    if replay_guard not in ("anti_join", "watermark"):
+        raise ValueError(
+            f"replay_guard must be anti_join|watermark, got {replay_guard!r}"
+        )
+
+    wm_path = corpus_path + ".__ingest_watermark"
+
+    def _read_wm() -> dict | None:
+        if not os.path.exists(wm_path):
+            return None
+        with open(wm_path) as f:
+            return json.load(f)
+
+    def _write_wm(batch_id: int, max_id) -> None:
+        tmp = wm_path + ".__tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "max_id": max_id}, f)
+        os.replace(tmp, wm_path)
+
+    def _corpus_append(survivors: DataFrame, batch_id: int) -> None:
+        if replay_guard == "watermark":
+            (
+                survivors.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(corpus_path)
+            )
+        else:
+            survivors.write.mode("append").parquet(corpus_path)
+
+    def _index_rows(videos: DataFrame) -> DataFrame:
+        # (video_id, frame_hash, n): distinct hash fan-out with the
+        # video's distinct-hash count denormalized onto every row
+        h = video_frame_hashes(
+            videos.withColumnRenamed(id_col, "video_id"), "video_id", payload_col
+        ).distinct()
+        from pyspark.sql import Window
+
+        return h.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("video_id"))
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, payload_col)
+        if (
+            not os.path.exists(corpus_path)
+            and batch_id > 0
+            and (os.path.exists(index_path) or os.path.exists(wm_path))
+        ):
+            raise RuntimeError(
+                f"stream_video_dedup_ingest restart at batch {batch_id} but "
+                f"corpus {corpus_path} is missing — refusing to rebuild from "
+                "a single batch; restore the corpus or start a fresh "
+                "checkpoint."
+            )
+        wm = _read_wm() if replay_guard == "watermark" else None
+        if wm is not None and batch_id == wm["batch_id"]:
+            return  # this exact batch fully committed — replay is a no-op
+        index_h = None
+        if os.path.exists(corpus_path):
+            corpus = spark.read.parquet(corpus_path)
+            batch = _guard_replay(batch, corpus, id_col, replay_guard, wm)
+            if not os.path.exists(index_path):
+                # rebuild the FULL corpus index and PERSIST it before
+                # use — a partial index silently blinds later batches
+                _index_rows(corpus.select(id_col, payload_col)).write.parquet(
+                    index_path
+                )
+            index_h = spark.read.parquet(index_path)
+        sig = _persist(_index_rows(batch))
+        pairs = video_jaccard_pairs_incremental(index_h, sig, min_jaccard_ppm)
+        # a new video drops when it pairs with anything already
+        # decided: an ingested video (either side) or a lower-id
+        # video of its own batch (vid_b of a new-new pair)
+        new_ids = batch.select(F.col(id_col).alias("__nid"))
+        b_new = pairs.join(
+            new_ids, pairs["vid_b"] == F.col("__nid"), "left_semi"
+        ).select(F.col("vid_b").alias(id_col))
+        a_new_b_corpus = (
+            pairs.join(new_ids, pairs["vid_b"] == F.col("__nid"), "left_anti")
+            .join(new_ids, pairs["vid_a"] == F.col("__nid"), "left_semi")
+            .select(F.col("vid_a").alias(id_col))
+        )
+        removals = b_new.union(a_new_b_corpus).distinct()
+        max_ingested = None
+        if replay_guard == "watermark":
+            max_ingested = batch.agg(F.max(id_col)).first()[0]
+            if max_ingested is None:
+                if wm is not None:
+                    _write_wm(batch_id, wm["max_id"])
+                unpersist_all()
+                return
+        survivors = batch.join(removals, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        # index first, then corpus (an orphan index row only
+        # re-proposes a candidate — absorbed by count_distinct)
+        sig.join(
+            survivors.select(F.col(id_col).alias("video_id")),
+            "video_id",
+            "left_semi",
+        ).write.mode("append").parquet(index_path)
+        _corpus_append(survivors, batch_id)
+        if replay_guard == "watermark":
+            _write_wm(batch_id, max_ingested)
+        unpersist_all()
+
+    return (
+        stream_videos.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_scd2_to_table(
     stream_df: DataFrame,
     table_path: str,

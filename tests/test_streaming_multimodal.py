@@ -227,3 +227,124 @@ def test_hamming_incremental_probe_matches_batch_form(spark):
         ).collect()
     }
     assert got_solo == {t for t in full if t[0] >= 5 and t[1] >= 5}
+
+
+def _frames(seed, n_frames=4, hw=16):
+    rng = np.random.RandomState(seed)
+    return [
+        np.repeat(rng.randint(0, 256, size=(hw, hw, 1)), 3, axis=2).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+
+
+def test_stream_video_dedup_ingest_online_filtering(spark, tmp_path):
+    """The set-fingerprint sink: re-ordered copies (Jaccard 1.0) and
+    partial-overlap near-dups (3-of-4 frames, J=0.6) are dropped
+    ONLINE — in-batch, and cross-batch via the persisted (video_id,
+    frame_hash, n) index without re-reading corpus payloads."""
+    from dataflow_python_etl_spark.operators.codecs import encode_gif
+    from dataflow_python_etl_spark.streaming.pipeline import (
+        stream_video_dedup_ingest,
+    )
+
+    fa, fb, fc, fd = _frames(71), _frames(72), _frames(73), _frames(74)
+    src = str(tmp_path / "vids_in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    def _vrows(*pairs):
+        data = [(i, bytearray(encode_gif(fr))) for i, fr in pairs]
+        return spark.createDataFrame(data, "video_id: long, payload: binary")
+
+    # batch 1: 2 is a re-mux of 1 (in-batch, J=1.0); 3 unique
+    _vrows((1, fa), (2, fa[::-1]), (3, fb)).write.parquet(src)
+    q = stream_video_dedup_ingest(
+        spark.readStream.schema("video_id long, payload binary").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    assert _poll_ids(spark, corpus, [1, 3], id_col="video_id") == [1, 3]
+
+    # batch 2: 0 re-muxes corpus video 1 (lower id — corpus immutable,
+    # 0 must drop); 11 shares 3 of 4 frames with corpus video 3
+    # (J = 3/5 = 0.6 >= 0.5 -> drop); 12 fresh; 13 re-muxes 12 in-batch
+    _vrows(
+        (0, fa), (11, fb[:3] + _frames(75, n_frames=1)), (12, fc), (13, fc[::-1])
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    assert _poll_ids(spark, corpus, [1, 3, 12], id_col="video_id") == [1, 3, 12]
+
+    # batch 3: replayed id anti-joined away; fresh video lands
+    _vrows((12, fc), (14, fd)).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14], id_col="video_id")
+    q.stop()
+    assert got3 == [1, 3, 12, 14]
+
+    idx = spark.read.parquet(index)
+    assert {r["video_id"] for r in idx.collect()} == {1, 3, 12, 14}
+    assert set(idx.columns) == {"video_id", "frame_hash", "n"}
+    # n is each video's distinct-hash count, denormalized per row
+    for r in idx.collect():
+        assert r["n"] == 4
+
+
+def test_video_jaccard_incremental_matches_batch_form(spark):
+    """video_jaccard_pairs_incremental == video_near_dup_pairs'
+    scoring restricted to pairs touching a new id (the exactness
+    contract the streaming sink relies on), including duplicate
+    index rows (crash-replayed appends) being absorbed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.multimodal import (
+        video_jaccard_pairs_incremental,
+    )
+
+    # synthetic frame-hash fan-outs: videos 1-3 corpus, 4-5 new
+    rows = [
+        (1, 100), (1, 101), (1, 102), (1, 103),
+        (2, 100), (2, 101), (2, 104), (2, 105),
+        (3, 200), (3, 201),
+        (4, 100), (4, 101), (4, 102), (4, 106),   # J(1,4)=3/5, J(2,4)=2/6
+        (5, 200), (5, 201),                        # J(3,5)=1, J(4,5)=0
+    ]
+    all_h = spark.createDataFrame(rows, "video_id: long, frame_hash: long")
+    corpus_h = all_h.where("video_id <= 3")
+    new_h = all_h.where("video_id >= 4")
+    # the batch form over the union, restricted to pairs touching 4/5
+    sizes = all_h.groupBy("video_id").agg(F.count(F.lit(1)).alias("n"))
+    want = set()
+    import itertools
+
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r[0], set()).add(r[1])
+    for x, y in itertools.combinations(sorted(by_vid), 2):
+        if y < 4:
+            continue
+        c = len(by_vid[x] & by_vid[y])
+        u = len(by_vid[x] | by_vid[y])
+        if 1_000_000 * c >= 300_000 * u:
+            want.add((x, y, c, 1_000_000 * c // u))
+    idx = corpus_h.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("video_id"))
+    )
+    # duplicate an index row (replayed append) — must not change scores
+    idx_dup = idx.union(idx.limit(1))
+    for index_frame in (idx, idx_dup):
+        got = {
+            (r["vid_a"], r["vid_b"], r["n_common"], r["jaccard_ppm"])
+            for r in video_jaccard_pairs_incremental(
+                index_frame, new_h, 300_000
+            ).collect()
+        }
+        assert got == want and want
+    # no-corpus call degrades to in-batch pairs only
+    got_solo = {
+        (r["vid_a"], r["vid_b"])
+        for r in video_jaccard_pairs_incremental(None, new_h, 300_000).collect()
+    }
+    assert got_solo == {(x, y) for (x, y, _, _) in want if x >= 4}
