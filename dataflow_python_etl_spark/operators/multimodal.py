@@ -341,6 +341,23 @@ _HOT_PIXELS = (0, 131, 262, 393, 524)
 _BRIGHT_SHIFT = 9
 
 
+def _spread_for_fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a metadata-sized frame feeding a
+    CPU-heavy payload-DERIVING kernel. The driver's test tables are
+    single-digit-MB parquet files — ONE scan split under the 128 MB
+    production setting — so without this every synthetic encode/decode
+    kernel runs on one core (measured: q151's 20,000 GIFs took 102 s
+    ≈ the 4.75 ms/GIF single-thread cost, not the ~3 s 32 cores
+    deliver). Real payload tables at 100 TB arrive pre-split by the
+    scanner, which is why the REAL decode operators (image_phash,
+    video_frame_hashes, audio_cdc_segments) do NOT force a shuffle —
+    repartitioning terabytes of payload bytes would be the bug. The
+    exchange moved here is text-sized (cheap) and only on the
+    synthetic-derivation path."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def synthetic_image_corpus(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -400,7 +417,7 @@ def synthetic_image_corpus(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, IMAGE_CORPUS_SCHEMA)
+    return _spread_for_fanout(docs.select(id_col, text_col)).mapInPandas(kernel, IMAGE_CORPUS_SCHEMA)
 
 
 def ahash64(pixels) -> int:
@@ -611,7 +628,7 @@ def synthetic_audio_corpus(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, AUDIO_CORPUS_SCHEMA)
+    return _spread_for_fanout(docs.select(id_col, text_col)).mapInPandas(kernel, AUDIO_CORPUS_SCHEMA)
 
 
 def audio_fingerprint64(samples) -> int:
@@ -818,7 +835,7 @@ def synthetic_video_corpus(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, VIDEO_CORPUS_SCHEMA)
+    return _spread_for_fanout(docs.select(id_col, text_col)).mapInPandas(kernel, VIDEO_CORPUS_SCHEMA)
 
 
 FRAME_HASH_SCHEMA = T.StructType(
@@ -1168,7 +1185,7 @@ def synthetic_audio_containment_corpus(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, AUDIO_CORPUS_SCHEMA)
+    return _spread_for_fanout(docs.select(id_col, text_col)).mapInPandas(kernel, AUDIO_CORPUS_SCHEMA)
 
 
 def video_jaccard_pairs_incremental(
@@ -1187,51 +1204,114 @@ def video_jaccard_pairs_incremental(
     raw ``(video_id, frame_hash)`` fan-out of the batch. Returns
     ``(vid_a, vid_b, n_common, jaccard_ppm)`` with vid_a < vid_b, each
     pair touching at least one new video — exactly the batch form
-    restricted to new-id pairs (pinned in tests). ``countDistinct``
-    absorbs both the new-new direction double-count and replayed
-    duplicate index rows (a crash between index and corpus appends
-    only re-proposes candidates — the streaming contract)."""
+    restricted to new-id pairs (pinned in tests). Thin wrapper over
+    :func:`set_fingerprint_pairs_incremental` (distinct-set Jaccard
+    mode), which also supplies the replay-duplicate and direction
+    double-count absorption."""
+    corpus = None
+    if corpus_hashes is not None:
+        # stored rows are DISTINCT per (video_id, frame_hash): c = 1
+        corpus = corpus_hashes.select(
+            "video_id", "frame_hash", F.lit(1).cast("long").alias("c"), "n"
+        )
+    return set_fingerprint_pairs_incremental(
+        corpus,
+        new_hashes.select("video_id", "frame_hash"),
+        metric="jaccard",
+        min_score_ppm=min_jaccard_ppm,
+        multiset=False,
+    ).select(
+        F.col("id_a").alias("vid_a"),
+        F.col("id_b").alias("vid_b"),
+        "n_common",
+        F.col("score_ppm").alias("jaccard_ppm"),
+    )
+
+
+def set_fingerprint_pairs_incremental(
+    corpus_counts: DataFrame | None,
+    new_hashes: DataFrame,
+    metric: str = "jaccard",
+    min_score_ppm: int = 500_000,
+    multiset: bool = False,
+) -> DataFrame:
+    """Unified incremental probe for every SET-fingerprint modality:
+    score a NEW batch's fingerprint multisets against an indexed
+    corpus (and against itself), where a fingerprint is any fan-out of
+    ``(id, hash)`` rows — video frame hashes, audio CDC segments, or
+    any future kernel. ``corpus_counts`` carries the stored index rows
+    ``(id, hash, c, n)`` (``c`` = the hash's multiplicity within the
+    id, ``n`` = the id's total count — both denormalized so the probe
+    never re-aggregates the corpus); ``new_hashes`` is the raw
+    ``(id, hash)`` fan-out of the batch (``multiset=False`` collapses
+    duplicates first — the video frame-SET semantics; ``True`` keeps
+    multiplicity — the audio CDC trim semantics).
+
+    ``metric``: ``jaccard`` scores ``common div (na + nb - common)``,
+    ``containment`` scores ``common div min(na, nb)`` — both
+    exact-integer ppm with cross-multiply thresholds, where ``common``
+    is the multiset intersection ``sum(least(c_a, c_b))``. Returns
+    ``(id_a, id_b, n_common, score_ppm)``, id_a < id_b, every pair
+    touching at least one new id.
+
+    Replay safety: a crash between index and corpus appends replays
+    the SAME index rows; the matched-candidate ``distinct`` (over the
+    pair-normalized count tuples — match-sized, never corpus-sized)
+    collapses them, and it equally collapses the new-new direction
+    double-count. Per-batch cost scales with the batch and the
+    hash-matched index rows only."""
     from dataflow_python_etl_spark.operators.dedup import _persist
 
-    new_h = _persist(
-        new_hashes.select("video_id", "frame_hash").distinct()
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric must be jaccard|containment, got {metric!r}")
+    from pyspark.sql import Window
+
+    raw = new_hashes.toDF("sid", "shash")
+    if not multiset:
+        raw = raw.distinct()
+    new_cnt = _persist(
+        raw.groupBy("sid", "shash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("sid")))
     )
-    new_sizes = new_h.groupBy("video_id").agg(F.count(F.lit(1)).alias("n"))
-    if corpus_hashes is None:
-        all_h = new_h
-        sizes = new_sizes
+    if corpus_counts is None:
+        all_cnt = new_cnt
     else:
-        all_h = corpus_hashes.select("video_id", "frame_hash").unionByName(new_h)
-        sizes = corpus_hashes.select("video_id", "n").distinct().unionByName(
-            new_sizes
-        )
-    a, b = new_h.alias("a"), all_h.alias("b")
-    common = (
+        all_cnt = corpus_counts.toDF("sid", "shash", "c", "n").unionByName(new_cnt)
+    a, b = new_cnt.alias("a"), all_cnt.alias("b")
+    lo = F.col("a.sid") < F.col("b.sid")
+    matches = (
         a.join(
             b,
-            (F.col("a.frame_hash") == F.col("b.frame_hash"))
-            & (F.col("a.video_id") != F.col("b.video_id")),
-        )
-        .groupBy(
-            F.least("a.video_id", "b.video_id").alias("vid_a"),
-            F.greatest("a.video_id", "b.video_id").alias("vid_b"),
-        )
-        .agg(F.count_distinct(F.col("a.frame_hash")).cast("long").alias("n_common"))
-    )
-    sa = sizes.select(F.col("video_id").alias("vid_a"), F.col("n").alias("__na"))
-    sb = sizes.select(F.col("video_id").alias("vid_b"), F.col("n").alias("__nb"))
-    return (
-        common.join(sa, "vid_a")
-        .join(sb, "vid_b")
-        .withColumn("__union", F.col("__na") + F.col("__nb") - F.col("n_common"))
-        .where(
-            F.col("n_common") * F.lit(1_000_000)
-            >= F.lit(min_jaccard_ppm) * F.col("__union")
+            (F.col("a.shash") == F.col("b.shash"))
+            & (F.col("a.sid") != F.col("b.sid")),
         )
         .select(
-            "vid_a",
-            "vid_b",
+            F.least("a.sid", "b.sid").alias("id_a"),
+            F.greatest("a.sid", "b.sid").alias("id_b"),
+            F.col("a.shash").alias("shash"),
+            F.when(lo, F.col("a.c")).otherwise(F.col("b.c")).alias("c_lo"),
+            F.when(lo, F.col("b.c")).otherwise(F.col("a.c")).alias("c_hi"),
+            F.when(lo, F.col("a.n")).otherwise(F.col("b.n")).alias("n_lo"),
+            F.when(lo, F.col("b.n")).otherwise(F.col("a.n")).alias("n_hi"),
+        )
+        .distinct()  # absorbs replayed index rows AND new-new direction dupes
+    )
+    scored = matches.groupBy("id_a", "id_b", "n_lo", "n_hi").agg(
+        F.sum(F.least(F.col("c_lo"), F.col("c_hi"))).cast("long").alias("n_common")
+    )
+    denom = (
+        F.col("n_lo") + F.col("n_hi") - F.col("n_common")
+        if metric == "jaccard"
+        else F.least(F.col("n_lo"), F.col("n_hi"))
+    )
+    return (
+        scored.withColumn("__d", denom)
+        .where(F.col("n_common") * F.lit(1_000_000) >= F.lit(min_score_ppm) * F.col("__d"))
+        .select(
+            "id_a",
+            "id_b",
             "n_common",
-            F.expr("(1000000 * n_common) div __union").alias("jaccard_ppm"),
+            F.expr("(1000000 * n_common) div __d").alias("score_ppm"),
         )
     )

@@ -790,32 +790,46 @@ def stream_video_dedup_ingest(
     checkpoint: str,
     id_col: str = "video_id",
     payload_col: str = "payload",
-    min_jaccard_ppm: int = 500_000,
+    min_score_ppm: int = 500_000,
     replay_guard: str = "anti_join",
+    hash_fn=None,
+    metric: str = "jaccard",
+    multiset: bool = False,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Online near-dup-filtered VIDEO ingestion — the set-fingerprint
     sibling of :func:`stream_image_dedup_ingest` (a video's identity
     is its frame-hash SET, not one 64-bit value, so the probe is
     shared-hash Jaccard, not Hamming banding). Each micro-batch is
     frame-decoded once (``multimodal.video_frame_hashes``, map-side),
-    Jaccard-matched against the already-ingested corpus via the
-    persisted index (``multimodal.video_jaccard_pairs_incremental``)
+    scored against the already-ingested corpus via the
+    persisted index (``multimodal.set_fingerprint_pairs_incremental``)
     and against itself, and only survivors are appended. Survivor
     rule matches every other sink: a batch video drops if it near-dups
     any ingested video, or a lower-id video of its own batch.
 
-    The index stores ``(video_id, frame_hash, n)`` rows — ``n`` (the
-    video's distinct-hash count) is denormalized per row so the probe
-    NEVER re-aggregates the corpus: per-batch cost scales with the
-    batch and the hash-matched index rows only; corpus payloads are
-    never re-read on the ingest path.
+    The index stores ``(id, set_hash, c, n)`` rows — ``c`` (the
+    hash's multiplicity within the id) and ``n`` (the id's total
+    count) are denormalized per row so the probe NEVER re-aggregates
+    the corpus: per-batch cost scales with the batch and the
+    hash-matched index rows only; corpus payloads are never re-read
+    on the ingest path.
+
+    Like the phash sink's ``fingerprint_fn``, the kernel is
+    pluggable: ``hash_fn`` is any ``(df, id_col, payload_col) ->
+    (id, hash)`` FAN-OUT (default ``multimodal.video_frame_hashes``),
+    ``metric`` picks ``jaccard`` (near-dup) or ``containment``
+    (trim/sub-clip), and ``multiset=True`` keeps hash multiplicity.
+    Passing ``hash_fn=multimodal.audio_cdc_segments,
+    metric="containment", multiset=True, min_score_ppm=600_000``
+    streams AUDIO clips with online TRIM filtering — a re-posted cut
+    of an already-ingested recording is dropped at ingest.
 
     Crash safety mirrors the image sink exactly (same guard
     functions): missing-corpus-with-surviving-artifacts restarts FAIL
     loudly; a lost index is rebuilt FROM the corpus (one re-decode)
     and persisted before use; the index is appended before the
     corpus, so a crash between the two only re-proposes candidates
-    (the probe's ``count_distinct`` absorbs duplicate index rows);
+    (the probe's match-level distinct absorbs duplicate index rows);
     ``replay_guard="watermark"`` (monotone ids) replaces the
     corpus-sized anti-join with a pure filter and makes corpus
     appends per-batch dynamic partition OVERWRITES. foreachBatch is
@@ -826,10 +840,12 @@ def stream_video_dedup_ingest(
 
     from dataflow_python_etl_spark.operators.dedup import _persist, unpersist_all
     from dataflow_python_etl_spark.operators.multimodal import (
+        set_fingerprint_pairs_incremental,
         video_frame_hashes,
-        video_jaccard_pairs_incremental,
     )
 
+    if hash_fn is None:
+        hash_fn = video_frame_hashes
     if replay_guard not in ("anti_join", "watermark"):
         raise ValueError(
             f"replay_guard must be anti_join|watermark, got {replay_guard!r}"
@@ -861,16 +877,22 @@ def stream_video_dedup_ingest(
         else:
             survivors.write.mode("append").parquet(corpus_path)
 
-    def _index_rows(videos: DataFrame) -> DataFrame:
-        # (video_id, frame_hash, n): distinct hash fan-out with the
-        # video's distinct-hash count denormalized onto every row
-        h = video_frame_hashes(
-            videos.withColumnRenamed(id_col, "video_id"), "video_id", payload_col
-        ).distinct()
+    def _raw(videos: DataFrame) -> DataFrame:
+        # decode ONCE per payload: the (id, hash) fan-out, canonical names
+        return hash_fn(
+            videos.select(id_col, payload_col), id_col, payload_col
+        ).toDF("sid", "shash")
+
+    def _counts(raw: DataFrame) -> DataFrame:
+        # (id, set_hash, c, n): multiplicity + total denormalized per row
         from pyspark.sql import Window
 
-        return h.withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("video_id"))
+        r = raw if multiset else raw.distinct()
+        return (
+            r.groupBy("sid", "shash")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("n", F.sum("c").over(Window.partitionBy("sid")))
+            .toDF(id_col, "set_hash", "c", "n")
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -890,30 +912,33 @@ def stream_video_dedup_ingest(
         wm = _read_wm() if replay_guard == "watermark" else None
         if wm is not None and batch_id == wm["batch_id"]:
             return  # this exact batch fully committed — replay is a no-op
-        index_h = None
+        index_cnt = None
         if os.path.exists(corpus_path):
             corpus = spark.read.parquet(corpus_path)
             batch = _guard_replay(batch, corpus, id_col, replay_guard, wm)
             if not os.path.exists(index_path):
                 # rebuild the FULL corpus index and PERSIST it before
                 # use — a partial index silently blinds later batches
-                _index_rows(corpus.select(id_col, payload_col)).write.parquet(
-                    index_path
-                )
-            index_h = spark.read.parquet(index_path)
-        sig = _persist(_index_rows(batch))
-        pairs = video_jaccard_pairs_incremental(index_h, sig, min_jaccard_ppm)
+                _counts(_raw(corpus)).write.parquet(index_path)
+            index_cnt = spark.read.parquet(index_path).toDF(
+                "sid", "shash", "c", "n"
+            )
+        raw = _persist(_raw(batch))
+        pairs = set_fingerprint_pairs_incremental(
+            index_cnt, raw, metric=metric,
+            min_score_ppm=min_score_ppm, multiset=multiset,
+        )
         # a new video drops when it pairs with anything already
         # decided: an ingested video (either side) or a lower-id
-        # video of its own batch (vid_b of a new-new pair)
+        # video of its own batch (id_b of a new-new pair)
         new_ids = batch.select(F.col(id_col).alias("__nid"))
         b_new = pairs.join(
-            new_ids, pairs["vid_b"] == F.col("__nid"), "left_semi"
-        ).select(F.col("vid_b").alias(id_col))
+            new_ids, pairs["id_b"] == F.col("__nid"), "left_semi"
+        ).select(F.col("id_b").alias(id_col))
         a_new_b_corpus = (
-            pairs.join(new_ids, pairs["vid_b"] == F.col("__nid"), "left_anti")
-            .join(new_ids, pairs["vid_a"] == F.col("__nid"), "left_semi")
-            .select(F.col("vid_a").alias(id_col))
+            pairs.join(new_ids, pairs["id_b"] == F.col("__nid"), "left_anti")
+            .join(new_ids, pairs["id_a"] == F.col("__nid"), "left_semi")
+            .select(F.col("id_a").alias(id_col))
         )
         removals = b_new.union(a_new_b_corpus).distinct()
         max_ingested = None
@@ -928,11 +953,10 @@ def stream_video_dedup_ingest(
             eager=True
         )
         # index first, then corpus (an orphan index row only
-        # re-proposes a candidate — absorbed by count_distinct)
-        sig.join(
-            survivors.select(F.col(id_col).alias("video_id")),
-            "video_id",
-            "left_semi",
+        # re-proposes a candidate — absorbed by the probe's
+        # match-level distinct)
+        _counts(raw).join(
+            survivors.select(id_col), id_col, "left_semi"
         ).write.mode("append").parquet(index_path)
         _corpus_append(survivors, batch_id)
         if replay_guard == "watermark":

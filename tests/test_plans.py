@@ -463,3 +463,20 @@ def test_m4_downsample_single_series_bucket_exchange(spark):
     assert "EvalPython" not in e
     # exchanges: fact->(series,bucket) once; bounds agg singleton
     assert count_exchanges(df) <= 2, explain_str(df, "simple")
+
+
+def test_audio_containment_decode_map_side_pairs_jvm(spark):
+    """q152: the ONLY Python stages are the two Arrow-batched
+    mapInPandas kernels (corpus synthesis + CDC segmenting — real
+    decode is the public-knowledge constraint); everything after the
+    (id, hash) fan-out is JVM — no row-at-a-time EvalPython — and the
+    pair search is the shared-hash equi-join, never a cartesian."""
+    df = _q(spark, "q152_audio_containment_pairs")
+    s = explain_str(df, "simple")
+    # MapInPandas counts are inflated by re-printed persisted subtrees
+    # (round-6 pitfall) — pin presence + absence of the slow paths
+    assert "MapInPandas" in s
+    assert "EvalPython" not in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+    n = count_exchanges(df)
+    assert n <= 10, f"pair pipeline grew extra shuffles: {n}\n{s[:2000]}"

@@ -285,10 +285,10 @@ def test_stream_video_dedup_ingest_online_filtering(spark, tmp_path):
 
     idx = spark.read.parquet(index)
     assert {r["video_id"] for r in idx.collect()} == {1, 3, 12, 14}
-    assert set(idx.columns) == {"video_id", "frame_hash", "n"}
-    # n is each video's distinct-hash count, denormalized per row
+    assert set(idx.columns) == {"video_id", "set_hash", "c", "n"}
+    # c is the hash's multiplicity, n the video's total — denormalized
     for r in idx.collect():
-        assert r["n"] == 4
+        assert r["c"] == 1 and r["n"] == 4
 
 
 def test_video_jaccard_incremental_matches_batch_form(spark):
@@ -348,3 +348,106 @@ def test_video_jaccard_incremental_matches_batch_form(spark):
         for r in video_jaccard_pairs_incremental(None, new_h, 300_000).collect()
     }
     assert got_solo == {(x, y) for (x, y, _, _) in want if x >= 4}
+
+
+def test_stream_audio_trim_dedup_ingest(spark, tmp_path):
+    """The set-fingerprint sink is kernel- and metric-agnostic: audio
+    clips stream with hash_fn=audio_cdc_segments + containment metric
+    + multiset counts — a re-posted TRIM of an already-ingested
+    recording is dropped online (the case the global-fingerprint sink
+    cannot see), while unrelated clips land."""
+    from dataflow_python_etl_spark.operators.codecs import encode_wav
+    from dataflow_python_etl_spark.operators.multimodal import audio_cdc_segments
+    from dataflow_python_etl_spark.streaming.pipeline import (
+        stream_video_dedup_ingest,
+    )
+
+    def _clip(seed, n=4096, amp=2000):
+        rng = np.random.RandomState(seed)
+        return rng.randint(-amp, amp, size=n).astype(np.int64)
+
+    def _arows(*pairs):
+        data = [(i, bytearray(encode_wav(s))) for i, s in pairs]
+        return spark.createDataFrame(data, "audio_id: long, payload: binary")
+
+    full_a, full_b, other = _clip(81), _clip(82), _clip(83)
+    src = str(tmp_path / "clips_in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    # batch 1: 2 is a TRIM of 1 (in-batch containment dup); 3 unique
+    _arows((1, full_a), (2, full_a[1024:3072]), (3, full_b)).write.parquet(src)
+    q = stream_video_dedup_ingest(
+        spark.readStream.schema("audio_id long, payload binary").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        id_col="audio_id",
+        min_score_ppm=600_000,
+        hash_fn=audio_cdc_segments,
+        metric="containment",
+        multiset=True,
+    )
+    q.processAllAvailable()
+    assert _poll_ids(spark, corpus, [1, 3], id_col="audio_id") == [1, 3]
+
+    # batch 2: 11 is a trim of corpus clip 3 (cross-batch, via the
+    # persisted index — clip 3's payload never re-read); 12 fresh
+    _arows((11, full_b[512:2560]), (12, other)).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got = _poll_ids(spark, corpus, [1, 3, 12], id_col="audio_id")
+    q.stop()
+    assert got == [1, 3, 12]
+    idx = spark.read.parquet(index)
+    assert {r["audio_id"] for r in idx.collect()} == {1, 3, 12}
+    assert set(idx.columns) == {"audio_id", "set_hash", "c", "n"}
+
+
+def test_set_fingerprint_containment_incremental_matches_batch(spark):
+    """set_fingerprint_pairs_incremental(containment, multiset) == the
+    batch audio_containment_pairs restricted to pairs touching a new
+    id — the exactness contract the audio-trim streaming mode relies
+    on (the jaccard/distinct mode is pinned via the video twin)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.codecs import encode_wav
+    from dataflow_python_etl_spark.operators.multimodal import (
+        audio_cdc_segments,
+        audio_containment_pairs,
+        set_fingerprint_pairs_incremental,
+    )
+
+    def _clip(seed, n=4096):
+        rng = np.random.RandomState(seed)
+        return rng.randint(-2000, 2000, size=n).astype(np.int64)
+
+    a, b = _clip(91), _clip(92)
+    clips = [
+        (1, a), (2, b), (3, a[1024:3072]),          # corpus: 3 trims 1
+        (4, a[512:2560]), (5, b[2048:4096]), (6, _clip(93)),  # new
+    ]
+    rows = [(i, bytearray(encode_wav(s))) for i, s in clips]
+    all_df = spark.createDataFrame(rows, "audio_id long, payload binary")
+    thr = 600_000
+    batch_pairs = {
+        (r["clip_a"], r["clip_b"], r["n_common"], r["containment_ppm"])
+        for r in audio_containment_pairs(all_df, min_containment_ppm=thr).collect()
+    }
+    want = {t for t in batch_pairs if t[0] >= 4 or t[1] >= 4}
+    corpus_df = all_df.where("audio_id <= 3")
+    new_df = all_df.where("audio_id >= 4")
+    idx = (
+        audio_cdc_segments(corpus_df)
+        .groupBy("audio_id", "seg_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("audio_id")))
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["n_common"], r["score_ppm"])
+        for r in set_fingerprint_pairs_incremental(
+            idx, audio_cdc_segments(new_df),
+            metric="containment", min_score_ppm=thr, multiset=True,
+        ).collect()
+    }
+    assert got == want and want  # non-vacuous: trims must pair
