@@ -601,6 +601,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     n_bands: int = 8,
     bits: int = 64,
+    combine: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` —
     EXACT (not approximate) when ``max_hamming < n_bands``, by the
@@ -622,10 +623,45 @@ def simhash_pairs(
     # and the signature expression (per token: 1 md5 + `bits` affine
     # updates, interpreted HOFs) is the dominant cost — uncached it
     # evaluates once per side (measured 6.6 s -> ~4 s at sf0.1)
+    if combine is None:
+        # band-PAIR keys whenever the pigeonhole allows (the q150
+        # birthday-collision fix); tight geometries keep single bands
+        combine = 2 if max_hamming <= n_bands - 2 else 1
     sig = _persist(simhash(df, id_col, text_col, bits))
     return hamming_banded_pairs(
-        sig, id_col, "simhash", max_hamming, n_bands, bits
+        sig, id_col, "simhash", max_hamming, n_bands, bits, combine=combine
     )
+
+
+def _band_keys(sig_expr, n_bands: int, width: int, mask: int, combine: int):
+    """The (band, val) candidate keys for one signature, as a Catalyst
+    struct array to explode: with ``combine=1``, one entry per band
+    (val = that band's bits); with ``combine=k``, one entry per
+    k-combination of bands (val = the member bands' bits
+    CONCATENATED). Combining is the Manku/Charikar simhash-index move:
+    a pair within Hamming r leaves >= n_bands - r bands untouched, so
+    whenever ``max_hamming <= n_bands - k`` some k-combination is
+    clean on both sides and exactness is preserved — while the key
+    space grows from 2^width to 2^(k*width), collapsing
+    birthday-collision candidates (measured: the q150 audio probe's
+    superlinear 1.709 exponent was n^2/2048 bucket collisions at 80k
+    clips; C(8,2) 16-bit keys cut collision mass ~73x for 3.5x more
+    index rows). ``sig_expr`` must be the SOURCE column (not a sibling
+    alias — a lateral alias reference cannot sit inside Generate)."""
+    import itertools
+
+    entries = []
+    for ci, combo in enumerate(itertools.combinations(range(n_bands), combine)):
+        val = None
+        for p, b in enumerate(combo):
+            piece = F.shiftright(sig_expr, b * width).bitwiseAND(
+                F.lit(mask)
+            ) * F.lit(1 << (width * p))
+            val = piece if val is None else val + piece
+        entries.append(
+            F.struct(F.lit(ci).alias("band"), val.cast("long").alias("val"))
+        )
+    return F.array(*entries)
 
 
 def hamming_banded_pairs(
@@ -635,6 +671,7 @@ def hamming_banded_pairs(
     max_hamming: int,
     n_bands: int,
     bits: int = 64,
+    combine: int = 1,
 ) -> DataFrame:
     """Pigeonhole-exact Hamming pair search over ANY 64-bit-packed
     fingerprint frame ``(id_col, sig_col)`` — the candidate/verify
@@ -651,20 +688,25 @@ def hamming_banded_pairs(
     buckets shuffle on (band, band-bits); correlated fingerprints can
     skew a bucket — AQE skew-join splits it at runtime (same posture
     as the MinHash band index)."""
-    if not 0 <= max_hamming < n_bands:
+    if not 0 <= max_hamming <= n_bands - combine:
         raise ValueError(
-            f"exactness needs 0 <= max_hamming < n_bands, got {max_hamming}/{n_bands}"
+            "exactness needs 0 <= max_hamming <= n_bands - combine, got "
+            f"{max_hamming}/{n_bands} with combine={combine}"
         )
     if bits % n_bands != 0:
         raise ValueError(f"bits ({bits}) must divide evenly into {n_bands} bands")
     width = bits // n_bands
+    if combine * width >= 64:
+        raise ValueError(f"combined key would overflow a long: {combine}x{width} bits")
     mask = (1 << width) - 1
     bands = sig.select(
         F.col(id_col).alias("doc"),
         F.col(sig_col).alias("__sig"),
-        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
-    ).withColumn(
-        "val", F.expr(f"shiftright(__sig, band * {width}) & {mask}")
+        F.explode(
+            _band_keys(F.col(sig_col), n_bands, width, mask, combine)
+        ).alias("bk"),
+    ).select(
+        "doc", "__sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -693,6 +735,7 @@ def hamming_banded_pairs_incremental(
     max_hamming: int,
     n_bands: int,
     bits: int = 64,
+    combine: int = 1,
 ) -> DataFrame:
     """Incremental twin of :func:`hamming_banded_pairs`: pairs of a
     NEW fingerprint batch against an already-fingerprinted corpus
@@ -708,22 +751,30 @@ def hamming_banded_pairs_incremental(
     Ids must be unique across corpus and batch. Duplicate corpus sig
     rows (a crash-replayed index append) only re-propose the same
     candidate pair — the final ``distinct`` absorbs them."""
-    if not 0 <= max_hamming < n_bands:
+    if not 0 <= max_hamming <= n_bands - combine:
         raise ValueError(
-            f"exactness needs 0 <= max_hamming < n_bands, got {max_hamming}/{n_bands}"
+            "exactness needs 0 <= max_hamming <= n_bands - combine, got "
+            f"{max_hamming}/{n_bands} with combine={combine}"
         )
     if bits % n_bands != 0:
         raise ValueError(f"bits ({bits}) must divide evenly into {n_bands} bands")
     width = bits // n_bands
+    if combine * width >= 64:
+        raise ValueError(f"combined key would overflow a long: {combine}x{width} bits")
     mask = (1 << width) - 1
 
     def _bands(sig: DataFrame) -> DataFrame:
         return sig.select(
             F.col(id_col).alias("doc"),
             F.col(sig_col).alias("__sig"),
-            F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
-        ).withColumn(
-            "val", F.expr(f"shiftright(__sig, band * {width}) & {mask}")
+            F.explode(
+            _band_keys(F.col(sig_col), n_bands, width, mask, combine)
+        ).alias("bk"),
+        ).select(
+            "doc",
+            "__sig",
+            F.col("bk.band").alias("band"),
+            F.col("bk.val").alias("val"),
         )
 
     new_bands = _bands(new_sig)

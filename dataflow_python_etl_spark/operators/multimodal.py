@@ -507,6 +507,7 @@ def image_near_dup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 6,
     n_bands: int = 8,
+    combine: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pair search: :func:`image_phash` per
     image, then pigeonhole-EXACT Hamming banding via
@@ -526,7 +527,11 @@ def image_near_dup_pairs(
     )
 
     sig = _persist(image_phash(images, id_col, payload_col))
-    return hamming_banded_pairs(sig, "image_id", "phash", max_hamming, n_bands)
+    if combine is None:
+        combine = 2 if max_hamming <= n_bands - 2 else 1
+    return hamming_banded_pairs(
+        sig, "image_id", "phash", max_hamming, n_bands, combine=combine
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -716,6 +721,7 @@ def audio_near_dup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 6,
     n_bands: int = 8,
+    combine: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pair search: :func:`audio_phash` per clip,
     then pigeonhole-EXACT Hamming banding via
@@ -733,7 +739,11 @@ def audio_near_dup_pairs(
     )
 
     sig = _persist(audio_phash(clips, id_col, payload_col))
-    return hamming_banded_pairs(sig, "audio_id", "phash", max_hamming, n_bands)
+    if combine is None:
+        combine = 2 if max_hamming <= n_bands - 2 else 1
+    return hamming_banded_pairs(
+        sig, "audio_id", "phash", max_hamming, n_bands, combine=combine
+    )
 
 
 # ---------------------------------------------------------------------------

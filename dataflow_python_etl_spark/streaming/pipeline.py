@@ -739,7 +739,8 @@ def stream_image_dedup_ingest(
             fingerprint_fn(batch, id_col, payload_col).toDF(id_col, "phash")
         )
         pairs = hamming_banded_pairs_incremental(
-            index_sig, sig, id_col, "phash", max_hamming, n_bands
+            index_sig, sig, id_col, "phash", max_hamming, n_bands,
+            combine=2 if max_hamming <= n_bands - 2 else 1,
         )
         # a new image is removed when it pairs with anything already
         # decided: an ingested image (either side of the pair) or a

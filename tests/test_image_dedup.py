@@ -178,3 +178,37 @@ def test_curate_corpus_image_tier(spark):
     out_no_img = curate_corpus(docs, decontaminate_against=bench)
     assert {r["doc_id"] for r in out_no_img.select("doc_id").collect()} == {1, 2, 3}
     unpersist_all()
+
+
+def test_banded_pairs_combine_exact_and_validated(spark):
+    """The Manku-style band-COMBINATION geometry (key = k bands
+    concatenated) returns exactly the single-band result — exact by
+    pigeonhole whenever max_hamming <= n_bands - k — while shrinking
+    the collision key space from 2^8 to 2^16 per key (the fix for the
+    q150 probe's superlinear candidate growth at 80k clips)."""
+    from dataflow_python_etl_spark.operators.dedup import hamming_banded_pairs
+
+    rng = np.random.RandomState(17)
+    base = int(rng.randint(0, 1 << 62))
+    rows = []
+    for i in range(16):
+        v = base
+        for bit in rng.choice(64, size=i, replace=False):
+            v ^= 1 << int(bit)
+        rows.append((i, v - (1 << 63) if v >= (1 << 63) else v))
+    sig = spark.createDataFrame(rows, "id: long, sig: long")
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_banded_pairs(sig, "id", "sig", 6, 8, combine=1).collect()
+    }
+    for n_bands, k in ((8, 2), (16, 2), (16, 3)):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in hamming_banded_pairs(
+                sig, "id", "sig", 6, n_bands, combine=k
+            ).collect()
+        }
+        assert got == want and want, (n_bands, k)
+    # exactness bound: radius 7 over 8 bands leaves no clean PAIR
+    with pytest.raises(ValueError, match="exactness"):
+        hamming_banded_pairs(sig, "id", "sig", 7, 8, combine=2)

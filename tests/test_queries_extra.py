@@ -152,7 +152,7 @@ def test_simhash_pairs_validation(spark):
     from dataflow_python_etl_spark.operators.dedup import simhash_pairs
 
     docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
-    with pytest.raises(ValueError, match="max_hamming < n_bands"):
+    with pytest.raises(ValueError, match="exactness"):
         simhash_pairs(docs, max_hamming=8, n_bands=8)
     with pytest.raises(ValueError, match="divide evenly"):
         simhash_pairs(docs, max_hamming=3, n_bands=7)
