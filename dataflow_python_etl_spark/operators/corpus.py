@@ -856,7 +856,13 @@ def curate_corpus(
 
         # prune to current survivors FIRST: the decode is the dominant
         # cost of this tier and must only touch documents that passed
-        # the cheaper text gates (same contract as the embedding prune)
+        # the cheaper text gates (same contract as the embedding prune).
+        # Each multimodal tier consumes the survivor frame TWICE (the
+        # prune semi-join and the removal anti-join) and later tiers
+        # consume it again — without a registered persist the whole
+        # upstream pair pipeline re-evaluates per consumer (measured
+        # 2x+ on the composed q153).
+        out = register_cache(out)
         img_pruned = images.join(
             out.select(id_col), id_col, "left_semi"
         )
@@ -876,6 +882,7 @@ def curate_corpus(
 
         # same prune-first contract as the image tier: the decode is
         # the dominant cost and must only touch text-gate survivors
+        out = register_cache(out)
         aud_pruned = audio.join(out.select(id_col), id_col, "left_semi")
         ap = audio_near_dup_pairs(
             aud_pruned,
@@ -891,6 +898,7 @@ def curate_corpus(
             video_near_dup_pairs,
         )
 
+        out = register_cache(out)
         vid_pruned = videos.join(out.select(id_col), id_col, "left_semi")
         vp = video_near_dup_pairs(
             vid_pruned,

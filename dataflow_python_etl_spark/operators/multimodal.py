@@ -1325,3 +1325,124 @@ def set_fingerprint_pairs_incremental(
             F.expr("(1000000 * n_common) div __d").alias("score_ppm"),
         )
     )
+
+
+# q153 plant geometry: one payload of EACH modality per document, with
+# cross-document near-duplicates planted by anchor mapping — image
+# pairs every (2k, 2k+1), audio every (3k, 3k+2) via a x2 gain copy,
+# video every (5k, 5k+4) via reversed frames — so the full multimodal
+# curate pipeline has planted work for every tier, and the tier ORDER
+# (text -> image -> audio -> video, each pruned to prior survivors)
+# is observable in which doc of an overlapping pair survives.
+MULTIMODAL_PAYLOADS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("image", T.BinaryType()),
+        T.StructField("clip", T.BinaryType()),
+        T.StructField("video", T.BinaryType()),
+    ]
+)
+
+
+def synthetic_multimodal_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One REAL payload per modality per document (PNG image, PCM WAV
+    clip, animated-GIF video), derived deterministically from an
+    ANCHOR document's text so cross-document near-duplicates are
+    planted by construction:
+
+    - image: 16x16 grayscale, pixel i = codepoint(anchor[i mod len])
+      mod 256; anchor = doc_id rounded down to even — docs (2k, 2k+1)
+      carry IDENTICAL images (aHash hamming 0);
+    - clip: 2048 samples, codepoint mod 256 - 128 (the q150 base
+      form); anchor = 3k for doc 3k+2, whose samples are also GAINED
+      x2 — the energy-difference fingerprint is gain-invariant, so
+      (3k, 3k+2) land at hamming 0 through a non-byte-identical
+      payload;
+    - video: 6 frames of the q151 base form (offset 7f); anchor = 5k
+      for doc 5k+4, frames REVERSED — identical frame-hash SET,
+      Jaccard exactly 1.
+
+    Anchors that are absent or empty-text fall back to the document's
+    own text (same rule in the q153 oracle). Every payload is an
+    integer function of anchor text, so a SQL oracle reproduces every
+    fingerprint without parsing containers — the q150/q151
+    discipline, composed."""
+    import numpy as np
+
+    from dataflow_python_etl_spark.operators.codecs import (
+        encode_gif,
+        encode_png,
+        encode_wav,
+    )
+
+    d = docs.select(id_col, text_col).where(F.length(text_col) > 0)
+    did = F.col(id_col)
+    anchored = (
+        d.alias("s")
+        .join(
+            d.select(F.col(id_col).alias("__ia"), F.col(text_col).alias("__it")),
+            F.col("__ia") == did - (did % 2),
+            "left",
+        )
+        .join(
+            d.select(F.col(id_col).alias("__aa"), F.col(text_col).alias("__at")),
+            F.col("__aa")
+            == did - F.when(did % 3 == 2, F.lit(2)).otherwise(F.lit(0)),
+            "left",
+        )
+        .join(
+            d.select(F.col(id_col).alias("__va"), F.col(text_col).alias("__vt")),
+            F.col("__va")
+            == did - F.when(did % 5 == 4, F.lit(4)).otherwise(F.lit(0)),
+            "left",
+        )
+        .select(
+            did.alias("doc_id"),
+            F.coalesce(F.col("__it"), F.col(text_col)).alias("img_t"),
+            F.coalesce(F.col("__at"), F.col(text_col)).alias("aud_t"),
+            F.coalesce(F.col("__vt"), F.col(text_col)).alias("vid_t"),
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, imgs, clips, vids = [], [], [], []
+            for doc_id, img_t, aud_t, vid_t in zip(
+                pdf["doc_id"], pdf["img_t"], pdf["aud_t"], pdf["vid_t"]
+            ):
+                doc_id = int(doc_id)
+                iraw = np.array([ord(c) % 256 for c in img_t], dtype=np.int64)
+                px = iraw[np.arange(256) % len(iraw)].reshape(16, 16)
+                imgs.append(encode_png(px.astype(np.uint8)))
+                araw = np.array(
+                    [ord(c) % 256 - 128 for c in aud_t], dtype=np.int64
+                )
+                s = araw[np.arange(2048) % len(araw)]
+                if doc_id % 3 == 2:
+                    s = s * 2
+                clips.append(encode_wav(s))
+                vraw = np.array([ord(c) % 256 for c in vid_t], dtype=np.int64)
+                frames = []
+                for f in range(6):
+                    fp = vraw[(np.arange(256) + 7 * f) % len(vraw)].reshape(16, 16)
+                    frames.append(
+                        np.repeat(fp[:, :, None], 3, axis=2).astype(np.uint8)
+                    )
+                if doc_id % 5 == 4:
+                    frames = frames[::-1]
+                vids.append(encode_gif(frames))
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "image": imgs,
+                    "clip": clips,
+                    "video": vids,
+                }
+            )
+
+    return _spread_for_fanout(anchored).mapInPandas(
+        kernel, MULTIMODAL_PAYLOADS_SCHEMA
+    )

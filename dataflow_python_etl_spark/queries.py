@@ -6916,6 +6916,202 @@ def q152_audio_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_containment_pairs(clips, min_containment_ppm=600_000)
 
 
+@_q(
+    "q153_multimodal_curate",
+    f"""
+    WITH scrub AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                   '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+                   '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+                   '(?:\\+?\\d{{1,2}}[\\s.-])?\\(?\\d{{3}}\\)?[\\s.-]\\d{{3}}[\\s.-]\\d{{4}}\\b',
+                   '<PHONE>', 'g'),
+                   '\\b\\d{{13,19}}\\b', '<CCNUM>', 'g') AS stext
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, stext,
+               regexp_split_to_array(stext, '\\s+') AS toks,
+               length(stext) AS nch,
+               length(stext) - length(regexp_replace(stext, '[^\\w\\s]', '', 'g')) AS npunct
+        FROM scrub
+    ),
+    scored AS (
+        SELECT doc_id, stext,
+               round(
+                 least(len(toks) / 100.0, 1.0) * 0.4
+                 + least((len(list_filter(toks, t -> list_contains({_STOPWORD_SQL_LIST}, t)))
+                          * 1.0 / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
+                 + (1.0 - least((npunct * 1.0 / greatest(nch, 1)) * 10.0, 1.0)) * 0.3,
+               6) AS quality
+        FROM x
+    ),
+    kept AS MATERIALIZED (SELECT * FROM scored WHERE quality >= 0.3),
+    tok2 AS (
+        SELECT doc_id, regexp_split_to_array(stext, '\\s+') AS toks FROM kept
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok2, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
+        WHERE len(toks) >= 3
+    ),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 64),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jrem AS (
+        SELECT DISTINCT doc_b AS doc_id FROM co
+        JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+    ),
+    surv1 AS MATERIALIZED (SELECT * FROM kept ANTI JOIN jrem USING (doc_id)),
+    src AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) > 0
+    ),
+    anch AS MATERIALIZED (
+        SELECT s.doc_id,
+               coalesce(i.text, s.text) AS img_t, coalesce(i.len, s.len) AS img_len,
+               coalesce(a.text, s.text) AS aud_t, coalesce(a.len, s.len) AS aud_len,
+               coalesce(v.text, s.text) AS vid_t, coalesce(v.len, s.len) AS vid_len
+        FROM src s
+        LEFT JOIN src i ON i.doc_id = s.doc_id - (s.doc_id % 2)
+        LEFT JOIN src a ON a.doc_id = s.doc_id
+            - (CASE WHEN s.doc_id % 3 = 2 THEN 2 ELSE 0 END)
+        LEFT JOIN src v ON v.doc_id = s.doc_id
+            - (CASE WHEN s.doc_id % 5 = 4 THEN 4 ELSE 0 END)
+    ),
+    ipx AS (
+        SELECT n.doc_id, g.i,
+               ascii(substr(n.img_t, ((g.i % n.img_len) + 1)::INT, 1)) % 256 AS p
+        FROM anch n JOIN surv1 USING (doc_id)
+        CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g
+    ),
+    iblk AS (
+        SELECT doc_id, (i // 16 // 2) * 8 + ((i % 16) // 2) AS b, sum(p) AS s
+        FROM ipx GROUP BY 1, 2
+    ),
+    itot AS (SELECT doc_id, sum(s) AS t FROM iblk GROUP BY 1),
+    ih AS MATERIALIZED (
+        SELECT iblk.doc_id,
+               CAST(sum(CASE WHEN s * 64 > t THEN
+                    CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << b::INT) END
+                    ELSE 0 END) AS BIGINT) AS h
+        FROM iblk JOIN itot USING (doc_id) GROUP BY 1
+    ),
+    irem AS (
+        SELECT DISTINCT y.doc_id FROM ih x
+        JOIN ih y ON x.doc_id < y.doc_id AND bit_count(xor(x.h, y.h)) <= 6
+    ),
+    surv2 AS MATERIALIZED (SELECT * FROM surv1 ANTI JOIN irem USING (doc_id)),
+    apx AS (
+        SELECT n.doc_id, g.i,
+               ascii(substr(n.aud_t, ((g.i % n.aud_len) + 1)::INT, 1)) % 256 - 128 AS s
+        FROM anch n JOIN surv2 USING (doc_id)
+        CROSS JOIN (SELECT unnest(range(0, 2048)) AS i) g
+    ),
+    awn AS (SELECT doc_id, i // 32 AS w, sum(s * s) AS e FROM apx GROUP BY 1, 2),
+    ah AS MATERIALIZED (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN a.e > b.e THEN
+                    CASE WHEN a.w = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << a.w::INT) END
+                    ELSE 0 END) AS BIGINT) AS h
+        FROM awn a JOIN awn b ON a.doc_id = b.doc_id AND b.w = (a.w + 1) % 64
+        GROUP BY 1
+    ),
+    arem AS (
+        SELECT DISTINCT y.doc_id FROM ah x
+        JOIN ah y ON x.doc_id < y.doc_id AND bit_count(xor(x.h, y.h)) <= 6
+    ),
+    surv3 AS MATERIALIZED (SELECT * FROM surv2 ANTI JOIN arem USING (doc_id)),
+    vpx AS (
+        SELECT n.doc_id, ff.f, g.i,
+               ascii(substr(n.vid_t,
+                   (((g.i + 7 * ff.f) % n.vid_len) + 1)::INT, 1)) % 256 AS p
+        FROM anch n JOIN surv3 USING (doc_id)
+        CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g
+        CROSS JOIN (SELECT unnest(range(0, 6)) AS f) ff
+    ),
+    vblk AS (
+        SELECT doc_id, f, (i // 16 // 2) * 8 + ((i % 16) // 2) AS b, sum(p) AS s
+        FROM vpx GROUP BY 1, 2, 3
+    ),
+    vtot AS (SELECT doc_id, f, sum(s) AS t FROM vblk GROUP BY 1, 2),
+    vph AS (
+        SELECT vblk.doc_id, vblk.f,
+               CAST(sum(CASE WHEN s * 64 > t THEN
+                    CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << b::INT) END
+                    ELSE 0 END) AS BIGINT) AS fh
+        FROM vblk JOIN vtot USING (doc_id, f) GROUP BY 1, 2
+    ),
+    vhs AS MATERIALIZED (SELECT DISTINCT doc_id, fh FROM vph),
+    vsz AS (SELECT doc_id, count(*) AS n FROM vhs GROUP BY 1),
+    vco AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+        FROM vhs x JOIN vhs y ON x.fh = y.fh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    vrem AS (
+        SELECT DISTINCT doc_b AS doc_id FROM vco
+        JOIN vsz sa ON sa.doc_id = doc_a JOIN vsz sb ON sb.doc_id = doc_b
+        WHERE 1000000 * c >= 500000 * (sa.n + sb.n - c)
+    ),
+    surv4 AS MATERIALIZED (SELECT * FROM surv3 ANTI JOIN vrem USING (doc_id))
+    SELECT doc_id, stext AS text, quality,
+           CAST(len(regexp_split_to_array(stext, '\\s+')) AS BIGINT) AS n_tokens
+    FROM surv4
+    """,
+    "FLAGSHIP multimodal curation: the full curate_corpus pipeline — "
+    "PII scrub -> quality gate -> 3-gram Jaccard dedup -> image "
+    "near-dup tier -> audio near-dup tier -> video near-dup tier — "
+    "over one REAL payload per modality per document "
+    "(multimodal.synthetic_multimodal_payloads: PNG/WAV/GIF actually "
+    "encoded and decoded through operators.codecs), with cross-doc "
+    "dups planted by anchor mapping: image pairs (2k,2k+1) identical, "
+    "audio pairs (3k,3k+2) via a x2 GAIN copy (fingerprint invariant "
+    "by construction), video pairs (5k,5k+4) via REVERSED frames "
+    "(hash-set identity). The oracle reproduces every tier "
+    "analytically — scrub regexes (global-flag pitfall honored), "
+    "quality formula, shingle Jaccard, and all three fingerprints "
+    "from anchor text — chaining survivors sequentially exactly as "
+    "the operator prunes (each decode tier only sees prior "
+    "survivors), with banding replaced by all-pairs comparison "
+    "(equivalent BECAUSE banding is pigeonhole-exact). Hash parity "
+    "therefore pins the entire multimodal matrix composed in one "
+    "lazy plan.",
+)
+def q153_multimodal_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators import multimodal as MM
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    # three tiers each consume the payload frame — registered persist
+    # so the encode kernel runs once (and bench can reclaim it)
+    pay = DD.register_cache(MM.synthetic_multimodal_payloads(docs))
+    out = curate_corpus(
+        docs,
+        images=pay.select("doc_id", F.col("image").alias("payload")),
+        audio=pay.select("doc_id", F.col("clip").alias("payload")),
+        videos=pay.select("doc_id", F.col("video").alias("payload")),
+    )
+    return out.select(
+        "doc_id",
+        "text",
+        "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

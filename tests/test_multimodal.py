@@ -143,3 +143,43 @@ def test_decode_wav_rejects_truncated_payload():
     short_fmt = payload[:12] + b"fmt " + struct.pack("<I", 4) + payload[20:24]
     with pytest.raises(ValueError):
         codecs.decode_wav(short_fmt)
+
+
+def test_synthetic_multimodal_payloads_plant_structure(spark):
+    """The q153 plant contract: image payloads of (2k, 2k+1) are
+    byte-identical; audio of (3k, 3k+2) differ in bytes (x2 gain) but
+    share the energy-difference fingerprint; video of (5k, 5k+4)
+    differ in bytes (reversed frames) but share the frame-hash SET."""
+    from dataflow_python_etl_spark.operators.codecs import (
+        decode_audio,
+        decode_gif_frames,
+    )
+    from dataflow_python_etl_spark.operators.multimodal import (
+        ahash64,
+        audio_fingerprint64,
+        synthetic_multimodal_payloads,
+    )
+
+    texts = [
+        (i, f"document number {i} with some distinct words about topic {i * 7}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in synthetic_multimodal_payloads(docs).collect()}
+    assert set(rows) == set(range(10))
+    # image: (2k, 2k+1) byte-identical
+    assert bytes(rows[2]["image"]) == bytes(rows[3]["image"])
+    assert bytes(rows[0]["image"]) != bytes(rows[4]["image"])
+    # audio: (3k, 3k+2) gain copy — different bytes, equal fingerprint
+    for a, b in ((0, 2), (3, 5), (6, 8)):
+        pa = bytes(rows[a]["clip"]); pb = bytes(rows[b]["clip"])
+        assert pa != pb
+        fa = audio_fingerprint64(decode_audio(pa)[1])
+        fb = audio_fingerprint64(decode_audio(pb)[1])
+        assert fa == fb
+    # video: (5k, 5k+4) reversed — different bytes, equal hash set
+    pa = bytes(rows[5]["video"]); pb = bytes(rows[9]["video"])
+    assert pa != pb
+    sa = {ahash64(px) for px in decode_gif_frames(pa)}
+    sb = {ahash64(px) for px in decode_gif_frames(pb)}
+    assert sa == sb and len(sa) >= 2
