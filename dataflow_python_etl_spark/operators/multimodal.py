@@ -520,7 +520,12 @@ def image_near_dup_pairs(
     registry (the self-join consumes it twice; an unregistered
     persist would leak and flatter bench medians — CLAUDE.md rule).
     At 100 TB the decode cost dominates and stays map-side; the
-    shuffle carries only (id, 64-bit hash) rows."""
+    shuffle carries only (id, 64-bit hash) rows.
+
+    ``combine=None`` auto-selects band-PAIR keys (``combine=2``) when
+    the pigeonhole allows (``max_hamming <= n_bands - 2``) — exact and
+    ~73x fewer birthday-collision candidates at large n (the q150
+    probe lesson); tight geometries fall back to single bands."""
     from dataflow_python_etl_spark.operators.dedup import (
         _persist,
         hamming_banded_pairs,
@@ -732,7 +737,12 @@ def audio_near_dup_pairs(
     The fingerprint frame is persisted through the dedup cache
     registry (the self-join consumes it twice). At 100 TB the decode
     cost dominates and stays map-side; the shuffle carries only
-    (id, 64-bit hash) rows."""
+    (id, 64-bit hash) rows.
+
+    ``combine=None`` auto-selects band-PAIR keys (``combine=2``) when
+    the pigeonhole allows (``max_hamming <= n_bands - 2``) — exact and
+    ~73x fewer birthday-collision candidates at large n (the q150
+    probe lesson); tight geometries fall back to single bands."""
     from dataflow_python_etl_spark.operators.dedup import (
         _persist,
         hamming_banded_pairs,

@@ -183,3 +183,22 @@ def test_synthetic_multimodal_payloads_plant_structure(spark):
     sa = {ahash64(px) for px in decode_gif_frames(pa)}
     sb = {ahash64(px) for px in decode_gif_frames(pb)}
     assert sa == sb and len(sa) >= 2
+
+
+def test_spread_for_fanout_parallelizes_single_split_input(spark):
+    """Every driver test table is ONE scan split (< 128 MB), so a
+    payload-deriving kernel without the spread runs on one core
+    (q151's measured 102 s). The synthetic corpora must fan their
+    metadata-sized input across the cluster's parallelism."""
+    from dataflow_python_etl_spark.operators.multimodal import (
+        synthetic_multimodal_payloads,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    assert docs.rdd.getNumPartitions() <= 2  # the premise: ~one split
+    pay = synthetic_multimodal_payloads(docs)
+    assert (
+        pay.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
