@@ -315,6 +315,29 @@ def containment_pairs(
     )
 
 
+def text_shingle_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """``(id, shingle_hash)`` fan-out kernel for the set-fingerprint
+    STREAMING sinks (``streaming.pipeline.stream_video_dedup_ingest``
+    and its text wrapper): per-doc-DISTINCT word n-gram shingles
+    (the same ``_doc_shingles`` the batch operators use),
+    xxhash64-compressed so the persisted index stores 8-byte rows
+    instead of raw shingle strings — at 100 TB the index is the
+    long-lived artifact, and 64-bit collisions are negligible
+    relative to the shingle-set sizes. Docs shorter than ``n`` words
+    produce NO rows: they can never pair, so they always survive
+    ingestion (mirroring the batch form, where an empty shingle set
+    never reaches the threshold)."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    return sh.select(
+        F.col("doc").alias(id_col), F.xxhash64("shingle").alias("shingle_hash")
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 #
 # Signature: for permutation i, sig_i(doc) = min over shingles s of

@@ -616,6 +616,98 @@ def load_pq_codebooks(path: str) -> list[list[list[float]]]:
         return json.load(f)
 
 
+def fit_pq_grid_codebooks(
+    dim: int = EMBED_DIM,
+    m: int = 32,
+    levels: int = 8,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> list[list[list[float]]]:
+    """Data-INDEPENDENT PQ codebooks: per-subspace rectangular grids.
+
+    Each of the ``m`` subspaces (``dsub = dim/m`` dims) gets the same
+    codebook: the row-major Cartesian product of ``levels`` per-dim
+    cell CENTERS ``lo + (i + 0.5) * step`` over ``[lo, hi)``,
+    ``step = (hi - lo) / levels``. Unlike :func:`fit_pq_codebooks`
+    (driver-side Lloyd over a data sample) this needs no training
+    data at all, so the code assignment has a closed form
+    (:func:`pq_grid_codes`) that a SQL oracle reproduces bit-for-bit
+    — the cross-engine-deterministic codebook SURVEY §8 asked for.
+    Coarser than a fitted codebook at equal bytes, but append-stable:
+    codes never go stale as the corpus grows.
+
+    Shape ``(m, levels**dsub, dsub)`` — drop-in for every consumer of
+    :func:`fit_pq_codebooks` (``build_ivf_index(quantize='pq')``,
+    sidecars, reconstruction).
+    """
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")
+    if not (lo < hi):
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    dsub = dim // m
+    ksub = levels**dsub
+    if levels < 2 or ksub > 128:
+        raise ValueError(
+            f"levels**dsub must be in [2, 128] (tinyint codes), got "
+            f"{levels}**{dsub} = {ksub}"
+        )
+    step = (hi - lo) / levels
+    centers = [lo + (i + 0.5) * step for i in range(levels)]
+    book: list[list[float]] = []
+    digits = [0] * dsub
+    for _ in range(ksub):
+        book.append([round(centers[d], 6) for d in digits])
+        for j in range(dsub - 1, -1, -1):  # row-major increment
+            digits[j] += 1
+            if digits[j] < levels:
+                break
+            digits[j] = 0
+    return [[list(c) for c in book] for _ in range(m)]
+
+
+def pq_grid_codes(
+    vec_col: str | F.Column,
+    dim: int = EMBED_DIM,
+    m: int = 32,
+    levels: int = 8,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> F.Column:
+    """Closed-form grid encoder: ``array<tinyint>`` of ``m`` codes.
+
+    Per dim, digit = ``clamp(floor((x - lo) / step), 0, levels-1)``;
+    per subspace, code = the row-major digit combination — exactly the
+    nearest-center assignment for :func:`fit_pq_grid_codebooks`
+    codebooks, up to exact cell-midpoint ties (this form takes the
+    upper cell, ``_quantize_pq``'s first-wins argmin the lower; real
+    float data never lands on a midpoint of the default power-of-two
+    grid, and the parity test filters them). Every op is a single
+    correctly-rounded double op in a fixed order, so Spark and any
+    IEEE SQL engine produce identical codes — the whole point of the
+    grid tier. Pure JVM expressions, map-side, no shuffle.
+    """
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    if levels < 2 or levels**dsub > 128:
+        raise ValueError(f"levels**dsub out of tinyint range: {levels}**{dsub}")
+    step = (hi - lo) / levels
+    v = as_double_array(vec_col)
+
+    def digit(idx1: int) -> F.Column:
+        raw = F.floor((F.element_at(v, idx1) - F.lit(float(lo))) / F.lit(step))
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(levels - 1))
+
+    codes = []
+    for mi in range(m):
+        code: F.Column | None = None
+        for j in range(dsub):
+            d = digit(mi * dsub + j + 1)
+            code = d if code is None else code * F.lit(levels) + d
+        codes.append(code.cast("tinyint"))
+    return F.array(*codes)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: list[list[float]],

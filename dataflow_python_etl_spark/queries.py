@@ -7112,6 +7112,75 @@ def q153_multimodal_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_grid_oracle_sql(
+    dim: int = 64, m: int = 32, levels: int = 8, lo: float = -1.0, hi: float = 1.0
+) -> str:
+    """Mirror similarity.pq_grid_codes in SQL: the grid is data-
+    independent, so every digit is closed-form arithmetic over the
+    raw embedding — floor/clamp of correctly-rounded double ops that
+    both engines compute bit-identically (the step 0.25 even divides
+    exactly). Codes are exact integers, so the hash check is
+    boundary-free by construction."""
+    dsub = dim // m
+    step = (hi - lo) / levels
+
+    def digit(i1: int) -> str:
+        return (
+            f"least(greatest(floor((ve[{i1}] - ({lo!r})) / {step!r}), 0), "
+            f"{levels - 1})::BIGINT"
+        )
+
+    codes = []
+    for mi in range(m):
+        expr = None
+        for j in range(dsub):
+            d = digit(mi * dsub + j + 1)
+            expr = d if expr is None else f"({expr} * {levels} + {d})"
+        codes.append(expr)
+    code_str = " || ',' || ".join(f"({c})::VARCHAR" for c in codes)
+    code_sum = " + ".join(f"({c})" for c in codes)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    )
+    SELECT vec_id,
+           {code_str} AS pq_codes,
+           CAST({code_sum} AS BIGINT) AS code_sum
+    FROM v
+    """
+
+
+@_q(
+    "q154_pq_grid_codes",
+    _pq_grid_oracle_sql(),
+    "Data-independent grid product quantization (SURVEY §8.1): every "
+    "64-dim embedding encoded to 32 tinyint codes — per 2-dim "
+    "subspace, the row-major cell index on an 8-level grid over "
+    "[-1, 1) (fit_pq_grid_codebooks / pq_grid_codes). Unlike the "
+    "fitted Lloyd codebooks (q39's IVF ecosystem), the grid needs no "
+    "training data, so the encoder has a closed form the oracle "
+    "reproduces bit-for-bit: digit = clamp(floor((x+1)/0.25), 0, 7) "
+    "is one correctly-rounded subtract + one EXACT power-of-two "
+    "division + floor, identical on any IEEE engine — the full "
+    "cross-engine hash check a trained-k-means PQ cannot have. Codes "
+    "are append-stable (never retrain-stale) and half SQ8's bytes; "
+    "the same codebooks drop into build_ivf_index(quantize='pq'). "
+    "Pure JVM map-side expressions, no shuffle.",
+)
+def q154_pq_grid_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = SIM.pq_grid_codes("embedding")
+    return emb.select(
+        "vec_id",
+        F.concat_ws(",", codes.cast("array<string>")).alias("pq_codes"),
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c.cast("long"),
+        ).alias("code_sum"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

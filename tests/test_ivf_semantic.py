@@ -476,3 +476,109 @@ def test_knn_classify_majority_and_ties(spark):
     assert got2[101]["predicted_label"] == 0 and got2[101]["votes"] == 2
     with pytest.raises(ValueError, match="k must be"):
         knn_classify(corpus, queries, k=0)
+
+
+# --- Grid PQ (data-independent codebooks, SURVEY §8.1) ----------------------
+
+
+def test_fit_pq_grid_codebooks_shape_and_validation():
+    from dataflow_python_etl_spark.operators.similarity import fit_pq_grid_codebooks
+
+    books = fit_pq_grid_codebooks()  # dim 64, m 32, levels 8 -> ksub 64
+    assert len(books) == 32
+    assert all(len(b) == 64 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+    # row-major enumeration: code k decodes to centers (k // 8, k % 8)
+    centers = [round(-1.0 + (i + 0.5) * 0.25, 6) for i in range(8)]
+    assert books[0][0] == [centers[0], centers[0]]
+    assert books[0][1] == [centers[0], centers[1]]
+    assert books[0][9] == [centers[1], centers[1]]
+    assert books[0][63] == [centers[7], centers[7]]
+    # all subspaces share the one grid, but as independent lists
+    assert books[1] == books[0] and books[1] is not books[0]
+    with pytest.raises(ValueError, match="divisible"):
+        fit_pq_grid_codebooks(dim=64, m=7)
+    with pytest.raises(ValueError, match="tinyint"):
+        fit_pq_grid_codebooks(levels=16)  # 16**2 = 256 codes
+    with pytest.raises(ValueError, match="lo < hi"):
+        fit_pq_grid_codebooks(lo=1.0, hi=-1.0)
+
+
+def test_pq_grid_codes_match_argmin_assignment(spark, emb):
+    """The closed-form grid encoder must agree with the generic
+    nearest-center argmin (_quantize_pq) over the grid codebooks on
+    the real corpus — i.e. the grid IS a PQ codebook, the closed form
+    is just the O(levels) shortcut. Exact cell-midpoint ties are the
+    one documented divergence (grid takes the upper cell, first-wins
+    argmin the lower); such rows are filtered and counted."""
+    from dataflow_python_etl_spark.functions.vectors import as_double_array
+    from dataflow_python_etl_spark.operators.similarity import (
+        _quantize_pq,
+        fit_pq_grid_codebooks,
+        pq_grid_codes,
+    )
+
+    books = fit_pq_grid_codebooks()
+    assigned = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(0).alias("cid"),
+        F.lit(1.0).alias("cn"),
+        as_double_array("embedding").alias("cvec"),
+    )
+    argmin = _quantize_pq(assigned, books).select("neighbor_id", "pq_codes")
+    closed = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        pq_grid_codes("embedding").alias("grid_codes"),
+        # midpoint tie: some dim lands exactly on a cell boundary
+        F.exists(
+            as_double_array("embedding"),
+            lambda x: ((x - F.lit(-1.0)) / F.lit(0.25))
+            == F.floor((x - F.lit(-1.0)) / F.lit(0.25)).cast("double"),
+        ).alias("has_tie"),
+    )
+    joined = argmin.join(closed, "neighbor_id").collect()
+    ties = [r for r in joined if r["has_tie"]]
+    assert len(ties) <= 2, f"unexpectedly many midpoint ties: {len(ties)}"
+    for r in joined:
+        if not r["has_tie"]:
+            assert list(r["pq_codes"]) == list(r["grid_codes"]), r["neighbor_id"]
+
+
+def test_pq_grid_reconstruction_error_bound_and_index(spark, emb, centroids, tmp_path):
+    """By construction, every in-range dim reconstructs within
+    step/2 = 0.125 of its true value (centers are exact at 6
+    decimals on the power-of-two grid); and the grid codebooks are a
+    drop-in for the IVF-PQ index path (sidecar round-trip, probes
+    return k rows)."""
+    from dataflow_python_etl_spark.operators.similarity import (
+        _pq_reconstruct,
+        build_ivf_index,
+        fit_pq_grid_codebooks,
+        ivf_topk_indexed,
+        load_pq_codebooks,
+        pq_grid_codes,
+    )
+    from dataflow_python_etl_spark.functions.vectors import as_double_array
+
+    books = fit_pq_grid_codebooks()
+    err = (
+        emb.select(
+            F.zip_with(
+                as_double_array("embedding"),
+                _pq_reconstruct(pq_grid_codes("embedding"), books),
+                lambda a, b: F.abs(a - b),
+            ).alias("e")
+        )
+        .select(F.max(F.array_max("e")).alias("worst"))
+        .first()["worst"]
+    )
+    assert err <= 0.125 + 1e-12, err
+
+    path = str(tmp_path / "pq_grid")
+    build_ivf_index(emb, centroids, path, quantize="pq", pq_codebooks=books)
+    assert load_pq_codebooks(path) == books
+    queries = emb.where(F.col("vec_id") < 5)
+    got = ivf_topk_indexed(
+        spark, path, queries, centroids, k=3, n_probe=len(centroids)
+    ).collect()
+    assert len(got) == 5 * 3
