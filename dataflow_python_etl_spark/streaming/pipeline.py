@@ -972,6 +972,56 @@ def stream_video_dedup_ingest(
     )
 
 
+def stream_text_containment_ingest(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment_ppm: int = 800_000,
+    replay_guard: str = "anti_join",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Online SUBSET-duplication-filtered text ingestion — the
+    streaming twin of :func:`operators.dedup.containment_pairs`
+    (q147): a crawl item that embeds an already-ingested document
+    verbatim (quoted article, aggregator page, chunk-of-a-book) is
+    dropped at ingest, the case Jaccard-tier sinks structurally miss.
+
+    Pure composition: the text shingle kernel
+    (``dedup.text_shingle_hashes`` — per-doc-distinct word n-grams,
+    xxhash64-compressed index rows) plugged into the generic
+    set-fingerprint sink with the containment metric, inheriting its
+    whole crash matrix (index-then-corpus ordering, lost-index
+    rebuild-from-corpus, replay-guard modes). Differences from the
+    batch form, by design: the probe joins the batch's hashes against
+    the FULL persisted index (no prefix filter — prefix filtering
+    needs corpus-global document frequencies, which are exactly what
+    a stream doesn't have yet), and there is no ``max_shingle_df``
+    boilerplate cap for the same reason; per-batch cost scales with
+    the batch and its hash-matched index rows only. Scores are the
+    same exact-integer ppm cross-multiply as the batch operator."""
+    from dataflow_python_etl_spark.operators.dedup import text_shingle_hashes
+
+    def kernel(df: DataFrame, i: str, p: str) -> DataFrame:
+        return text_shingle_hashes(df, i, p, n=n)
+
+    return stream_video_dedup_ingest(
+        stream_docs,
+        corpus_path,
+        index_path,
+        checkpoint,
+        id_col=id_col,
+        payload_col=text_col,
+        min_score_ppm=min_containment_ppm,
+        replay_guard=replay_guard,
+        hash_fn=kernel,
+        metric="containment",
+        multiset=False,
+    )
+
+
 def stream_scd2_to_table(
     stream_df: DataFrame,
     table_path: str,

@@ -451,3 +451,127 @@ def test_set_fingerprint_containment_incremental_matches_batch(spark):
         ).collect()
     }
     assert got == want and want  # non-vacuous: trims must pair
+
+
+def _words(seed: int, n: int) -> list[str]:
+    rng = np.random.RandomState(seed)
+    return [f"w{seed}x{v}" for v in rng.randint(0, 10_000, size=n)]
+
+
+def test_text_containment_incremental_matches_batch(spark):
+    """text_shingle_hashes + set_fingerprint_pairs_incremental
+    (containment, distinct) == the batch dedup.containment_pairs
+    restricted to pairs touching a new id — the exactness contract
+    stream_text_containment_ingest relies on (xxhash64 compression is
+    collision-free at test scale, and the ppm scores must agree with
+    the exact integer cross-multiply recomputed from raw shingle
+    sets)."""
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.dedup import (
+        containment_pairs,
+        text_shingle_hashes,
+    )
+    from dataflow_python_etl_spark.operators.multimodal import (
+        set_fingerprint_pairs_incremental,
+    )
+
+    base, other = _words(51, 120), _words(52, 120)
+    docs = [
+        (1, " ".join(base)),                         # corpus
+        (2, " ".join(other)),                        # corpus
+        (3, " ".join(base[10:50])),                  # corpus: chunk of 1
+        (4, " ".join(base[40:90] + other[:5])),      # new: mostly inside 1
+        (5, " ".join(other[60:] + _words(53, 8))),   # new: tail of 2 + noise
+        (6, " ".join(_words(54, 60))),               # new: fresh
+    ]
+    all_df = spark.createDataFrame(docs, "doc_id long, text string")
+    thr = 600_000
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(all_df, threshold_ppm=thr).collect()
+    }
+    want_pairs = {t for t in batch_pairs if t[0] >= 4 or t[1] >= 4}
+    corpus_df = all_df.where("doc_id <= 3")
+    new_df = all_df.where("doc_id >= 4")
+    idx = (
+        text_shingle_hashes(corpus_df)
+        .groupBy("doc_id", "shingle_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["score_ppm"])
+        for r in set_fingerprint_pairs_incremental(
+            idx, text_shingle_hashes(new_df),
+            metric="containment", min_score_ppm=thr, multiset=False,
+        ).collect()
+    }
+    assert set(got) == want_pairs and want_pairs
+    # scores: exact integer ppm over the raw shingle sets
+    sets = {
+        i: {tuple(t.split()[k : k + 3]) for k in range(len(t.split()) - 2)}
+        for i, t in docs
+    }
+    for (x, y), (c, ppm) in got.items():
+        cc = len(sets[x] & sets[y])
+        assert c == cc
+        assert ppm == 1_000_000 * cc // min(len(sets[x]), len(sets[y]))
+
+
+def test_stream_text_containment_ingest_online_filtering(spark, tmp_path):
+    """A crawl item embedding an already-ingested document verbatim is
+    dropped ONLINE — in-batch and cross-batch via the persisted
+    shingle-hash index — while docs too short to shingle always
+    survive (no-rows kernel contract)."""
+    from dataflow_python_etl_spark.streaming.pipeline import (
+        stream_text_containment_ingest,
+    )
+
+    long_a, long_b, fresh = _words(61, 150), _words(62, 150), _words(63, 80)
+    src = str(tmp_path / "docs_in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    def _drows(*pairs):
+        return spark.createDataFrame(
+            [(i, " ".join(w)) for i, w in pairs], "doc_id: long, text: string"
+        )
+
+    # batch 1: 2 is a verbatim chunk of 1 (containment 1.0, Jaccard
+    # ~0.25 — the subset case); 3 unique
+    _drows((1, long_a), (2, long_a[30:70]), (3, long_b)).write.parquet(src)
+    q = stream_text_containment_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    assert _poll_ids(spark, corpus, [1, 3], id_col="doc_id") == [1, 3]
+
+    # batch 2: 11 embeds a chunk of corpus doc 3 (cross-batch, via the
+    # index — doc 3's text never re-read); 12 fresh; 13 chunks 12
+    # in-batch; 14 is too short to shingle (2 words) and must land
+    _drows(
+        (11, long_b[100:140]),
+        (12, fresh),
+        (13, fresh[20:60]),
+        (14, ["tiny", "doc"]),
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    assert _poll_ids(spark, corpus, [1, 3, 12, 14], id_col="doc_id") == [1, 3, 12, 14]
+
+    # batch 3: replayed id anti-joined away; fresh doc lands
+    _drows((12, fresh), (15, _words(64, 50))).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14, 15], id_col="doc_id")
+    q.stop()
+    assert got3 == [1, 3, 12, 14, 15]
+
+    idx = spark.read.parquet(index)
+    # doc 14 contributed no index rows (too short to shingle)
+    assert {r["doc_id"] for r in idx.collect()} == {1, 3, 12, 15}
+    assert set(idx.columns) == {"doc_id", "set_hash", "c", "n"}
+    # distinct-shingle kernel: every multiplicity is 1
+    assert all(r["c"] == 1 for r in idx.collect())
