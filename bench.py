@@ -120,6 +120,8 @@ EXTENDED_QUERIES = [
     "q150_audio_fingerprint_pairs",
     "q151_video_frame_jaccard_pairs",
     "q152_audio_containment_pairs",
+    "q154_pq_grid_codes",
+    "q155_k_core",
 ]
 
 

@@ -212,6 +212,98 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return counts.crossJoin(n_tri).select("n_nodes", "n_edges", "n_triangles")
 
 
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 16,
+    checkpoint_every: int | None = 1,
+    assert_converged: bool = True,
+) -> DataFrame:
+    """``(node, core_degree)`` — the k-CORE of the UNDIRECTED graph
+    under ``edges`` (direction/duplicates ignored, self-loops
+    dropped): the maximal induced subgraph in which every node has
+    degree ≥ ``k`` (Seidman 1983; the standard community-density /
+    graph-degeneracy primitive beside the triangle family).
+
+    Iterative peel, run for EXACTLY ``rounds`` synchronous steps so a
+    SQL oracle can unroll the identical loop (the PageRank
+    discipline): each step computes induced degrees, keeps nodes with
+    degree ≥ k, and drops edges touching a peeled node. Peeling is
+    monotone — once the fixpoint is reached every further round is a
+    no-op on the (by then core-sized) edge set, so a generous
+    ``rounds`` costs little; ``assert_converged`` guards the fixpoint
+    with a raise_error FILTER on the output degrees (all ≥ k ⟺ one
+    more peel would remove nothing — if it fires, raise ``rounds``).
+    The cascade depth is graph-dependent: measured 3/6/9 rounds on
+    the sparsified co-purchase graph at sf0.001/0.01/0.1 (q155), so
+    the default 16 carries ~2× margin.
+
+    Scale shape: each round is one map-side-combined degree agg plus
+    two semi-joins on node ids, all partitioned the same way, so a
+    cluster run co-locates them after the first shuffle; the frame
+    only ever SHRINKS. Integer degrees — no float discipline needed.
+
+    Plan-growth warning (the bfs_hops class, worse): every round
+    references the PRIOR edge frame five times (twice in the degree
+    union, twice more through ``keep``'s two semi-join sides, once as
+    the filtered frame), so an uncheckpointed plan tree grows ~5× per
+    round — 16 rounds without truncation hangs Catalyst outright
+    (measured). ``checkpoint_every`` therefore defaults to 1: eager
+    localCheckpoint per round, each round's plan O(1) over a leaf.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    e = register_cache(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+
+    def _deg(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("src").alias("node"))
+            .unionAll(ed.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        )
+
+    for r in range(1, rounds + 1):
+        keep = _deg(e).where(F.col("core_degree") >= k).select("node")
+        e = e.join(
+            keep.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        e = _maybe_checkpoint(e, r, checkpoint_every)
+    out = _deg(e)
+    if assert_converged:
+        out = out.where(
+            F.when(
+                F.col("core_degree") < k,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"k_core did not converge in {rounds} rounds "
+                            f"(k={k}): node "
+                        ),
+                        F.col("node").cast("string"),
+                        F.lit(" still has degree "),
+                        F.col("core_degree").cast("string"),
+                        F.lit(" — increase rounds"),
+                    ),
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+    return out.select("node", "core_degree")
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

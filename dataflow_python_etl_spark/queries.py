@@ -7181,6 +7181,109 @@ def q154_pq_grid_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _k_core_oracle_sql(k: int = 4, rounds: int = 16) -> str:
+    """Unroll the k_core peel loop (operators.graph.k_core) exactly
+    ``rounds`` times — the PageRank loop ≡ unrolled discipline, valid
+    because peeling is monotone (post-fixpoint rounds are no-ops) and
+    the Spark side runs the SAME fixed round count with a raise_error
+    convergence guard. Degrees are exact integers; the sparsification
+    keep-test is an integer cross-multiply over the portable md5
+    hash, so the whole query is float-free."""
+    h = _md5h60_sql("'kcore-v1:' || a || ':' || b")
+    sql = [
+        f"""
+    WITH de AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    st AS MATERIALIZED (
+        SELECT (SELECT count(*) FROM de) AS ne,
+               (SELECT count(*) FROM (SELECT DISTINCT n FROM (
+                    SELECT a AS n FROM de UNION ALL SELECT b FROM de))) AS nn
+    ),
+    e0 AS MATERIALIZED (
+        SELECT a, b FROM de, st
+        WHERE ({h} % 1000000) * ne < 3000000 * nn
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""",
+    d{r} AS MATERIALIZED (
+        SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}
+        ) GROUP BY n
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r - 1} e
+        JOIN d{r} da ON e.a = da.n JOIN d{r} db ON e.b = db.n
+        WHERE da.d >= {k} AND db.d >= {k}
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+        SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY n
+    """
+    )
+    return "".join(sql)
+
+
+@_q(
+    "q155_k_core",
+    _k_core_oracle_sql(),
+    "k-core decomposition (graph degeneracy peel, Seidman 1983) of "
+    "the hash-sparsified part co-purchase graph: nodes of the 4-core "
+    "with their induced degree. The dense co-purchase graph (min "
+    "degree ~50) is first sparsified to mean degree ~6 by a "
+    "DATA-DERIVED keep rate — edge survives iff (portable md5 of "
+    "'kcore-v1:a:b' mod 1e6) * n_edges < 3e6 * n_nodes, an exact "
+    "integer cross-multiply both engines share — which makes the "
+    "peel cascade nontrivial (measured 3/6/9 rounds to fixpoint at "
+    "sf0.001/0.01/0.1). operators.graph.k_core runs EXACTLY 16 "
+    "synchronous peel rounds (each round references the prior frame "
+    "5x, so the plan tree is exponential without truncation — eager "
+    "localCheckpoint EVERY round) with a filter-anchored raise_error "
+    "fixpoint guard (all output degrees >= k ⟺ converged), so the "
+    "oracle unrolls the identical 16 rounds — loop ≡ unrolled, as "
+    "PageRank. Integer degrees end-to-end: no float discipline "
+    "needed.",
+)
+def q155_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+    from dataflow_python_etl_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        parts.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    stats = edges.agg(F.count(F.lit(1)).cast("long").alias("ne")).crossJoin(
+        edges.select(F.explode(F.array("src", "dst")).alias("n"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    )
+    h = md5_hash60(
+        F.concat(
+            F.lit("kcore-v1:"),
+            F.col("src").cast("string"),
+            F.lit(":"),
+            F.col("dst").cast("string"),
+        )
+    )
+    sparse = (
+        edges.crossJoin(F.broadcast(stats))
+        .where((h % F.lit(1_000_000)) * F.col("ne") < F.lit(3_000_000) * F.col("nn"))
+        .select("src", "dst")
+    )
+    return k_core(sparse, k=4, rounds=16, checkpoint_every=1)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

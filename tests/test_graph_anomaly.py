@@ -363,3 +363,48 @@ def test_wedge_join_hot_apex_skew_split(spark):
         assert tri["n_triangles"] == 10
     finally:
         unpersist_all()
+
+
+def test_k_core_known_graph(spark):
+    """Hand-computed: a 4-clique {1,2,3,4} with a pendant path
+    5-6 hanging off node 1, plus a triangle {7,8,9} sharing no nodes.
+    2-core = clique + triangle (path peels in 2 cascading rounds);
+    3-core = the clique alone; 4-core = empty. Direction, duplicate
+    edges, and self-loops must not matter."""
+    from dataflow_python_etl_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = clique + [(1, 5), (5, 6), (7, 8), (8, 9), (9, 7)]
+    # noise: reversed duplicate, exact duplicate, self-loop
+    edges += [(2, 1), (7, 8), (6, 6)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+
+    core2 = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3, 7: 2, 8: 2, 9: 2}
+    core3 = {r["node"]: r["core_degree"] for r in k_core(df, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert k_core(df, k=4).count() == 0  # empty core: no rows, no error
+
+
+def test_k_core_convergence_guard_and_validation(spark):
+    """A peel that needs more rounds than granted must FAIL LOUDLY
+    (filter-anchored raise_error), not return a non-core: a path of
+    7 nodes peels from both ends — 3 rounds to empty under k=2."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dataflow_python_etl_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(1, 7)]
+    df = spark.createDataFrame(path, "src: long, dst: long")
+    # enough rounds: converges to empty quietly
+    assert k_core(df, k=2, rounds=3).count() == 0
+    # starved rounds: guard fires
+    with pytest.raises(SparkRuntimeException, match="did not converge"):
+        k_core(df, k=2, rounds=1).count()
+    # starved but unguarded: returns the (documented) non-fixpoint
+    assert k_core(df, k=2, rounds=1, assert_converged=False).count() > 0
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(df, k=0)
+    with pytest.raises(ValueError, match="rounds"):
+        k_core(df, k=2, rounds=0)
