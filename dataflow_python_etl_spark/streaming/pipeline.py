@@ -972,6 +972,178 @@ def stream_video_dedup_ingest(
     )
 
 
+def apply_ivf_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: str | None = None,
+    pq_codebooks: list | None = None,
+    replay_guard: str = "watermark",
+) -> None:
+    """One micro-batch of the streaming ANN index (factored out of
+    :func:`stream_embeddings_to_ivf_index` so tests can drive replay
+    semantics directly, like ``apply_search_index_batch``).
+
+    The streamed index is the same inverted file
+    ``ivf_topk_indexed`` reads, but STREAM-OWNED and partitioned
+    ``(cid, ingest_batch)``: each batch assigns only its own vectors
+    against the frozen centroids (O(batch) map) and lands as a
+    DYNAMIC partition overwrite of its ``ingest_batch=N``
+    sub-partitions — foreachBatch is AT-LEAST-once, and a replayed
+    batch REWRITES exactly its own partitions, so the index converges
+    without a ledger (the ``stream_docs_to_search_index`` pattern).
+    The extra ``ingest_batch`` partition level is transparent to
+    readers: ``cid`` stays the top-level pruning key and
+    ``ivf_topk_indexed`` selects its columns explicitly.
+
+    ``replay_guard="watermark"`` additionally drops rows whose id is
+    ≤ the persisted max (monotone-id sources: a SOURCE-level replay
+    into a fresh batch id cannot duplicate ids); ``"none"`` trusts
+    the upstream unique-id contract. PQ mode requires
+    ``pq_codebooks`` (grid codebooks need no training data and never
+    go stale on append — the natural streaming choice); the sidecar
+    is written before the first data batch and validated against the
+    passed codebooks on every restart, so code/codebook drift is
+    impossible."""
+    import json
+    import os
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        PQ_SIDECAR,
+        _assigned,
+        _index_quantize_mode,
+        _quantize_int8,
+        _quantize_pq,
+        _write_pq_sidecar,
+        load_pq_codebooks,
+    )
+
+    if quantize not in (None, "int8", "pq"):
+        raise ValueError(f"quantize must be None|'int8'|'pq', got {quantize!r}")
+    if quantize == "pq" and pq_codebooks is None:
+        raise ValueError("quantize='pq' requires pq_codebooks")
+    if replay_guard not in ("watermark", "none"):
+        raise ValueError(
+            f"replay_guard must be watermark|none, got {replay_guard!r}"
+        )
+    spark = batch_df.sparkSession
+    exists = os.path.exists(index_path)
+    if not exists and batch_id > 0:
+        raise RuntimeError(
+            f"stream_embeddings_to_ivf_index restart at batch {batch_id} but "
+            f"index {index_path} is missing — refusing to restart over a lost "
+            "index (earlier batches are gone); start a fresh checkpoint."
+        )
+    if exists:
+        try:
+            cols = spark.read.parquet(index_path).schema.fieldNames()
+        except Exception:
+            cols = None  # dir holds only the sidecar (pre-first-data crash)
+        existing_mode = _index_quantize_mode(cols) if cols is not None else quantize
+        if existing_mode != quantize:
+            raise ValueError(
+                f"quantize mismatch: index at {index_path} holds "
+                f"{existing_mode!r} rows, sink configured {quantize!r}"
+            )
+    if quantize == "pq":
+        sidecar = os.path.join(index_path, PQ_SIDECAR)
+        if os.path.exists(sidecar):
+            if load_pq_codebooks(index_path) != pq_codebooks:
+                raise ValueError(
+                    f"PQ codebooks at {index_path} differ from the sink's — "
+                    "a restart must pass the codebooks the index was built "
+                    "with (re-encoding drift would corrupt scores)"
+                )
+        else:
+            os.makedirs(index_path, exist_ok=True)
+            _write_pq_sidecar(index_path, pq_codebooks)
+
+    batch = batch_df.select(id_col, vec_col)
+    wm_path = index_path + ".__ingest_watermark"
+    wm = None
+    if replay_guard == "watermark" and os.path.exists(wm_path):
+        with open(wm_path) as f:
+            wm = json.load(f)
+        if batch_id == wm["batch_id"]:
+            return  # this exact batch fully committed — replay is a no-op
+        batch = batch.where(F.col(id_col) > F.lit(wm["max_id"]))
+
+    max_id = None
+    if replay_guard == "watermark":
+        max_id = batch.agg(F.max(id_col)).first()[0]
+        if max_id is None:  # nothing new this batch
+            if wm is not None:
+                tmp = wm_path + ".__tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"batch_id": batch_id, "max_id": wm["max_id"]}, f)
+                os.replace(tmp, wm_path)
+            return
+
+    assigned = _assigned(batch, centroids, id_col, vec_col)
+    if quantize == "int8":
+        assigned = _quantize_int8(assigned)
+    elif quantize == "pq":
+        assigned = _quantize_pq(assigned, pq_codebooks)
+    (
+        assigned.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "ingest_batch")
+        .parquet(index_path)
+    )
+    if replay_guard == "watermark":
+        tmp = wm_path + ".__tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "max_id": max_id}, f)
+        os.replace(tmp, wm_path)
+
+
+def stream_embeddings_to_ivf_index(
+    stream_vectors: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: str | None = None,
+    pq_codebooks: list | None = None,
+    replay_guard: str = "watermark",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Online ANN index maintenance: stream embedding rows into a
+    cell-partitioned IVF inverted file that ``ivf_topk_indexed``
+    serves QUERIES from while the stream runs — completing the
+    streaming ingest matrix (text/image/video/audio sinks exist;
+    vectors did not). Per-batch cost is O(batch): one assignment map
+    against the frozen broadcast centroids, one partitioned write.
+    See :func:`apply_ivf_index_batch` for the idempotence and
+    crash-safety contract. Cell balance drifts as the corpus grows —
+    watch ``ivf_index_stats`` and rebuild offline when stale (grid PQ
+    codebooks, being data-independent, survive the rebuild)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ivf_index_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            quantize=quantize,
+            pq_codebooks=pq_codebooks,
+            replay_guard=replay_guard,
+        )
+
+    return (
+        stream_vectors.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_text_containment_ingest(
     stream_docs: DataFrame,
     corpus_path: str,
