@@ -122,6 +122,7 @@ EXTENDED_QUERIES = [
     "q152_audio_containment_pairs",
     "q154_pq_grid_codes",
     "q155_k_core",
+    "q156_dsir_selection",
 ]
 
 

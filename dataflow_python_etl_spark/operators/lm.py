@@ -251,3 +251,97 @@ def score_with_lm(
     return scored.groupBy(id_col, "lang").agg(
         F.round(F.avg("lp"), 6).alias("avg_logp")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    hash_prefix: str = "dsir-v1:",
+) -> DataFrame:
+    """``(id, dsir_score_ppm)`` — data-selection importance score of
+    every document against a TARGET sub-distribution (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023): fit hashed-n-gram bag models on the target slice
+    and on the full pool, then score each doc by how target-like its
+    hashed unigram+bigram profile is. ``target`` is a boolean Column
+    over ``df``'s rows (e.g. ``F.col("lang") == "en"``).
+
+    LINEARIZED, exact-integer variant: DSIR's log importance weight
+    ``Σ_f c_f·ln(p_f/q_f)`` is replaced by ``Σ_f c_f·s_f`` with
+    ``s_f = (10⁶·(ct_f+1)·(Ts+B)) div ((cs_f+1)·(Tt+B))`` — the
+    smoothed probability ratio in ppm (first-order expansion of the
+    log; identical ranking direction, and ``ln`` is engine-private at
+    the last ulp so the log form cannot be cross-engine hash-checked
+    — the HLL raw-regime precedent). Everything is exact integer
+    arithmetic over portable md5 bucket hashes, so the q156 oracle
+    verifies the whole fit+score pipeline by value hash. Overflow
+    bound: ``10⁶·(ct_max+1)·(Ts+B) < 2⁶³`` — at gram volumes beyond
+    ~10⁵·ct_max, fit the weight table on a bounded sample (the DSIR
+    paper's own regime) before scoring the full pool.
+
+    Scale shape, all JVM: one explode + (id, bucket) map-side-combined
+    count [the only gram-volume shuffle], two B-bounded bucket aggs
+    derived from that (registered persist — three consumers), a
+    broadcast join of the ≤B-row weight table, one per-doc agg. The
+    fitted "model" never exists driver-side. Docs with no tokens
+    (NULL/empty text) produce no rows — they have no evidence either
+    way and callers keep or drop them explicitly."""
+    from dataflow_python_etl_spark.functions.text import md5_hash60, tokens
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    toks = tokens(text_col)
+    # both sides sliced to length size-1: zip_with pads the SHORTER
+    # input with NULL, so zipping the full array against its shifted
+    # self would append one NULL bigram per doc (measured)
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_bi),
+        F.slice(toks, 2, n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = df.select(
+        F.col(id_col),
+        target.alias("__t"),
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    ).select(
+        id_col,
+        "__t",
+        (md5_hash60(F.concat(F.lit(hash_prefix), F.col("gram"))) % buckets).alias(
+            "bucket"
+        ),
+    )
+    per_doc = register_cache(
+        g.groupBy(id_col, "__t", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    ct = (
+        per_doc.where(F.col("__t"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    cs = per_doc.groupBy("bucket").agg(F.sum("c").alias("cs"))
+    totals = cs.agg(F.sum("cs").cast("long").alias("Ts")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("Tt"))
+    )
+    weights = (
+        cs.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"(1000000 * (coalesce(ct, 0) + 1) * (Ts + {buckets})) div "
+                f"((cs + 1) * (Tt + {buckets}))"
+            ).alias("s"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("s")).cast("long").alias("dsir_score_ppm"))
+    )

@@ -7284,6 +7284,83 @@ def q155_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(sparse, k=4, rounds=16, checkpoint_every=1)
 
 
+@_q(
+    "q156_dsir_selection",
+    f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id,
+               {_md5h60_sql("'dsir-v1:' || gram")} % 1024 AS bucket
+        FROM (
+            SELECT doc_id, unnest(toks) AS gram FROM tok
+            UNION ALL
+            SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+            FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+            WHERE len(toks) >= 2
+        )
+    ),
+    per_doc AS MATERIALIZED (
+        SELECT g.doc_id, d.lang = 'en' AS t, bucket, count(*) AS c
+        FROM g JOIN documents d ON g.doc_id = d.doc_id
+        GROUP BY 1, 2, 3
+    ),
+    ct AS (SELECT bucket, sum(c) AS ct FROM per_doc WHERE t GROUP BY bucket),
+    cs AS (SELECT bucket, sum(c) AS cs FROM per_doc GROUP BY bucket),
+    st AS (
+        SELECT (SELECT sum(cs) FROM cs) AS Ts,
+               (SELECT coalesce(sum(ct), 0) FROM ct) AS Tt
+    ),
+    weights AS (
+        SELECT cs.bucket,
+               (1000000 * (coalesce(ct.ct, 0) + 1) * (Ts + 1024))
+                   // ((cs.cs + 1) * (Tt + 1024)) AS s
+        FROM cs LEFT JOIN ct ON cs.bucket = ct.bucket, st
+    ),
+    scores AS (
+        SELECT doc_id, CAST(sum(c * s) AS BIGINT) AS dsir_score_ppm
+        FROM per_doc JOIN weights USING (bucket)
+        GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, dsir_score_ppm,
+               row_number() OVER (ORDER BY dsir_score_ppm DESC, doc_id) AS rk
+        FROM scores
+    )
+    SELECT r.doc_id, d.lang, r.dsir_score_ppm
+    FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE r.rk <= 50
+    """,
+    "DSIR data selection (Xie et al., NeurIPS 2023): the 50 documents "
+    "whose hashed unigram+bigram profile is most target-like, target "
+    "= the English slice. operators.lm.dsir_scores fits bag models "
+    "for target and pool as 1024-bucket portable-md5 hashed-n-gram "
+    "counts — entirely as DataFrames, one gram-volume shuffle, the "
+    "<=B-row weight table broadcast — and scores each doc with the "
+    "LINEARIZED exact-integer importance weight: s_f = smoothed "
+    "ratio (ct+1)(Ts+B) / (cs+1)(Tt+B) in ppm via integer floor "
+    "division, doc score = sum(c_f * s_f). The log-weight form is "
+    "deliberately not the oracle surface (ln is engine-private at "
+    "the last ulp — HLL precedent); the linear form is the "
+    "first-order expansion with the same direction, and every value "
+    "here is an exact integer both engines hash identically. "
+    "Ranking orders by the integer score with doc_id tie-break.",
+)
+def q156_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.lm import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = dsir_scores(docs, F.col("lang") == "en")
+    w = Window.orderBy(F.col("dsir_score_ppm").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "dsir_score_ppm")
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -156,3 +156,66 @@ def test_ngrams_lower_outside_lambda(spark):
     for body in re.findall(r"lambdafunction\((.*?), lambda", plan):
         assert "text#" not in body, body
     assert df.collect()[0].g == ["abc"]
+
+
+def test_dsir_scores_hand_computed(spark):
+    """Exact-integer DSIR weights recomputed independently in Python
+    (same md5 bucket hash, same smoothed-ratio floor division) on a
+    tiny corpus where target and off-target vocabularies are
+    disjoint: target-vocab docs must outscore off-target docs, and
+    every score must match the hand computation exactly."""
+    import hashlib
+
+    from dataflow_python_etl_spark.operators.lm import dsir_scores
+    from pyspark.sql import functions as F
+
+    B = 64
+    docs = [
+        (1, "alpha beta alpha", True),
+        (2, "alpha beta beta beta", True),
+        (3, "gamma delta gamma", False),
+        (4, "alpha beta gamma", False),   # mixed: should beat doc 3
+        (5, "delta delta delta", False),
+        (6, None, False),                 # NULL text: no output row
+        (7, "solo", False),               # 1 token: unigram only
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string, is_t: boolean")
+    got = {
+        r["doc_id"]: r["dsir_score_ppm"]
+        for r in dsir_scores(df, F.col("is_t"), buckets=B).collect()
+    }
+
+    def bucket(gram):
+        return int(hashlib.md5(f"dsir-v1:{gram}".encode()).hexdigest()[:15], 16) % B
+
+    def grams(text):
+        t = text.split(" ")
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    from collections import Counter
+    ct, cs, per = Counter(), Counter(), {}
+    for i, text, is_t in docs:
+        if text is None:
+            continue
+        c = Counter(bucket(g) for g in grams(text))
+        per[i] = c
+        for b, n in c.items():
+            cs[b] += n
+            if is_t:
+                ct[b] += n
+    Ts, Tt = sum(cs.values()), sum(ct.values())
+    want = {
+        i: sum(
+            n * ((1_000_000 * (ct[b] + 1) * (Ts + B)) // ((cs[b] + 1) * (Tt + B)))
+            for b, n in c.items()
+        )
+        for i, c in per.items()
+    }
+    assert got == want
+    assert 6 not in got  # NULL text: no evidence, no row
+    # disjoint-vocab ordering: pure-target docs > mixed > pure-off
+    assert min(got[1], got[2]) > got[4] > max(got[3], got[5])
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_scores(df, F.col("is_t"), buckets=1)
