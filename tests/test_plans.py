@@ -480,3 +480,34 @@ def test_audio_containment_decode_map_side_pairs_jvm(spark):
     assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
     n = count_exchanges(df)
     assert n <= 10, f"pair pipeline grew extra shuffles: {n}\n{s[:2000]}"
+
+
+def test_pq_grid_codes_pure_map_plan(spark):
+    """q154 is a pure map-side projection: zero exchanges, no Python,
+    and the scan prunes to the two needed columns."""
+    df = _q(spark, "q154_pq_grid_codes")
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 0, plan
+    assert "EvalPython" not in plan
+    cols = read_schema_columns(df)
+    assert "vec_id" in cols and "embedding" in cols and "label" not in cols
+
+
+def test_dsir_weight_join_broadcasts(spark):
+    """q156's <=B-row weight table must broadcast back onto the
+    (id, bucket) counts — the corpus-sized side never shuffles for
+    the join — and the whole plan stays JVM-side."""
+    df = _q(spark, "q156_dsir_selection")
+    plan = explain_str(df, "simple")
+    assert has_broadcast_join(df), plan
+    assert "EvalPython" not in plan
+
+
+def test_k_core_query_stays_jvm(spark):
+    """q155's peel rounds are localCheckpointed leaves, but the final
+    round's degree agg + convergence guard must still be a JVM plan
+    (raise_error lives in a FILTER, never a prunable projection)."""
+    df = _q(spark, "q155_k_core")
+    plan = explain_str(df, "simple")
+    assert "EvalPython" not in plan
+    assert "Filter" in plan and "raise_error" in plan, plan
