@@ -209,6 +209,21 @@ def test_banded_pairs_combine_exact_and_validated(spark):
             ).collect()
         }
         assert got == want and want, (n_bands, k)
+    # the radius-5 workload unlocks combine=3 on the DEFAULT 8-band
+    # geometry (C(8,3)=56 24-bit keys — another ~2^8/2 collision-mass
+    # cut over combine=2 for 2x index rows): still brute-force-equal
+    want5 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_banded_pairs(sig, "id", "sig", 5, 8, combine=1).collect()
+    }
+    got5 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_banded_pairs(sig, "id", "sig", 5, 8, combine=3).collect()
+    }
+    assert got5 == want5 and want5
     # exactness bound: radius 7 over 8 bands leaves no clean PAIR
     with pytest.raises(ValueError, match="exactness"):
         hamming_banded_pairs(sig, "id", "sig", 7, 8, combine=2)
+    # ... and radius 6 over 8 bands leaves no clean 3-combination
+    with pytest.raises(ValueError, match="exactness"):
+        hamming_banded_pairs(sig, "id", "sig", 6, 8, combine=3)
