@@ -380,3 +380,58 @@ def readability_scores(col: Column | str) -> Column:
         syllables.cast("long").alias("syllables"),
         flesch.alias("flesch"),
     )
+
+
+# (pattern, replacement) chain for html_to_text — module-level so the
+# DuckDB oracle generator mirrors the EXACT same rules in the same
+# order (queries._html_to_text_sql). Patterns stay inside the
+# Java-regex ∩ RE2 portable subset: inline (?is) flags, non-greedy
+# blocks, character classes — no backreferences, no lookaround.
+HTML_TEXT_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<(script|style)[^>]*>.*?</\s*(script|style)\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines so line-based quality
+    # signals (dup_line_fraction, boilerplate) see real lines
+    (r"(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote)[^>]*>", "\n"),
+    (r"<[^>]+>", " "),  # any remaining tag
+    # minimal entity decode — the common five + nbsp + numeric quote;
+    # unknown entities are left as-is (documented lossy subset).
+    # &amp; decodes LAST so "&amp;lt;" becomes "&lt;" (one level, the
+    # standard single-pass behavior), not "<"
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    # whitespace normalization: spaces/tabs collapse, blank-ish lines
+    # vanish, edges trim
+    (r"[ \t\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+    (r"^\n|\n$", ""),
+    (r"^ | $", ""),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Main-content text extraction from raw HTML — the crawl-ingest
+    tier-0 step BEFORE any text tier (quality, dedup, langid) can
+    run: strips script/style/comment blocks, turns block-level tags
+    into line boundaries (so the line-based Gopher/boilerplate
+    signals downstream see real lines), drops remaining tags, decodes
+    the common entities (single-pass: ``&amp;lt;`` → ``&lt;``), and
+    normalizes whitespace.
+
+    Pure Catalyst ``regexp_replace`` chain (JVM, map-side, no
+    Python); every pattern sits in the Java-regex ∩ RE2 portable
+    subset so the q157 oracle runs the IDENTICAL rules in DuckDB —
+    remember DuckDB replaces only the first match without the ``'g''``
+    flag. Regex extraction is the documented public baseline (the
+    jusText/trafilatura family's first stage), not a DOM parser:
+    malformed nesting degrades to extra whitespace, never to lost
+    non-markup text."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in HTML_TEXT_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return c

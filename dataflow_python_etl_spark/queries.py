@@ -7361,6 +7361,94 @@ def q156_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_rules_sql(expr: str) -> str:
+    """Apply functions.text.HTML_TEXT_RULES to a SQL expression —
+    generated from the SAME module-level rule chain the Spark
+    expression uses, in the same order, so the two engines cannot
+    drift. Every rule carries the 'g' flag (DuckDB replaces only the
+    first match otherwise — the q145 pitfall); the newline
+    replacement is chr(10) because backslash escapes in a replacement
+    literal are engine-ambiguous."""
+    from dataflow_python_etl_spark.functions.text import HTML_TEXT_RULES
+
+    s = expr
+    for pat, rep in HTML_TEXT_RULES:
+        p = pat.replace("'", "''")
+        r = "chr(10)" if rep == "\n" else "'" + rep.replace("'", "''") + "'"
+        s = f"regexp_replace({s}, '{p}', {r}, 'g')"
+    return s
+
+
+_HTML_SYNTH_SQL = """'<html><head><title>' || substr(text, 1, 16)
+        || '</title><style>p{margin:0}</style><script>var x="'
+        || substr(text, 17, 24) || '";</script></head><body><!-- '
+        || substr(text, 9, 8) || ' --><h1>' || upper(substr(text, 1, 12))
+        || '</h1><p>' || substr(text, 25, 80)
+        || ' &amp;amp; &lt;b&gt;</p><div class="x">' || substr(text, 105, 80)
+        || '&nbsp;&#39;q&#39;</div><ul><li>' || substr(text, 185, 60)
+        || '</li><li>' || substr(text, 245, 60)
+        || '</li></ul></body></html>'"""
+
+
+@_q(
+    "q157_html_extract",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) > 0
+    ),
+    h AS (
+        SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM d
+    )
+    SELECT doc_id,
+           {_html_rules_sql('html')} AS text,
+           CAST(len(string_split({_html_rules_sql('html')}, chr(10)))
+                AS BIGINT) AS n_lines,
+           CAST(length({_html_rules_sql('html')}) AS BIGINT) AS n_chars
+    FROM h
+    """,
+    "HTML-to-text main-content extraction (functions.text."
+    "html_to_text) — the crawl-ingest tier-0 step before any text "
+    "tier: a deterministic synthetic HTML page is built from each "
+    "document (title/style/script/comment/headings/paragraph/div/"
+    "list, entity-laden), then extracted by the shared "
+    "HTML_TEXT_RULES regexp chain (script+style+comment blocks "
+    "dropped, block tags to line boundaries, remaining tags "
+    "stripped, single-pass entity decode, whitespace normalized). "
+    "Both engines run the IDENTICAL rule chain generated from one "
+    "module-level constant (Java-regex ∩ RE2 portable subset, every "
+    "DuckDB rule 'g'-flagged), so hash parity verifies the regex "
+    "semantics are engine-portable end-to-end — the q145 URL-"
+    "canonicalization discipline applied to markup. Pure map plan.",
+)
+def q157_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.functions.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    t = F.col("text")
+
+    def sub(pos, ln):
+        return F.substring(t, pos, ln)
+
+    html = F.concat(
+        F.lit("<html><head><title>"), sub(1, 16),
+        F.lit('</title><style>p{margin:0}</style><script>var x="'),
+        sub(17, 24), F.lit('";</script></head><body><!-- '),
+        sub(9, 8), F.lit(" --><h1>"), F.upper(sub(1, 12)),
+        F.lit("</h1><p>"), sub(25, 80),
+        F.lit(' &amp;amp; &lt;b&gt;</p><div class="x">'), sub(105, 80),
+        F.lit("&nbsp;&#39;q&#39;</div><ul><li>"), sub(185, 60),
+        F.lit("</li><li>"), sub(245, 60),
+        F.lit("</li></ul></body></html>"),
+    )
+    out = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        out.alias("text"),
+        F.size(F.split(out, "\n")).cast("long").alias("n_lines"),
+        F.length(out).cast("long").alias("n_chars"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

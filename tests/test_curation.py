@@ -465,3 +465,41 @@ def test_curate_corpus_url_tier_zero(spark):
         assert {1, 2, 3, 4} <= base
     finally:
         unpersist_all()
+
+
+def test_html_to_text_spec(spark):
+    """The extraction contract on hand-crafted HTML: script/style/
+    comment content VANISHES, block tags become line boundaries,
+    inline tags become spaces, entity decode is single-pass
+    (&amp;lt; -> &lt;, never <), unknown entities survive, malformed
+    markup degrades to whitespace (never eats non-markup text)."""
+    from dataflow_python_etl_spark.functions.text import html_to_text
+
+    cases = [
+        # full page: every rule class at once
+        (
+            '<html><head><title>T</title><style>b{c:r}</style>'
+            '<script>var s="<p>secret</p>";\nmore();</script></head>'
+            '<body><!-- hidden --><h1>Head</h1><p>one &amp; two '
+            '&lt;three&gt;</p><div>four&nbsp;five&#39;s</div>'
+            '<ul><li>item</li></ul>tail</body></html>',
+            "T\nHead\none & two <three>\nfour five's\nitem\ntail",
+        ),
+        # single-pass entity decode + unknown entity survives
+        ("a &amp;lt;b &copy; c", "a &lt;b &copy; c"),
+        # inline tags are spaces, not line breaks; whitespace collapses
+        ("x <b>bold</b>\t\t<i>it</i>   y", "x bold it y"),
+        # malformed: unclosed tag eats to the next '>', text survives
+        ("before <a href='u broken after>kept", "before kept"),
+        # case-insensitive block removal, multiline body
+        ("<SCRIPT>\nvar x = 1;\n</SCRIPT>keep<STYLE>s</STYLE>", "keep"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id: long, h: string"
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", html_to_text("h").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
