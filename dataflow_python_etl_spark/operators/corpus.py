@@ -575,9 +575,17 @@ def curate_corpus(
     video_payload_col: str = "payload",
     video_min_jaccard_ppm: int = 500_000,
     url_col: str | None = None,
+    html_extract: bool = False,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
+    -1. optional HTML-to-text extraction (``html_extract``): raw
+       crawl markup in ``text_col`` becomes main-content text
+       (``functions.text.html_to_text`` — q157's regexp chain)
+       before ANY other tier, so provenance dedup, scrub, quality,
+       and every dedup tier operate on text, not tags. Docs whose
+       markup carries no text are dropped by this tier (the
+       empty-string quality-gate leak, as with spans);
     0. optional canonical-URL dedup (``url_col``): raw fetches whose
        URLs canonicalize identically (case/port/fragment/tracking-
        param/slash variants — ``functions.url.canonical_url``)
@@ -689,7 +697,23 @@ def curate_corpus(
     this documented order reproduces this function's output exactly
     (pinned in tests).
     """
-    from dataflow_python_etl_spark.functions.text import dedup_lines, pii_scrub
+    from dataflow_python_etl_spark.functions.text import (
+        dedup_lines,
+        html_to_text,
+        pii_scrub,
+    )
+
+    if html_extract:
+        # tier -1: raw-HTML crawl items become text BEFORE any
+        # provenance/content tier (same zero-shuffle projection class
+        # as the scrub — Catalyst collapses them). A page whose markup
+        # carries no text comes out EMPTY and is dropped HERE:
+        # quality_score('') is 0.304, above the default gate, so
+        # relying on the quality tier would leak empty rows (the span
+        # tier's documented rationale).
+        docs = docs.withColumn(text_col, html_to_text(F.col(text_col))).where(
+            F.length(text_col) > 0
+        )
 
     if url_col is not None:
         # tier 0: collapse re-fetches by canonical URL (min-id

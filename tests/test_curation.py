@@ -503,3 +503,43 @@ def test_html_to_text_spec(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_curate_corpus_html_extract_tier(spark):
+    """curate_corpus(html_extract=True) over HTML-wrapped docs equals
+    curate_corpus over the plain docs (the wrapper extracts to the
+    exact original text), and an all-markup page is dropped by the
+    extraction tier itself — never leaked past the quality gate by
+    the empty-string 0.304 loophole."""
+    from dataflow_python_etl_spark.operators.corpus import curate_corpus
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.length("text") > 0
+    )
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><head><script>var x=1;</script></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><!-- footer --></body></html>"),
+        ),
+    )
+    markup_only = spark.createDataFrame(
+        [(999_999, "<html><body><script>x()</script><style>a{}</style></body></html>")],
+        "doc_id: long, text: string",
+    )
+    want = sorted(
+        (r["doc_id"], r["text"], r["quality"])
+        for r in curate_corpus(docs).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["text"], r["quality"])
+        for r in curate_corpus(
+            wrapped.select("doc_id", "text").unionByName(markup_only),
+            html_extract=True,
+        ).collect()
+    )
+    assert got == want and want
