@@ -253,6 +253,116 @@ def score_with_lm(
     )
 
 
+def _gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    hash_prefix: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id[, extras], bucket) fan-out shared by the DSIR family:
+    hashed unigram+bigram stream in document order. Both zip_with
+    inputs are sliced to length size-1 — zip_with pads the SHORTER
+    side with NULL, so zipping the full array against its shifted
+    self would append one NULL bigram per doc (measured)."""
+    from dataflow_python_etl_spark.functions.text import md5_hash60, tokens
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    toks = tokens(text_col)
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_bi),
+        F.slice(toks, 2, n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    ).select(
+        id_col,
+        *extra_cols,
+        (md5_hash60(F.concat(F.lit(hash_prefix), F.col("gram"))) % buckets).alias(
+            "bucket"
+        ),
+    )
+
+
+def dsir_weight_table(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    hash_prefix: str = "dsir-v1:",
+) -> DataFrame:
+    """The fitted DSIR weight table alone: ``(bucket, s)`` with the
+    same exact-integer ppm weights as :func:`dsir_scores` (see there
+    for the math and overflow bound). Fit once over a reference pool,
+    persist with ``write_and_swap``, and apply to ANY later frame —
+    including online, per micro-batch — with :func:`dsir_score_with`;
+    ``dsir_score_with(df, dsir_weight_table(df, t)) ==
+    dsir_scores(df, t)`` is pinned in tests."""
+    base = df.select(F.col(id_col), target.alias("__t"), F.col(text_col))
+    g = _gram_buckets(base, id_col, text_col, buckets, hash_prefix, ("__t",))
+    cnt = g.groupBy("bucket", "__t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ct = cnt.where(F.col("__t")).select("bucket", F.col("c").alias("ct"))
+    cs = cnt.groupBy("bucket").agg(F.sum("c").alias("cs"))
+    totals = cs.agg(F.sum("cs").cast("long").alias("Ts")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("Tt"))
+    )
+    return (
+        cs.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"(1000000 * (coalesce(ct, 0) + 1) * (Ts + {buckets})) div "
+                f"((cs + 1) * (Tt + {buckets}))"
+            ).alias("s"),
+        )
+    )
+
+
+def dsir_score_with(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    hash_prefix: str = "dsir-v1:",
+) -> DataFrame:
+    """Score a frame against a FROZEN weight table (``(bucket, s)``
+    from :func:`dsir_weight_table`): ``(id, dsir_score_ppm)``. The
+    table only holds buckets that occurred in the FIT pool, so a
+    bucket unseen at fit time falls back to ``coalesce(s,
+    1_000_000)`` — ratio 1, the neutral element of the linearized
+    score (no evidence either way; NOT the smoothing floor, which
+    encodes "seen in pool, absent from target"). Docs with no tokens
+    produce no rows: gate callers must decide their fate explicitly.
+
+    Also returns ``n_grams``: the score is a length-scaled SUM (the
+    q156 ranking wants that), so a fixed-threshold GATE must compare
+    the per-gram MEAN — ``dsir_score_ppm >= threshold * n_grams`` is
+    the exact-integer cross-multiply for it."""
+    g = _gram_buckets(df, id_col, text_col, buckets, hash_prefix)
+    per_doc = g.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_doc.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.coalesce(F.col("s"), F.lit(1_000_000)))
+            .cast("long")
+            .alias("dsir_score_ppm"),
+            F.sum("c").cast("long").alias("n_grams"),
+        )
+    )
+
+
 def dsir_scores(
     df: DataFrame,
     target,

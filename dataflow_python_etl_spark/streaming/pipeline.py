@@ -345,6 +345,9 @@ def stream_dedup_ingest(
     replay_guard: str = "anti_join",
     decontaminate_against: DataFrame | None = None,
     decontaminate_min_overlap: int = 1,
+    dsir_weights: DataFrame | None = None,
+    min_dsir_ppm: int = 1_000_000,
+    dsir_buckets: int = 1024,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Online near-dup-filtered corpus ingestion: each micro-batch of
     documents is deduped against the ALREADY-INGESTED corpus (and
@@ -383,7 +386,16 @@ def stream_dedup_ingest(
     streaming twin of ``curate_corpus(decontaminate_against=…)``):
     the eval gram set is checkpointed once at stream build and each
     batch broadcast-joins it, so the gate's per-batch cost scales
-    with the batch. Crash safety (both guards): the index is
+    with the batch. ``dsir_weights`` (a frozen
+    ``lm.dsir_weight_table`` frame) adds an online TARGET-LIKENESS
+    gate: batch docs whose PER-GRAM MEAN ``lm.dsir_score_with`` score
+    is under ``min_dsir_ppm`` are dropped before signing (integer
+    cross-multiply — the raw score is a length-scaled sum; default
+    threshold 1_000_000 = mean ratio 1: keep docs whose hashed-n-gram
+    profile is net target-like). Docs with no tokens produce no
+    score and are DROPPED by this gate (a quality gate requires
+    evidence); both gates are deterministic, so crash replays
+    re-drop the same docs. Crash safety (both guards): the index is
     appended FIRST, then the corpus, then (watermark mode) the
     watermark. A crash between index and corpus appends re-processes
     the doc — duplicate index rows re-propose the same candidate
@@ -430,6 +442,12 @@ def stream_dedup_ingest(
             .distinct()
             .localCheckpoint(eager=True)
         )
+
+    # Frozen DSIR weight table, same lifecycle rationale as eval_grams:
+    # materialized once at stream build, broadcast per batch.
+    frozen_weights = None
+    if dsir_weights is not None:
+        frozen_weights = dsir_weights.localCheckpoint(eager=True)
 
     wm_path = corpus_path + ".__ingest_watermark"
 
@@ -529,6 +547,24 @@ def stream_dedup_ingest(
                 .select(F.col("doc").alias(id_col))
             )
             batch = batch.join(hits, id_col, "left_anti")
+        if frozen_weights is not None:
+            # online DSIR target-likeness gate: semi-join on the ids
+            # whose frozen-weight score clears the threshold — docs
+            # with no tokens have no score row and are dropped (a
+            # quality gate requires evidence). Deterministic, so
+            # crash replays re-drop the same docs.
+            from dataflow_python_etl_spark.operators.lm import dsir_score_with
+
+            passing = dsir_score_with(
+                batch, frozen_weights, id_col, text_col, dsir_buckets
+            ).where(
+                # per-gram MEAN threshold (integer cross-multiply):
+                # the raw score is a length-scaled sum, so a fixed
+                # absolute threshold would just gate on doc length
+                F.col("dsir_score_ppm")
+                >= F.lit(min_dsir_ppm) * F.col("n_grams")
+            )
+            batch = batch.join(passing.select(id_col), id_col, "left_semi")
         if os.path.exists(corpus_path):
             corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
             batch = _guard_replay(batch, corpus, id_col, replay_guard, wm)

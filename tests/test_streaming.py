@@ -704,3 +704,82 @@ def test_streaming_m4_matches_batch(spark, event_drop):
     got = key(spark.table("m4_live").collect())
     want = key(m4_stream(read_table(spark, SF_DIR, "events")).collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_dedup_ingest_dsir_gate(spark, tmp_path):
+    """The online DSIR target-likeness gate: a frozen weight table
+    (fit offline on a labeled pool) drops off-target batch docs
+    BEFORE signing — they never reach the index or corpus — while
+    target-like docs ingest normally; tokenless docs are dropped (a
+    quality gate requires evidence). Survivors must equal the batch
+    computation with the same weights and threshold."""
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.lm import (
+        dsir_score_with,
+        dsir_weight_table,
+    )
+    from dataflow_python_etl_spark.streaming.pipeline import stream_dedup_ingest
+
+    pool = spark.createDataFrame(
+        [
+            (100, "spark shuffle partition join broadcast agg", True),
+            (101, "partition join spark broadcast codegen stage", True),
+            (102, "recipe butter flour sugar oven bake", False),
+            (103, "soccer goal referee penalty match", False),
+        ],
+        "doc_id: long, text: string, is_t: boolean",
+    )
+    B = 256
+    weights = dsir_weight_table(pool, F.col("is_t"), buckets=B)
+
+    batch1 = [
+        (1, "spark join broadcast partition stage plan"),   # target-like
+        (2, "butter sugar oven bake flour recipe whisk"),   # off-target
+        (3, "shuffle agg codegen spark partition join"),    # target-like
+    ]
+    batch2 = [
+        (11, "penalty referee match goal soccer corner"),   # off-target
+        (12, "broadcast codegen shuffle stage spark agg"),  # target-like
+        (13, None),                                         # tokenless
+    ]
+    src = str(tmp_path / "docs_in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    spark.createDataFrame(batch1, "doc_id: long, text: string").write.parquet(src)
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        n=2,
+        dsir_weights=weights,
+        min_dsir_ppm=1_000_000,
+        dsir_buckets=B,
+    )
+    q.processAllAvailable()
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    spark.createDataFrame(batch2, "doc_id: long, text: string").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    q.stop()
+
+    # batch-parity: the same gate applied offline
+    all_docs = spark.createDataFrame(
+        batch1 + batch2, "doc_id: long, text: string"
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dsir_score_with(all_docs, weights, buckets=B)
+        .where(F.col("dsir_score_ppm") >= F.lit(1_000_000) * F.col("n_grams"))
+        .collect()
+    )
+    assert got2 == want
+    assert set(got1) <= set(got2)
+    assert 2 not in got2 and 11 not in got2  # off-target dropped online
+    assert 13 not in got2  # tokenless: no evidence, no ingest
+    # gated docs never reached the index either (band rows key "doc")
+    idx_ids = {r["doc"] for r in spark.read.parquet(index).collect()}
+    assert idx_ids == set(got2)
