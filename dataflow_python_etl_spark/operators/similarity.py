@@ -468,6 +468,7 @@ def _quantize_int8(assigned: DataFrame) -> DataFrame:
 # a coarser (codebook-bounded) reconstruction error.
 
 PQ_SIDECAR = "_pq_codebooks.json"  # "_"-prefixed: Spark scans skip it
+CENTROID_SIDECAR = "_centroids.json"  # ditto — makes the index self-describing
 
 
 def fit_pq_codebooks(
@@ -739,6 +740,8 @@ def build_ivf_index(
     inverted file, and PQ cuts bytes/vector from D to M at a coarser,
     codebook-bounded error (recall floor pinned in tests).
     """
+    import json
+
     from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
     if quantize not in (None, "int8", "pq"):
@@ -754,13 +757,17 @@ def build_ivf_index(
         assigned = _quantize_pq(assigned, pq_codebooks)
     # temp-and-swap (not bare overwrite): a crash mid-rebuild must not
     # leave a missing/partial index for concurrent ivf_topk_indexed
-    # readers — same contract as every other writer in the repo
-    write_and_swap(assigned, path, partition_by=["cid"])
+    # readers — same contract as every other writer in the repo. Both
+    # sidecars ride the swap (extra_files): the CENTROID sidecar makes
+    # the index self-describing (ivf_topk_indexed(centroids=None),
+    # rebalance_ivf_index), and a stale centroid sidecar would be
+    # SILENTLY wrong (mis-pruned probes), so it must never be
+    # publishable without its data — unlike the PQ sidecar, whose
+    # absence is at least loud at load time.
+    extra = {CENTROID_SIDECAR: json.dumps(centroids)}
     if quantize == "pq":
-        # sidecar lands AFTER the swap: a crash in between leaves a PQ
-        # index that fails LOUDLY at load_pq_codebooks (undecodable ≠
-        # silently wrong); rebuild to recover
-        _write_pq_sidecar(path, pq_codebooks)
+        extra[PQ_SIDECAR] = json.dumps(pq_codebooks)
+    write_and_swap(assigned, path, partition_by=["cid"], extra_files=extra)
 
 
 def _index_quantize_mode(columns: list[str]) -> str | None:
@@ -841,6 +848,73 @@ def append_to_ivf_index(
     staged_partition_append(assigned, path, "cid", "IVF index")
 
 
+def load_ivf_centroids(path: str) -> list[list[float]]:
+    """Read the centroid sidecar a :func:`build_ivf_index` swap wrote
+    into the index dir. Loud if absent — an index without its
+    centroids cannot be probed correctly (indexes built before the
+    sidecar existed must be rebuilt once)."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, CENTROID_SIDECAR)
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"IVF index at {path} has no {CENTROID_SIDECAR} sidecar — it "
+            "predates self-describing indexes or the sidecar was lost; "
+            "rebuild with build_ivf_index (the sidecar rides the swap)"
+        )
+    with open(sidecar) as f:
+        return json.load(f)
+
+
+def rebalance_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    imbalance_threshold: float = 3.0,
+    max_iter: int = 10,
+    seed: int = 7,
+    force: bool = False,
+) -> list[list[float]] | None:
+    """Close the staleness loop :func:`ivf_index_stats` opens: when
+    the index's cell balance has drifted past ``imbalance_threshold``
+    (appends assign against FROZEN centroids, so a shifting corpus
+    piles into few cells and probe cost/recall degrade), re-fit the
+    coarse quantizer on the CURRENT corpus and rebuild the index
+    atomically in place. Returns the new centroids, or ``None`` when
+    balance is still healthy (``force=True`` rebuilds regardless).
+
+    ``corpus`` is the caller's source of truth (quantized indexes
+    don't store fp64 vectors, so the index itself cannot seed a
+    refit). The quantize mode is preserved from the existing index's
+    schema; PQ indexes re-encode against their OWN sidecar codebooks
+    — grid codebooks (:func:`fit_pq_grid_codebooks`) are
+    data-independent, so rebalancing never invalidates them, which is
+    exactly why they're the streaming default. The rebuild rides
+    ``write_and_swap`` with both sidecars in the swap: concurrent
+    ``ivf_topk_indexed`` readers see the old index or the new one,
+    never a mix, and ``centroids=None`` callers pick up the new
+    centroids on their next load."""
+    spark = corpus.sparkSession
+    centroids = load_ivf_centroids(path)
+    if not force:
+        stats = ivf_index_stats(spark, path, n_cells=len(centroids),
+                                imbalance_threshold=imbalance_threshold)
+        if not stats["stale"]:
+            return None
+    mode = _index_quantize_mode(spark.read.parquet(path).schema.fieldNames())
+    books = load_pq_codebooks(path) if mode == "pq" else None
+    new_centroids = fit_ivf_centroids(
+        corpus, k=len(centroids), vec_col=vec_col, max_iter=max_iter, seed=seed
+    )
+    build_ivf_index(
+        corpus, new_centroids, path, id_col=id_col, vec_col=vec_col,
+        quantize=mode, pq_codebooks=books,
+    )
+    return new_centroids
+
+
 def ivf_index_stats(
     spark,
     path: str,
@@ -889,7 +963,7 @@ def ivf_topk_indexed(
     spark,
     index_path: str,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     k: int = 3,
     n_probe: int = 1,
     id_col: str = "vec_id",
@@ -897,7 +971,9 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """IVF ANN over a :func:`build_ivf_index` table: identical results
     to :func:`ivf_topk` (pinned in tests), but the corpus scan is
-    PARTITION-PRUNED to the probed cells.
+    PARTITION-PRUNED to the probed cells. ``centroids=None`` loads
+    the index's own centroid sidecar (self-describing indexes survive
+    :func:`rebalance_ivf_index` without caller coordination).
 
     The probe cell set is collected to the driver — bounded by
     contract: ≤ n_probe × |queries| ≤ K distinct cells, and the query
@@ -906,6 +982,8 @@ def ivf_topk_indexed(
     filter prunes at the file-listing level, which a join could only
     achieve via runtime DPP.
     """
+    if centroids is None:
+        centroids = load_ivf_centroids(index_path)
     kcells = len(centroids)
     n_probe = min(n_probe, kcells)
     dots = _centroid_dots(as_double_array(vec_col), centroids)

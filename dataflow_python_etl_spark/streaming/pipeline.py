@@ -1048,12 +1048,14 @@ def apply_ivf_index_batch(
     import os
 
     from dataflow_python_etl_spark.operators.similarity import (
+        CENTROID_SIDECAR,
         PQ_SIDECAR,
         _assigned,
         _index_quantize_mode,
         _quantize_int8,
         _quantize_pq,
         _write_pq_sidecar,
+        load_ivf_centroids,
         load_pq_codebooks,
     )
 
@@ -1096,6 +1098,25 @@ def apply_ivf_index_batch(
         else:
             os.makedirs(index_path, exist_ok=True)
             _write_pq_sidecar(index_path, pq_codebooks)
+    # centroid sidecar: same lifecycle — written before the first data
+    # batch so the index is self-describing (ivf_topk_indexed with
+    # centroids=None), validated on every restart because assigning
+    # against DIFFERENT centroids than earlier batches would silently
+    # split cells across two quantizers
+    cent_sidecar = os.path.join(index_path, CENTROID_SIDECAR)
+    if os.path.exists(cent_sidecar):
+        if load_ivf_centroids(index_path) != centroids:
+            raise ValueError(
+                f"centroids at {index_path} differ from the sink's — a "
+                "restart must pass the centroids the index was built with "
+                "(mixed-quantizer cells would silently corrupt probes)"
+            )
+    else:
+        os.makedirs(index_path, exist_ok=True)
+        tmp = cent_sidecar + ".__tmp"
+        with open(tmp, "w") as f:
+            json.dump(centroids, f)
+        os.replace(tmp, cent_sidecar)
 
     batch = batch_df.select(id_col, vec_col)
     wm_path = index_path + ".__ingest_watermark"

@@ -582,3 +582,67 @@ def test_pq_grid_reconstruction_error_bound_and_index(spark, emb, centroids, tmp
         spark, path, queries, centroids, k=3, n_probe=len(centroids)
     ).collect()
     assert len(got) == 5 * 3
+
+
+def test_ivf_index_self_describing_and_rebalance(spark, emb, centroids, tmp_path):
+    """The index carries its own centroids (sidecar rides the swap):
+    centroids=None probes load them, rebalance_ivf_index refits +
+    rebuilds atomically preserving the quantize mode and PQ
+    codebooks, and a healthy index is left alone."""
+    import os
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        CENTROID_SIDECAR,
+        build_ivf_index,
+        fit_pq_grid_codebooks,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        rebalance_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_self")
+    build_ivf_index(emb, centroids, path)
+    assert load_ivf_centroids(path) == centroids
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def topk(cents):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cos_sim"])
+            for r in ivf_topk_indexed(
+                spark, path, queries, cents, k=3, n_probe=len(centroids)
+            ).collect()
+        )
+
+    assert topk(None) == topk(centroids)
+
+    # healthy balance: no-op
+    assert rebalance_ivf_index(emb, path) is None
+    assert load_ivf_centroids(path) == centroids
+
+    # forced rebuild: new centroids land atomically, probes keep working
+    new_c = rebalance_ivf_index(emb, path, force=True)
+    assert new_c is not None and load_ivf_centroids(path) == new_c
+    got = ivf_topk_indexed(spark, path, queries, None, k=3,
+                           n_probe=len(new_c)).collect()
+    assert len(got) == 5 * 3
+    # full probe degenerates to brute force, so results match the old
+    # full-probe answer regardless of the new cell boundaries
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in got
+    ) == topk(centroids)
+
+    # PQ mode: rebuild preserves mode and codebooks
+    books = fit_pq_grid_codebooks()
+    pq_path = str(tmp_path / "ivf_self_pq")
+    build_ivf_index(emb, centroids, pq_path, quantize="pq", pq_codebooks=books)
+    new_c2 = rebalance_ivf_index(emb, pq_path, force=True)
+    assert new_c2 is not None
+    assert load_pq_codebooks(pq_path) == books
+    idx_cols = spark.read.parquet(pq_path).schema.fieldNames()
+    assert "pq_codes" in idx_cols
+
+    # lost sidecar: loud, with the rebuild hint
+    os.remove(os.path.join(path, CENTROID_SIDECAR))
+    with pytest.raises(ValueError, match="no _centroids.json"):
+        load_ivf_centroids(path)

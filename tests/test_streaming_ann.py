@@ -153,3 +153,30 @@ def test_pq_codebook_drift_guard(spark, tmp_path, emb, centroids):
         apply_ivf_index_batch(
             b0, 1, index, centroids, quantize="pq", pq_codebooks=other
         )
+
+
+def test_streamed_index_self_describing_and_centroid_drift_guard(
+    spark, tmp_path, emb, centroids
+):
+    """The streamed index carries the centroid sidecar from its first
+    batch (ivf_topk_indexed(centroids=None) works mid-stream), and a
+    restart passing DIFFERENT centroids fails loudly — mixed-quantizer
+    cells would silently corrupt probes."""
+    from dataflow_python_etl_spark.operators.similarity import (
+        fit_ivf_centroids,
+        load_ivf_centroids,
+    )
+
+    index = str(tmp_path / "ivf")
+    b0 = emb.where(F.col("vec_id") < 100)
+    apply_ivf_index_batch(b0, 0, index, centroids)
+    assert load_ivf_centroids(index) == centroids
+    queries = emb.where(F.col("vec_id") < 3)
+    got = ivf_topk_indexed(
+        spark, index, queries, None, k=3, n_probe=len(centroids)
+    ).collect()
+    assert len(got) == 3 * 3
+    other = fit_ivf_centroids(emb, k=4, max_iter=2, seed=99)
+    assert other != centroids
+    with pytest.raises(ValueError, match="centroids .* differ"):
+        apply_ivf_index_batch(b0, 1, index, other)
