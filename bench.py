@@ -123,6 +123,7 @@ EXTENDED_QUERIES = [
     "q154_pq_grid_codes",
     "q155_k_core",
     "q156_dsir_selection",
+    "q157_html_extract",
 ]
 
 
