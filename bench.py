@@ -124,6 +124,7 @@ EXTENDED_QUERIES = [
     "q155_k_core",
     "q156_dsir_selection",
     "q157_html_extract",
+    "q158_hard_negatives",
 ]
 
 

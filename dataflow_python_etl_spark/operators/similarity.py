@@ -97,6 +97,61 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    anchor (query), the ``k`` most cosine-similar corpus vectors with
+    a DIFFERENT label — the near-miss negatives that carry the
+    gradient signal random negatives don't (the in-batch/ANCE-family
+    mining step every embedding-training pipeline runs over its
+    corpus). Returns ``(query_id, anchor_label, neighbor_id,
+    neighbor_label, cos_sim)``.
+
+    Same shape and float discipline as :func:`cosine_topk` (anchors
+    broadcast, one narrow corpus pass, rounded-6 scores, id
+    tie-break) plus the label-mismatch predicate IN the join — a
+    same-label pair never materializes, so the top-k window ranks
+    negatives only. NULL labels match nothing (eqNullSafe negated
+    would pair NULL anchors with every labeled row — the join uses a
+    plain ``!=``, so NULL-labeled rows simply produce no pairs on
+    either side, documented). At scale, swap the brute-force pass for
+    the IVF index scan and keep the same predicate."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("anchor_label"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("anchor_label")),
+    ).withColumn(
+        "cos_sim",
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "anchor_label", "neighbor_id", "neighbor_label", "cos_sim"
+        )
+    )
+
+
 def _band_keys(vec: F.Column) -> list[F.Column]:
     """One string key per band: the concatenated sign bits of that
     band's hyperplane projections."""

@@ -7449,6 +7449,49 @@ def q157_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q158_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS anchor_label,
+               embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS neighbor_label,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+               {_cosine_sql('qv', 'cv')} AS cos_sim
+        FROM q, c
+        WHERE neighbor_id != query_id AND neighbor_label != anchor_label
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rk
+        FROM s
+    )
+    SELECT query_id, anchor_label, neighbor_id, neighbor_label, cos_sim
+    FROM r WHERE rk <= 3
+    """,
+    "Hard-negative mining for contrastive training "
+    "(similarity.hard_negatives): for each of the first 10 anchor "
+    "vectors, the 3 most cosine-similar corpus vectors with a "
+    "DIFFERENT label — the ANCE-family near-miss negatives that "
+    "carry the gradient signal random negatives don't. Same float "
+    "discipline as q27 (anchors broadcast, one narrow corpus pass, "
+    "rounded-6 scores ranked with neighbor-id tie-break), with the "
+    "label-mismatch predicate inside the join so same-label pairs "
+    "never materialize.",
+)
+def q158_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(emb, emb.where(F.col("vec_id") < 10), k=3)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -646,3 +646,28 @@ def test_ivf_index_self_describing_and_rebalance(spark, emb, centroids, tmp_path
     os.remove(os.path.join(path, CENTROID_SIDECAR))
     with pytest.raises(ValueError, match="no _centroids.json"):
         load_ivf_centroids(path)
+
+
+def test_hard_negatives_label_predicate_and_nulls(spark):
+    """Crafted 2-D vectors: the nearest SAME-label vector must never
+    appear (predicate inside the join), the nearest different-label
+    vectors rank by cosine with id tie-break, and NULL-labeled rows
+    produce no pairs on either side."""
+    from dataflow_python_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),     # anchor
+        (2, [0.99, 0.1], 0),    # same label, nearest overall — excluded
+        (3, [0.9, 0.3], 1),     # hard negative #1
+        (4, [0.7, 0.7], 1),     # hard negative #2
+        (5, [0.0, 1.0], 1),     # easy negative
+        (6, [0.95, 0.2], None), # NULL label: never pairs
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: int"
+    )
+    got = hard_negatives(df, df.where("vec_id = 1"), k=2).collect()
+    assert [(r["neighbor_id"], r["neighbor_label"]) for r in got] == [(3, 1), (4, 1)]
+    assert all(r["anchor_label"] == 0 and r["query_id"] == 1 for r in got)
+    # NULL-labeled anchor: no output rows at all
+    assert hard_negatives(df, df.where("vec_id = 6"), k=2).count() == 0
