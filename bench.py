@@ -125,6 +125,7 @@ EXTENDED_QUERIES = [
     "q156_dsir_selection",
     "q157_html_extract",
     "q158_hard_negatives",
+    "q159_pq_adc_topk",
 ]
 
 

@@ -7492,6 +7492,102 @@ def q158_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, emb.where(F.col("vec_id") < 10), k=3)
 
 
+_PQ_RECON_SQL = (
+    "list_transform({v}, x -> -1.0 + "
+    "(least(greatest(floor((x - (-1.0)) / 0.25), 0), 7) + 0.5) * 0.25)"
+)
+
+
+@_q(
+    "q159_pq_adc_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id,
+               {_PQ_RECON_SQL.format(v='embedding::DOUBLE[]')} AS rv,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS cn
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round(list_inner_product(qv, rv) /
+                     (sqrt(list_inner_product(qv, qv)) * cn), 6) AS adc_sim
+        FROM q, c WHERE neighbor_id != query_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id
+        ) AS rk
+        FROM s
+    )
+    SELECT query_id, neighbor_id, adc_sim FROM r WHERE rk <= 3
+    """,
+    "Asymmetric-distance top-k over grid-PQ codes — the PQ SERVING "
+    "path (Jegou et al. 2011's ADC) under a full value-hash oracle: "
+    "each corpus vector is quantized to its grid cell and scored "
+    "RECONSTRUCTED (cell center, closed form -1 + (digit+0.5)/4 — "
+    "every center is an exact multiple of 0.125, so reconstruction "
+    "is bit-exact cross-engine) against the full-precision query, "
+    "divided by the TRUE pre-quantization norm exactly as "
+    "ivf_topk_indexed's PQ branch scores its index rows. The q27 "
+    "float discipline (array-order dot, rounded-6, id tie-break) "
+    "then makes the whole ranking hash-stable. Quantization ties "
+    "(distinct neighbors sharing a cell) are real and resolved by "
+    "the id tie-break.",
+)
+def q159_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.functions.vectors import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def recon(col):
+        return F.transform(
+            as_double_array(col),
+            lambda x: F.lit(-1.0)
+            + (
+                F.least(
+                    F.greatest(
+                        F.floor((x - F.lit(-1.0)) / F.lit(0.25)), F.lit(0)
+                    ),
+                    F.lit(7),
+                ).cast("double")
+                + F.lit(0.5)
+            )
+            * F.lit(0.25),
+        )
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        recon("embedding").alias("rv"),
+        l2_norm(as_double_array("embedding")).alias("cn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "adc_sim",
+        F.round(dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("cn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "adc_sim")
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
