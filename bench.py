@@ -126,6 +126,7 @@ EXTENDED_QUERIES = [
     "q157_html_extract",
     "q158_hard_negatives",
     "q159_pq_adc_topk",
+    "q160_core_communities",
 ]
 
 

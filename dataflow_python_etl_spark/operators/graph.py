@@ -220,6 +220,8 @@ def k_core(
     rounds: int = 16,
     checkpoint_every: int | None = 1,
     assert_converged: bool = True,
+    early_exit: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(node, core_degree)`` — the k-CORE of the UNDIRECTED graph
     under ``edges`` (direction/duplicates ignored, self-loops
@@ -252,6 +254,19 @@ def k_core(
     round — 16 rounds without truncation hangs Catalyst outright
     (measured). ``checkpoint_every`` therefore defaults to 1: eager
     localCheckpoint per round, each round's plan O(1) over a leaf.
+
+    ``early_exit`` (default on) rides a ``count()`` on the frame the
+    round just localCheckpointed (the round-5 "ride the action you
+    already run" rule — the count is a cheap job over materialized
+    blocks, never a plan re-execution, so it only fires on
+    checkpoint rounds): peeling removes edges monotonically, so an
+    UNCHANGED edge count proves every remaining node has degree ≥ k
+    and the loop stops — typical cost drops from the fixed ``rounds``
+    cap (16) to cascade-depth+1 (measured 3/6/9 on q155's graph at
+    the three SFs) while ``rounds`` stays the hard cap and a fixed-
+    unroll SQL oracle stays valid (post-fixpoint rounds are no-ops).
+    ``stats`` (optional dict) receives ``rounds_run`` and
+    ``converged_early`` for pinning measured rounds == cascade depth.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -276,12 +291,29 @@ def k_core(
             .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         )
 
+    prev_n = None
+    rounds_run = 0
+    converged_early = False
     for r in range(1, rounds + 1):
         keep = _deg(e).where(F.col("core_degree") >= k).select("node")
         e = e.join(
             keep.withColumnRenamed("node", "src"), "src", "left_semi"
         ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
-        e = _maybe_checkpoint(e, r, checkpoint_every)
+        checkpointed = _maybe_checkpoint(e, r, checkpoint_every)
+        rounds_run = r
+        # count only frames the cadence just materialized — counting
+        # an uncheckpointed frame would re-run the growing plan
+        if early_exit and checkpointed is not e:
+            n = checkpointed.count()
+            if n == prev_n:
+                e = checkpointed
+                converged_early = True
+                break
+            prev_n = n
+        e = checkpointed
+    if stats is not None:
+        stats["rounds_run"] = rounds_run
+        stats["converged_early"] = converged_early
     out = _deg(e)
     if assert_converged:
         out = out.where(
@@ -467,4 +499,98 @@ def clustering_coefficients(
             .cast("long")
             .alias("cc_ppm"),
         )
+    )
+
+
+def core_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 16,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Community assignment + exact-integer modularity over the
+    k-CORE of the undirected graph under ``edges`` — deterministic
+    label propagation done the oracle-able way (SURVEY §8.3): the
+    classic mode-update LPA is tie-break-nondeterministic, so the
+    community rule here is MIN-LABEL flood to fixpoint (=) connected
+    components) RESTRICTED to the k-core subgraph. Peeling first
+    removes the low-degree periphery that makes whole-graph
+    components collapse into one giant blob, so the surviving dense
+    cores are the communities a mode-LPA would find on such graphs —
+    with a unique, engine-independent fixpoint (min reachable id).
+
+    Returns one row per community:
+    ``(community, n_nodes, m_intra, modularity_ppm)`` where
+    ``community`` is the min node id, ``m_intra`` the induced
+    intra-community edge count, and ``modularity_ppm`` the
+    community's contribution to Newman-Girvan modularity
+    ``Q_c = m_c/m − (d_c/2m)²`` in integer ppm:
+
+        term1 = (10⁶·m_c) div m
+        r_c   = (10⁶·d_c) div (2m)          -- ≤ 10⁶ by construction
+        Q_ppm = term1 − (r_c·r_c) div 10⁶
+
+    Two-stage division instead of the single-division form
+    ``10⁶·(4·m·m_c − d_c²) div (4m²)``: the latter is exact but its
+    numerator wraps int64 at m ≈ 5·10⁷ edges, while here every
+    intermediate is bounded by ``10⁶·max(m_c, d_c) < 2⁶³`` up to
+    ~9·10¹² edges — the 100 TB regime. Both engines replay the
+    identical floor divisions, so the ±1 ppm quantization of term2
+    is bit-reproducible (portable-by-construction, like the DSIR
+    linearization; the oracle runs the same three divisions).
+
+    A component partition has NO inter-community edges, so
+    ``d_c = 2·m_c`` exactly and ``m_intra`` is derived as
+    ``d_sum div 2`` from the core degrees :func:`k_core` already
+    returns — no second edge-sized shuffle.
+
+    Scale shape: one :func:`k_core` peel (early-exiting), two
+    semi-joins to induce the core edge set, the
+    :func:`~dataflow_python_etl_spark.operators.corpus.dup_clusters`
+    pointer-jump flood (O(log diameter) rounds, loud on
+    non-convergence), and one community-sized agg. Everything keys
+    on node ids."""
+    from dataflow_python_etl_spark.operators.corpus import dup_clusters
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    core = k_core(edges, src, dst, k=k, rounds=rounds)
+    core_nodes = core.select("node")
+    canon = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    induced = register_cache(
+        canon.join(
+            core_nodes.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(core_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    )
+    labels = dup_clusters(
+        induced, id_a="src", id_b="dst", max_iterations=max_iterations
+    )
+    m_row = induced.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    comm = (
+        core.join(labels, "node")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("core_degree").cast("long").alias("d_sum"),
+        )
+    )
+    return comm.crossJoin(F.broadcast(m_row)).select(
+        F.col("cluster").alias("community"),
+        "n_nodes",
+        F.expr("d_sum div 2").cast("long").alias("m_intra"),
+        F.expr(
+            "(1000000 * (d_sum div 2)) div m - "
+            "(((1000000 * d_sum) div (2 * m)) * "
+            "((1000000 * d_sum) div (2 * m))) div 1000000"
+        )
+        .cast("long")
+        .alias("modularity_ppm"),
     )

@@ -265,12 +265,20 @@ def _gram_buckets(
     hashed unigram+bigram stream in document order. Both zip_with
     inputs are sliced to length size-1 — zip_with pads the SHORTER
     side with NULL, so zipping the full array against its shifted
-    self would append one NULL bigram per doc (measured)."""
+    self would append one NULL bigram per doc (measured).
+
+    Empty tokens are dropped BEFORE gram building: whitespace-only
+    text splits to [''] (split pads, it doesn't skip), which would
+    otherwise score against the ''-gram bucket and let an empty-ish
+    doc pass a DSIR gate — contradicting the documented "no
+    evidence, no ingest" contract (ADVICE r8). With the filter,
+    empty/whitespace docs genuinely produce zero rows, and bigrams
+    never carry a leading/trailing phantom token."""
     from dataflow_python_etl_spark.functions.text import md5_hash60, tokens
 
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
-    toks = tokens(text_col)
+    toks = F.filter(tokens(text_col), lambda x: F.length(x) > 0)
     n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, n_bi),
@@ -287,6 +295,66 @@ def _gram_buckets(
         (md5_hash60(F.concat(F.lit(hash_prefix), F.col("gram"))) % buckets).alias(
             "bucket"
         ),
+    )
+
+
+_LONG_MAX = 9223372036854775807
+
+
+def _dsir_weights(cs: DataFrame, ct: DataFrame, buckets: int) -> DataFrame:
+    """``(bucket, s)`` ppm weight table from per-bucket pool counts
+    ``cs = (bucket, cs)`` and target counts ``ct = (bucket, ct)`` —
+    the ONE copy of the linearized DSIR weight formula (ADVICE r8:
+    the dsir_scores / dsir_weight_table equivalence used to depend
+    on two inline copies staying byte-identical).
+
+    Overflow guard: ``10^6*(ct+1)*(Ts+B)`` silently wraps in Spark's
+    64-bit long while the DuckDB oracle computes it in INT128, so an
+    overflow would surface as a confusing cross-engine hash mismatch
+    instead of the documented "fit on a bounded sample" failure. The
+    filter-anchored raise_error fires exactly at the bound while the
+    check itself cannot overflow: nested positive floor division
+    ``(L div 10^6) div (Ts+B) == L div (10^6*(Ts+B))``, and
+    ``x > n div d  <=>  x*d > n`` for positive integers, so
+    ``ctm+1 > that floor  <=>  10^6*(ctm+1)*(Ts+B) > L`` exactly.
+    The numerator bound also covers the denominator: ``ctm >= Tt/B``
+    (max over <=B buckets >= mean), so the guard forces
+    ``Ts*Tt < B*2^63/10^6`` and ``(cs+1)*(Tt+B)`` fits with room."""
+    totals = cs.agg(F.sum("cs").cast("long").alias("Ts")).crossJoin(
+        ct.agg(
+            F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("Tt"),
+            F.coalesce(F.max("ct"), F.lit(0)).cast("long").alias("ctm"),
+        )
+    )
+    return (
+        cs.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .where(
+            F.when(
+                F.expr(
+                    f"ctm + 1 > ({_LONG_MAX} div 1000000) div (Ts + {buckets})"
+                ),
+                F.raise_error(
+                    F.concat(
+                        F.lit("dsir weights: 1000000*(ct+1)*(Ts+B) would "),
+                        F.lit("exceed the 64-bit bound (Ts="),
+                        F.col("Ts").cast("string"),
+                        F.lit(", max ct="),
+                        F.col("ctm").cast("string"),
+                        F.lit(f", B={buckets}) — fit the weight table on "),
+                        F.lit("a bounded sample (the DSIR paper's own "),
+                        F.lit("regime) before scoring the full pool"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"(1000000 * (coalesce(ct, 0) + 1) * (Ts + {buckets})) div "
+                f"((cs + 1) * (Tt + {buckets}))"
+            ).alias("s"),
+        )
     )
 
 
@@ -310,20 +378,7 @@ def dsir_weight_table(
     cnt = g.groupBy("bucket", "__t").agg(F.count(F.lit(1)).cast("long").alias("c"))
     ct = cnt.where(F.col("__t")).select("bucket", F.col("c").alias("ct"))
     cs = cnt.groupBy("bucket").agg(F.sum("c").alias("cs"))
-    totals = cs.agg(F.sum("cs").cast("long").alias("Ts")).crossJoin(
-        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("Tt"))
-    )
-    return (
-        cs.join(ct, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.expr(
-                f"(1000000 * (coalesce(ct, 0) + 1) * (Ts + {buckets})) div "
-                f"((cs + 1) * (Tt + {buckets}))"
-            ).alias("s"),
-        )
-    )
+    return _dsir_weights(cs, ct, buckets)
 
 
 def dsir_score_with(
@@ -397,34 +452,19 @@ def dsir_scores(
     derived from that (registered persist — three consumers), a
     broadcast join of the ≤B-row weight table, one per-doc agg. The
     fitted "model" never exists driver-side. Docs with no tokens
-    (NULL/empty text) produce no rows — they have no evidence either
-    way and callers keep or drop them explicitly."""
-    from dataflow_python_etl_spark.functions.text import md5_hash60, tokens
+    (NULL/empty/whitespace-only text) produce no rows — they have no
+    evidence either way and callers keep or drop them explicitly.
+
+    Gram fan-out and weight formula both live in ONE place
+    (:func:`_gram_buckets` / :func:`_dsir_weights`) shared with
+    :func:`dsir_weight_table` + :func:`dsir_score_with` — the pinned
+    ``dsir_score_with(df, dsir_weight_table(df, t)) ==
+    dsir_scores(df, t)`` equivalence holds by construction, not by
+    two copies staying byte-identical (ADVICE r8)."""
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
-    if buckets < 2:
-        raise ValueError(f"buckets must be >= 2, got {buckets}")
-    toks = tokens(text_col)
-    # both sides sliced to length size-1: zip_with pads the SHORTER
-    # input with NULL, so zipping the full array against its shifted
-    # self would append one NULL bigram per doc (measured)
-    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n_bi),
-        F.slice(toks, 2, n_bi),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    g = df.select(
-        F.col(id_col),
-        target.alias("__t"),
-        F.explode(F.concat(toks, bigrams)).alias("gram"),
-    ).select(
-        id_col,
-        "__t",
-        (md5_hash60(F.concat(F.lit(hash_prefix), F.col("gram"))) % buckets).alias(
-            "bucket"
-        ),
-    )
+    base = df.select(F.col(id_col), target.alias("__t"), F.col(text_col))
+    g = _gram_buckets(base, id_col, text_col, buckets, hash_prefix, ("__t",))
     per_doc = register_cache(
         g.groupBy(id_col, "__t", "bucket").agg(
             F.count(F.lit(1)).cast("long").alias("c")
@@ -436,20 +476,7 @@ def dsir_scores(
         .agg(F.sum("c").alias("ct"))
     )
     cs = per_doc.groupBy("bucket").agg(F.sum("c").alias("cs"))
-    totals = cs.agg(F.sum("cs").cast("long").alias("Ts")).crossJoin(
-        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("Tt"))
-    )
-    weights = (
-        cs.join(ct, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.expr(
-                f"(1000000 * (coalesce(ct, 0) + 1) * (Ts + {buckets})) div "
-                f"((cs + 1) * (Tt + {buckets}))"
-            ).alias("s"),
-        )
-    )
+    weights = _dsir_weights(cs, ct, buckets)
     return (
         per_doc.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)

@@ -7181,17 +7181,27 @@ def q154_pq_grid_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _k_core_oracle_sql(k: int = 4, rounds: int = 16) -> str:
-    """Unroll the k_core peel loop (operators.graph.k_core) exactly
-    ``rounds`` times — the PageRank loop ≡ unrolled discipline, valid
-    because peeling is monotone (post-fixpoint rounds are no-ops) and
-    the Spark side runs the SAME fixed round count with a raise_error
-    convergence guard. Degrees are exact integers; the sparsification
-    keep-test is an integer cross-multiply over the portable md5
-    hash, so the whole query is float-free."""
+def _k_core_peel_ctes(
+    k: int = 4, rounds: int = 16, e0_ctes: str | None = None
+) -> str:
+    """The WITH-prefix shared by q155/q160: an edge set ``e0`` plus
+    ``rounds`` unrolled peel rounds ending at ``e{rounds}`` — the
+    PageRank loop ≡ unrolled discipline, valid because peeling is
+    monotone (post-fixpoint rounds are no-ops) while the Spark side
+    early-exits at the SAME fixpoint under a raise_error convergence
+    guard. ``e0_ctes`` (a full ``WITH ... e0 AS (...)`` prefix)
+    defaults to q155's hash-sparsified co-purchase graph; q160
+    passes its brand-blocked variant. Degrees are exact integers;
+    the keep-tests are integer cross-multiplies over the portable
+    md5 hash, so the whole prefix is float-free. Every iterated CTE
+    is AS MATERIALIZED (round-8 pitfall: DuckDB CTEs re-expand per
+    reference, and each round references the prior frame multiple
+    times)."""
     h = _md5h60_sql("'kcore-v1:' || a || ':' || b")
     sql = [
-        f"""
+        e0_ctes
+        if e0_ctes is not None
+        else f"""
     WITH de AS MATERIALIZED (
         SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
         FROM lineitem l1 JOIN lineitem l2
@@ -7221,14 +7231,18 @@ def _k_core_oracle_sql(k: int = 4, rounds: int = 16) -> str:
         WHERE da.d >= {k} AND db.d >= {k}
     )"""
         )
-    sql.append(
-        f"""
+    return "".join(sql)
+
+
+def _k_core_oracle_sql(k: int = 4, rounds: int = 16) -> str:
+    return (
+        _k_core_peel_ctes(k, rounds)
+        + f"""
     SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree FROM (
         SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
     ) GROUP BY n
     """
     )
-    return "".join(sql)
 
 
 @_q(
@@ -7242,18 +7256,34 @@ def _k_core_oracle_sql(k: int = 4, rounds: int = 16) -> str:
     "'kcore-v1:a:b' mod 1e6) * n_edges < 3e6 * n_nodes, an exact "
     "integer cross-multiply both engines share — which makes the "
     "peel cascade nontrivial (measured 3/6/9 rounds to fixpoint at "
-    "sf0.001/0.01/0.1). operators.graph.k_core runs EXACTLY 16 "
-    "synchronous peel rounds (each round references the prior frame "
-    "5x, so the plan tree is exponential without truncation — eager "
-    "localCheckpoint EVERY round) with a filter-anchored raise_error "
-    "fixpoint guard (all output degrees >= k ⟺ converged), so the "
-    "oracle unrolls the identical 16 rounds — loop ≡ unrolled, as "
-    "PageRank. Integer degrees end-to-end: no float discipline "
-    "needed.",
+    "sf0.001/0.01/0.1). operators.graph.k_core peels under a 16-round "
+    "hard cap (each round references the prior frame 5x, so the plan "
+    "tree is exponential without truncation — eager localCheckpoint "
+    "EVERY round) and EARLY-EXITS one round after the edge count "
+    "stabilizes, riding a count() on the frame the round just "
+    "checkpointed; a filter-anchored raise_error fixpoint guard (all "
+    "output degrees >= k ⟺ converged) keeps the cap loud. The oracle "
+    "unrolls the full 16 rounds — valid because peeling is monotone, "
+    "post-fixpoint rounds are no-ops (loop ≡ unrolled, as PageRank). "
+    "Integer degrees end-to-end: no float discipline needed.",
 )
 def q155_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataflow_python_etl_spark.functions.text import md5_hash60
     from dataflow_python_etl_spark.operators.graph import k_core
+
+    return k_core(
+        _sparse_copurchase_edges(spark, sf_dir), k=4, rounds=16, checkpoint_every=1
+    )
+
+
+def _sparse_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-sparsified part co-purchase graph shared by q155 and
+    q160 (mirrors the ``de``/``st``/``e0`` oracle CTEs in
+    :func:`_k_core_peel_ctes`): the dense co-purchase graph (min
+    degree ~50) sparsified to mean degree ~6 by a DATA-DERIVED keep
+    rate — edge survives iff (portable md5 of 'kcore-v1:a:b' mod
+    1e6) * n_edges < 3e6 * n_nodes, an exact integer cross-multiply
+    both engines share."""
+    from dataflow_python_etl_spark.functions.text import md5_hash60
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
@@ -7276,19 +7306,21 @@ def q155_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").cast("string"),
         )
     )
-    sparse = (
+    return (
         edges.crossJoin(F.broadcast(stats))
         .where((h % F.lit(1_000_000)) * F.col("ne") < F.lit(3_000_000) * F.col("nn"))
         .select("src", "dst")
     )
-    return k_core(sparse, k=4, rounds=16, checkpoint_every=1)
 
 
 @_q(
     "q156_dsir_selection",
     f"""
     WITH tok AS MATERIALIZED (
-        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
     ),
     g AS MATERIALIZED (
         SELECT doc_id,
@@ -7382,7 +7414,10 @@ def _html_rules_sql(expr: str) -> str:
 _HTML_SYNTH_SQL = """'<html><head><title>' || substr(text, 1, 16)
         || '</title><style>p{margin:0}</style><script>var x="'
         || substr(text, 17, 24) || '";</script></head><body><!-- '
-        || substr(text, 9, 8) || ' --><h1>' || upper(substr(text, 1, 12))
+        || substr(text, 9, 8) || ' --><h1>'
+        || translate(substr(text, 1, 12),
+                     'abcdefghijklmnopqrstuvwxyz',
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
         || '</h1><p>' || substr(text, 25, 80)
         || ' &amp;amp; &lt;b&gt;</p><div class="x">' || substr(text, 105, 80)
         || '&nbsp;&#39;q&#39;</div><ul><li>' || substr(text, 185, 60)
@@ -7398,13 +7433,14 @@ _HTML_SYNTH_SQL = """'<html><head><title>' || substr(text, 1, 16)
     ),
     h AS (
         SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM d
+    ),
+    e AS MATERIALIZED (
+        SELECT doc_id, {_html_rules_sql('html')} AS text FROM h
     )
-    SELECT doc_id,
-           {_html_rules_sql('html')} AS text,
-           CAST(len(string_split({_html_rules_sql('html')}, chr(10)))
-                AS BIGINT) AS n_lines,
-           CAST(length({_html_rules_sql('html')}) AS BIGINT) AS n_chars
-    FROM h
+    SELECT doc_id, text,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM e
     """,
     "HTML-to-text main-content extraction (functions.text."
     "html_to_text) — the crawl-ingest tier-0 step before any text "
@@ -7433,19 +7469,39 @@ def q157_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<html><head><title>"), sub(1, 16),
         F.lit('</title><style>p{margin:0}</style><script>var x="'),
         sub(17, 24), F.lit('";</script></head><body><!-- '),
-        sub(9, 8), F.lit(" --><h1>"), F.upper(sub(1, 12)),
+        sub(9, 8), F.lit(" --><h1>"),
+        # translate, not upper(): Spark upper() is Java full/locale case
+        # mapping (ß→SS, length-changing) while DuckDB's is utf8proc
+        # simple mapping — they diverge on non-ASCII. An explicit
+        # a-z→A-Z codepoint map is parity-by-construction either way
+        # the driver regenerates the corpus (ADVICE r8).
+        F.translate(
+            sub(1, 12),
+            "abcdefghijklmnopqrstuvwxyz",
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        ),
         F.lit("</h1><p>"), sub(25, 80),
         F.lit(' &amp;amp; &lt;b&gt;</p><div class="x">'), sub(105, 80),
         F.lit("&nbsp;&#39;q&#39;</div><ul><li>"), sub(185, 60),
         F.lit("</li><li>"), sub(245, 60),
         F.lit("</li></ul></body></html>"),
     )
+    # The 13-step rule chain is the hottest expression here; three
+    # sibling projections (text, n_lines, n_chars) would evaluate it
+    # 3x per row (the measured N-sibling pitfall — CollapseProject
+    # undoes a withColumn). A one-element explode is a Generate
+    # boundary the collapser cannot merge through: the chain runs
+    # once per row, the derived columns read the generated attribute.
+    # The oracle mirrors with an AS MATERIALIZED CTE (ADVICE r8).
     out = html_to_text(html)
-    return docs.select(
+    extracted = docs.select(
+        "doc_id", F.explode(F.array(out)).alias("text")
+    )
+    return extracted.select(
         "doc_id",
-        out.alias("text"),
-        F.size(F.split(out, "\n")).cast("long").alias("n_lines"),
-        F.length(out).cast("long").alias("n_chars"),
+        "text",
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -7586,6 +7642,172 @@ def q159_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "adc_sim")
     )
+
+
+def _brand_block_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q160's planted-partition graph (mirrors the ``de``/``bd``/
+    ``nct``/``e0`` oracle CTEs in :func:`_core_communities_oracle_sql`):
+    the co-purchase graph restricted to INTRA-BRAND edges (25 brand
+    blocks, intra mean degree ~3.7 at every SF — the co-purchase
+    densities are scale-invariant) plus a DATA-DERIVED trickle of
+    cross-brand edges: a cross edge survives iff (portable md5 of
+    'comm-v1:a:b' mod 1e6) * n_cross < 8e6 — expected survivors ≈ 8
+    at ANY scale factor (the q155 normalization trick pointed at a
+    constant instead of a mean degree), so a handful of blocks merge
+    and the community structure stays plural and data-dependent
+    instead of collapsing into one blob as the unblocked graph does
+    (measured: the 4-core of q155's graph is ONE component at every
+    SF — a random co-purchase graph has no communities to find)."""
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    de = (
+        parts.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    brand = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bd = de.join(
+        F.broadcast(
+            brand.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("ba"))
+        ),
+        "src",
+    ).join(
+        F.broadcast(
+            brand.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("bb"))
+        ),
+        "dst",
+    )
+    intra = bd.where(F.col("ba") == F.col("bb")).select("src", "dst")
+    cross = bd.where(F.col("ba") != F.col("bb"))
+    nc_row = cross.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    h = md5_hash60(
+        F.concat(
+            F.lit("comm-v1:"),
+            F.col("src").cast("string"),
+            F.lit(":"),
+            F.col("dst").cast("string"),
+        )
+    )
+    kept_cross = (
+        cross.crossJoin(F.broadcast(nc_row))
+        .where((h % F.lit(1_000_000)) * F.col("nc") < F.lit(8_000_000))
+        .select("src", "dst")
+    )
+    return intra.unionAll(kept_cross)
+
+
+_BRAND_BLOCK_E0_CTES = f"""
+    WITH de AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    bd AS MATERIALIZED (
+        SELECT de.a, de.b, pa.p_brand AS ba, pb.p_brand AS bb
+        FROM de JOIN part pa ON de.a = pa.p_partkey
+                JOIN part pb ON de.b = pb.p_partkey
+    ),
+    nct AS MATERIALIZED (SELECT count(*) AS nc FROM bd WHERE ba <> bb),
+    e0 AS MATERIALIZED (
+        SELECT a, b FROM bd WHERE ba = bb
+        UNION ALL
+        SELECT a, b FROM bd, nct
+        WHERE ba <> bb
+          AND ({_md5h60_sql("'comm-v1:' || a || ':' || b")} % 1000000) * nc
+              < 8000000
+    )"""
+
+
+def _core_communities_oracle_sql(
+    k: int = 2, peel_rounds: int = 16, label_rounds: int = 16
+) -> str:
+    """q160 oracle: the brand-block e0 + peel prefix, then ``label_rounds``
+    unrolled min-label rounds WITH POINTER JUMPING (each round every
+    node takes the min of its label, its label's label, and its
+    neighbors' labels — reach at least doubles per round, so 16
+    rounds cover any diameter ≤ 2^16; the Spark side's dup_clusters
+    runs the same jump+min update and raises loudly if IT doesn't
+    reach the fixpoint, so a silent oracle shortfall would surface
+    as a Spark error first). Every label CTE is referenced 3× by the
+    next round ⇒ AS MATERIALIZED throughout (round-8 DuckDB pitfall).
+    The modularity arithmetic replays the operator's exact integer
+    divisions; DuckDB sum() returns INT128, so every output is CAST
+    back to BIGINT for schema parity."""
+    R = peel_rounds
+    sql = [_k_core_peel_ctes(k, R, e0_ctes=_BRAND_BLOCK_E0_CTES)]
+    sql.append(
+        f""",
+    sym AS MATERIALIZED (
+        SELECT a AS s, b AS t FROM e{R} UNION ALL SELECT b, a FROM e{R}
+    ),
+    degc AS MATERIALIZED (
+        SELECT s AS n, count(*) AS d FROM sym GROUP BY s
+    ),
+    mt AS MATERIALIZED (SELECT count(*) AS m FROM e{R}),
+    l0 AS MATERIALIZED (SELECT n AS node, n AS lab FROM degc)"""
+    )
+    for r in range(1, label_rounds + 1):
+        sql.append(
+            f""",
+    l{r} AS MATERIALIZED (
+        SELECT l.node,
+               least(l.lab,
+                     coalesce(j.lab, l.lab),
+                     coalesce(nm.mn, l.lab)) AS lab
+        FROM l{r - 1} l
+        LEFT JOIN l{r - 1} j ON l.lab = j.node
+        LEFT JOIN (
+            SELECT e.s AS node, min(x.lab) AS mn
+            FROM sym e JOIN l{r - 1} x ON e.t = x.node
+            GROUP BY e.s
+        ) nm ON l.node = nm.node
+    )"""
+        )
+    return "".join(sql) + f"""
+    SELECT lab AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d) // 2 AS BIGINT) AS m_intra,
+           CAST((1000000 * (sum(d) // 2)) // m
+                - (((1000000 * sum(d)) // (2 * m))
+                   * ((1000000 * sum(d)) // (2 * m))) // 1000000
+                AS BIGINT) AS modularity_ppm
+    FROM l{label_rounds} l JOIN degc ON l.node = degc.n, mt
+    GROUP BY lab, m
+    """
+
+
+@_q(
+    "q160_core_communities",
+    _core_communities_oracle_sql(),
+    "Community detection the oracle-able way (SURVEY §8.3 / VERDICT "
+    "r8 #5): deterministic min-label propagation restricted to the "
+    "2-core of the brand-blocked co-purchase graph (25 intra-brand "
+    "blocks + a data-derived ~8-edge cross-brand trickle — the "
+    "unblocked graph is ONE component at every SF, measured; a "
+    "planted partition is what makes community detection non-vacuous "
+    "on TPC-H-shaped data), plus an exact-integer Newman-Girvan "
+    "modularity column. Classic mode-update LPA is tie-break-"
+    "nondeterministic, so the community rule is min-label flood to "
+    "FIXPOINT — connected components of the core subgraph, a unique "
+    "engine-independent assignment — computed by operators.graph."
+    "core_communities via the dup_clusters pointer-jump machinery "
+    "(O(log diameter) rounds, loud on non-convergence). Modularity "
+    "per community Q_c = m_c/m - (d_c/2m)^2 in ppm via three "
+    "portable floor divisions whose intermediates stay under 2^63 "
+    "to ~9e12 edges (the two-stage r_c = (1e6*d_c) div 2m form, not "
+    "the single-division form that wraps at m~5e7); a component "
+    "partition has no inter-community edges so m_c = d_sum div 2 "
+    "exactly — no second edge shuffle. The oracle unrolls the peel "
+    "(16 no-op-padded rounds) then 16 jump+min label rounds, all "
+    "AS MATERIALIZED.",
+)
+def q160_core_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.graph import core_communities
+
+    return core_communities(_brand_block_edges(spark, sf_dir), k=2, rounds=16)
 
 
 # The registry is re-inserted in numeric key order so dict iteration

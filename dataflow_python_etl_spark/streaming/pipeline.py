@@ -392,9 +392,12 @@ def stream_dedup_ingest(
     is under ``min_dsir_ppm`` are dropped before signing (integer
     cross-multiply — the raw score is a length-scaled sum; default
     threshold 1_000_000 = mean ratio 1: keep docs whose hashed-n-gram
-    profile is net target-like). Docs with no tokens produce no
-    score and are DROPPED by this gate (a quality gate requires
-    evidence); both gates are deterministic, so crash replays
+    profile is net target-like). Docs with no tokens — NULL, empty,
+    or whitespace-only text (``_gram_buckets`` drops zero-length
+    tokens, so the '' split artifact never reaches the ''-gram
+    bucket; ADVICE r8) — produce no score and are DROPPED by this
+    gate (a quality gate requires evidence; "no evidence, no
+    ingest"); both gates are deterministic, so crash replays
     re-drop the same docs. Crash safety (both guards): the index is
     appended FIRST, then the corpus, then (watermark mode) the
     watermark. A crash between index and corpus appends re-processes

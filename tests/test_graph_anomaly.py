@@ -386,6 +386,55 @@ def test_k_core_known_graph(spark):
     assert k_core(df, k=4).count() == 0  # empty core: no rows, no error
 
 
+def test_k_core_early_exit_rounds(spark):
+    """The early exit rides a count() on the frame each round just
+    localCheckpointed and stops one round after the cascade settles
+    (unchanged edge count ⟺ fixpoint, peeling is monotone) — the
+    fixed `rounds` cap stops being the typical cost (q155 measured
+    8.8 s at sf0.01 vs 6.1 s at sf0.1: pure no-op-round overhead).
+    Pin measured rounds == cascade depth + 1 on known graphs, exact
+    result parity with the capped run, and that the exit never
+    triggers when the cadence isn't materializing frames."""
+    from dataflow_python_etl_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + pendant 3-4: cascade depth 1 (one peel
+    # removes the pendant, the next confirms stability)
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src: long, dst: long"
+    )
+    stats = {}
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(tri, k=2, rounds=16, stats=stats).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert stats == {"rounds_run": 2, "converged_early": True}
+
+    # 5-node path under k=2 empties in 2 peels; exit confirms on the 3rd
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src: long, dst: long"
+    )
+    stats = {}
+    assert k_core(path, k=2, rounds=16, stats=stats).count() == 0
+    assert stats == {"rounds_run": 3, "converged_early": True}
+
+    # early_exit off: the full cap runs (result identical)
+    stats = {}
+    assert (
+        k_core(path, k=2, rounds=16, early_exit=False, stats=stats).count() == 0
+    )
+    assert stats == {"rounds_run": 16, "converged_early": False}
+
+    # no checkpoint cadence: nothing is materialized, so the exit
+    # never counts an uncheckpointed (growing) plan — cap runs
+    stats = {}
+    assert (
+        k_core(path, k=2, rounds=4, checkpoint_every=None, stats=stats).count()
+        == 0
+    )
+    assert stats == {"rounds_run": 4, "converged_early": False}
+
+
 def test_k_core_convergence_guard_and_validation(spark):
     """A peel that needs more rounds than granted must FAIL LOUDLY
     (filter-anchored raise_error), not return a non-core: a path of
@@ -408,3 +457,36 @@ def test_k_core_convergence_guard_and_validation(spark):
         k_core(df, k=0)
     with pytest.raises(ValueError, match="rounds"):
         k_core(df, k=2, rounds=0)
+
+
+def test_core_communities_known_graph(spark):
+    """Hand-computed modularity on planted structure: two disjoint
+    triangles under k=2 are two communities with Q_c = 3/6 - (6/12)^2
+    = 1/4 each (total 1/2, the two-equal-blocks textbook value);
+    bridging them with one edge collapses the partition to ONE
+    community whose modularity is exactly 0 (m_c = m); a path graph
+    has an empty 2-core — no rows, no error."""
+    from dataflow_python_etl_spark.operators.graph import core_communities
+
+    tris = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)]
+    # pendant 6-7 peels out of the 2-core before labeling
+    df = spark.createDataFrame(tris + [(6, 7)], "src: long, dst: long")
+    rows = {r["community"]: r for r in core_communities(df, k=2).collect()}
+    assert set(rows) == {1, 4}
+    for c in (1, 4):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["m_intra"] == 3
+        assert rows[c]["modularity_ppm"] == 250_000
+
+    bridged = spark.createDataFrame(tris + [(3, 4)], "src: long, dst: long")
+    out = core_communities(bridged, k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["community"], r["n_nodes"], r["m_intra"], r["modularity_ppm"]) == (
+        1, 6, 7, 0,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src: long, dst: long"
+    )
+    assert core_communities(path, k=2).count() == 0

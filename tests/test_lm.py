@@ -280,6 +280,43 @@ def test_dsir_weight_table_compose_and_unseen_fallback(spark):
     fresh_buckets = [bucket(g) for g in t + [f"{a} {b}" for a, b in zip(t, t[1:])]]
     if not (set(fresh_buckets) & fit_buckets):
         assert r[0]["dsir_score_ppm"] == 5_000_000
-    # no-token doc: no score row at all
-    empty = spark.createDataFrame([(10, None)], "doc_id: long, text: string")
+    # no-token docs: no score row at all. NULL text produces no gram
+    # rows trivially; empty and whitespace-only text split to ['']
+    # (split pads, it doesn't skip) and would score against the
+    # ''-gram bucket without _gram_buckets' zero-length-token filter
+    # (ADVICE r8) — all three must vanish, "no evidence, no ingest".
+    empty = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "   \t ")], "doc_id: long, text: string"
+    )
     assert dsir_score_with(empty, weights, buckets=B).count() == 0
+
+
+def test_dsir_weight_overflow_guard(spark):
+    """The 10^6*(ct+1)*(Ts+B) numerator silently wraps in a 64-bit
+    long while the DuckDB oracle computes INT128 — the guard must
+    fail LOUDLY at the documented bound instead of surfacing as a
+    cross-engine hash mismatch (ADVICE r8). Driven through
+    _dsir_weights directly with fabricated bucket counts so the test
+    doesn't need a 10^13-gram corpus."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dataflow_python_etl_spark.operators.lm import _dsir_weights
+
+    # Ts = ctm = 10^13: ctm+1 far exceeds (2^63-1 div 10^6) div (Ts+B)
+    cs = spark.createDataFrame([(0, 10**13)], "bucket: long, cs: long")
+    ct = spark.createDataFrame([(0, 10**13)], "bucket: long, ct: long")
+    with pytest.raises(SparkRuntimeException, match="64-bit bound"):
+        _dsir_weights(cs, ct, 1024).collect()
+
+    # comfortably inside the bound: same formula, no raise
+    cs_ok = spark.createDataFrame(
+        [(0, 100), (1, 50)], "bucket: long, cs: long"
+    )
+    ct_ok = spark.createDataFrame([(0, 40)], "bucket: long, ct: long")
+    rows = {r["bucket"]: r["s"] for r in _dsir_weights(cs_ok, ct_ok, 64).collect()}
+    Ts, Tt, B = 150, 40, 64
+    assert rows == {
+        0: (1_000_000 * 41 * (Ts + B)) // (101 * (Tt + B)),
+        1: (1_000_000 * 1 * (Ts + B)) // (51 * (Tt + B)),
+    }

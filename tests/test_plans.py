@@ -511,3 +511,28 @@ def test_k_core_query_stays_jvm(spark):
     plan = explain_str(df, "simple")
     assert "EvalPython" not in plan
     assert "Filter" in plan and "raise_error" in plan, plan
+
+
+def test_html_extract_rule_chain_evaluated_once(spark):
+    """q157 derives text/n_lines/n_chars from ONE evaluation of the
+    13-step regexp chain behind a one-element explode — a Generate
+    boundary CollapseProject cannot merge through (the measured
+    N-sibling re-evaluation pitfall put 3x the hottest expression on
+    every row before). The script|style rule carries the token twice
+    WITHIN one pattern (open + close tag alternation), so a single
+    chain evaluation shows exactly 2 occurrences in the optimized
+    plan (the old triple-sibling shape showed 6), inside a Generate."""
+    df = _q(spark, "q157_html_extract")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("script|style") == 2, plan.count("script|style")
+    assert "Generate" in plan
+
+
+def test_core_communities_query_stays_jvm(spark):
+    """q160's peel + flood + modularity arithmetic is all Catalyst:
+    no EvalPython anywhere, and the modularity floor divisions stay
+    integer (no cast to double sneaks in via pow())."""
+    df = _q(spark, "q160_core_communities")
+    plan = explain_str(df, "simple")
+    assert "EvalPython" not in plan
+    assert "POWER" not in plan.upper() or "pow(" not in plan
