@@ -1036,6 +1036,92 @@ def cdc_segment_hashes(samples) -> list:
     return [int(h) for h, L in zip(hs, lens) if L >= _CDC_MIN_SEG]
 
 
+def cdc_state_new() -> tuple:
+    """Fresh carry state for :func:`cdc_push_chunk` — the BOUNDED
+    (O(_CDC_WINDOW)) cross-chunk residue that makes hour-scale media
+    chunk-CDC-able online: ``(tail, seg_sum, seg_len, n_seen)`` where
+    ``tail`` is the last ≤ W−1 samples (rolling-window continuation),
+    ``seg_sum``/``seg_len`` the open segment's weighted sum (mod
+    _CDC_HASH_MOD) and length, ``n_seen`` the global sample count."""
+    return ([], 0, 0, 0)
+
+
+def cdc_push_chunk(state: tuple, samples) -> tuple:
+    """Feed the next in-order chunk of a clip through the CDC cutter;
+    returns ``(new_state, completed_segment_hashes)``.
+
+    INVARIANT (property-pinned in tests/test_multimodal_containment):
+    for any split of a sample array into ordered chunks,
+    ``push*; finish`` emits exactly ``cdc_segment_hashes(concat)`` —
+    boundary decisions use global positions (the tail carries the
+    W−1 window overlap), and the open segment's positional weights
+    continue from ``seg_len``, so chunk boundaries are invisible to
+    the math. Per-chunk cost is the batch kernel's (vectorized
+    sliding window + reduceat); carry state stays O(W) no matter how
+    long the recording — THIS is what lets the streaming sink CDC a
+    clip that never fits one micro-batch row. ``seg_sum`` is reduced
+    mod _CDC_HASH_MOD per push (congruent to the batch kernel's
+    end-fold; also removes the batch kernel's theoretical int64 wrap
+    on a pathological 10-hour cut-free segment)."""
+    import numpy as np
+
+    tail, seg_sum, seg_len, n_seen = state
+    c = np.rint(np.asarray(samples, dtype=np.float64)).astype(np.int64)
+    m = int(c.shape[0])
+    if m == 0:
+        return state, []
+    w = _CDC_WINDOW
+    t = len(tail)
+    ext = np.concatenate((np.asarray(tail, dtype=np.int64), c))
+    cuts = np.zeros(m, dtype=np.int64)
+    if t + m >= w:
+        weights = np.array(
+            [pow(_CDC_BASE, j, _CDC_DIVISOR) for j in range(w - 1, -1, -1)],
+            dtype=np.int64,
+        )
+        rh = np.lib.stride_tricks.sliding_window_view(ext, w) @ weights
+        # rh[idx] scores the window ending at ext position idx+w-1 =
+        # chunk position idx+w-1-t; the first chunk position with a
+        # full GLOBAL window is max(w-1-t, 0) (t = min(n_seen, w-1),
+        # so this is exactly the batch kernel's i >= w-1 rule)
+        pstart = max(w - 1 - t, 0)
+        cuts[pstart:] = (rh % _CDC_DIVISOR) == 0
+    seg_idx = np.concatenate(([0], np.cumsum(cuts)[:-1]))
+    starts = np.flatnonzero(np.concatenate(([1], np.diff(seg_idx))))
+    lens = np.diff(np.concatenate((starts, [m])))
+    pos = np.arange(m, dtype=np.int64) - np.repeat(starts, lens)
+    pos[: int(lens[0])] += seg_len  # open segment: j continues
+    wgt = (pos * _CDC_WEIGHT_MUL + 1) % _CDC_WEIGHT_MOD
+    sums = np.add.reduceat(c * wgt, starts) % _CDC_HASH_MOD
+    total_lens = lens.copy()
+    total_lens[0] += seg_len
+    sums[0] = (sums[0] + seg_sum) % _CDC_HASH_MOD
+    ends_with_cut = bool(cuts[m - 1])
+    n_done = len(starts) if ends_with_cut else len(starts) - 1
+    out = [
+        int(sums[i])
+        for i in range(n_done)
+        if total_lens[i] >= _CDC_MIN_SEG
+    ]
+    if ends_with_cut:
+        new_sum, new_len = 0, 0
+    else:
+        new_sum, new_len = int(sums[-1]), int(total_lens[-1])
+    new_tail = ext[-(w - 1):] if ext.shape[0] >= w - 1 else ext
+    return (new_tail.tolist(), new_sum, new_len, n_seen + m), out
+
+
+def cdc_finish(state: tuple) -> list:
+    """Close the open segment at end-of-clip: one final hash if it
+    meets _CDC_MIN_SEG, else nothing (matches the batch kernel's
+    remainder-segment rule; a cut on the clip's last sample leaves
+    an empty open segment and emits nothing)."""
+    _tail, seg_sum, seg_len, _n_seen = state
+    if seg_len >= _CDC_MIN_SEG:
+        return [int(seg_sum % _CDC_HASH_MOD)]
+    return []
+
+
 SEGMENT_HASH_SCHEMA = T.StructType(
     [
         T.StructField("audio_id", T.LongType()),

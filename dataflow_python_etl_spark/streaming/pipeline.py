@@ -1254,6 +1254,328 @@ def stream_text_containment_ingest(
     )
 
 
+# ---------------------------------------------------------------------------
+# Chunked-CDC streaming containment for LONG media (VERDICT r8 #3):
+# an hour-scale recording never fits one micro-batch row, so it
+# arrives as ordered (clip_id, chunk_seq, samples) PCM chunk rows —
+# possibly spread across micro-batches — and the CDC segmenter must
+# re-assemble per clip with BOUNDED carry state (multimodal.
+# cdc_push_chunk: W-1 window tail + the open segment's partials,
+# O(W) per open clip regardless of recording length).
+# ---------------------------------------------------------------------------
+
+CHUNK_STATE_DDL = (
+    "clip_id long, tail array<double>, seg_sum long, seg_len long, "
+    "n_seen long, next_seq long"
+)
+_CHUNK_UPD_DDL = (
+    "clip_id long, seg_hashes array<long>, tail array<double>, "
+    "seg_sum long, seg_len long, n_seen long, next_seq long, "
+    "finished boolean"
+)
+
+
+def _read_applied_batch(table_path: str) -> int | None:
+    import json
+    import os
+
+    p = os.path.join(table_path, "_applied_batch.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["batch_id"])
+
+
+def apply_chunked_audio_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    seg_path: str,
+    state_path: str,
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "clip_id",
+    min_containment_ppm: int = 600_000,
+) -> None:
+    """One foreachBatch application of the chunked-audio containment
+    sink — module-level (the ``apply_ivf_index_batch`` precedent) so
+    tests drive the exact production path deterministically and the
+    streamed-vs-batch parity pin needs no micro-batch timing.
+
+    Batch rows: ``(clip_id, chunk_seq, samples array<double>,
+    is_last boolean)`` — decoded PCM chunks IN ORDER per clip (chunk
+    splitting/container decode is the upstream landing contract at
+    100 TB; this sink owns reassembly, not demuxing). Out-of-order
+    or gapped arrival raises loudly: a reorder buffer is upstream's
+    job, and a silently mis-ordered chunk would fabricate segment
+    boundaries.
+
+    Idempotence matrix (foreachBatch is AT-LEAST-once; every write
+    here is a deterministic function of (state as of B−1, batch B)):
+
+    - completed segment hashes → ``seg_path`` partition
+      ``ingest_batch=B`` via DYNAMIC partition overwrite (replay
+      rewrites its own partition — the stream_docs_to_search_index
+      pattern);
+    - survivor index rows / corpus metadata → same pattern on
+      ``index_path`` / ``corpus_path``;
+    - carry state → ``write_and_swap`` with the ``_applied_batch``
+      ledger INSIDE the swap (the refresh_additive_agg pattern), and
+      this swap happens LAST, so a crash anywhere earlier replays
+      into identical partition overwrites, and a replay after the
+      swap is a recorded no-op.
+
+    Decision rule (the other ingest sinks' survivor contract): a
+    clip that FINISHES this batch is dropped iff its CDC segment
+    multiset is contained ≥ ``min_containment_ppm`` in any already-
+    ingested clip (exact-integer cross-multiply, multiset least/min
+    — the batch ``audio_containment_pairs`` arithmetic) or in any
+    lower-id clip finishing in the same batch; a clip whose every
+    segment fell under the CDC minimum has no evidence and is
+    dropped ("no evidence, no ingest" — the DSIR-gate discipline).
+    """
+    import json
+    import os
+
+    import pandas as pd
+
+    from dataflow_python_etl_spark.operators.multimodal import (
+        cdc_finish,
+        cdc_push_chunk,
+        cdc_state_new,
+    )
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    spark = batch_df.sparkSession
+    applied = _read_applied_batch(state_path)
+    if applied is not None and batch_id <= applied:
+        return  # fully committed — replay is a no-op
+    if (
+        not os.path.exists(corpus_path)
+        and batch_id > 0
+        and (os.path.exists(index_path) or os.path.exists(state_path))
+    ):
+        raise RuntimeError(
+            f"chunked audio ingest restart at batch {batch_id} but corpus "
+            f"{corpus_path} is missing — refusing to rebuild from a single "
+            "batch; restore the corpus or start a fresh checkpoint."
+        )
+    chunks = batch_df.select(
+        F.col(id_col).alias("clip_id"), "chunk_seq", "samples", "is_last"
+    )
+    if chunks.isEmpty():
+        return
+    state = (
+        spark.read.parquet(state_path)
+        if os.path.exists(state_path)
+        else spark.createDataFrame([], CHUNK_STATE_DDL)
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_seq")
+        first = pdf.iloc[0]
+        if pd.isna(first["next_seq"]):
+            st, nxt = cdc_state_new(), 0
+        else:
+            st = (
+                list(first["tail"]),
+                int(first["seg_sum"]),
+                int(first["seg_len"]),
+                int(first["n_seen"]),
+            )
+            nxt = int(first["next_seq"])
+        seqs = [int(s) for s in pdf["chunk_seq"]]
+        if seqs[0] != nxt or any(b != a + 1 for a, b in zip(seqs, seqs[1:])):
+            raise ValueError(
+                f"chunked audio ingest: clip {int(first['clip_id'])} chunks "
+                f"arrived out of order (expected seq {nxt}, got {seqs}) — "
+                "ordered delivery is the upstream contract"
+            )
+        lasts = [bool(x) for x in pdf["is_last"]]
+        if any(lasts[:-1]):
+            raise ValueError(
+                f"chunked audio ingest: clip {int(first['clip_id'])} has "
+                "is_last on a non-final chunk"
+            )
+        hashes: list = []
+        for samples in pdf["samples"]:
+            st, hs = cdc_push_chunk(st, samples)
+            hashes.extend(hs)
+        finished = lasts[-1]
+        if finished:
+            hashes.extend(cdc_finish(st))
+        tail, seg_sum, seg_len, n_seen = st
+        return pd.DataFrame(
+            [
+                {
+                    "clip_id": int(first["clip_id"]),
+                    "seg_hashes": hashes,
+                    "tail": [float(x) for x in tail],
+                    "seg_sum": seg_sum,
+                    "seg_len": seg_len,
+                    "n_seen": n_seen,
+                    "next_seq": seqs[-1] + 1,
+                    "finished": finished,
+                }
+            ]
+        )
+
+    upd = (
+        chunks.join(state, "clip_id", "left")
+        .groupBy("clip_id")
+        .applyInPandas(kernel, _CHUNK_UPD_DDL)
+        .localCheckpoint(eager=True)  # 4 consumers; kernel runs once
+    )
+
+    # 1) this batch's completed segments: replay overwrites itself
+    (
+        upd.select("clip_id", F.explode("seg_hashes").alias("seg_hash"))
+        .withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(seg_path)
+    )
+
+    # 2) finished clips: assemble full multiset, score, ingest-or-drop
+    fin = upd.where("finished").select("clip_id", "n_seen")
+    if not fin.isEmpty():
+        counts = (
+            spark.read.parquet(seg_path)
+            .join(fin.select("clip_id"), "clip_id", "left_semi")
+            .groupBy("clip_id", "seg_hash")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        sizes = counts.groupBy("clip_id").agg(F.sum("c").cast("long").alias("n"))
+        probe = counts.join(sizes, "clip_id").localCheckpoint(eager=True)
+        dropped = spark.createDataFrame([], "clip_id long")
+        if os.path.exists(index_path):
+            idx = spark.read.parquet(index_path).select(
+                F.col("clip_id").alias("cid"),
+                "seg_hash",
+                F.col("c").alias("ic"),
+                F.col("n").alias("inn"),
+            )
+            dropped = (
+                probe.join(idx, "seg_hash")
+                .groupBy("clip_id", "cid")
+                .agg(
+                    F.sum(F.least("c", "ic")).alias("common"),
+                    F.first("n").alias("n"),
+                    F.first("inn").alias("inn"),
+                )
+                .where(
+                    F.col("common") * F.lit(1_000_000)
+                    >= F.lit(min_containment_ppm) * F.least("n", "inn")
+                )
+                .select("clip_id")
+                .distinct()
+            )
+        a, b = probe.alias("a"), probe.alias("b")
+        peer_dropped = (
+            a.join(
+                b,
+                (F.col("a.seg_hash") == F.col("b.seg_hash"))
+                & (F.col("a.clip_id") < F.col("b.clip_id")),
+            )
+            .groupBy(
+                F.col("b.clip_id").alias("clip_id"),
+                F.col("a.clip_id").alias("peer"),
+            )
+            .agg(
+                F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("common"),
+                F.first(F.col("a.n")).alias("na"),
+                F.first(F.col("b.n")).alias("nb"),
+            )
+            .where(
+                F.col("common") * F.lit(1_000_000)
+                >= F.lit(min_containment_ppm) * F.least("na", "nb")
+            )
+            .select("clip_id")
+            .distinct()
+        )
+        survivors = (
+            sizes.select("clip_id")  # zero-segment clips absent: dropped
+            .join(dropped.unionByName(peer_dropped), "clip_id", "left_anti")
+        )
+        (
+            probe.join(survivors, "clip_id", "left_semi")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(index_path)
+        )
+        (
+            fin.join(survivors, "clip_id", "left_semi")
+            .join(sizes, "clip_id")
+            .select(
+                "clip_id",
+                F.col("n_seen").alias("n_samples"),
+                F.col("n").alias("n_segments"),
+            )
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(corpus_path)
+        )
+
+    # 3) carry state LAST, ledger swapped atomically with it
+    new_state = state.join(upd.select("clip_id"), "clip_id", "left_anti").unionByName(
+        upd.where(~F.col("finished")).select(
+            "clip_id", "tail", "seg_sum", "seg_len", "n_seen", "next_seq"
+        )
+    )
+    write_and_swap(
+        new_state,
+        state_path,
+        extra_files={"_applied_batch.json": json.dumps({"batch_id": batch_id})},
+    )
+
+
+def stream_chunked_audio_containment_ingest(
+    stream_chunks: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    seg_path: str,
+    state_path: str,
+    checkpoint: str,
+    id_col: str = "clip_id",
+    min_containment_ppm: int = 600_000,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Online trim/containment-filtered ingestion of LONG audio —
+    the chunked twin of the single-row audio path
+    (``stream_video_dedup_ingest(hash_fn=audio_cdc_segments,
+    metric='containment')``), for recordings that never fit one
+    micro-batch row. See :func:`apply_chunked_audio_batch` for the
+    row contract, the bounded carry state, and the idempotence
+    matrix; the streamed segment multiset is bit-identical to the
+    batch ``cdc_segment_hashes`` of the whole clip (the
+    ``cdc_push_chunk`` invariant, property-pinned), so streamed
+    ingest decisions match the batch ``audio_containment_pairs``
+    arithmetic exactly."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_chunked_audio_batch(
+            batch_df,
+            batch_id,
+            seg_path=seg_path,
+            state_path=state_path,
+            index_path=index_path,
+            corpus_path=corpus_path,
+            id_col=id_col,
+            min_containment_ppm=min_containment_ppm,
+        )
+
+    return (
+        stream_chunks.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_scd2_to_table(
     stream_df: DataFrame,
     table_path: str,

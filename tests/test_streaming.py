@@ -365,26 +365,16 @@ def test_stream_cdc_conflicting_ops_fail_loudly(spark, tmp_path):
     q.stop()
 
 
-def _poll_parquet_ids(spark, path, col, want, timeout=120):
-    """Bounded sink polling (the repo's streaming-test rule): read the
-    parquet sink until the SORTED id list (duplicates visible) equals
-    ``want`` or the deadline passes; return the last observed list.
-    Asserting immediately after ``processAllAvailable()`` raced a
-    foreachBatch swap once in a certify run — the poll absorbs any
-    micro-batch/swap timing without weakening what is asserted."""
-    import time
+def _poll_parquet_ids(spark, path, col, want, timeout=120, q=None):
+    """Bounded sink polling (the repo's streaming-test rule),
+    delegated to the shared INSTRUMENTED helper: pass ``q`` (the
+    live StreamingQuery) so the loop re-triggers the source listing
+    and a timeout raises with the query's status + recent progress —
+    the round-6/8 flake class then self-diagnoses instead of
+    printing a bare list mismatch (VERDICT r8 #2)."""
+    from tests.streaming_poll import await_sink
 
-    deadline = time.time() + timeout
-    got = None
-    while time.time() < deadline:
-        try:
-            got = sorted(r[col] for r in spark.read.parquet(path).collect())
-        except Exception:
-            got = None  # sink mid-swap or not yet created
-        if got == want:
-            return got
-        time.sleep(0.5)
-    return got
+    return await_sink(spark, q, path, col, want, timeout=timeout)
 
 
 def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
@@ -415,7 +405,7 @@ def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
         ckpt,
     )
     q.processAllAvailable()
-    assert _poll_parquet_ids(spark, corpus, "doc_id", [1, 3]) == [1, 3]
+    assert _poll_parquet_ids(spark, corpus, "doc_id", [1, 3], q=q) == [1, 3]
 
     # batch 2: 11 copies corpus doc 3 (cross-batch dup), 12 unique,
     # 13 copies 12 in-batch. Also 0 copies corpus doc 1 despite having
@@ -424,14 +414,14 @@ def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
         (0, texts["a"]), (11, texts["b"]), (12, texts["c"]), (13, texts["c"])
     ).write.mode("append").parquet(src)
     q.processAllAvailable()
-    assert _poll_parquet_ids(spark, corpus, "doc_id", [1, 3, 12]) == [1, 3, 12]
+    assert _poll_parquet_ids(spark, corpus, "doc_id", [1, 3, 12], q=q) == [1, 3, 12]
 
     # batch 3: replayed ids (already ingested) are anti-joined away,
     # fresh non-dup doc lands; the sorted-list poll also pins the
     # replay guard (a duplicate corpus row would show as a 5th entry)
     mk((12, texts["c"]), (14, texts["d"])).write.mode("append").parquet(src)
     q.processAllAvailable()
-    got3 = _poll_parquet_ids(spark, corpus, "doc_id", [1, 3, 12, 14])
+    got3 = _poll_parquet_ids(spark, corpus, "doc_id", [1, 3, 12, 14], q=q)
     q.stop()
     assert got3 == [1, 3, 12, 14]
 

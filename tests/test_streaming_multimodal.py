@@ -24,18 +24,16 @@ def _rows(spark, *pairs):
     return spark.createDataFrame(data, "image_id: long, payload: binary")
 
 
-def _poll_ids(spark, path, want, timeout=30.0, id_col="image_id"):
-    deadline = time.time() + timeout
-    got = None
-    while time.time() < deadline:
-        try:
-            got = sorted(r[id_col] for r in spark.read.parquet(path).collect())
-        except Exception:
-            got = None
-        if got == want:
-            return got
-        time.sleep(0.5)
-    return got
+def _poll_ids(spark, path, want, timeout=120.0, id_col="image_id", q=None):
+    """Delegates to the shared INSTRUMENTED poll (VERDICT r8 #2):
+    pass ``q`` (a LIVE query only — never after q.stop()) so the
+    loop re-triggers the source listing and a timeout raises with
+    status + recent progress instead of a bare list mismatch. The
+    old 30 s deadline was the round-8 flake's exposure: a loaded
+    500-test JVM can stall a decode-heavy micro-batch past it."""
+    from tests.streaming_poll import await_sink
+
+    return await_sink(spark, q, path, id_col, want, timeout=timeout)
 
 
 def test_stream_image_dedup_ingest_online_filtering(spark, tmp_path):
@@ -59,19 +57,19 @@ def test_stream_image_dedup_ingest_online_filtering(spark, tmp_path):
         ckpt,
     )
     q.processAllAvailable()
-    assert _poll_ids(spark, corpus, [1, 3]) == [1, 3]
+    assert _poll_ids(spark, corpus, [1, 3], q=q) == [1, 3]
 
     # batch 2: 11 copies corpus image 3 (cross-batch, via the index);
     # 12 unique; 13 copies 12 in-batch; 0 copies corpus image 1
     # despite the LOWER id — the corpus is immutable, 0 must drop
     _rows(spark, (0, a), (11, b), (12, c), (13, c)).write.mode("append").parquet(src)
     q.processAllAvailable()
-    assert _poll_ids(spark, corpus, [1, 3, 12]) == [1, 3, 12]
+    assert _poll_ids(spark, corpus, [1, 3, 12], q=q) == [1, 3, 12]
 
     # batch 3: replayed id anti-joined away; fresh image lands
     _rows(spark, (12, c), (14, d)).write.mode("append").parquet(src)
     q.processAllAvailable()
-    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14])
+    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14], q=q)
     q.stop()
     assert got3 == [1, 3, 12, 14]
 
@@ -171,13 +169,13 @@ def test_stream_audio_dedup_ingest_via_fingerprint_fn(spark, tmp_path):
         fingerprint_fn=audio_phash,
     )
     q.processAllAvailable()
-    assert _poll_ids(spark, corpus, [1, 3], id_col="audio_id") == [1, 3]
+    assert _poll_ids(spark, corpus, [1, 3], id_col="audio_id", q=q) == [1, 3]
 
     # batch 2: 11 is a gain x2 copy of corpus clip 3 (cross-batch, via
     # the persisted index — clip 3's PAYLOAD is never re-read); 12 fresh
     _arows((11, b * 2), (12, c)).write.mode("append").parquet(src)
     q.processAllAvailable()
-    got = _poll_ids(spark, corpus, [1, 3, 12], id_col="audio_id")
+    got = _poll_ids(spark, corpus, [1, 3, 12], id_col="audio_id", q=q)
     q.stop()
     assert got == [1, 3, 12]
 
@@ -265,7 +263,7 @@ def test_stream_video_dedup_ingest_online_filtering(spark, tmp_path):
         str(tmp_path / "ckpt"),
     )
     q.processAllAvailable()
-    assert _poll_ids(spark, corpus, [1, 3], id_col="video_id") == [1, 3]
+    assert _poll_ids(spark, corpus, [1, 3], id_col="video_id", q=q) == [1, 3]
 
     # batch 2: 0 re-muxes corpus video 1 (lower id — corpus immutable,
     # 0 must drop); 11 shares 3 of 4 frames with corpus video 3
@@ -274,12 +272,12 @@ def test_stream_video_dedup_ingest_online_filtering(spark, tmp_path):
         (0, fa), (11, fb[:3] + _frames(75, n_frames=1)), (12, fc), (13, fc[::-1])
     ).write.mode("append").parquet(src)
     q.processAllAvailable()
-    assert _poll_ids(spark, corpus, [1, 3, 12], id_col="video_id") == [1, 3, 12]
+    assert _poll_ids(spark, corpus, [1, 3, 12], id_col="video_id", q=q) == [1, 3, 12]
 
     # batch 3: replayed id anti-joined away; fresh video lands
     _vrows((12, fc), (14, fd)).write.mode("append").parquet(src)
     q.processAllAvailable()
-    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14], id_col="video_id")
+    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14], id_col="video_id", q=q)
     q.stop()
     assert got3 == [1, 3, 12, 14]
 
@@ -389,13 +387,13 @@ def test_stream_audio_trim_dedup_ingest(spark, tmp_path):
         multiset=True,
     )
     q.processAllAvailable()
-    assert _poll_ids(spark, corpus, [1, 3], id_col="audio_id") == [1, 3]
+    assert _poll_ids(spark, corpus, [1, 3], id_col="audio_id", q=q) == [1, 3]
 
     # batch 2: 11 is a trim of corpus clip 3 (cross-batch, via the
     # persisted index — clip 3's payload never re-read); 12 fresh
     _arows((11, full_b[512:2560]), (12, other)).write.mode("append").parquet(src)
     q.processAllAvailable()
-    got = _poll_ids(spark, corpus, [1, 3, 12], id_col="audio_id")
+    got = _poll_ids(spark, corpus, [1, 3, 12], id_col="audio_id", q=q)
     q.stop()
     assert got == [1, 3, 12]
     idx = spark.read.parquet(index)
@@ -548,7 +546,7 @@ def test_stream_text_containment_ingest_online_filtering(spark, tmp_path):
         str(tmp_path / "ckpt"),
     )
     q.processAllAvailable()
-    assert _poll_ids(spark, corpus, [1, 3], id_col="doc_id") == [1, 3]
+    assert _poll_ids(spark, corpus, [1, 3], id_col="doc_id", q=q) == [1, 3]
 
     # batch 2: 11 embeds a chunk of corpus doc 3 (cross-batch, via the
     # index — doc 3's text never re-read); 12 fresh; 13 chunks 12
@@ -560,12 +558,12 @@ def test_stream_text_containment_ingest_online_filtering(spark, tmp_path):
         (14, ["tiny", "doc"]),
     ).write.mode("append").parquet(src)
     q.processAllAvailable()
-    assert _poll_ids(spark, corpus, [1, 3, 12, 14], id_col="doc_id") == [1, 3, 12, 14]
+    assert _poll_ids(spark, corpus, [1, 3, 12, 14], id_col="doc_id", q=q) == [1, 3, 12, 14]
 
     # batch 3: replayed id anti-joined away; fresh doc lands
     _drows((12, fresh), (15, _words(64, 50))).write.mode("append").parquet(src)
     q.processAllAvailable()
-    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14, 15], id_col="doc_id")
+    got3 = _poll_ids(spark, corpus, [1, 3, 12, 14, 15], id_col="doc_id", q=q)
     q.stop()
     assert got3 == [1, 3, 12, 14, 15]
 

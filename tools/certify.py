@@ -2,28 +2,40 @@
 asked for ("keep the extended set certified"), automated so a round
 cannot silently skip it.
 
-Runs SEQUENTIALLY (never two Spark JVMs — local-mode contention
-fabricates 2-3x regressions, docs/SCALE.md):
-
-1. full pytest suite,
+1. full pytest suite — SHARDED across ``--shards`` concurrent pytest
+   processes (default 3; VERDICT r8 #1: the sequential gate crossed
+   ~55 min and was about to start discouraging full runs). Each
+   shard is its own JVM at local[4] (conftest's default), so 3
+   shards = 12 Spark threads on 32 cores — headroom, not
+   contention. ALL ``test_streaming*`` files are pinned to ONE
+   shard so streaming tests never run concurrently with each other
+   (the round-4 pitfall is two streaming suites fighting; tolerance
+   to a concurrent NON-streaming JVM is probed separately —
+   docs/SCALE.md round 9). Remaining files are greedy-packed by
+   size. ``--shards 1`` restores the strictly sequential gate.
 2. the DuckDB oracle gate over EVERY registered query at sf0.001,
 3. the same at sf0.01 (the driver's grading scale),
-4. bench.py at $SPARK_GRAFT_SF_DIR (default sf0.1),
+4. bench.py at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-then prints ONE JSON line with the four outcomes. Exit 0 only if all
-four pass (bench "passes" when it emits valid JSON with an empty
+Stages 2-4 remain STRICTLY sequential and only start after every
+test shard exits (bench with a second live JVM fabricates 2-3x
+regressions — docs/SCALE.md).
+
+Then prints ONE JSON line with the outcomes. Exit 0 only if all
+pass (bench "passes" when it emits valid JSON with an empty
 superlinear list). Use --skip-tests to re-certify queries only.
 
-    python tools/certify.py [--skip-tests] [--changed-since REV]
+    python tools/certify.py [--skip-tests] [--shards N]
+                            [--changed-since REV]
 
 ``--changed-since REV`` is the MID-ROUND cadence mode (VERDICT r6
 item 8): oracle gates run only the registry-diff subset
 (tools/changed.py), pytest runs only test files changed since REV or
-named after changed package modules, and bench is skipped (a timing
-run on a subset proves nothing). The report carries
-``"scoped": REV`` so a scoped line can never masquerade as the
-round-end certificate — the FULL run (no flag) remains mandatory at
-round end.
+named after changed package modules (one process — scoped runs are
+small), and bench is skipped (a timing run on a subset proves
+nothing). The report carries ``"scoped": REV`` so a scoped line can
+never masquerade as the round-end certificate — the FULL run (no
+flag) remains mandatory at round end.
 """
 
 from __future__ import annotations
@@ -81,15 +93,83 @@ def _scoped_test_files(rev: str) -> list[str] | None:
     return sorted(picked)
 
 
+def _shard_test_files(n_shards: int) -> list[list[str]]:
+    """Deterministic shard plan: every ``test_streaming*`` file in
+    shard 0 (streaming suites must not run concurrently with EACH
+    OTHER — round-4 pitfall), everything else greedy-packed by file
+    size descending (the stable proxy for runtime we have without a
+    duration ledger; measured balance is recorded per run in the
+    report so the proxy's quality is visible)."""
+    streaming, rest = [], []
+    for p in sorted((ROOT / "tests").glob("test_*.py")):
+        (streaming if p.name.startswith("test_streaming") else rest).append(p)
+    shards: list[list[str]] = [
+        [str(p.relative_to(ROOT)) for p in streaming]
+    ] + [[] for _ in range(n_shards - 1)]
+    loads = [sum(p.stat().st_size for p in streaming)] + [0] * (n_shards - 1)
+    for p in sorted(rest, key=lambda p: (-p.stat().st_size, p.name)):
+        i = min(range(n_shards), key=lambda j: (loads[j], j))
+        shards[i].append(str(p.relative_to(ROOT)))
+        loads[i] += p.stat().st_size
+    return [s for s in shards if s]
+
+
+def _run_test_shards(n_shards: int) -> tuple[bool, dict]:
+    """Launch one pytest process per shard CONCURRENTLY, wait for
+    all, and aggregate: total passed/failed counts plus each shard's
+    tail line and wall seconds. Oracle/bench stages must not start
+    until this returns (no JVM may overlap them)."""
+    import subprocess as sp
+    import time
+
+    shards = _shard_test_files(n_shards)
+    procs = []
+    t0 = time.time()
+    for files in shards:
+        procs.append(
+            sp.Popen(
+                [sys.executable, "-m", "pytest", "-q", *files],
+                cwd=ROOT,
+                stdout=sp.PIPE,
+                stderr=sp.DEVNULL,
+                text=True,
+            )
+        )
+    tails, walls, ok = [], [], True
+    passed = failed = 0
+    for p in procs:
+        out, _ = p.communicate()
+        walls.append(round(time.time() - t0, 1))
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        tails.append(tail)
+        m_p = re.search(r"(\d+) passed", tail)
+        m_f = re.search(r"(\d+) failed", tail)
+        passed += int(m_p.group(1)) if m_p else 0
+        failed += int(m_f.group(1)) if m_f else 0
+        ok &= p.returncode == 0 and m_p is not None and m_f is None
+    return ok, {
+        "passed": passed,
+        "failed": failed,
+        "shards": len(shards),
+        "wall_s": max(walls) if walls else 0.0,
+        "tails": tails,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     report: dict = {}
     ok = True
     since: str | None = None
+    n_shards = 3
+    if "--shards" in argv:
+        i = argv.index("--shards")
+        n_shards = int(argv[i + 1])
     if "--changed-since" in argv:
         i = argv.index("--changed-since")
         if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
-            print("usage: certify.py [--skip-tests] [--changed-since REV]",
+            print("usage: certify.py [--skip-tests] [--shards N] "
+                  "[--changed-since REV]",
                   file=sys.stderr)
             return 2
         since = argv[i + 1]
@@ -97,6 +177,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if "--skip-tests" in argv:
         report["pytest"] = "skipped"
+    elif since is None and n_shards > 1:
+        sh_ok, sh_report = _run_test_shards(n_shards)
+        report["pytest"] = sh_report
+        ok &= sh_ok
     else:
         pytest_cmd = [sys.executable, "-m", "pytest", "-q"]
         if since is None:
