@@ -81,20 +81,39 @@ def dup_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iterations: int = 20,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph.
 
     Min-label propagation with pointer jumping: every node starts
     labeled with itself; each round, every node first adopts its
-    label's label (the pointer jump doubles the propagation distance,
-    so convergence is O(log diameter) rounds instead of O(diameter)),
-    then adopts the minimum label in its neighborhood.
+    label's label (the pointer jump), then adopts the minimum label
+    in its neighborhood. The jump ACCELERATES propagation but is NOT
+    the textbook O(log diameter) — a node's label is the min id of
+    its r-ball, and that min's own ball need not extend the frontier
+    (measured on q160's chained-block graph: 25-32 rounds at
+    diameter ~10², where doubling theory predicted ~8). The
+    convergence probe is what bounds the loop; long-diameter
+    components belong on :func:`components_contract` instead (what
+    core_communities uses) — this flood stays for the small-diameter
+    near-dup cluster graphs it was built for (q48).
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
     with the iteration count; the symmetrized edge set is checkpointed
     once so the (possibly expensive) upstream pair plan is never
     re-evaluated per round. The convergence probe rides the same job
     that materializes the round's checkpoint — one Spark job per
-    round, which is what dominates iterative latency in local mode.
+    ``probe_every`` rounds: JOB SCHEDULING, not shuffle volume,
+    dominates iterative latency on node-sized label tables (measured
+    ~2.7 s/round on q160's first-draft flood at sf0.01), so a caller
+    expecting a deep flood MAY batch rounds between probes (worst
+    case overshoots the fixpoint by probe_every−1 no-op rounds).
+    CAVEAT, measured: each batched round references the prior lazy
+    checkpoint 3x, and within ONE probe job the uncached references
+    recompute — probe_every=4 made q160's flood 5x SLOWER, not
+    faster. Batching only pays when rounds are cheap relative to job
+    overhead AND the batch is shallow (2); deep-diameter callers
+    should use components_contract instead (O(log n) rounds over a
+    shrinking frame), which is what core_communities does now.
 
     Raises ``RuntimeError`` if no fixpoint is reached within
     ``max_iterations``: partially propagated labels would silently
@@ -102,6 +121,8 @@ def dup_clusters(
 
     Returns (node, cluster) where cluster is the min node id reachable.
     """
+    if probe_every < 1:
+        raise ValueError(f"probe_every must be >= 1, got {probe_every}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -114,7 +135,7 @@ def dup_clusters(
         .withColumn("cluster", F.col("node"))
     )
     converged = False
-    for _ in range(max_iterations):
+    for _it in range(1, max_iterations + 1):
         # pointer jump first, over the (checkpointed, node-sized)
         # label table — cluster ids are node ids, so the self-join
         # always finds a row; evaluating this side of the diamond
@@ -148,21 +169,119 @@ def dup_clusters(
             )
             .localCheckpoint(eager=False)
         )
-        # single action per round: materializes the checkpoint AND
-        # answers "did anything change" from the carried prev column
-        # (prev is the round's starting label, so it catches changes
-        # from the jump as well as from propagation)
-        changed = new_labels.where(F.col("cluster") != F.col("prev")).limit(1).count()
+        # one action per probe_every rounds: materializes the lazy
+        # checkpoints of the whole batch AND answers "did the LAST
+        # round change anything" from the carried prev column (prev
+        # is that round's starting label, catching jump as well as
+        # propagation changes; a no-op round implies fixpoint — the
+        # update is monotone, so every later round is a no-op too)
         labels = new_labels.select("node", "cluster")
-        if changed == 0:
-            converged = True
-            break
+        if _it % probe_every == 0 or _it == max_iterations:
+            changed = (
+                new_labels.where(F.col("cluster") != F.col("prev"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"dup_clusters: no fixpoint after {max_iterations} iterations "
             "(component diameter exceeds the cap); raise max_iterations"
         )
     return labels
+
+
+def components_contract(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Connected components by MIN-CONTRACTION — the scale-path CC
+    primitive beside :func:`dup_clusters`' jump+min flood. The flood
+    converges in ~diameter rounds (the pointer jump accelerates but
+    is NOT O(log) — measured 25-32 rounds on q160's chained-block
+    graph, docstring there), which at 100 TB graph diameters is the
+    wrong asymptotic. Contraction is the classic fix (the
+    large-star/small-star family, Kiveris et al. 2014, in its
+    deterministic min-hooking form):
+
+    each round (1) every current PARENT adopts its minimum adjacent
+    parent in the CONTRACTED graph (hook), (2) one pointer-
+    compression step ``p ← p(p)``, (3) the contracted edge set is
+    rewritten onto the new parents and self-edges drop. A path of k
+    roots halves per round (root i hooks to i−1, pairs contract), so
+    rounds are ~O(log n) and — unlike the flood — the edge frame
+    SHRINKS geometrically: the round cost follows the contracted
+    graph, not the input.
+
+    Termination: the contracted edge set is EMPTY ⟺ p is equal on
+    the endpoints of every original edge ⟺ p is constant per
+    component; parents only ever decrease and the component minimum
+    never adopts (nothing is smaller), so that constant is exactly
+    the min node id — the same label :func:`dup_clusters` and the
+    q48/q160 recursive-CTE oracles define. Loud RuntimeError at the
+    cap (a silently partial contraction would split clusters).
+
+    Returns (node, cluster), cluster = min reachable node id.
+    Direction/duplicate edges and self-loops are ignored."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    p = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("p", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    ce = e
+    converged = False
+    for _ in range(max_rounds):
+        if ce.count() == 0:
+            converged = True
+            break
+        sym = ce.select(F.col("a").alias("r"), F.col("b").alias("s")).unionAll(
+            ce.select(F.col("b").alias("r"), F.col("a").alias("s"))
+        )
+        hook = (
+            sym.groupBy("r")
+            .agg(F.min("s").alias("m"))
+            .where(F.col("m") < F.col("r"))
+        )
+        p = p.join(hook, p.p == hook.r, "left").select(
+            "node", F.coalesce("m", "p").alias("p")
+        )
+        comp = p.select(F.col("node").alias("n2"), F.col("p").alias("p2"))
+        p = (
+            p.join(comp, p.p == comp.n2, "left")
+            .select("node", F.coalesce("p2", "p").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        pa = p.select(F.col("node").alias("a"), F.col("p").alias("pa"))
+        pb = p.select(F.col("node").alias("b"), F.col("p").alias("pb"))
+        ce = (
+            ce.join(pa, "a")
+            .join(pb, "b")
+            .where(F.col("pa") != F.col("pb"))
+            .select(
+                F.least("pa", "pb").alias("a"), F.greatest("pa", "pb").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"components_contract: contracted edges remain after "
+            f"{max_rounds} rounds; raise max_rounds"
+        )
+    return p.select("node", F.col("p").alias("cluster"))
 
 
 def cap_per_key(

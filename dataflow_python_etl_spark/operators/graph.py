@@ -508,7 +508,7 @@ def core_communities(
     dst: str = "dst",
     k: int = 2,
     rounds: int = 16,
-    max_iterations: int = 20,
+    max_iterations: int = 32,
 ) -> DataFrame:
     """Community assignment + exact-integer modularity over the
     k-CORE of the undirected graph under ``edges`` — deterministic
@@ -547,17 +547,30 @@ def core_communities(
     returns — no second edge-sized shuffle.
 
     Scale shape: one :func:`k_core` peel (early-exiting), two
-    semi-joins to induce the core edge set, the
-    :func:`~dataflow_python_etl_spark.operators.corpus.dup_clusters`
-    pointer-jump flood (O(log diameter) rounds, loud on
-    non-convergence), and one community-sized agg. Everything keys
-    on node ids."""
-    from dataflow_python_etl_spark.operators.corpus import dup_clusters
+    semi-joins to induce the core edge set, MIN-CONTRACTION
+    components
+    (:func:`~dataflow_python_etl_spark.operators.corpus.
+    components_contract` — ~O(log n) rounds over a geometrically
+    SHRINKING contracted edge frame, loud past ``max_iterations``
+    rounds), and one community-sized agg. Everything keys on node
+    ids.
+
+    The first draft used dup_clusters' jump+min flood here and
+    MEASURED 25-32 rounds to fixpoint at sf0.01 (the pointer jump is
+    NOT O(log diameter) — a node's label is the min of its r-ball,
+    and that min's own ball need not extend the frontier; community
+    graphs are exactly the chained-blob workload that exposes it).
+    Contraction replaces the diameter bound with a halving argument;
+    dup_clusters keeps the flood for its small-diameter near-dup
+    cluster graphs (q48)."""
+    from dataflow_python_etl_spark.operators.corpus import components_contract
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
-    core = k_core(edges, src, dst, k=k, rounds=rounds)
-    core_nodes = core.select("node")
-    canon = (
+    # canonicalize ONCE and feed the cached frame to k_core — its
+    # internal distinct then runs over cached blocks instead of
+    # re-deriving the (possibly expensive) upstream edge fan-out a
+    # second time (q160's co-purchase explode, measured)
+    canon = register_cache(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .select(
@@ -565,13 +578,15 @@ def core_communities(
         )
         .distinct()
     )
+    core = k_core(canon, k=k, rounds=rounds)
+    core_nodes = core.select("node")
     induced = register_cache(
         canon.join(
             core_nodes.withColumnRenamed("node", "src"), "src", "left_semi"
         ).join(core_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
     )
-    labels = dup_clusters(
-        induced, id_a="src", id_b="dst", max_iterations=max_iterations
+    labels = components_contract(induced, max_rounds=max_iterations).select(
+        "node", F.col("cluster")
     )
     m_row = induced.agg(F.count(F.lit(1)).cast("long").alias("m"))
     comm = (

@@ -7721,25 +7721,27 @@ _BRAND_BLOCK_E0_CTES = f"""
     )"""
 
 
-def _core_communities_oracle_sql(
-    k: int = 2, peel_rounds: int = 16, label_rounds: int = 16
-) -> str:
-    """q160 oracle: the brand-block e0 + peel prefix, then ``label_rounds``
-    unrolled min-label rounds WITH POINTER JUMPING (each round every
-    node takes the min of its label, its label's label, and its
-    neighbors' labels — reach at least doubles per round, so 16
-    rounds cover any diameter ≤ 2^16; the Spark side's dup_clusters
-    runs the same jump+min update and raises loudly if IT doesn't
-    reach the fixpoint, so a silent oracle shortfall would surface
-    as a Spark error first). Every label CTE is referenced 3× by the
-    next round ⇒ AS MATERIALIZED throughout (round-8 DuckDB pitfall).
-    The modularity arithmetic replays the operator's exact integer
-    divisions; DuckDB sum() returns INT128, so every output is CAST
-    back to BIGINT for schema parity."""
+def _core_communities_oracle_sql(k: int = 2, peel_rounds: int = 16) -> str:
+    """q160 oracle: the brand-block e0 + peel prefix, then the
+    component labels as a RECURSIVE CTE — min reachable id, the
+    EXACT declarative fixpoint (the q48 precedent), deliberately NOT
+    an unrolled jump+min loop: a first draft unrolled 16 pointer-
+    jumping rounds on the theory that reach doubles per round, and
+    MEASURED convergence at sf0.01 needed 25-32 rounds (19 vs the
+    true 18 communities at 16 rounds) — the doubling argument is
+    WRONG for min-label flooding, because a node's current label is
+    the min of its r-ball and that min's own ball need not extend
+    the frontier. A fixed unroll couples the oracle to a graph-
+    dependent convergence depth; the recursion does not. Reach size
+    is Σ component² — fine at the gate SFs (≤ ~400-node components
+    at sf0.01; the oracle never runs at sf0.1). The modularity
+    arithmetic replays the operator's exact integer divisions;
+    DuckDB sum() returns INT128, so outputs CAST back to BIGINT."""
     R = peel_rounds
-    sql = [_k_core_peel_ctes(k, R, e0_ctes=_BRAND_BLOCK_E0_CTES)]
-    sql.append(
-        f""",
+    peel = _k_core_peel_ctes(k, R, e0_ctes=_BRAND_BLOCK_E0_CTES).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    return peel + f""",
     sym AS MATERIALIZED (
         SELECT a AS s, b AS t FROM e{R} UNION ALL SELECT b, a FROM e{R}
     ),
@@ -7747,26 +7749,13 @@ def _core_communities_oracle_sql(
         SELECT s AS n, count(*) AS d FROM sym GROUP BY s
     ),
     mt AS MATERIALIZED (SELECT count(*) AS m FROM e{R}),
-    l0 AS MATERIALIZED (SELECT n AS node, n AS lab FROM degc)"""
-    )
-    for r in range(1, label_rounds + 1):
-        sql.append(
-            f""",
-    l{r} AS MATERIALIZED (
-        SELECT l.node,
-               least(l.lab,
-                     coalesce(j.lab, l.lab),
-                     coalesce(nm.mn, l.lab)) AS lab
-        FROM l{r - 1} l
-        LEFT JOIN l{r - 1} j ON l.lab = j.node
-        LEFT JOIN (
-            SELECT e.s AS node, min(x.lab) AS mn
-            FROM sym e JOIN l{r - 1} x ON e.t = x.node
-            GROUP BY e.s
-        ) nm ON l.node = nm.node
-    )"""
-        )
-    return "".join(sql) + f"""
+    reach AS (
+        SELECT n AS node, n AS lab FROM degc
+        UNION
+        SELECT e.s AS node, r.lab
+        FROM sym e JOIN reach r ON e.t = r.node
+    ),
+    labels AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
     SELECT lab AS community,
            CAST(count(*) AS BIGINT) AS n_nodes,
            CAST(sum(d) // 2 AS BIGINT) AS m_intra,
@@ -7774,7 +7763,7 @@ def _core_communities_oracle_sql(
                 - (((1000000 * sum(d)) // (2 * m))
                    * ((1000000 * sum(d)) // (2 * m))) // 1000000
                 AS BIGINT) AS modularity_ppm
-    FROM l{label_rounds} l JOIN degc ON l.node = degc.n, mt
+    FROM labels l JOIN degc ON l.node = degc.n, mt
     GROUP BY lab, m
     """
 

@@ -148,3 +148,61 @@ def test_kfold_by_group_closure_and_stability(spark):
     assert {sub["fold"]} == per_src[rows[0]["source"]]
     with pytest.raises(ValueError, match="k must be"):
         kfold_by_group(docs, "source", 1)
+
+
+def test_components_contract_matches_flood_and_guards(spark):
+    """Min-contraction CC (the scale-path primitive core_communities
+    uses) must agree with dup_clusters' flood everywhere — including
+    the 60-node path that takes the flood ~30 rounds (the measured
+    q160 regression class) and an adversarial id permutation — and
+    fail LOUDLY at the round cap instead of returning a partial
+    contraction."""
+    import random
+
+    import pytest
+
+    from dataflow_python_etl_spark.operators.corpus import (
+        components_contract,
+        dup_clusters,
+    )
+
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "src: long, dst: long")
+        got = {
+            r["node"]: r["cluster"] for r in components_contract(df).collect()
+        }
+        want = {
+            r["node"]: r["cluster"]
+            for r in dup_clusters(
+                df.toDF("doc_a", "doc_b"), max_iterations=200
+            ).collect()
+        }
+        assert got == want and got
+        return got
+
+    path = [(i, i + 1) for i in range(1, 60)]
+    assert len(set(check(path).values())) == 1
+    random.seed(2)
+    perm = list(range(1, 61))
+    random.shuffle(perm)
+    check([(perm[i], perm[i + 1]) for i in range(59)])
+    # blobs + bridge + separate triangle; reversed-duplicate noise
+    # (dup_clusters is kept self-loop-free by its pair producers, so
+    # the parity set excludes them; the contraction's own self-loop
+    # drop is asserted separately)
+    blobs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10),
+             (20, 21), (21, 22), (22, 20), (2, 1)]
+    got = check(blobs)
+    assert len(set(got.values())) == 2
+    with_loop = spark.createDataFrame(
+        blobs + [(5, 5)], "src: long, dst: long"
+    )
+    assert 5 not in {
+        r["node"] for r in components_contract(with_loop).collect()
+    }
+
+    df = spark.createDataFrame(path, "src: long, dst: long")
+    with pytest.raises(RuntimeError, match="contracted edges remain"):
+        components_contract(df, max_rounds=1).collect()
+    with pytest.raises(ValueError, match="probe_every"):
+        dup_clusters(df.toDF("doc_a", "doc_b"), probe_every=0)
