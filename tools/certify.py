@@ -3,11 +3,12 @@ asked for ("keep the extended set certified"), automated so a round
 cannot silently skip it.
 
 1. full pytest suite — SHARDED across ``--shards`` concurrent pytest
-   processes (default 3; VERDICT r8 #1: the sequential gate crossed
-   ~55 min and was about to start discouraging full runs). Each
-   shard is its own JVM at local[4] (conftest's default), so 3
-   shards = 12 Spark threads on 32 cores — headroom, not
-   contention. ALL ``test_streaming*`` files are pinned to ONE
+   processes (default 4; VERDICT r8 #1: the sequential gate crossed
+   ~55 min and was about to start discouraging full runs — the first
+   3-shard run measured 40m21s total with one 19-min straggler
+   shard, so the default is 4). Each shard is its own JVM at
+   local[4] (conftest's default), so 4 shards = 16 Spark threads on
+   32 cores — headroom, not contention. ALL ``test_streaming*`` files are pinned to ONE
    shard so streaming tests never run concurrently with each other
    (the round-4 pitfall is two streaming suites fighting; tolerance
    to a concurrent NON-streaming JVM is probed separately —
@@ -161,7 +162,7 @@ def main(argv: list[str] | None = None) -> int:
     report: dict = {}
     ok = True
     since: str | None = None
-    n_shards = 3
+    n_shards = 4
     if "--shards" in argv:
         i = argv.index("--shards")
         n_shards = int(argv[i + 1])
