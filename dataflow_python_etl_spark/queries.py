@@ -7779,19 +7779,23 @@ def _core_communities_oracle_sql(k: int = 2, peel_rounds: int = 16) -> str:
     "planted partition is what makes community detection non-vacuous "
     "on TPC-H-shaped data), plus an exact-integer Newman-Girvan "
     "modularity column. Classic mode-update LPA is tie-break-"
-    "nondeterministic, so the community rule is min-label flood to "
-    "FIXPOINT — connected components of the core subgraph, a unique "
-    "engine-independent assignment — computed by operators.graph."
-    "core_communities via the dup_clusters pointer-jump machinery "
-    "(O(log diameter) rounds, loud on non-convergence). Modularity "
+    "nondeterministic, so the community rule is components-of-the-"
+    "core — min reachable id, a unique engine-independent FIXPOINT — "
+    "computed by operators.graph.core_communities via MIN-CONTRACTION "
+    "(corpus.components_contract: hook to min adjacent parent + path "
+    "compression + graph contraction, ~O(log n) rounds over a "
+    "geometrically shrinking edge frame, loud on non-convergence; "
+    "the jump+min flood needed a measured 25-32 diameter-bound "
+    "rounds here and was replaced). Modularity "
     "per community Q_c = m_c/m - (d_c/2m)^2 in ppm via three "
     "portable floor divisions whose intermediates stay under 2^63 "
     "to ~9e12 edges (the two-stage r_c = (1e6*d_c) div 2m form, not "
     "the single-division form that wraps at m~5e7); a component "
     "partition has no inter-community edges so m_c = d_sum div 2 "
     "exactly — no second edge shuffle. The oracle unrolls the peel "
-    "(16 no-op-padded rounds) then 16 jump+min label rounds, all "
-    "AS MATERIALIZED.",
+    "(16 no-op-padded monotone rounds) and takes the labels from a "
+    "RECURSIVE CTE — exact at any convergence depth, leaving the "
+    "Spark side free to pick its algorithm.",
 )
 def q160_core_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_python_etl_spark.operators.graph import core_communities
