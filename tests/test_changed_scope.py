@@ -51,3 +51,41 @@ def test_residue_sees_helper_and_import_edits():
     assert _residue(_SRC_V1) != _residue(v2)
     v3 = _SRC_V1.replace("from x import y", "from x import z")
     assert _residue(_SRC_V1) != _residue(v3)
+
+
+def test_certify_duration_ledger_and_shard_packing(tmp_path, monkeypatch):
+    """The shard packer uses MEASURED seconds when the ledger has
+    them, estimates new files at the ledger's median seconds-per-byte,
+    keeps every test_streaming* file in shard 0, and the junit fold
+    merges without evicting files a partial run didn't execute."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "certify_mod", "/root/repo/tools/certify.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    shards = m._shard_test_files(4)
+    streaming = [f for s in shards for f in s if "test_streaming" in f]
+    assert streaming and all(f in shards[0] for f in streaming)
+    allf = [f for s in shards for f in s]
+    assert len(allf) == len(set(allf))
+
+    # junit fold: merge semantics
+    xml = tmp_path / "s.xml"
+    xml.write_text(
+        '<testsuites><testsuite><testcase classname="tests.test_lm" '
+        'name="a" time="1.5"/><testcase classname="tests.test_lm" '
+        'name="b" time="2.0"/><testcase classname="tests.test_corpus" '
+        'name="c" time="3.25"/></testsuite></testsuites>'
+    )
+    ledger_path = tmp_path / "ledger.json"
+    ledger_path.write_text(json.dumps({"tests/test_plans.py": 9.0}))
+    monkeypatch.setattr(m, "DURATIONS_PATH", ledger_path)
+    m._update_durations([str(xml)])
+    got = json.loads(ledger_path.read_text())
+    assert got["tests/test_lm.py"] == 3.5
+    assert got["tests/test_corpus.py"] == 3.25
+    assert got["tests/test_plans.py"] == 9.0  # untouched entry survives

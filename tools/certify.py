@@ -94,42 +94,110 @@ def _scoped_test_files(rev: str) -> list[str] | None:
     return sorted(picked)
 
 
+DURATIONS_PATH = ROOT / "tools" / "test_durations.json"
+
+
+def _load_durations() -> dict[str, float]:
+    if DURATIONS_PATH.exists():
+        try:
+            return {
+                k: float(v) for k, v in json.loads(DURATIONS_PATH.read_text()).items()
+            }
+        except Exception:
+            return {}
+    return {}
+
+
 def _shard_test_files(n_shards: int) -> list[list[str]]:
     """Deterministic shard plan: every ``test_streaming*`` file in
     shard 0 (streaming suites must not run concurrently with EACH
-    OTHER — round-4 pitfall), everything else greedy-packed by file
-    size descending (the stable proxy for runtime we have without a
-    duration ledger; measured balance is recorded per run in the
-    report so the proxy's quality is visible)."""
+    OTHER — round-4 pitfall), everything else greedy-packed by
+    MEASURED per-file seconds from tools/test_durations.json (the
+    ledger every sharded run refreshes from its junit XMLs; the
+    size-only proxy left a 17:40 straggler against an 07:02 shard in
+    the first 4-shard run). Files absent from the ledger (new tests)
+    are estimated from their size at the ledger's median
+    seconds-per-byte, so a brand-new file neither breaks packing nor
+    hides in a hot shard."""
+    ledger = _load_durations()
+    spb = sorted(
+        ledger[f] / max((ROOT / f).stat().st_size, 1)
+        for f in ledger
+        if (ROOT / f).exists()
+    )
+    med_spb = spb[len(spb) // 2] if spb else 0.001
+
+    def cost(p) -> float:
+        rel = str(p.relative_to(ROOT))
+        return ledger.get(rel, p.stat().st_size * med_spb)
+
     streaming, rest = [], []
     for p in sorted((ROOT / "tests").glob("test_*.py")):
         (streaming if p.name.startswith("test_streaming") else rest).append(p)
     shards: list[list[str]] = [
         [str(p.relative_to(ROOT)) for p in streaming]
     ] + [[] for _ in range(n_shards - 1)]
-    loads = [sum(p.stat().st_size for p in streaming)] + [0] * (n_shards - 1)
-    for p in sorted(rest, key=lambda p: (-p.stat().st_size, p.name)):
+    loads = [sum(cost(p) for p in streaming)] + [0.0] * (n_shards - 1)
+    for p in sorted(rest, key=lambda p: (-cost(p), p.name)):
         i = min(range(n_shards), key=lambda j: (loads[j], j))
         shards[i].append(str(p.relative_to(ROOT)))
-        loads[i] += p.stat().st_size
+        loads[i] += cost(p)
     return [s for s in shards if s]
+
+
+def _update_durations(xml_paths: list) -> None:
+    """Fold the shard junit XMLs into the per-FILE duration ledger
+    (classname ``tests.test_foo`` → ``tests/test_foo.py``). Merge,
+    don't replace: a scoped or partial run must not evict files it
+    didn't execute."""
+    import xml.etree.ElementTree as ET
+
+    per_file: dict[str, float] = {}
+    for xp in xml_paths:
+        try:
+            root = ET.parse(xp).getroot()
+        except Exception:
+            continue
+        for tc in root.iter("testcase"):
+            cls = tc.get("classname", "")
+            mod = cls.split(".")[-1] if cls else ""
+            if not mod.startswith("test_"):
+                continue
+            f = f"tests/{mod}.py"
+            per_file[f] = per_file.get(f, 0.0) + float(tc.get("time", 0.0))
+    if not per_file:
+        return
+    ledger = _load_durations()
+    ledger.update({k: round(v, 2) for k, v in per_file.items()})
+    ledger = {k: v for k, v in sorted(ledger.items()) if (ROOT / k).exists()}
+    DURATIONS_PATH.write_text(json.dumps(ledger, indent=1) + "\n")
 
 
 def _run_test_shards(n_shards: int) -> tuple[bool, dict]:
     """Launch one pytest process per shard CONCURRENTLY, wait for
     all, and aggregate: total passed/failed counts plus each shard's
     tail line and wall seconds. Oracle/bench stages must not start
-    until this returns (no JVM may overlap them)."""
+    until this returns (no JVM may overlap them). Each shard writes
+    a junit XML; the per-file duration ledger is refreshed from them
+    so the NEXT run packs by measured seconds."""
     import subprocess as sp
+    import tempfile
     import time
 
     shards = _shard_test_files(n_shards)
-    procs = []
+    procs, xmls = [], []
+    tmpd = tempfile.mkdtemp(prefix="certify_shards_")
     t0 = time.time()
-    for files in shards:
+    for i, files in enumerate(shards):
+        xml = f"{tmpd}/shard_{i}.xml"
+        xmls.append(xml)
         procs.append(
             sp.Popen(
-                [sys.executable, "-m", "pytest", "-q", *files],
+                [
+                    sys.executable, "-m", "pytest", "-q",
+                    f"--junit-xml={xml}", "-o", "junit_family=xunit2",
+                    *files,
+                ],
                 cwd=ROOT,
                 stdout=sp.PIPE,
                 stderr=sp.DEVNULL,
@@ -148,6 +216,7 @@ def _run_test_shards(n_shards: int) -> tuple[bool, dict]:
         passed += int(m_p.group(1)) if m_p else 0
         failed += int(m_f.group(1)) if m_f else 0
         ok &= p.returncode == 0 and m_p is not None and m_f is None
+    _update_durations(xmls)
     return ok, {
         "passed": passed,
         "failed": failed,
