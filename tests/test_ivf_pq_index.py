@@ -1,0 +1,145 @@
+"""IVF-PQ persisted index: recall/size, sidecar contract, grid drop-in.
+
+Split out of test_ivf_semantic.py: that one file measured 842 s —
+the certify shard-packing floor (a shard cannot be shorter than its
+longest file). Three ~280 s files let the duration-ledger packer
+balance them across shards. Module fixtures are re-declared (cheap:
+centroid/codebook fits are seconds) so each file is self-contained.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.operators.similarity import fit_ivf_centroids
+from dataflow_python_etl_spark.sources.catalog import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, emb):
+    return fit_ivf_centroids(emb, k=4, max_iter=10)
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    from dataflow_python_etl_spark.operators.similarity import fit_pq_codebooks
+
+    return fit_pq_codebooks(emb, m=32, ksub=64)
+
+
+def test_ivf_pq_index_recall_and_size(spark, emb, centroids, pq_books, tmp_path):
+    """PQ inverted file: M-byte codes — >2x smaller than SQ8 and ~8x
+    smaller than fp64 on disk — with recall vs the fp64 index pinned
+    at n_probe=K, and every high-similarity (planted near-dup)
+    neighbor still found."""
+    import os
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        load_pq_codebooks,
+    )
+
+    fp, q8, pq = str(tmp_path / "fp"), str(tmp_path / "q8"), str(tmp_path / "pq")
+    build_ivf_index(emb, centroids, fp)
+    build_ivf_index(emb, centroids, q8, quantize="int8")
+    build_ivf_index(emb, centroids, pq, quantize="pq", pq_codebooks=pq_books)
+    assert load_pq_codebooks(pq) == pq_books  # sidecar round-trips
+
+    def nbytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert nbytes(pq) < 0.6 * nbytes(q8), (nbytes(pq), nbytes(q8))
+    assert nbytes(pq) < 0.15 * nbytes(fp), (nbytes(pq), nbytes(fp))
+
+    queries = emb.where(F.col("vec_id") < 20)
+    K = len(centroids)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ivf_topk_indexed(spark, fp, queries, centroids, k=3, n_probe=K).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ivf_topk_indexed(spark, pq, queries, centroids, k=3, n_probe=K).collect()
+    }
+    recall = len(set(exact) & set(quant)) / len(exact)
+    # measured 0.80 on this corpus — a hard floor to miss: the corpus
+    # has NO planted high-sim pairs (max exact cosine 0.48), so every
+    # neighbor sits at the noise floor where ordering is maximally
+    # quantization-sensitive; real embedding manifolds do better
+    assert recall >= 0.6, recall
+    # the error is codebook-bounded: overlapping pairs score within
+    # 0.15 absolute of full precision (measured max 0.046)
+    assert set(exact) & set(quant)
+    for k in set(exact) & set(quant):
+        assert abs(exact[k] - quant[k]) < 0.15, (k, exact[k], quant[k])
+
+
+def test_pq_sidecar_required_for_query(spark, emb, centroids, pq_books, tmp_path):
+    import os
+
+    from dataflow_python_etl_spark.operators.similarity import (
+        PQ_SIDECAR,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "pq")
+    build_ivf_index(emb, centroids, path, quantize="pq", pq_codebooks=pq_books)
+    queries = emb.where(F.col("vec_id") < 3)
+    assert ivf_topk_indexed(spark, path, queries, centroids, k=2).count() > 0
+    os.remove(os.path.join(path, PQ_SIDECAR))
+    with pytest.raises(ValueError, match="sidecar"):
+        ivf_topk_indexed(spark, path, queries, centroids, k=2).count()
+
+
+def test_pq_grid_reconstruction_error_bound_and_index(spark, emb, centroids, tmp_path):
+    """By construction, every in-range dim reconstructs within
+    step/2 = 0.125 of its true value (centers are exact at 6
+    decimals on the power-of-two grid); and the grid codebooks are a
+    drop-in for the IVF-PQ index path (sidecar round-trip, probes
+    return k rows)."""
+    from dataflow_python_etl_spark.operators.similarity import (
+        _pq_reconstruct,
+        build_ivf_index,
+        fit_pq_grid_codebooks,
+        ivf_topk_indexed,
+        load_pq_codebooks,
+        pq_grid_codes,
+    )
+    from dataflow_python_etl_spark.functions.vectors import as_double_array
+
+    books = fit_pq_grid_codebooks()
+    err = (
+        emb.select(
+            F.zip_with(
+                as_double_array("embedding"),
+                _pq_reconstruct(pq_grid_codes("embedding"), books),
+                lambda a, b: F.abs(a - b),
+            ).alias("e")
+        )
+        .select(F.max(F.array_max("e")).alias("worst"))
+        .first()["worst"]
+    )
+    assert err <= 0.125 + 1e-12, err
+
+    path = str(tmp_path / "pq_grid")
+    build_ivf_index(emb, centroids, path, quantize="pq", pq_codebooks=books)
+    assert load_pq_codebooks(path) == books
+    queries = emb.where(F.col("vec_id") < 5)
+    got = ivf_topk_indexed(
+        spark, path, queries, centroids, k=3, n_probe=len(centroids)
+    ).collect()
+    assert len(got) == 5 * 3
+

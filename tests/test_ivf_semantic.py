@@ -284,109 +284,6 @@ def test_ivf_rebuild_is_swap_safe(spark, emb, centroids, tmp_path):
     assert not glob.glob(f"{path}.__*")  # swap left nothing behind
 
 
-@pytest.fixture(scope="module")
-def pq_books(emb):
-    from dataflow_python_etl_spark.operators.similarity import fit_pq_codebooks
-
-    # dsub=2 / 6-bit codebooks: the accuracy-biased geometry for these
-    # 64-dim embeddings (measured recall@3 = 0.80 on this corpus)
-    return fit_pq_codebooks(emb, m=32, ksub=64)
-
-
-def test_fit_pq_codebooks_shape_determinism_validation(emb, pq_books):
-    from dataflow_python_etl_spark.operators.similarity import fit_pq_codebooks
-
-    assert len(pq_books) == 32
-    assert all(len(cb) == 64 for cb in pq_books)
-    assert all(len(c) == 2 for cb in pq_books for c in cb)
-    # deterministic: same seed, same sample -> identical codebooks
-    again = fit_pq_codebooks(emb, m=32, ksub=64)
-    assert again == pq_books
-    with pytest.raises(ValueError, match="ksub"):
-        fit_pq_codebooks(emb, m=8, ksub=256)  # codes must fit tinyint
-    with pytest.raises(ValueError, match="divisible"):
-        fit_pq_codebooks(emb, m=7)
-    with pytest.raises(ValueError, match="sample"):
-        fit_pq_codebooks(emb.limit(3), m=8, ksub=16)
-
-
-def test_ivf_pq_index_recall_and_size(spark, emb, centroids, pq_books, tmp_path):
-    """PQ inverted file: M-byte codes — >2x smaller than SQ8 and ~8x
-    smaller than fp64 on disk — with recall vs the fp64 index pinned
-    at n_probe=K, and every high-similarity (planted near-dup)
-    neighbor still found."""
-    import os
-
-    from dataflow_python_etl_spark.operators.similarity import (
-        build_ivf_index,
-        ivf_topk_indexed,
-        load_pq_codebooks,
-    )
-
-    fp, q8, pq = str(tmp_path / "fp"), str(tmp_path / "q8"), str(tmp_path / "pq")
-    build_ivf_index(emb, centroids, fp)
-    build_ivf_index(emb, centroids, q8, quantize="int8")
-    build_ivf_index(emb, centroids, pq, quantize="pq", pq_codebooks=pq_books)
-    assert load_pq_codebooks(pq) == pq_books  # sidecar round-trips
-
-    def nbytes(p):
-        return sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(p)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-
-    assert nbytes(pq) < 0.6 * nbytes(q8), (nbytes(pq), nbytes(q8))
-    assert nbytes(pq) < 0.15 * nbytes(fp), (nbytes(pq), nbytes(fp))
-
-    queries = emb.where(F.col("vec_id") < 20)
-    K = len(centroids)
-    exact = {
-        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
-        for r in ivf_topk_indexed(spark, fp, queries, centroids, k=3, n_probe=K).collect()
-    }
-    quant = {
-        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
-        for r in ivf_topk_indexed(spark, pq, queries, centroids, k=3, n_probe=K).collect()
-    }
-    recall = len(set(exact) & set(quant)) / len(exact)
-    # measured 0.80 on this corpus — a hard floor to miss: the corpus
-    # has NO planted high-sim pairs (max exact cosine 0.48), so every
-    # neighbor sits at the noise floor where ordering is maximally
-    # quantization-sensitive; real embedding manifolds do better
-    assert recall >= 0.6, recall
-    # the error is codebook-bounded: overlapping pairs score within
-    # 0.15 absolute of full precision (measured max 0.046)
-    assert set(exact) & set(quant)
-    for k in set(exact) & set(quant):
-        assert abs(exact[k] - quant[k]) < 0.15, (k, exact[k], quant[k])
-
-
-def test_ivf_pq_append_matches_rebuild(spark, emb, centroids, pq_books, tmp_path):
-    """append(pq) re-encodes the delta with the index's OWN sidecar
-    codebooks (drift impossible by construction) and equals a full
-    rebuild at every n_probe."""
-    from dataflow_python_etl_spark.operators.similarity import (
-        append_to_ivf_index,
-        build_ivf_index,
-        ivf_topk_indexed,
-    )
-
-    part_a = emb.where(F.col("vec_id") % 3 != 0)
-    part_b = emb.where(F.col("vec_id") % 3 == 0)
-    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
-    build_ivf_index(part_a, centroids, inc, quantize="pq", pq_codebooks=pq_books)
-    append_to_ivf_index(part_b, centroids, inc, quantize="pq")
-    build_ivf_index(emb, centroids, full, quantize="pq", pq_codebooks=pq_books)
-    queries = emb.where(F.col("vec_id") < 8)
-    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos_sim"])  # noqa: E731
-    for n_probe in (1, len(centroids)):
-        got = sorted(map(key, ivf_topk_indexed(spark, inc, queries, centroids, k=3, n_probe=n_probe).collect()))
-        want = sorted(map(key, ivf_topk_indexed(spark, full, queries, centroids, k=3, n_probe=n_probe).collect()))
-        assert got == want and got, n_probe
-
-
 def test_ivf_append_validation_is_loud(spark, emb, centroids, tmp_path):
     """The append path's failure modes all raise ValueError with an
     actionable message BEFORE touching the index: quantize mismatch
@@ -428,24 +325,6 @@ def test_ivf_append_validation_is_loud(spark, emb, centroids, tmp_path):
     assert spark.read.parquet(path).count() == n_before + delta.count()
 
 
-def test_pq_sidecar_required_for_query(spark, emb, centroids, pq_books, tmp_path):
-    import os
-
-    from dataflow_python_etl_spark.operators.similarity import (
-        PQ_SIDECAR,
-        build_ivf_index,
-        ivf_topk_indexed,
-    )
-
-    path = str(tmp_path / "pq")
-    build_ivf_index(emb, centroids, path, quantize="pq", pq_codebooks=pq_books)
-    queries = emb.where(F.col("vec_id") < 3)
-    assert ivf_topk_indexed(spark, path, queries, centroids, k=2).count() > 0
-    os.remove(os.path.join(path, PQ_SIDECAR))
-    with pytest.raises(ValueError, match="sidecar"):
-        ivf_topk_indexed(spark, path, queries, centroids, k=2).count()
-
-
 def test_knn_classify_majority_and_ties(spark):
     """Crafted 2-D vectors: query at (1,0); corpus has 3 label-1
     vectors near (1,0), 2 label-0 vectors near (0,1) — k=5 votes
@@ -476,112 +355,6 @@ def test_knn_classify_majority_and_ties(spark):
     assert got2[101]["predicted_label"] == 0 and got2[101]["votes"] == 2
     with pytest.raises(ValueError, match="k must be"):
         knn_classify(corpus, queries, k=0)
-
-
-# --- Grid PQ (data-independent codebooks, SURVEY §8.1) ----------------------
-
-
-def test_fit_pq_grid_codebooks_shape_and_validation():
-    from dataflow_python_etl_spark.operators.similarity import fit_pq_grid_codebooks
-
-    books = fit_pq_grid_codebooks()  # dim 64, m 32, levels 8 -> ksub 64
-    assert len(books) == 32
-    assert all(len(b) == 64 for b in books)
-    assert all(len(c) == 2 for b in books for c in b)
-    # row-major enumeration: code k decodes to centers (k // 8, k % 8)
-    centers = [round(-1.0 + (i + 0.5) * 0.25, 6) for i in range(8)]
-    assert books[0][0] == [centers[0], centers[0]]
-    assert books[0][1] == [centers[0], centers[1]]
-    assert books[0][9] == [centers[1], centers[1]]
-    assert books[0][63] == [centers[7], centers[7]]
-    # all subspaces share the one grid, but as independent lists
-    assert books[1] == books[0] and books[1] is not books[0]
-    with pytest.raises(ValueError, match="divisible"):
-        fit_pq_grid_codebooks(dim=64, m=7)
-    with pytest.raises(ValueError, match="tinyint"):
-        fit_pq_grid_codebooks(levels=16)  # 16**2 = 256 codes
-    with pytest.raises(ValueError, match="lo < hi"):
-        fit_pq_grid_codebooks(lo=1.0, hi=-1.0)
-
-
-def test_pq_grid_codes_match_argmin_assignment(spark, emb):
-    """The closed-form grid encoder must agree with the generic
-    nearest-center argmin (_quantize_pq) over the grid codebooks on
-    the real corpus — i.e. the grid IS a PQ codebook, the closed form
-    is just the O(levels) shortcut. Exact cell-midpoint ties are the
-    one documented divergence (grid takes the upper cell, first-wins
-    argmin the lower); such rows are filtered and counted."""
-    from dataflow_python_etl_spark.functions.vectors import as_double_array
-    from dataflow_python_etl_spark.operators.similarity import (
-        _quantize_pq,
-        fit_pq_grid_codebooks,
-        pq_grid_codes,
-    )
-
-    books = fit_pq_grid_codebooks()
-    assigned = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.lit(0).alias("cid"),
-        F.lit(1.0).alias("cn"),
-        as_double_array("embedding").alias("cvec"),
-    )
-    argmin = _quantize_pq(assigned, books).select("neighbor_id", "pq_codes")
-    closed = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        pq_grid_codes("embedding").alias("grid_codes"),
-        # midpoint tie: some dim lands exactly on a cell boundary
-        F.exists(
-            as_double_array("embedding"),
-            lambda x: ((x - F.lit(-1.0)) / F.lit(0.25))
-            == F.floor((x - F.lit(-1.0)) / F.lit(0.25)).cast("double"),
-        ).alias("has_tie"),
-    )
-    joined = argmin.join(closed, "neighbor_id").collect()
-    ties = [r for r in joined if r["has_tie"]]
-    assert len(ties) <= 2, f"unexpectedly many midpoint ties: {len(ties)}"
-    for r in joined:
-        if not r["has_tie"]:
-            assert list(r["pq_codes"]) == list(r["grid_codes"]), r["neighbor_id"]
-
-
-def test_pq_grid_reconstruction_error_bound_and_index(spark, emb, centroids, tmp_path):
-    """By construction, every in-range dim reconstructs within
-    step/2 = 0.125 of its true value (centers are exact at 6
-    decimals on the power-of-two grid); and the grid codebooks are a
-    drop-in for the IVF-PQ index path (sidecar round-trip, probes
-    return k rows)."""
-    from dataflow_python_etl_spark.operators.similarity import (
-        _pq_reconstruct,
-        build_ivf_index,
-        fit_pq_grid_codebooks,
-        ivf_topk_indexed,
-        load_pq_codebooks,
-        pq_grid_codes,
-    )
-    from dataflow_python_etl_spark.functions.vectors import as_double_array
-
-    books = fit_pq_grid_codebooks()
-    err = (
-        emb.select(
-            F.zip_with(
-                as_double_array("embedding"),
-                _pq_reconstruct(pq_grid_codes("embedding"), books),
-                lambda a, b: F.abs(a - b),
-            ).alias("e")
-        )
-        .select(F.max(F.array_max("e")).alias("worst"))
-        .first()["worst"]
-    )
-    assert err <= 0.125 + 1e-12, err
-
-    path = str(tmp_path / "pq_grid")
-    build_ivf_index(emb, centroids, path, quantize="pq", pq_codebooks=books)
-    assert load_pq_codebooks(path) == books
-    queries = emb.where(F.col("vec_id") < 5)
-    got = ivf_topk_indexed(
-        spark, path, queries, centroids, k=3, n_probe=len(centroids)
-    ).collect()
-    assert len(got) == 5 * 3
 
 
 def test_ivf_index_self_describing_and_rebalance(spark, emb, centroids, tmp_path):
