@@ -67,7 +67,7 @@ def test_watermark_ingest_matches_anti_join_twin(spark, tmp_path):
     for guard in ("anti_join", "watermark"):
         src = str(tmp_path / f"in_{guard}")
         corpus = str(tmp_path / f"corpus_{guard}")
-        _docs(spark, batches[0]).write.parquet(src)
+        _docs(spark, batches[0]).coalesce(1).write.parquet(src)
         q = stream_dedup_ingest(
             spark.readStream.schema("doc_id long, text string").parquet(src),
             corpus,
@@ -77,7 +77,7 @@ def test_watermark_ingest_matches_anti_join_twin(spark, tmp_path):
         )
         q.processAllAvailable()
         for rows in batches[1:]:
-            _docs(spark, rows).write.mode("append").parquet(src)
+            _docs(spark, rows).coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
         q.stop()
         out[guard] = _corpus_ids(spark, corpus)
@@ -123,11 +123,11 @@ def test_watermark_crash_replay_converges(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     wm_path = corpus + ".__ingest_watermark"
 
-    _docs(spark, [(1, TEXTS["a"]), (2, TEXTS["b"])]).write.mode("append").parquet(src)
+    _docs(spark, [(1, TEXTS["a"]), (2, TEXTS["b"])]).coalesce(1).write.mode("append").parquet(src)
     _run_once(spark, src, corpus, index, ckpt)
     wm1 = json.load(open(wm_path))
     # batch 1: 11 dups corpus doc 1, 12 unique
-    _docs(spark, [(11, TEXTS["a"]), (12, TEXTS["c"])]).write.mode("append").parquet(src)
+    _docs(spark, [(11, TEXTS["a"]), (12, TEXTS["c"])]).coalesce(1).write.mode("append").parquet(src)
     _run_once(spark, src, corpus, index, ckpt)
     want = [1, 2, 12]
     assert _corpus_ids(spark, corpus) == want
@@ -165,10 +165,10 @@ def test_watermark_crash_before_corpus_append_converges(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     wm_path = corpus + ".__ingest_watermark"
 
-    _docs(spark, [(1, TEXTS["a"])]).write.mode("append").parquet(src)
+    _docs(spark, [(1, TEXTS["a"])]).coalesce(1).write.mode("append").parquet(src)
     _run_once(spark, src, corpus, index, ckpt)
     wm1 = json.load(open(wm_path))
-    _docs(spark, [(11, TEXTS["a"]), (12, TEXTS["d"])]).write.mode("append").parquet(src)
+    _docs(spark, [(11, TEXTS["a"]), (12, TEXTS["d"])]).coalesce(1).write.mode("append").parquet(src)
     _run_once(spark, src, corpus, index, ckpt)
     assert _corpus_ids(spark, corpus) == [1, 12]
 
@@ -187,10 +187,10 @@ def test_watermark_empty_first_batch(spark, tmp_path):
     carry forward) and must not block later real batches."""
     src = str(tmp_path / "in")
     corpus = str(tmp_path / "corpus")
-    spark.createDataFrame([], "doc_id long, text string").write.mode("append").parquet(src)
+    spark.createDataFrame([], "doc_id long, text string").coalesce(1).write.mode("append").parquet(src)
     _run_once(spark, src, corpus, str(tmp_path / "index"), str(tmp_path / "ckpt"))
     assert not os.path.exists(corpus + ".__ingest_watermark")
-    _docs(spark, [(1, TEXTS["a"])]).write.mode("append").parquet(src)
+    _docs(spark, [(1, TEXTS["a"])]).coalesce(1).write.mode("append").parquet(src)
     _run_once(spark, src, corpus, str(tmp_path / "index"), str(tmp_path / "ckpt"))
     assert _corpus_ids(spark, corpus) == [1]
 
@@ -211,7 +211,7 @@ def test_watermark_and_bucketed_index_compose(spark, tmp_path):
     ):
         src = str(tmp_path / f"in_{mode}")
         corpus = str(tmp_path / f"corpus_{mode}")
-        _docs(spark, batches[0]).write.parquet(src)
+        _docs(spark, batches[0]).coalesce(1).write.parquet(src)
         q = stream_dedup_ingest(
             spark.readStream.schema("doc_id long, text string").parquet(src),
             corpus,
@@ -221,7 +221,7 @@ def test_watermark_and_bucketed_index_compose(spark, tmp_path):
         )
         q.processAllAvailable()
         for rows in batches[1:]:
-            _docs(spark, rows).write.mode("append").parquet(src)
+            _docs(spark, rows).coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
         q.stop()
         out[mode] = _corpus_ids(spark, corpus)
@@ -243,7 +243,7 @@ def test_streaming_decontamination_gate(spark, tmp_path):
     src = str(tmp_path / "in")
     corpus = str(tmp_path / "corpus")
     index = str(tmp_path / "index")
-    _docs(spark, batches[0]).write.parquet(src)
+    _docs(spark, batches[0]).coalesce(1).write.parquet(src)
     q = stream_dedup_ingest(
         spark.readStream.schema("doc_id long, text string").parquet(src),
         corpus,
@@ -253,7 +253,7 @@ def test_streaming_decontamination_gate(spark, tmp_path):
         decontaminate_against=eval_set,
     )
     q.processAllAvailable()
-    _docs(spark, batches[1]).write.mode("append").parquet(src)
+    _docs(spark, batches[1]).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     assert _corpus_ids(spark, corpus) == [2, 11]

@@ -121,7 +121,7 @@ def test_stream_upsert_to_table(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     ev = read_table(spark, SF_DIR, "events")
     # batch 1: original rows for users; batch 2 (same keys): bumped values
-    ev.limit(200).write.parquet(src)
+    ev.limit(200).coalesce(1).write.parquet(src)
     q = stream_upsert_to_table(
         read_event_stream(spark, src), table, ["event_id"], ckpt
     )
@@ -132,7 +132,7 @@ def test_stream_upsert_to_table(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    ev.limit(50).withColumn("value", F.lit(-1.0)).write.mode("append").parquet(src)
+    ev.limit(50).withColumn("value", F.lit(-1.0)).coalesce(1).write.mode("append").parquet(src)
     q = stream_upsert_to_table(
         read_event_stream(spark, src), table, ["event_id"], ckpt
     )
@@ -198,7 +198,7 @@ def test_stream_cdc_to_table_ops(spark, tmp_path):
 
     spark.createDataFrame(
         [(1, "a", "I"), (2, "b", "I"), (3, "c", "I")], schema
-    ).write.parquet(src)
+    ).coalesce(1).write.parquet(src)
     q = stream_cdc_to_table(
         spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt
     )
@@ -210,7 +210,7 @@ def test_stream_cdc_to_table_ops(spark, tmp_path):
     # next batch: update 1, delete 2, insert 4, delete-nonexistent 9 (no-op)
     spark.createDataFrame(
         [(1, "a2", "U"), (2, None, "D"), (4, "d", "I"), (9, None, "D")], schema
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     q = stream_cdc_to_table(
         spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt
     )
@@ -251,7 +251,7 @@ def test_stream_cdc_checkpoint_recovery_exactly_once(spark, tmp_path):
         [(2, None, "D"), (4, "d", "I")],
     ]
     for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
 
     def _stream():
         return (
@@ -303,13 +303,13 @@ def test_stream_cdc_restart_restores_mid_swap_backup(spark, tmp_path):
     src = str(tmp_path / "rb_in")
     table = str(tmp_path / "rb_table")
     ckpt = str(tmp_path / "rb_ckpt")
-    spark.createDataFrame([(1, "a", "I"), (2, "b", "I")], schema).write.parquet(src)
+    spark.createDataFrame([(1, "a", "I"), (2, "b", "I")], schema).coalesce(1).write.parquet(src)
     q = stream_cdc_to_table(spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt)
     q.processAllAvailable(); q.stop()
 
     # simulate the crash window: old table renamed aside, no new table
     os.rename(table, f"{table}.__bak_deadbeef")
-    spark.createDataFrame([(3, "c", "I")], schema).write.mode("append").parquet(src)
+    spark.createDataFrame([(3, "c", "I")], schema).coalesce(1).write.mode("append").parquet(src)
     q = stream_cdc_to_table(spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt)
     q.processAllAvailable(); q.stop()
     out = {r["id"]: r["val"] for r in spark.read.parquet(table).collect()}
@@ -329,12 +329,12 @@ def test_stream_cdc_restart_missing_table_fails_loudly(spark, tmp_path):
     src = str(tmp_path / "rm_in")
     table = str(tmp_path / "rm_table")
     ckpt = str(tmp_path / "rm_ckpt")
-    spark.createDataFrame([(1, "a", "I")], schema).write.parquet(src)
+    spark.createDataFrame([(1, "a", "I")], schema).coalesce(1).write.parquet(src)
     q = stream_cdc_to_table(spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt)
     q.processAllAvailable(); q.stop()
 
     shutil.rmtree(table)
-    spark.createDataFrame([(2, "b", "I")], schema).write.mode("append").parquet(src)
+    spark.createDataFrame([(2, "b", "I")], schema).coalesce(1).write.mode("append").parquet(src)
     q = stream_cdc_to_table(spark.readStream.schema(schema).parquet(src), table, ["id"], ckpt)
     with pytest.raises(Exception, match="refusing to rebuild"):
         q.processAllAvailable()
@@ -355,7 +355,7 @@ def test_stream_cdc_conflicting_ops_fail_loudly(spark, tmp_path):
         T.StructField("op", T.StringType()),
     ])
     src = str(tmp_path / "dup_in")
-    spark.createDataFrame([(7, "x", "I"), (7, None, "D")], schema).write.parquet(src)
+    spark.createDataFrame([(7, "x", "I"), (7, None, "D")], schema).coalesce(1).write.parquet(src)
     q = stream_cdc_to_table(
         spark.readStream.schema(schema).parquet(src),
         str(tmp_path / "dup_table"), ["id"], str(tmp_path / "dup_ckpt"),
@@ -397,7 +397,7 @@ def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     # batch 1: doc 2 is an in-batch copy of doc 1
-    mk((1, texts["a"]), (2, texts["a"]), (3, texts["b"])).write.parquet(src)
+    mk((1, texts["a"]), (2, texts["a"]), (3, texts["b"])).coalesce(1).write.parquet(src)
     q = stream_dedup_ingest(
         spark.readStream.schema("doc_id long, text string").parquet(src),
         corpus,
@@ -412,14 +412,14 @@ def test_stream_dedup_ingest_online_filtering(spark, tmp_path):
     # a LOWER id than every corpus doc — must still be dropped.
     mk(
         (0, texts["a"]), (11, texts["b"]), (12, texts["c"]), (13, texts["c"])
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     assert _poll_parquet_ids(spark, corpus, "doc_id", [1, 3, 12], q=q) == [1, 3, 12]
 
     # batch 3: replayed ids (already ingested) are anti-joined away,
     # fresh non-dup doc lands; the sorted-list poll also pins the
     # replay guard (a duplicate corpus row would show as a 5th entry)
-    mk((12, texts["c"]), (14, texts["d"])).write.mode("append").parquet(src)
+    mk((12, texts["c"]), (14, texts["d"])).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     got3 = _poll_parquet_ids(spark, corpus, "doc_id", [1, 3, 12, 14], q=q)
     q.stop()
@@ -441,7 +441,7 @@ def test_stream_dedup_ingest_refuses_missing_corpus_on_restart(spark, tmp_path):
     corpus = str(tmp_path / "corpus")
     index = str(tmp_path / "index")
     ckpt = str(tmp_path / "ckpt")
-    spark.createDataFrame([(1, text)], "doc_id: long, text: string").write.parquet(src)
+    spark.createDataFrame([(1, text)], "doc_id: long, text: string").coalesce(1).write.parquet(src)
     q = stream_dedup_ingest(
         spark.readStream.schema("doc_id long, text string").parquet(src),
         corpus,
@@ -451,7 +451,7 @@ def test_stream_dedup_ingest_refuses_missing_corpus_on_restart(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     shutil.rmtree(corpus)
-    spark.createDataFrame([(2, text + " two")], "doc_id: long, text: string").write.mode(
+    spark.createDataFrame([(2, text + " two")], "doc_id: long, text: string").coalesce(1).write.mode(
         "append"
     ).parquet(src)
     q = stream_dedup_ingest(
@@ -478,7 +478,7 @@ def test_stream_cdc_delta_engine_gated_loudly(spark, tmp_path):
 
     schema = _cdc_schema()
     src = str(tmp_path / "de_in")
-    spark.createDataFrame([(1, "a", "I")], schema).write.parquet(src)
+    spark.createDataFrame([(1, "a", "I")], schema).coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(schema).parquet(src)
     try:
         import delta  # noqa: F401
@@ -494,7 +494,7 @@ def test_stream_cdc_delta_engine_gated_loudly(spark, tmp_path):
         stream, str(tmp_path / "de_t"), ["id"], str(tmp_path / "de_ck"), engine="delta"
     )
     q.processAllAvailable(); q.stop()
-    spark.createDataFrame([(1, "a2", "U"), (2, "b", "I")], schema).write.mode(
+    spark.createDataFrame([(1, "a2", "U"), (2, "b", "I")], schema).coalesce(1).write.mode(
         "append"
     ).parquet(src)
     q = stream_cdc_to_table(
@@ -513,7 +513,7 @@ def test_stream_cdc_engine_validation(spark, tmp_path):
 
     schema = _cdc_schema()
     src = str(tmp_path / "ev_in")
-    spark.createDataFrame([(1, "a", "I")], schema).write.parquet(src)
+    spark.createDataFrame([(1, "a", "I")], schema).coalesce(1).write.parquet(src)
     with pytest.raises(ValueError, match="parquet|delta"):
         stream_cdc_to_table(
             spark.readStream.schema(schema).parquet(src),
@@ -602,10 +602,10 @@ def test_stream_scd2_matches_batch_and_replay_noop(spark, tmp_path):
     table = str(tmp_path / "scd2")
     ckpt = str(tmp_path / "ckpt")
     cutoff = "2024-01-15"
-    ev.where(F.col("ts") < cutoff).write.parquet(src)
+    ev.where(F.col("ts") < cutoff).coalesce(1).write.parquet(src)
     q = stream_scd2_to_table(read_event_stream(spark, src), table, ckpt)
     q.processAllAvailable()
-    ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
 
@@ -620,7 +620,7 @@ def test_stream_scd2_matches_batch_and_replay_noop(spark, tmp_path):
     assert got == want and len(want) > 0
 
     # replay: the same late-window rows re-delivered as a new batch
-    ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
     q = stream_scd2_to_table(read_event_stream(spark, src), table, ckpt)
     q.processAllAvailable()
     q.stop()
@@ -736,7 +736,7 @@ def test_stream_dedup_ingest_dsir_gate(spark, tmp_path):
     src = str(tmp_path / "docs_in")
     corpus = str(tmp_path / "corpus")
     index = str(tmp_path / "index")
-    spark.createDataFrame(batch1, "doc_id: long, text: string").write.parquet(src)
+    spark.createDataFrame(batch1, "doc_id: long, text: string").coalesce(1).write.parquet(src)
     q = stream_dedup_ingest(
         spark.readStream.schema("doc_id long, text string").parquet(src),
         corpus,
@@ -749,7 +749,7 @@ def test_stream_dedup_ingest_dsir_gate(spark, tmp_path):
     )
     q.processAllAvailable()
     got1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
-    spark.createDataFrame(batch2, "doc_id: long, text: string").write.mode(
+    spark.createDataFrame(batch2, "doc_id: long, text: string").coalesce(1).write.mode(
         "append"
     ).parquet(src)
     q.processAllAvailable()

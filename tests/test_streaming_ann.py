@@ -52,7 +52,7 @@ def test_stream_embeddings_ivf_equals_batch_build(spark, tmp_path, emb, centroid
 
     half_a = emb.where(F.col("vec_id") < 250)
     half_b = emb.where(F.col("vec_id") >= 250)
-    half_a.write.parquet(src)  # source dir must exist before readStream
+    half_a.coalesce(1).write.parquet(src)  # source dir must exist before readStream
     q = stream_embeddings_to_ivf_index(
         spark.readStream.schema("vec_id long, embedding array<float>, label int")
         .parquet(src),
@@ -63,7 +63,7 @@ def test_stream_embeddings_ivf_equals_batch_build(spark, tmp_path, emb, centroid
         pq_codebooks=books,
     )
     q.processAllAvailable()
-    half_b.write.mode("append").parquet(src)
+    half_b.coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
 

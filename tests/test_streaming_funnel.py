@@ -22,7 +22,7 @@ def _drive(spark, tmp_path, name, window=None):
     # batch 0 must exist before readStream sees the dir; batch 1 lands
     # mid-stream — event-time order across batches is preserved by the
     # ts split, which is the operator's documented parity contract
-    ev.where(F.col("ts") < cutoff).write.parquet(drop)
+    ev.where(F.col("ts") < cutoff).coalesce(1).write.parquet(drop)
     stream = spark.readStream.schema(ev.schema).parquet(drop)
     q = (
         streaming_funnel(stream, STEPS, conversion_window_days=window)
@@ -33,7 +33,7 @@ def _drive(spark, tmp_path, name, window=None):
     )
     try:
         q.processAllAvailable()
-        ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(drop)
+        ev.where(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(drop)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -75,7 +75,7 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
     ev = read_table(spark, SF_DIR, "events").select("user_id", "ts")
     drop = str(tmp_path / "drop_ret")
     cutoff = "2024-01-15"
-    ev.where(F.col("ts") < cutoff).write.parquet(drop)
+    ev.where(F.col("ts") < cutoff).coalesce(1).write.parquet(drop)
     stream = spark.readStream.schema(ev.schema).parquet(drop)
     q = (
         streaming_retention(stream)
@@ -86,7 +86,7 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(drop)
+        ev.where(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(drop)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -115,7 +115,7 @@ def test_streaming_debounce_matches_batch_strict(spark, tmp_path):
     )
     drop = str(tmp_path / "drop_db")
     cutoff = "2024-01-15"
-    ev.where(F.col("ts") < cutoff).write.parquet(drop)
+    ev.where(F.col("ts") < cutoff).coalesce(1).write.parquet(drop)
     stream = spark.readStream.schema(ev.schema).parquet(drop)
     q = (
         streaming_debounce(stream, gap_seconds=3600)
@@ -126,7 +126,7 @@ def test_streaming_debounce_matches_batch_strict(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(drop)
+        ev.where(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(drop)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -157,7 +157,7 @@ def test_streaming_conversion_lag_matches_batch(spark, tmp_path):
     )
     drop = str(tmp_path / "drop_clag")
     cutoff = "2024-01-15"
-    ev.where(F.col("ts") < cutoff).write.parquet(drop)
+    ev.where(F.col("ts") < cutoff).coalesce(1).write.parquet(drop)
     stream = spark.readStream.schema(ev.schema).parquet(drop)
     q = (
         streaming_conversion_lag(stream, "signup", "purchase")
@@ -168,7 +168,7 @@ def test_streaming_conversion_lag_matches_batch(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        ev.where(F.col("ts") >= cutoff).write.mode("append").parquet(drop)
+        ev.where(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(drop)
         q.processAllAvailable()
     finally:
         q.stop()

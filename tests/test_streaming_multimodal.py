@@ -49,7 +49,7 @@ def test_stream_image_dedup_ingest_online_filtering(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     # batch 1: 2 is a brightness-shifted copy of 1 (in-batch dup)
-    _rows(spark, (1, a), (2, a_bright), (3, b)).write.parquet(src)
+    _rows(spark, (1, a), (2, a_bright), (3, b)).coalesce(1).write.parquet(src)
     q = stream_image_dedup_ingest(
         spark.readStream.schema("image_id long, payload binary").parquet(src),
         corpus,
@@ -62,12 +62,12 @@ def test_stream_image_dedup_ingest_online_filtering(spark, tmp_path):
     # batch 2: 11 copies corpus image 3 (cross-batch, via the index);
     # 12 unique; 13 copies 12 in-batch; 0 copies corpus image 1
     # despite the LOWER id — the corpus is immutable, 0 must drop
-    _rows(spark, (0, a), (11, b), (12, c), (13, c)).write.mode("append").parquet(src)
+    _rows(spark, (0, a), (11, b), (12, c), (13, c)).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     assert _poll_ids(spark, corpus, [1, 3, 12], q=q) == [1, 3, 12]
 
     # batch 3: replayed id anti-joined away; fresh image lands
-    _rows(spark, (12, c), (14, d)).write.mode("append").parquet(src)
+    _rows(spark, (12, c), (14, d)).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     got3 = _poll_ids(spark, corpus, [1, 3, 12, 14], q=q)
     q.stop()
@@ -93,7 +93,7 @@ def test_stream_image_ingest_lost_index_rebuilt_and_missing_corpus_refused(
     corpus = str(tmp_path / "corpus")
     index = str(tmp_path / "index")
 
-    _rows(spark, (1, a)).write.parquet(src)
+    _rows(spark, (1, a)).coalesce(1).write.parquet(src)
     q = stream_image_dedup_ingest(
         spark.readStream.schema("image_id long, payload binary").parquet(src),
         corpus,
@@ -105,7 +105,7 @@ def test_stream_image_ingest_lost_index_rebuilt_and_missing_corpus_refused(
 
     # index vanishes; the next batch must still see image 1 as a dup
     shutil.rmtree(index)
-    _rows(spark, (2, a + 5), (3, b)).write.mode("append").parquet(src)
+    _rows(spark, (2, a + 5), (3, b)).coalesce(1).write.mode("append").parquet(src)
     q = stream_image_dedup_ingest(
         spark.readStream.schema("image_id long, payload binary").parquet(src),
         corpus,
@@ -120,7 +120,7 @@ def test_stream_image_ingest_lost_index_rebuilt_and_missing_corpus_refused(
 
     # corpus vanishes; restart must refuse
     shutil.rmtree(corpus)
-    _rows(spark, (4, b + 5)).write.mode("append").parquet(src)
+    _rows(spark, (4, b + 5)).coalesce(1).write.mode("append").parquet(src)
     q = stream_image_dedup_ingest(
         spark.readStream.schema("image_id long, payload binary").parquet(src),
         corpus,
@@ -159,7 +159,7 @@ def test_stream_audio_dedup_ingest_via_fingerprint_fn(spark, tmp_path):
     index = str(tmp_path / "index")
 
     # batch 1: clip 2 is a gain x4 copy of 1 (in-batch dup); 3 unique
-    _arows((1, a), (2, a * 4), (3, b)).write.parquet(src)
+    _arows((1, a), (2, a * 4), (3, b)).coalesce(1).write.parquet(src)
     q = stream_image_dedup_ingest(
         spark.readStream.schema("audio_id long, payload binary").parquet(src),
         corpus,
@@ -173,7 +173,7 @@ def test_stream_audio_dedup_ingest_via_fingerprint_fn(spark, tmp_path):
 
     # batch 2: 11 is a gain x2 copy of corpus clip 3 (cross-batch, via
     # the persisted index — clip 3's PAYLOAD is never re-read); 12 fresh
-    _arows((11, b * 2), (12, c)).write.mode("append").parquet(src)
+    _arows((11, b * 2), (12, c)).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     got = _poll_ids(spark, corpus, [1, 3, 12], id_col="audio_id", q=q)
     q.stop()
@@ -255,7 +255,7 @@ def test_stream_video_dedup_ingest_online_filtering(spark, tmp_path):
         return spark.createDataFrame(data, "video_id: long, payload: binary")
 
     # batch 1: 2 is a re-mux of 1 (in-batch, J=1.0); 3 unique
-    _vrows((1, fa), (2, fa[::-1]), (3, fb)).write.parquet(src)
+    _vrows((1, fa), (2, fa[::-1]), (3, fb)).coalesce(1).write.parquet(src)
     q = stream_video_dedup_ingest(
         spark.readStream.schema("video_id long, payload binary").parquet(src),
         corpus,
@@ -270,12 +270,12 @@ def test_stream_video_dedup_ingest_online_filtering(spark, tmp_path):
     # (J = 3/5 = 0.6 >= 0.5 -> drop); 12 fresh; 13 re-muxes 12 in-batch
     _vrows(
         (0, fa), (11, fb[:3] + _frames(75, n_frames=1)), (12, fc), (13, fc[::-1])
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     assert _poll_ids(spark, corpus, [1, 3, 12], id_col="video_id", q=q) == [1, 3, 12]
 
     # batch 3: replayed id anti-joined away; fresh video lands
-    _vrows((12, fc), (14, fd)).write.mode("append").parquet(src)
+    _vrows((12, fc), (14, fd)).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     got3 = _poll_ids(spark, corpus, [1, 3, 12, 14], id_col="video_id", q=q)
     q.stop()
@@ -374,7 +374,7 @@ def test_stream_audio_trim_dedup_ingest(spark, tmp_path):
     index = str(tmp_path / "index")
 
     # batch 1: 2 is a TRIM of 1 (in-batch containment dup); 3 unique
-    _arows((1, full_a), (2, full_a[1024:3072]), (3, full_b)).write.parquet(src)
+    _arows((1, full_a), (2, full_a[1024:3072]), (3, full_b)).coalesce(1).write.parquet(src)
     q = stream_video_dedup_ingest(
         spark.readStream.schema("audio_id long, payload binary").parquet(src),
         corpus,
@@ -391,7 +391,7 @@ def test_stream_audio_trim_dedup_ingest(spark, tmp_path):
 
     # batch 2: 11 is a trim of corpus clip 3 (cross-batch, via the
     # persisted index — clip 3's payload never re-read); 12 fresh
-    _arows((11, full_b[512:2560]), (12, other)).write.mode("append").parquet(src)
+    _arows((11, full_b[512:2560]), (12, other)).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     got = _poll_ids(spark, corpus, [1, 3, 12], id_col="audio_id", q=q)
     q.stop()
@@ -538,7 +538,7 @@ def test_stream_text_containment_ingest_online_filtering(spark, tmp_path):
 
     # batch 1: 2 is a verbatim chunk of 1 (containment 1.0, Jaccard
     # ~0.25 — the subset case); 3 unique
-    _drows((1, long_a), (2, long_a[30:70]), (3, long_b)).write.parquet(src)
+    _drows((1, long_a), (2, long_a[30:70]), (3, long_b)).coalesce(1).write.parquet(src)
     q = stream_text_containment_ingest(
         spark.readStream.schema("doc_id long, text string").parquet(src),
         corpus,
@@ -556,12 +556,12 @@ def test_stream_text_containment_ingest_online_filtering(spark, tmp_path):
         (12, fresh),
         (13, fresh[20:60]),
         (14, ["tiny", "doc"]),
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     assert _poll_ids(spark, corpus, [1, 3, 12, 14], id_col="doc_id", q=q) == [1, 3, 12, 14]
 
     # batch 3: replayed id anti-joined away; fresh doc lands
-    _drows((12, fresh), (15, _words(64, 50))).write.mode("append").parquet(src)
+    _drows((12, fresh), (15, _words(64, 50))).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     got3 = _poll_ids(spark, corpus, [1, 3, 12, 14, 15], id_col="doc_id", q=q)
     q.stop()
