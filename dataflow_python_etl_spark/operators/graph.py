@@ -535,11 +535,15 @@ def core_communities(
     Two-stage division instead of the single-division form
     ``10⁶·(4·m·m_c − d_c²) div (4m²)``: the latter is exact but its
     numerator wraps int64 at m ≈ 5·10⁷ edges, while here every
-    intermediate is bounded by ``10⁶·max(m_c, d_c) < 2⁶³`` up to
-    ~9·10¹² edges — the 100 TB regime. Both engines replay the
-    identical floor divisions, so the ±1 ppm quantization of term2
-    is bit-reproducible (portable-by-construction, like the DSIR
-    linearization; the oracle runs the same three divisions).
+    intermediate is bounded by ``10⁶·d_c ≤ 2·10⁶·m < 2⁶³``, i.e. up
+    to m ≈ 4.6·10¹² edges (``d_c`` can reach ``2m``) — the 100 TB
+    regime. Past that bound Spark would silently wrap while DuckDB
+    promotes to INT128, so a filter-anchored ``raise_error`` guard on
+    ``m`` (the DSIR weight-table pattern) fails loudly instead. Both
+    engines replay the identical floor divisions, so the ±1 ppm
+    quantization of term2 is bit-reproducible
+    (portable-by-construction, like the DSIR linearization; the
+    oracle runs the same three divisions).
 
     A component partition has NO inter-community edges, so
     ``d_c = 2·m_c`` exactly and ``m_intra`` is derived as
@@ -597,15 +601,37 @@ def core_communities(
             F.sum("core_degree").cast("long").alias("d_sum"),
         )
     )
-    return comm.crossJoin(F.broadcast(m_row)).select(
-        F.col("cluster").alias("community"),
-        "n_nodes",
-        F.expr("d_sum div 2").cast("long").alias("m_intra"),
-        F.expr(
-            "(1000000 * (d_sum div 2)) div m - "
-            "(((1000000 * d_sum) div (2 * m)) * "
-            "((1000000 * d_sum) div (2 * m))) div 1000000"
+    # filter-anchored overflow guard (CLAUDE.md: a dead projected column
+    # would be pruned): 1e6*d_sum with d_sum <= 2m wraps int64 once
+    # m > (2^63-1) div 2e6 ~ 4.6e12 edges — fail loudly, don't wrap.
+    _long_max = 9223372036854775807
+    return (
+        comm.crossJoin(F.broadcast(m_row))
+        .where(
+            F.when(
+                F.expr(f"m > {_long_max} div 2000000"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("core_communities: 1000000*d_sum would exceed "),
+                        F.lit("the 64-bit bound at m="),
+                        F.col("m").cast("string"),
+                        F.lit(" edges (limit ~4.6e12) — shard the graph or "),
+                        F.lit("widen the arithmetic before computing "),
+                        F.lit("modularity"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
         )
-        .cast("long")
-        .alias("modularity_ppm"),
+        .select(
+            F.col("cluster").alias("community"),
+            "n_nodes",
+            F.expr("d_sum div 2").cast("long").alias("m_intra"),
+            F.expr(
+                "(1000000 * (d_sum div 2)) div m - "
+                "(((1000000 * d_sum) div (2 * m)) * "
+                "((1000000 * d_sum) div (2 * m))) div 1000000"
+            )
+            .cast("long")
+            .alias("modularity_ppm"),
+        )
     )

@@ -1450,11 +1450,23 @@ def apply_chunked_audio_batch(
         probe = counts.join(sizes, "clip_id").localCheckpoint(eager=True)
         dropped = spark.createDataFrame([], "clip_id long")
         if os.path.exists(index_path):
-            idx = spark.read.parquet(index_path).select(
-                F.col("clip_id").alias("cid"),
-                "seg_hash",
-                F.col("c").alias("ic"),
-                F.col("n").alias("inn"),
+            # Replay safety: a crashed prior attempt of THIS batch may
+            # already have written index partition ingest_batch=B; probing
+            # against it would self-match every replayed finishing clip at
+            # 1e6 ppm (and invert same-batch lower-id-wins peer decisions),
+            # then the dynamic overwrite of an emptied survivor set no-ops
+            # and the state swap seals a permanent index/corpus split.
+            # Excluding our own partition makes replay see exactly the
+            # inputs the original attempt saw (partition-pruned scan).
+            idx = (
+                spark.read.parquet(index_path)
+                .where(F.col("ingest_batch") != F.lit(batch_id))
+                .select(
+                    F.col("clip_id").alias("cid"),
+                    "seg_hash",
+                    F.col("c").alias("ic"),
+                    F.col("n").alias("inn"),
+                )
             )
             dropped = (
                 probe.join(idx, "seg_hash")

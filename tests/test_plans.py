@@ -535,4 +535,4 @@ def test_core_communities_query_stays_jvm(spark):
     df = _q(spark, "q160_core_communities")
     plan = explain_str(df, "simple")
     assert "EvalPython" not in plan
-    assert "POWER" not in plan.upper() or "pow(" not in plan
+    assert "POWER" not in plan.upper() and "pow(" not in plan

@@ -160,6 +160,56 @@ def test_chunked_ingest_replay_converges(spark, tmp_path):
     assert snapshot() == before
 
 
+def test_chunked_ingest_replay_after_index_before_corpus(spark, tmp_path):
+    """ADVICE r9 (high): the crash window BETWEEN the index partition
+    write and the corpus write. The crashed attempt leaves index
+    partition ingest_batch=B populated with this batch's survivors;
+    a replay that probes against that stale partition self-matches
+    every finishing clip at 1e6 ppm (and inverts same-batch
+    lower-id-wins peer decisions), drops them all, and — because an
+    empty dynamic overwrite is a no-op — seals a permanent
+    index/corpus inconsistency at the state swap. The fixed probe
+    excludes ingest_batch == B, so replay reproduces the original
+    attempt's inputs and converges to the clean-run surfaces."""
+    import shutil
+
+    rng = np.random.RandomState(7)
+    paths = _paths(tmp_path)
+    A = _clip(rng, 1500)
+    _apply(spark, _chunk_rows(1, A, 3), 0, paths)
+
+    X = _clip(rng, 1200)  # batch-1 survivor (lower id)
+    Y = X[100:1100]       # trim of X, higher id: peer-dropped in-batch
+    C = A[200:1300]       # trim of A: dropped against the ingested index
+    rows_b1 = _chunk_rows(2, X, 2) + _chunk_rows(3, Y, 2) + _chunk_rows(4, C, 2)
+
+    state_backup = str(tmp_path / "state_backup")
+    shutil.copytree(paths["state_path"], state_backup)
+
+    _apply(spark, rows_b1, 1, paths)  # the clean run = expected surfaces
+
+    def snapshot():
+        return {
+            p: sorted(tuple(r) for r in spark.read.parquet(paths[p]).collect())
+            for p in ("seg_path", "index_path", "corpus_path", "state_path")
+        }
+
+    expected = snapshot()
+    assert sorted(
+        r["clip_id"] for r in spark.read.parquet(paths["corpus_path"]).collect()
+    ) == [1, 2]
+
+    # Rewind to the crash point: seg + index partitions for batch 1 are
+    # on disk (the crashed attempt wrote them), the corpus partition is
+    # not, and the state/ledger swap never happened.
+    shutil.rmtree(os.path.join(paths["corpus_path"], "ingest_batch=1"))
+    shutil.rmtree(paths["state_path"])
+    shutil.copytree(state_backup, paths["state_path"])
+
+    _apply(spark, rows_b1, 1, paths)  # replay
+    assert snapshot() == expected
+
+
 def test_chunked_ingest_loud_guards(spark, tmp_path):
     """Out-of-order/gapped chunks and a mid-clip is_last must FAIL
     LOUDLY (fabricated segment boundaries otherwise); zero-evidence
