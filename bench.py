@@ -127,6 +127,7 @@ EXTENDED_QUERIES = [
     "q158_hard_negatives",
     "q159_pq_adc_topk",
     "q160_core_communities",
+    "q161_quality_classifier",
 ]
 
 

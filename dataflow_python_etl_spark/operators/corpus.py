@@ -684,6 +684,9 @@ def curate_corpus(
     boilerplate_split: str = "\n",
     boilerplate_joiner: str = "\n",
     gopher_rules: bool = False,
+    classifier_weights: DataFrame | None = None,
+    classifier_min_margin: int = 0,
+    classifier_buckets: int = 1024,
     images: DataFrame | None = None,
     image_payload_col: str = "payload",
     image_max_hamming: int = 6,
@@ -750,6 +753,16 @@ def curate_corpus(
        (:func:`gopher_flags`, default thresholds) is ANDed into the
        same zero-shuffle gate projection — soft score for ranking,
        hard rules for the published floor);
+    2'. optional TRAINED quality gate (``classifier_weights``: a
+       frozen ``classifier.quality_classifier_fit`` weight table):
+       each quality survivor is scored by the hashed-linear
+       classifier (one broadcast join + one per-doc agg — q161's
+       operator) and kept iff ``margin > classifier_min_margin``;
+       docs with no grams have no score row and are dropped by this
+       tier (no evidence, no ingest). The heuristic gate above is the
+       published floor, this tier is the LEARNED one (CCNet/
+       RedPajama/Dolma's fastText stage); train on a bounded labeled
+       split, gate the full pool — the DSIR weight-table posture;
     2a. optional benchmark decontamination (``decontaminate_against``):
        documents sharing ≥ ``decontaminate_min_overlap`` 3-gram
        shingles with the supplied eval/benchmark set are dropped
@@ -925,6 +938,31 @@ def curate_corpus(
     gated = register_cache(
         scrubbed.withColumn("quality", quality_score(text_col)).where(gate)
     )
+    if classifier_weights is not None:
+        # tier 2': TRAINED quality gate (classifier.py — the
+        # fastText-style hashed-linear model the heuristic gates
+        # don't cover): FROZEN weights, one broadcast join + one agg
+        # over the quality survivors; keep iff margin >
+        # classifier_min_margin (margin > 0 is the model's own keep
+        # class). Semi-join on scored ids means gramless docs are
+        # dropped here — "no evidence, no ingest", the DSIR-gate
+        # contract.
+        from dataflow_python_etl_spark.operators.classifier import (
+            quality_classifier_score_with,
+        )
+
+        keep_clf = (
+            quality_classifier_score_with(
+                gated,
+                classifier_weights,
+                id_col=id_col,
+                text_col=text_col,
+                buckets=classifier_buckets,
+            )
+            .where(F.col("margin") > classifier_min_margin)
+            .select(F.col(id_col))
+        )
+        gated = register_cache(gated.join(keep_clf, id_col, "left_semi"))
     if decontaminate_against is not None:
         from dataflow_python_etl_spark.operators.dedup import contamination_check
 

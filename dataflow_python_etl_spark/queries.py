@@ -7803,6 +7803,148 @@ def q160_core_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_communities(_brand_block_edges(spark, sf_dir), k=2, rounds=16)
 
 
+def _qclf_oracle_sql(buckets: int = 1024, epochs: int = 4) -> str:
+    """Mirror operators.classifier fit+score exactly: the fixed-epoch
+    full-batch perceptron unrolled (the PageRank exact-iteration-count
+    precedent — both engines run the IDENTICAL epoch count, and a
+    converged epoch's update sum is empty, i.e. monotone no-op
+    padding), every iterated CTE MATERIALIZED (DuckDB re-expands CTEs
+    per reference — round-8 pitfall). All arithmetic is exact-integer
+    sums/products, so the fitted weights and held-out margins hash
+    identically cross-engine."""
+    gram = _md5h60_sql("'qclf-v1:' || gram")
+    sql = f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    ex AS MATERIALIZED (
+        SELECT doc_id * 2 AS ex_id, CAST(1 AS BIGINT) AS y, text FROM d
+        UNION ALL
+        SELECT doc_id * 2 + 1, CAST(-1 AS BIGINT),
+               translate(text, 'etaoins', '0123456') FROM d
+    ),
+    tok AS MATERIALIZED (
+        SELECT ex_id, y,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM ex
+    ),
+    g AS MATERIALIZED (
+        SELECT ex_id, y, {gram} % {buckets} AS bucket
+        FROM (
+            SELECT ex_id, y, unnest(toks) AS gram FROM tok
+            UNION ALL
+            SELECT ex_id, y, array_to_string(toks[i:i+1], ' ') AS gram
+            FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+            WHERE len(toks) >= 2
+        )
+    ),
+    pe AS MATERIALIZED (
+        SELECT ex_id, y, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT DISTINCT ex_id, y, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM g
+    ),
+    tr AS MATERIALIZED (SELECT * FROM pe WHERE (ex_id // 2) % 5 <> 0),
+    w1 AS MATERIALIZED (
+        SELECT bucket, CAST(sum(y * c) AS BIGINT) AS w FROM tr GROUP BY bucket
+    )"""
+    for e in range(2, epochs + 1):
+        p = e - 1
+        sql += f""",
+    mis{p} AS (
+        SELECT tr.ex_id
+        FROM tr LEFT JOIN w{p} USING (bucket)
+        GROUP BY tr.ex_id, tr.y
+        HAVING tr.y * sum(tr.c * coalesce(w{p}.w, 0)) <= 0
+    ),
+    u{p} AS (
+        SELECT bucket, CAST(sum(y * c) AS BIGINT) AS u
+        FROM tr JOIN mis{p} USING (ex_id) GROUP BY bucket
+    ),
+    w{e} AS MATERIALIZED (
+        SELECT coalesce(w{p}.bucket, u{p}.bucket) AS bucket,
+               CAST(coalesce(w{p}.w, 0) + coalesce(u{p}.u, 0) AS BIGINT) AS w
+        FROM w{p} FULL JOIN u{p} ON w{p}.bucket = u{p}.bucket
+    )"""
+    wf = f"w{epochs}"
+    sql += f""",
+    summ AS (
+        SELECT CAST(coalesce(sum(w) FILTER (WHERE bucket = -1), 0) AS BIGINT)
+                   AS bias
+        FROM {wf}
+    ),
+    ho AS (SELECT * FROM pe WHERE (ex_id // 2) % 5 = 0 AND bucket >= 0),
+    sc AS (
+        SELECT ex_id, y,
+               CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS m,
+               CAST(sum(c) AS BIGINT) AS n_grams
+        FROM ho LEFT JOIN {wf} USING (bucket)
+        GROUP BY ex_id, y
+    )
+    SELECT ex_id, y = 1 AS label,
+           CAST(m + bias AS BIGINT) AS margin, n_grams,
+           m + bias > 0 AS pred
+    FROM sc, summ
+    """
+    return sql
+
+
+@_q(
+    "q161_quality_classifier",
+    _qclf_oracle_sql(),
+    "Trained quality classifier (VERDICT r9 #1 — the fastText-style "
+    "hashed-linear tier CCNet/RedPajama/Dolma all run and the "
+    "heuristic gates here did not): a labeled split is built "
+    "data-derived (positives = real documents, negatives = the same "
+    "documents under a deterministic common-letter corruption "
+    "translate(text,'etaoins','0123456') — tokens sharing no "
+    "corrupted letter keep their buckets, so the classes genuinely "
+    "overlap and later epochs do real corrective work), then "
+    "operators.classifier.quality_classifier_fit trains a "
+    "1024-bucket hashed unigram+bigram linear model (the shared "
+    "_gram_buckets kernel + bias) with 4 FULL-BATCH perceptron "
+    "epochs — integer, order-independent updates, the one linear "
+    "trainer whose fit is bit-reproducible cross-engine (SGD is "
+    "row-order-dependent, logistic needs engine-private exp/ln) — "
+    "and the FROZEN weights score the held-out fifth "
+    "(quality_classifier_score_with: one broadcast join + one agg, "
+    "loud int64 margin guard). Output = held-out (ex_id, label, "
+    "margin, n_grams, pred); the oracle unrolls the identical 4 "
+    "epochs. Train-on-bounded-split / score-the-pool is exactly the "
+    "100 TB posture (labels are the scarce resource).",
+)
+def q161_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.classifier import (
+        quality_classifier_fit,
+        quality_classifier_score_with,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ex = docs.select(
+        (F.col("doc_id") * 2).alias("ex_id"),
+        F.lit(True).alias("label"),
+        F.col("text"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("ex_id"),
+            F.lit(False).alias("label"),
+            F.translate(F.col("text"), "etaoins", "0123456").alias("text"),
+        )
+    )
+    train = ex.where(F.expr("(ex_id div 2) % 5 <> 0"))
+    hold = ex.where(F.expr("(ex_id div 2) % 5 = 0"))
+    weights = quality_classifier_fit(
+        train, id_col="ex_id", text_col="text", label_col="label",
+        buckets=1024, epochs=4,
+    )
+    scored = quality_classifier_score_with(
+        hold, weights, id_col="ex_id", text_col="text", buckets=1024
+    )
+    return scored.join(hold.select("ex_id", "label"), "ex_id").select(
+        "ex_id", "label", "margin", "n_grams",
+        (F.col("margin") > 0).alias("pred"),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

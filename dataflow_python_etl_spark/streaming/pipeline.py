@@ -348,6 +348,9 @@ def stream_dedup_ingest(
     dsir_weights: DataFrame | None = None,
     min_dsir_ppm: int = 1_000_000,
     dsir_buckets: int = 1024,
+    classifier_weights: DataFrame | None = None,
+    classifier_min_margin: int = 0,
+    classifier_buckets: int = 1024,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Online near-dup-filtered corpus ingestion: each micro-batch of
     documents is deduped against the ALREADY-INGESTED corpus (and
@@ -397,8 +400,13 @@ def stream_dedup_ingest(
     tokens, so the '' split artifact never reaches the ''-gram
     bucket; ADVICE r8) — produce no score and are DROPPED by this
     gate (a quality gate requires evidence; "no evidence, no
-    ingest"); both gates are deterministic, so crash replays
-    re-drop the same docs. Crash safety (both guards): the index is
+    ingest"). ``classifier_weights`` (a frozen
+    ``classifier.quality_classifier_fit`` table) adds the TRAINED
+    quality gate — the streaming twin of
+    ``curate_corpus(classifier_weights=…)``: batch docs are kept iff
+    their hashed-linear ``margin > classifier_min_margin``, gramless
+    docs dropped on the same no-evidence rule. All three gates are
+    deterministic, so crash replays re-drop the same docs. Crash safety (both guards): the index is
     appended FIRST, then the corpus, then (watermark mode) the
     watermark. A crash between index and corpus appends re-processes
     the doc — duplicate index rows re-propose the same candidate
@@ -451,6 +459,12 @@ def stream_dedup_ingest(
     frozen_weights = None
     if dsir_weights is not None:
         frozen_weights = dsir_weights.localCheckpoint(eager=True)
+
+    # Frozen trained-classifier weights (classifier.py), same pattern:
+    # the streaming twin of curate_corpus(classifier_weights=…).
+    frozen_clf = None
+    if classifier_weights is not None:
+        frozen_clf = classifier_weights.localCheckpoint(eager=True)
 
     wm_path = corpus_path + ".__ingest_watermark"
 
@@ -568,6 +582,24 @@ def stream_dedup_ingest(
                 >= F.lit(min_dsir_ppm) * F.col("n_grams")
             )
             batch = batch.join(passing.select(id_col), id_col, "left_semi")
+        if frozen_clf is not None:
+            # online TRAINED quality gate: frozen hashed-linear
+            # weights (classifier.quality_classifier_fit), keep iff
+            # margin > classifier_min_margin. Gramless docs have no
+            # score row and are dropped (no evidence, no ingest).
+            # Deterministic — crash replays re-drop the same docs.
+            from dataflow_python_etl_spark.operators.classifier import (
+                quality_classifier_score_with,
+            )
+
+            keep_clf = quality_classifier_score_with(
+                batch,
+                frozen_clf,
+                id_col=id_col,
+                text_col=text_col,
+                buckets=classifier_buckets,
+            ).where(F.col("margin") > classifier_min_margin)
+            batch = batch.join(keep_clf.select(id_col), id_col, "left_semi")
         if os.path.exists(corpus_path):
             corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
             batch = _guard_replay(batch, corpus, id_col, replay_guard, wm)

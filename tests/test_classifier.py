@@ -1,0 +1,259 @@
+"""Trained hashed-linear quality classifier (VERDICT r9 #1): fixed-
+epoch full-batch perceptron over the shared DSIR gram kernel. The
+cross-engine fit+score parity is q161's oracle hash; these pins cover
+the operator contract — determinism, convergence no-op padding,
+separation, the no-evidence rule, and the loud int64 margin guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_python_etl_spark.operators.classifier import (
+    BIAS_BUCKET,
+    quality_classifier_fit,
+    quality_classifier_score_with,
+)
+
+DDL = "doc_id long, label boolean, text string"
+
+
+def _labeled(spark):
+    # positives: english-ish function words; negatives: digit-noise
+    # tokens. Overlapping token "shared" in both classes keeps the
+    # problem non-trivially separable (epoch >1 does real work).
+    rows = []
+    for i in range(20):
+        rows.append((2 * i, True, f"the quick brown fox shared w{i % 3}"))
+        rows.append((2 * i + 1, False, f"000 111 222 shared n{i % 3} 333"))
+    return spark.createDataFrame(rows, DDL)
+
+
+def test_fit_is_deterministic_and_bounded(spark):
+    df = _labeled(spark)
+    w1 = quality_classifier_fit(df, epochs=3, buckets=64)
+    w2 = quality_classifier_fit(df, epochs=3, buckets=64)
+    rows1 = sorted(map(tuple, w1.collect()))
+    rows2 = sorted(map(tuple, w2.collect()))
+    assert rows1 == rows2
+    # weight table never exceeds buckets+1 rows (bias included)
+    assert len(rows1) <= 65
+    assert any(b == BIAS_BUCKET for b, _ in rows1)
+
+
+def test_trained_margins_separate_classes(spark):
+    df = _labeled(spark)
+    w = quality_classifier_fit(df, epochs=4, buckets=64)
+    scored = quality_classifier_score_with(df, w, buckets=64).join(
+        df.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    assert len(rows) == 40
+    # the training set itself must be fully separated after 4 epochs
+    # on this vocabulary (perceptron converges on separable data)
+    assert all((r["margin"] > 0) == r["label"] for r in rows)
+
+
+def test_extra_epochs_are_noops_after_convergence(spark):
+    """Once no training example is misclassified the update sum is
+    empty — extra epochs must not move the weights (monotone no-op
+    padding; what makes the fixed-unroll oracle safe)."""
+    df = _labeled(spark)
+    w4 = sorted(map(tuple, quality_classifier_fit(df, epochs=4, buckets=64).collect()))
+    w8 = sorted(map(tuple, quality_classifier_fit(df, epochs=8, buckets=64).collect()))
+    assert w4 == w8
+
+
+def test_no_evidence_no_score(spark):
+    """Whitespace-only/empty docs produce NO gram rows, hence no
+    margin row at fit or score time — they cannot be classified by
+    bias alone and gate callers must decide their fate explicitly
+    (the DSIR-gate contract)."""
+    df = _labeled(spark)
+    w = quality_classifier_fit(df, epochs=2, buckets=64)
+    probe = spark.createDataFrame(
+        [(100, True, "   "), (101, True, ""), (102, True, "the fox")], DDL
+    )
+    got = quality_classifier_score_with(probe, w, buckets=64).collect()
+    assert [r["doc_id"] for r in got] == [102]
+
+
+def test_margin_overflow_guard_raises(spark):
+    """A weight table whose max|w| puts n_grams*|w| past int64 must
+    fail LOUDLY (Spark wraps silently, DuckDB promotes to INT128 —
+    the exact cross-engine-mismatch class the DSIR guard closes)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    huge = spark.createDataFrame(
+        [(0, 2**62), (BIAS_BUCKET, 1)], "bucket long, w long"
+    )
+    probe = spark.createDataFrame([(1, True, "a b c d e")], DDL)
+    with pytest.raises(SparkRuntimeException, match="64-bit bound"):
+        quality_classifier_score_with(probe, huge, buckets=64).collect()
+
+
+def test_curate_corpus_classifier_tier(spark):
+    """The trained-gate tier composes exactly: curate_corpus(
+    classifier_weights=…) == quality gate → frozen-classifier gate →
+    jaccard dedup built from the standalone operators — and the tier
+    really bites (classifier-rejected docs that passed the heuristic
+    gate are gone)."""
+    import hashlib
+
+    from dataflow_python_etl_spark.functions.text import pii_scrub, token_count
+    from dataflow_python_etl_spark.operators.corpus import (
+        curate_corpus,
+        quality_score,
+    )
+    from dataflow_python_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        unpersist_all,
+    )
+    from dataflow_python_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.length("text") > 0
+    )
+    # train real-vs-corrupted (q161's labeled split), freeze weights
+    corrupt = F.translate(F.col("text"), "etaoins", "0123456")
+    labeled = docs.select(
+        (F.col("doc_id") * 2).alias("ex_id"), F.lit(True).alias("label"), "text"
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("ex_id"),
+            F.lit(False).alias("label"),
+            corrupt.alias("text"),
+        )
+    )
+    w = quality_classifier_fit(labeled, id_col="ex_id", epochs=2)
+
+    # corpus under curation: odd ids carry corrupted text — the
+    # heuristic quality gate largely keeps them (length/punct shape
+    # unchanged), the trained gate should reject them
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1, corrupt).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+    got = curate_corpus(corpus, classifier_weights=w).collect()
+    unpersist_all()
+
+    base = (
+        corpus.select("doc_id", pii_scrub("text").alias("text"))
+        .withColumn("quality", quality_score("text"))
+        .where(F.col("quality") >= 0.3)
+    )
+    keep = quality_classifier_score_with(base, w).where(F.col("margin") > 0)
+    base = base.join(keep.select("doc_id"), "doc_id", "left_semi")
+    jp = ngram_jaccard_pairs(base, threshold=0.5, max_shingle_df=64)
+    base = base.join(
+        jp.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    want = base.select(
+        "doc_id", "text", "quality",
+        token_count("text").cast("long").alias("n_tokens"),
+    ).collect()
+    unpersist_all()
+
+    def digest(rows):
+        h = hashlib.md5()
+        for t in sorted(
+            (r["doc_id"], r["text"], r["quality"], r["n_tokens"]) for r in rows
+        ):
+            h.update(repr(t).encode())
+        return h.hexdigest()
+
+    assert digest(got) == digest(want)
+    n_without = curate_corpus(corpus).count()
+    unpersist_all()
+    assert 0 < len(got) < n_without  # the trained tier bit
+    # and what it bit was the corrupted class
+    assert all(r["doc_id"] % 2 == 0 for r in got)
+
+
+def test_stream_dedup_ingest_classifier_gate(spark, tmp_path):
+    """Streaming twin of the curate classifier tier (the DSIR-gate
+    test shape): frozen weights gate each micro-batch BEFORE signing;
+    survivors equal the batch computation; rejected/tokenless docs
+    never reach index or corpus."""
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+    from dataflow_python_etl_spark.streaming.pipeline import stream_dedup_ingest
+
+    pool = spark.createDataFrame(
+        [
+            (100, True, "spark shuffle partition join broadcast agg"),
+            (101, True, "partition join spark broadcast codegen stage"),
+            (102, False, "recipe butter flour sugar oven bake"),
+            (103, False, "soccer goal referee penalty match"),
+        ],
+        "doc_id long, label boolean, text string",
+    )
+    B = 256
+    w = quality_classifier_fit(pool, epochs=3, buckets=B)
+
+    batch1 = [
+        (1, "spark join broadcast partition stage plan"),
+        (2, "butter sugar oven bake flour recipe whisk"),
+        (3, "shuffle agg codegen spark partition join"),
+    ]
+    batch2 = [
+        (11, "penalty referee match goal soccer corner"),
+        (12, "broadcast codegen shuffle stage spark agg"),
+        (13, None),
+    ]
+    src = str(tmp_path / "docs_in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        n=2,
+        classifier_weights=w,
+        classifier_buckets=B,
+    )
+    q.processAllAvailable()
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    q.stop()
+    unpersist_all()
+
+    all_docs = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    want = sorted(
+        r["doc_id"]
+        for r in quality_classifier_score_with(all_docs, w, buckets=B)
+        .where(F.col("margin") > 0)
+        .collect()
+    )
+    assert got2 == want
+    assert set(got1) <= set(got2)
+    assert 2 not in got2 and 11 not in got2  # trained gate dropped these
+    assert 13 not in got2  # tokenless: no evidence, no ingest
+    idx_ids = {r["doc"] for r in spark.read.parquet(index).collect()}
+    assert idx_ids == set(got2)
+
+
+def test_unseen_buckets_score_zero_weight(spark):
+    """Buckets never updated in training carry no row and contribute
+    0 — a doc of entirely-unseen tokens scores exactly the bias."""
+    df = _labeled(spark)
+    w = quality_classifier_fit(df, epochs=2, buckets=64)
+    bias = {r["bucket"]: r["w"] for r in w.collect()}[BIAS_BUCKET]
+    probe = spark.createDataFrame(
+        [(200, True, "zzzz-qqqq-unseen xxxx-wwww-unseen")], DDL
+    )
+    # NOTE: tokens could still hash-collide into trained buckets at
+    # 64 buckets; use a larger space for this pin to make collisions
+    # with the small training vocab unlikely — verify explicitly.
+    w_big = quality_classifier_fit(df, epochs=2, buckets=2**20)
+    got = quality_classifier_score_with(probe, w_big, buckets=2**20).collect()
+    bias_big = {r["bucket"]: r["w"] for r in w_big.collect()}[BIAS_BUCKET]
+    assert len(got) == 1 and got[0]["margin"] == bias_big
+    assert bias is not None  # silence unused warning path
