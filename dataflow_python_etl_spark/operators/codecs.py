@@ -52,6 +52,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "image/tiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "video/x-msvideo"
     if payload[:4] == b"fLaC":
         return "audio/flac"
     return None
@@ -1181,6 +1183,178 @@ def encode_gif(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) — MJPEG video streams: every frame is a baseline JPEG, so
+# the container walk below reuses decode_jpeg per frame. This makes the
+# video tier container-independent (GIF==AVI) the way WAV==FLAC already
+# is for audio (VERDICT r9 #2).
+# ---------------------------------------------------------------------------
+
+_MJPEG_FOURCCS = (b"MJPG", b"mjpg", b"dmb1")
+
+
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    """Iterate (fourcc, body_start, body_size) over a RIFF chunk run;
+    chunk bodies pad to even length (RIFF rule). Truncation raises."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("AVI truncated in chunk header")
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(f"AVI chunk {fourcc!r} overruns container")
+        yield fourcc, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi_frames(payload: bytes) -> list[np.ndarray]:
+    """All frames of an MJPEG AVI → list of uint8 pixel arrays
+    ((h, w) gray or (h, w, 3) RGB — whatever each frame's JPEG
+    carries; see :func:`decode_jpeg`).
+
+    Pure stdlib + numpy RIFF walk: ``hdrl`` is scanned for the first
+    ``vids`` stream and its fourcc/biCompression checked against the
+    MJPEG fourccs, then every ``NNdc``/``NNdb`` chunk of that stream
+    inside ``movi`` (including ``rec ``-grouped ones) is decoded as a
+    standalone baseline JPEG. Non-MJPEG video codecs raise
+    ``NotImplementedError`` (the ffmpeg integration point — decoding
+    them as JPEG would produce garbage silently); MJPEG variants that
+    omit Huffman tables (legal in the AVI wild, the tables are
+    "well-known") also raise loudly rather than guessing; corrupt or
+    truncated payloads raise ``ValueError``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    stream_no = -1
+    vids_no: int | None = None
+    need_strf_check = False
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, stop: int, in_movi: bool) -> None:
+        nonlocal stream_no, vids_no, need_strf_check
+        for fourcc, body, size in _riff_chunks(payload, pos, stop):
+            if fourcc == b"LIST":
+                if body + 4 > stop:
+                    raise ValueError("AVI truncated in LIST type")
+                ltype = payload[body : body + 4]
+                walk(
+                    body + 4,
+                    body + size,
+                    in_movi or ltype in (b"movi", b"rec "),
+                )
+                continue
+            if fourcc == b"strh" and size >= 8:
+                stream_no += 1
+                need_strf_check = False
+                if payload[body : body + 4] == b"vids" and vids_no is None:
+                    handler = payload[body + 4 : body + 8]
+                    if handler in _MJPEG_FOURCCS:
+                        vids_no = stream_no
+                    elif handler == b"\x00\x00\x00\x00":
+                        # null handler: biCompression in the strf that
+                        # follows is authoritative — defer the check
+                        vids_no = stream_no
+                        need_strf_check = True
+                    else:
+                        raise NotImplementedError(
+                            f"AVI video codec {handler!r} is not MJPEG — "
+                            "plug ffmpeg here for other codecs"
+                        )
+                continue
+            if fourcc == b"strf" and need_strf_check:
+                need_strf_check = False
+                comp = payload[body + 16 : body + 20] if size >= 20 else b""
+                if comp not in _MJPEG_FOURCCS:
+                    raise NotImplementedError(
+                        f"AVI video biCompression {comp!r} is not MJPEG — "
+                        "plug ffmpeg here for other codecs"
+                    )
+                continue
+            if (
+                in_movi
+                and size > 0
+                and fourcc[2:4] in (b"dc", b"db")
+                and fourcc[:2].isdigit()
+                and vids_no is not None
+                and int(fourcc[:2].decode("ascii")) == vids_no
+            ):
+                frames.append(decode_jpeg(payload[body : body + size]))
+
+    walk(12, end, False)
+    if vids_no is None:
+        raise ValueError("AVI contains no video ('vids') stream")
+    if not frames:
+        raise ValueError("AVI video stream contains no frames")
+    return frames
+
+
+def encode_avi(
+    frames: np.ndarray | list[np.ndarray],
+    fps: int = 10,
+    quality: int = 95,
+) -> bytes:
+    """uint8 frame(s) → minimal MJPEG AVI bytes (the fixture/sink
+    sibling of :func:`decode_avi_frames`, as :func:`encode_gif` is to
+    the GIF decoder): RIFF/AVI with one ``vids``/``MJPG`` stream whose
+    every ``00dc`` chunk is a standalone :func:`encode_jpeg` baseline
+    JPEG (tables included, so any spec decoder — including ours —
+    reads it back)."""
+    if isinstance(frames, np.ndarray) and frames.ndim in (2, 3):
+        frames = [frames]
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all AVI frames must share one size")
+        blobs.append(encode_jpeg(f, quality=quality))
+    max_blob = max(len(b) for b in blobs)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        max_blob * fps,            # dwMaxBytesPerSec (advisory)
+        0,                         # dwPaddingGranularity
+        0,                         # dwFlags: no idx1 written, claim none
+        len(blobs), 0, 1, max_blob, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, max(fps, 1), 0, len(blobs), max_blob, 0)
+        + struct.pack("<I", 0)       # dwSampleSize
+        + struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", h * w * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_video_frames(payload: bytes) -> list[np.ndarray]:
+    """Container-independent frame decode: GIF or MJPEG AVI by magic
+    (the video twin of :func:`decode_audio`'s WAV/FLAC dispatch).
+    Other containers raise ``ValueError`` — every video operator
+    routes here, so new containers light up everywhere at once."""
+    fmt = sniff_format(payload)
+    if fmt == "image/gif":
+        return decode_gif_frames(payload)
+    if fmt == "video/x-msvideo":
+        return decode_avi_frames(payload)
+    raise ValueError(f"unsupported video container (sniffed {fmt!r})")
 
 
 # ---------------------------------------------------------------------------

@@ -199,13 +199,13 @@ def sample_frames(
     input batch to a LARGER output batch — is the part worth pinning:
     a real ffmpeg kernel swaps in per chunk without touching the plan.
 
-    ``real_decode=True`` REALLY decodes animated GIF (the one moving-
-    picture container with a pure-stdlib decoder, see
-    ``operators.codecs.decode_gif_frames``), samples ``n_frames``
-    evenly across the animation, and re-encodes each sampled frame
-    (netpbm for RGB, PNG when a transparency plane is present);
-    other containers (mp4/webm/...) raise ``NotImplementedError`` —
-    the ffmpeg integration point. The default fake 'decoder' slices
+    ``real_decode=True`` REALLY decodes animated GIF and MJPEG AVI
+    (pure-stdlib decoders, see ``operators.codecs.
+    decode_video_frames``), samples ``n_frames`` evenly across the
+    animation, and re-encodes each sampled frame (netpbm for RGB,
+    PNG when a transparency plane is present); other containers
+    (mp4/webm/...) raise ``NotImplementedError`` — the ffmpeg
+    integration point. The default fake 'decoder' slices
     the payload into ``n_frames`` equal chunks; a zero-length payload
     yields no frames (mirrors a corrupt video being skipped, and
     tests pin that rows can disappear)."""
@@ -222,12 +222,15 @@ def sample_frames(
                 if n == 0:
                     continue
                 if real_decode:
-                    if codecs.sniff_format(bytes(payload)) != "image/gif":
+                    if codecs.sniff_format(bytes(payload)) not in (
+                        "image/gif",
+                        "video/x-msvideo",
+                    ):
                         raise NotImplementedError(
-                            "real frame sampling currently decodes animated "
-                            "GIF only — plug ffmpeg here for mp4/webm"
+                            "real frame sampling decodes animated GIF and "
+                            "MJPEG AVI — plug ffmpeg here for mp4/webm"
                         )
-                    decoded = codecs.decode_gif_frames(bytes(payload))
+                    decoded = codecs.decode_video_frames(bytes(payload))
                     picks = np.unique(
                         np.linspace(
                             0, len(decoded) - 1, min(n_frames, len(decoded))
@@ -870,18 +873,21 @@ def video_frame_hashes(
     df: DataFrame, id_col: str = "video_id", payload_col: str = "payload"
 ) -> DataFrame:
     """Per-frame perceptual fingerprints for each video payload:
-    REALLY decode every frame (``codecs.decode_gif_frames`` — the
-    ffmpeg integration point for mp4/webm) and :func:`ahash64` each.
+    REALLY decode every frame (``codecs.decode_video_frames`` —
+    container-independent GIF/MJPEG-AVI dispatch; the ffmpeg
+    integration point for mp4/webm) and :func:`ahash64` each.
     Fan-out mapInPandas (one row per frame), partition-parallel, no
     shuffle — decode cost stays map-side, and only (id, 64-bit hash)
-    rows ever move."""
-    from dataflow_python_etl_spark.operators.codecs import decode_gif_frames
+    rows ever move. Container independence is pinned in tests: the
+    same frames as GIF and as MJPEG AVI hash identically (the video
+    twin of audio's WAV==FLAC)."""
+    from dataflow_python_etl_spark.operators.codecs import decode_video_frames
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for vid, payload in zip(pdf[id_col], pdf[payload_col]):
-                for px in decode_gif_frames(bytes(payload)):
+                for px in decode_video_frames(bytes(payload)):
                     ids.append(int(vid))
                     hashes.append(ahash64(px))
             yield pd.DataFrame(
