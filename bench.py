@@ -128,6 +128,7 @@ EXTENDED_QUERIES = [
     "q159_pq_adc_topk",
     "q160_core_communities",
     "q161_quality_classifier",
+    "q162_mojibake_repair",
 ]
 
 

@@ -414,6 +414,74 @@ HTML_TEXT_RULES: tuple[tuple[str, str], ...] = (
 )
 
 
+def _mojibake_rules() -> tuple[tuple[str, str], ...]:
+    """(mojibake, repaired) pairs for UTF-8-read-as-CP1252 damage —
+    the classic crawl encoding bug: a page's UTF-8 bytes decoded
+    with Windows-1252 turn every non-ASCII char into a 2-3 char
+    gremlin ('é' → 'Ã©', '’' → 'â€™'). Repair inverts that byte-level
+    mistake as a PURE CODEPOINT replace chain, so both engines (and
+    the oracle) share it literally.
+
+    Generated, not hand-typed: for each source codepoint the mojibake
+    string IS its UTF-8 bytes decoded with SLOPPY CP1252 — CP1252
+    where the five undefined bytes (0x81 8D 8F 90 9D) fall back to
+    their Latin-1 (C1 control) values, which is what real lenient
+    decoders emit and exactly ftfy's documented ``sloppy-windows-
+    1252`` derivation. Coverage: the CP1252 punctuation block
+    (U+2013/2018/20AC/… — 3-char gremlins) and the full Latin-1
+    supplement U+00A0–U+00FF (2-char gremlins). Longer gremlins
+    replace FIRST so a 3-char fix is never half-eaten by a 2-char
+    rule. One pass repairs exactly one level of damage, and the
+    round-trip ``repair(corrupt(s)) == s`` is exact for any ``s``
+    over ASCII + the covered repertoire that contains no PRE-EXISTING
+    gremlin sequence (property-tested) — text that already looks like
+    mojibake is genuinely indistinguishable from damage and gets
+    repaired too, the ambiguity every repairer shares (ftfy's own
+    premise); double-mojibake needs a second application, out of
+    scope."""
+
+    def sloppy_cp1252(bs: bytes) -> str:
+        out = []
+        for b in bs:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))  # undefined in CP1252: Latin-1 value
+        return "".join(out)
+
+    # CP1252's 0x80-0x9F mapping targets (the chars whose UTF-8 is
+    # 3 bytes long and whose gremlins roam real crawls)
+    punct = (
+        "€‚ƒ„…†‡ˆ‰Š"
+        "‹ŒŽ‘’“”•–—"
+        "˜™š›œžŸ"
+    )
+    rules: list[tuple[str, str]] = []
+    for ch in punct + "".join(chr(c) for c in range(0xA0, 0x100)):
+        rules.append((sloppy_cp1252(ch.encode("utf-8")), ch))
+    # longest gremlin first; codepoint tie-break for determinism
+    rules.sort(key=lambda r: (-len(r[0]), r[1]))
+    return tuple(rules)
+
+
+MOJIBAKE_RULES: tuple[tuple[str, str], ...] = _mojibake_rules()
+
+
+def repair_mojibake(col: Column | str) -> Column:
+    """Undo one level of UTF-8-read-as-CP1252 mojibake (see
+    :data:`MOJIBAKE_RULES`): a pure Catalyst chain of LITERAL
+    ``replace`` calls — no regex, no Python, map-side only. Clean
+    text passes through untouched (the gremlin sequences are
+    unproducible from ASCII and vanishingly rare in legitimate
+    non-ASCII text — the ftfy premise); the q162 oracle runs the
+    identical chain, so the repair semantics are hash-verified
+    cross-engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    for moji, ch in MOJIBAKE_RULES:
+        c = F.replace(c, F.lit(moji), F.lit(ch))
+    return c
+
+
 def html_to_text(col: Column | str) -> Column:
     """Main-content text extraction from raw HTML — the crawl-ingest
     tier-0 step BEFORE any text tier (quality, dedup, langid) can

@@ -698,9 +698,16 @@ def curate_corpus(
     video_min_jaccard_ppm: int = 500_000,
     url_col: str | None = None,
     html_extract: bool = False,
+    mojibake_repair: bool = False,
 ) -> DataFrame:
     """The full training-corpus curation pipeline, one lazy plan:
 
+    -2. optional encoding repair (``mojibake_repair``): one level of
+       UTF-8-read-as-CP1252 mojibake is inverted
+       (``functions.text.repair_mojibake`` — q162's literal replace
+       chain) before ANY tier reads the text, so gremlin sequences
+       never reach tokenization, shingles, quality signals, or the
+       HTML rules. Zero-shuffle projection;
     -1. optional HTML-to-text extraction (``html_extract``): raw
        crawl markup in ``text_col`` becomes main-content text
        (``functions.text.html_to_text`` — q157's regexp chain)
@@ -833,7 +840,17 @@ def curate_corpus(
         dedup_lines,
         html_to_text,
         pii_scrub,
+        repair_mojibake,
     )
+
+    if mojibake_repair:
+        # tier -2: undo one level of UTF-8-read-as-CP1252 damage
+        # BEFORE anything reads the text — gremlin sequences would
+        # otherwise poison tokenization, shingles, quality signals,
+        # and even the HTML rules below (a '<' inside a gremlin-split
+        # entity). Pure literal-replace projection, zero shuffle,
+        # collapses into the extraction/scrub projection.
+        docs = docs.withColumn(text_col, repair_mojibake(F.col(text_col)))
 
     if html_extract:
         # tier -1: raw-HTML crawl items become text BEFORE any

@@ -7945,6 +7945,119 @@ def q161_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_chr_str(s: str) -> str:
+    """A DuckDB string expression for ``s`` that survives any
+    codepoint: printable runs stay literal (UTF-8 SQL text), control
+    chars — the C1 bytes sloppy-CP1252 gremlins carry — become
+    ``chr(n)`` concatenations, and single quotes double."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if ch.isprintable() and ch != "'":
+            run += ch
+        else:
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append("''''" if ch == "'" else f"chr({ord(ch)})")
+    if run:
+        parts.append(f"'{run}'")
+    return " || ".join(parts) if parts else "''"
+
+
+# the q162 plant: three ASCII→unicode substitutions every synthetic
+# document can carry (module-level so Spark and oracle share it)
+_MOJI_PLANT: tuple[tuple[str, str], ...] = (
+    ("a", "á"),   # a → á
+    ("o", "ö"),   # o → ö
+    (".", "…"),   # . → …
+)
+
+
+def _mojibake_oracle_sql() -> str:
+    """Mirror functions.text.repair_mojibake exactly: the plant, the
+    sloppy-CP1252 corruption, and the 123-rule repair chain are all
+    generated from the SAME module constants the Spark expression
+    uses (the q157 one-constant discipline), as literal nested
+    replace() calls — codepoint semantics identical in both
+    engines."""
+    from dataflow_python_etl_spark.functions.text import MOJIBAKE_RULES
+
+    gremlin = {ch: moji for moji, ch in MOJIBAKE_RULES}
+    planted = "text"
+    for src, uni in _MOJI_PLANT:
+        planted = f"replace({planted}, {_sql_chr_str(src)}, {_sql_chr_str(uni)})"
+    moji = planted
+    for _, uni in _MOJI_PLANT:
+        moji = f"replace({moji}, {_sql_chr_str(uni)}, {_sql_chr_str(gremlin[uni])})"
+    repaired = "moji"
+    for m, ch in MOJIBAKE_RULES:
+        repaired = f"replace({repaired}, {_sql_chr_str(m)}, {_sql_chr_str(ch)})"
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    staged AS MATERIALIZED (
+        SELECT doc_id, {planted} AS planted, {moji} AS moji FROM d
+    ),
+    r AS (
+        SELECT doc_id, planted, moji, {repaired} AS text FROM staged
+    )
+    SELECT doc_id, text,
+           text = planted AS restored,
+           CAST(length(moji) - length(text) AS BIGINT) AS n_gremlin_chars
+    FROM r
+    """
+
+
+@_q(
+    "q162_mojibake_repair",
+    _mojibake_oracle_sql(),
+    "Encoding-repair (mojibake) tier (VERDICT r9 #4 — the standard "
+    "crawl pre-clean ahead of q157's HTML extraction): UTF-8 text "
+    "read through a lenient Windows-1252 decoder turns every "
+    "non-ASCII char into a 2-3 char gremlin; "
+    "functions.text.repair_mojibake inverts one level of that damage "
+    "with a 123-rule LITERAL replace chain generated from the byte "
+    "derivation itself (sloppy-CP1252 of each codepoint's UTF-8 — "
+    "the ftfy recipe), pure Catalyst, no regex, map-side only. The "
+    "query plants unicode punctuation/accents into each document, "
+    "corrupts them through the same byte map, repairs, and pins "
+    "restored == planted per row; the oracle replays the identical "
+    "three chains from the same module constants (control-char-safe "
+    "chr() literals), so the repair semantics are hash-verified "
+    "cross-engine end-to-end.",
+)
+def q162_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.functions.text import (
+        MOJIBAKE_RULES,
+        repair_mojibake,
+    )
+
+    gremlin = {ch: moji for moji, ch in MOJIBAKE_RULES}
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    planted = F.col("text")
+    for src, uni in _MOJI_PLANT:
+        planted = F.replace(planted, F.lit(src), F.lit(uni))
+    moji = planted
+    for _, uni in _MOJI_PLANT:
+        moji = F.replace(moji, F.lit(uni), F.lit(gremlin[uni]))
+    staged = docs.select(
+        "doc_id", planted.alias("planted"), moji.alias("moji")
+    )
+    return staged.select(
+        "doc_id",
+        repair_mojibake(F.col("moji")).alias("text"),
+        "planted",
+        "moji",
+    ).select(
+        "doc_id",
+        "text",
+        (F.col("text") == F.col("planted")).alias("restored"),
+        (F.length("moji") - F.length("text")).cast("long").alias(
+            "n_gremlin_chars"
+        ),
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
