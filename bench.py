@@ -129,6 +129,7 @@ EXTENDED_QUERIES = [
     "q160_core_communities",
     "q161_quality_classifier",
     "q162_mojibake_repair",
+    "q163_ann_recall",
 ]
 
 

@@ -8058,6 +8058,205 @@ def q162_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_oracle_sql(k: int = 10, n_probe: int = 2, n_q: int = 20) -> str:
+    """Mirror q163's three-variant IVF recall end-to-end: cell
+    assignment by raw-dot first-max (``ivf_topk``'s argmax, NOT q39's
+    cosine assign), per-query top-``n_probe`` probe cells (dot desc,
+    index asc — ``ivf_topk_indexed``'s array_sort comparator), then
+    each variant's exact scoring formula (fp64 / SQ8 asymmetric with
+    true norms / grid-PQ reconstruction) and set-intersection recall
+    against the exact top-k. Every similarity is the q27 discipline
+    (array-order inner product, rounded-6, id tie-break); recall is
+    pure integer — the output carries NO float column at all."""
+    kc = len(CENTROIDS)
+    dots = ", ".join(
+        f"list_inner_product(ve, {_sql_double_array(c)})" for c in CENTROIDS
+    )
+    sq8 = (
+        "round((qscale * list_inner_product(qv, qvec)) / (qn * n), 6)"
+    )
+    recalls = []
+    for variant in ("fp64", "sq8", "pq"):
+        recalls.append(
+            f"""
+    rec_{variant} AS (
+        SELECT e.query_id, CAST(count(x.query_id) AS BIGINT) AS n_hit
+        FROM ext e LEFT JOIN apx_{variant} x
+          ON e.query_id = x.query_id AND e.neighbor_id = x.neighbor_id
+        GROUP BY e.query_id
+    )"""
+        )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    a AS MATERIALIZED (
+        SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS n,
+               list_indexof(dots, list_max(dots)) AS cid, dots
+        FROM (SELECT vec_id, ve, [{dots}] AS dots FROM v)
+    ),
+    qp AS MATERIALIZED (
+        SELECT query_id, qv, qn, cell AS cid FROM (
+            SELECT a.vec_id AS query_id, a.ve AS qv, a.n AS qn,
+                   u.i AS cell, u.d,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY u.d DESC, u.i
+                   ) AS rk
+            FROM a, LATERAL (
+                SELECT unnest(a.dots) AS d,
+                       unnest(range(1, {kc + 1})) AS i
+            ) u
+            WHERE a.vec_id < {n_q}
+        ) WHERE rk <= {n_probe}
+    ),
+    ext AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(list_inner_product(q.ve, c.ve) / (q.n * c.n), 6)
+                           DESC, c.vec_id) AS rk
+            FROM a q JOIN a c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {n_q}
+        ) WHERE rk <= {k}
+    ),
+    apx_fp64 AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qp.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qp.query_id ORDER BY
+                       round(list_inner_product(qp.qv, c.ve) / (qp.qn * c.n), 6)
+                           DESC, c.vec_id) AS rk
+            FROM qp JOIN a c ON c.cid = qp.cid AND c.vec_id != qp.query_id
+        ) WHERE rk <= {k}
+    ),
+    sq AS MATERIALIZED (
+        SELECT vec_id, cid, n, qscale,
+               list_transform(ve, x -> round(x / qscale)) AS qvec
+        FROM (
+            SELECT *, greatest(
+                list_max(list_transform(ve, x -> abs(x))) / 127.0, 1e-12
+            ) AS qscale FROM a
+        )
+    ),
+    apx_sq8 AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qp.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qp.query_id ORDER BY
+                       {sq8} DESC, c.vec_id) AS rk
+            FROM qp JOIN sq c ON c.cid = qp.cid AND c.vec_id != qp.query_id
+        ) WHERE rk <= {k}
+    ),
+    pqc AS MATERIALIZED (
+        SELECT vec_id, cid, n,
+               {_PQ_RECON_SQL.format(v='ve')} AS rv
+        FROM a
+    ),
+    apx_pq AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qp.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qp.query_id ORDER BY
+                       round(list_inner_product(qp.qv, c.rv) / (qp.qn * c.n), 6)
+                           DESC, c.vec_id) AS rk
+            FROM qp JOIN pqc c ON c.cid = qp.cid AND c.vec_id != qp.query_id
+        ) WHERE rk <= {k}
+    ),{",".join(recalls)}
+    SELECT 'fp64' AS variant, query_id, n_hit,
+           CAST((1000000 * n_hit) // {k} AS BIGINT) AS recall_ppm
+    FROM rec_fp64
+    UNION ALL
+    SELECT 'sq8', query_id, n_hit, CAST((1000000 * n_hit) // {k} AS BIGINT)
+    FROM rec_sq8
+    UNION ALL
+    SELECT 'pq', query_id, n_hit, CAST((1000000 * n_hit) // {k} AS BIGINT)
+    FROM rec_pq
+    """
+
+
+_IVF_RECALL_INDEXES: dict = {}
+
+
+def _ivf_recall_index_paths(spark: SparkSession, sf_dir: str) -> dict:
+    """Build the three persisted IVF indexes (fp64 / SQ8 / grid-PQ)
+    ONCE per sf_dir per process (the q128 memoization rationale: an
+    index exists to be built once and probed many times — per-call
+    builds would make bench trials measure the build and leak index
+    trees)."""
+    paths = _IVF_RECALL_INDEXES.get(sf_dir)
+    if paths is None:
+        import tempfile
+
+        from dataflow_python_etl_spark.operators.similarity import (
+            build_ivf_index,
+            fit_pq_grid_codebooks,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        base = tempfile.mkdtemp(prefix="ivf_recall_")
+        paths = {}
+        for variant, kw in (
+            ("fp64", {}),
+            ("sq8", {"quantize": "int8"}),
+            ("pq", {"quantize": "pq", "pq_codebooks": fit_pq_grid_codebooks()}),
+        ):
+            p = f"{base}/{variant}"
+            build_ivf_index(emb, CENTROIDS, p, **kw)
+            paths[variant] = p
+        _IVF_RECALL_INDEXES[sf_dir] = paths
+    return paths
+
+
+@_q(
+    "q163_ann_recall",
+    _ann_recall_oracle_sql(),
+    "ANN retrieval QUALITY under the cross-engine hash gate (VERDICT "
+    "r9 #5 — recall was previously pytest-pinned at fixed geometries "
+    "only): recall@10 of ivf_topk_indexed against the exact "
+    "cosine_topk top-10, per query and per index variant — fp64 "
+    "inverted file, SQ8 (asymmetric scalar quantization, true "
+    "pre-quantization norms), and data-independent grid-PQ "
+    "reconstruction (q154/q159's closed form) — probing n_probe=2 of "
+    "8 cells from the PERSISTED partition-pruned indexes (built once "
+    "per sf_dir, the q128 memoization). Recall is exact-integer "
+    "(n_hit of 10 as ppm), so the output hash carries retrieval "
+    "quality itself, not a float proxy; the oracle replays cell "
+    "assignment (raw-dot first-max), probe selection (dot desc, "
+    "index tie-break), all three scoring formulas, and the set "
+    "intersection bit-for-bit.",
+)
+def q163_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_indexed,
+    )
+
+    K, NPROBE, NQ = 10, 2, 20
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < NQ)
+    exact = cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    paths = _ivf_recall_index_paths(spark, sf_dir)
+    outs = []
+    for variant in ("fp64", "sq8", "pq"):
+        approx = ivf_topk_indexed(
+            spark, paths[variant], queries,
+            centroids=CENTROIDS, k=K, n_probe=NPROBE,
+        ).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("__h"))
+        )
+        outs.append(
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(variant).alias("variant"),
+                "query_id",
+                F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hit"),
+                F.expr(f"(1000000 * coalesce(__h, 0)) div {K}")
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
