@@ -1136,6 +1136,208 @@ SEGMENT_HASH_SCHEMA = T.StructType(
 )
 
 
+# --- chunked VIDEO byte-stream CDC (the audio carry kernel's video
+# twin, VERDICT r9 #7): an hour-scale MJPEG AVI arrives as arbitrary
+# BYTE ranges — chunk boundaries need not align with frames or even
+# RIFF chunk headers. The carry state is an incremental RIFF parser:
+# a bounded byte buffer (≤ one frame + 12 bytes once inside movi; the
+# header region before movi is buffered whole, bounded by container
+# construction) plus a handful of scalars. INVARIANT (property-pinned
+# like cdc_push_chunk): for ANY split of an AVI byte stream into
+# ordered chunks, push*; finish emits exactly
+# [ahash64(f) for f in decode_avi_frames(whole)] in frame order, and
+# raises the same loud errors on the same malformed inputs.
+
+_VCDC_STAGES = ("riff", "toplevel", "need_list_type", "hdrl", "movi", "skip")
+
+
+def video_cdc_state_new() -> dict:
+    """Fresh carry state for :func:`video_cdc_push_chunk`:
+    ``stage`` (parser position), ``buf`` (unconsumed bytes), ``vids``
+    (MJPEG video stream number, -1 until found), ``end`` (absolute
+    RIFF end), ``movi_end`` (absolute end of the current movi list),
+    ``abs`` (absolute offset of buf[0]), ``skip`` (bytes left to
+    discard without buffering), ``n_frames``."""
+    return {
+        "stage": "riff",
+        "buf": b"",
+        "vids": -1,
+        "end": -1,
+        "movi_end": -1,
+        "abs": 0,
+        "skip": 0,
+        "n_frames": 0,
+    }
+
+
+def _vcdc_scan_hdrl(body: bytes) -> int:
+    """Scan a fully-buffered hdrl LIST body for the first 'vids'
+    stream; return its stream number. Same fourcc rules and loud
+    gates as :func:`~.codecs.decode_avi_frames`."""
+    import struct
+
+    from dataflow_python_etl_spark.operators.codecs import _MJPEG_FOURCCS
+
+    pos, stream_no, vids, pending_strf = 0, -1, -1, False
+    while pos + 8 <= len(body):
+        fourcc = body[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", body, pos + 4)
+        b0 = pos + 8
+        if fourcc == b"LIST":
+            pos = b0 + 4  # descend into strl etc.
+            continue
+        if fourcc == b"strh" and size >= 8:
+            stream_no += 1
+            pending_strf = False
+            if body[b0 : b0 + 4] == b"vids" and vids < 0:
+                handler = body[b0 + 4 : b0 + 8]
+                if handler in _MJPEG_FOURCCS:
+                    vids = stream_no
+                elif handler == b"\x00\x00\x00\x00":
+                    vids = stream_no
+                    pending_strf = True
+                else:
+                    raise NotImplementedError(
+                        f"AVI video codec {handler!r} is not MJPEG — "
+                        "plug ffmpeg here for other codecs"
+                    )
+        elif fourcc == b"strf" and pending_strf:
+            pending_strf = False
+            comp = body[b0 + 16 : b0 + 20] if size >= 20 else b""
+            if comp not in _MJPEG_FOURCCS:
+                raise NotImplementedError(
+                    f"AVI video biCompression {comp!r} is not MJPEG — "
+                    "plug ffmpeg here for other codecs"
+                )
+        pos = b0 + size + (size & 1)
+    return vids
+
+
+def video_cdc_push_chunk(state: dict, chunk: bytes) -> tuple:
+    """Feed the next in-order byte range of an AVI stream; returns
+    ``(new_state, frame_hashes)`` — the :func:`ahash64` of every
+    frame COMPLETED by this chunk, in frame order. Non-video chunks
+    (audio streams, idx1, JUNK) are skipped without buffering
+    (``skip`` counts bytes down), so the buffer high-water mark in
+    steady state is one video frame + 12 bytes regardless of clip
+    length — THIS is what lets the streaming sink fingerprint a
+    recording that never fits one micro-batch row."""
+    import struct
+
+    from dataflow_python_etl_spark.operators.codecs import decode_jpeg
+
+    st = dict(state)
+    st["buf"] = bytes(st["buf"]) + bytes(chunk)
+    hashes: list[int] = []
+    while True:
+        buf, ab = st["buf"], st["abs"]
+        if st["skip"] > 0:
+            k = min(st["skip"], len(buf))
+            st["buf"], st["abs"] = buf[k:], ab + k
+            st["skip"] -= k
+            if st["skip"] > 0:
+                break
+            st["stage"] = "movi" if st["movi_end"] > 0 and ab + k < st["movi_end"] else "toplevel"
+            continue
+        if st["stage"] == "riff":
+            if len(buf) < 12:
+                break
+            if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                raise ValueError("not an AVI payload")
+            (size,) = struct.unpack_from("<I", buf, 4)
+            st["end"] = 8 + size
+            st["buf"], st["abs"] = buf[12:], 12
+            st["stage"] = "toplevel"
+            continue
+        if st["stage"] in ("toplevel", "movi"):
+            in_movi = st["stage"] == "movi"
+            limit = st["movi_end"] if in_movi else st["end"]
+            if ab >= limit:
+                if in_movi:
+                    st["stage"] = "toplevel"
+                    continue
+                # past declared RIFF end: ignore trailing bytes (the
+                # batch walk stops at `end` the same way)
+                st["buf"], st["abs"] = b"", ab + len(buf)
+                break
+            if len(buf) < 8:
+                break
+            fourcc = buf[:4]
+            (size,) = struct.unpack_from("<I", buf, 4)
+            if ab + 8 + size > limit:
+                raise ValueError(f"AVI chunk {fourcc!r} overruns container")
+            if fourcc == b"LIST":
+                if len(buf) < 12:
+                    break
+                ltype = buf[8:12]
+                if ltype in (b"movi", b"rec "):
+                    # transparent descent; remember where movi ends
+                    if not in_movi:
+                        st["movi_end"] = ab + 8 + size
+                    st["buf"], st["abs"] = buf[12:], ab + 12
+                    st["stage"] = "movi"
+                    continue
+                if ltype == b"hdrl":
+                    if len(buf) < 8 + size:
+                        break  # header region buffered whole (bounded)
+                    st["vids"] = _vcdc_scan_hdrl(buf[12 : 8 + size])
+                    pad = size & 1
+                    consume = min(8 + size + pad, len(buf))
+                    st["buf"], st["abs"] = buf[consume:], ab + consume
+                    st["skip"] = (8 + size + pad) - consume
+                    if st["skip"]:
+                        st["stage"] = "skip"
+                    continue
+                # other LISTs (odml ...): skip their whole body
+                st["buf"], st["abs"] = buf[12:], ab + 12
+                st["skip"] = size - 4 + (size & 1)
+                st["stage"] = "skip"
+                continue
+            is_frame = (
+                in_movi
+                and size > 0
+                and fourcc[2:4] in (b"dc", b"db")
+                and fourcc[:2].isdigit()
+                and st["vids"] >= 0
+                and int(fourcc[:2].decode("ascii")) == st["vids"]
+            )
+            if is_frame:
+                if len(buf) < 8 + size:
+                    break  # buffer until the frame body is complete
+                hashes.append(ahash64(decode_jpeg(buf[8 : 8 + size])))
+                st["n_frames"] += 1
+                pad = size & 1
+                consume = min(8 + size + pad, len(buf))
+                st["buf"], st["abs"] = buf[consume:], ab + consume
+                st["skip"] = (8 + size + pad) - consume
+                if st["skip"]:
+                    st["stage"] = "skip"
+                continue
+            # non-video chunk: discard body without buffering
+            st["buf"], st["abs"] = buf[8:], ab + 8
+            st["skip"] = size + (size & 1)
+            st["stage"] = "skip"
+            continue
+        raise AssertionError(f"unknown vcdc stage {st['stage']!r}")
+    return st, hashes
+
+
+def video_cdc_finish(state: dict) -> None:
+    """End-of-clip validation (no open-segment concept — frames are
+    self-delimiting): raises the batch decoder's loud errors if the
+    stream ended mid-chunk, never found a video stream, or carried no
+    frames. Mirrors ``decode_avi_frames``' post-walk checks."""
+    buf = bytes(state["buf"])
+    if state["stage"] == "riff":
+        raise ValueError("not an AVI payload" if buf else "empty AVI stream")
+    if state["skip"] > 0 or (buf and state["abs"] < state["end"]):
+        raise ValueError("AVI truncated mid-chunk")
+    if state["vids"] < 0:
+        raise ValueError("AVI contains no video ('vids') stream")
+    if state["n_frames"] == 0:
+        raise ValueError("AVI video stream contains no frames")
+
+
 def audio_cdc_segments(
     df: DataFrame, id_col: str = "audio_id", payload_col: str = "payload"
 ) -> DataFrame:

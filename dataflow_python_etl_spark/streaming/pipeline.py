@@ -1578,6 +1578,295 @@ def apply_chunked_audio_batch(
     )
 
 
+VIDEO_CHUNK_STATE_DDL = (
+    "clip_id long, stage string, buf binary, vids long, end long, "
+    "movi_end long, abs long, skip long, n_frames long, next_seq long"
+)
+_VIDEO_CHUNK_UPD_DDL = (
+    "clip_id long, frame_hashes array<long>, stage string, buf binary, "
+    "vids long, end long, movi_end long, abs long, skip long, "
+    "n_frames long, next_seq long, finished boolean"
+)
+
+
+def apply_chunked_video_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    seg_path: str,
+    state_path: str,
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "clip_id",
+    min_jaccard_ppm: int = 500_000,
+) -> None:
+    """One foreachBatch application of the chunked-VIDEO near-dup
+    sink — the :func:`apply_chunked_audio_batch` twin for recordings
+    that never fit one micro-batch row, fed as arbitrary BYTE ranges
+    of an MJPEG AVI stream: ``(clip_id, chunk_seq, data binary,
+    is_last)``, in order per clip (chunk splitting is the upstream
+    landing contract; boundaries need not align with frames or RIFF
+    chunks — the carry state is an incremental parser,
+    ``multimodal.video_cdc_push_chunk``, whose buffer stays bounded
+    by one frame). Out-of-order/gapped arrival and mid-clip is_last
+    raise loudly, as in the audio sink.
+
+    Decision rule — the batch :func:`~.multimodal.video_near_dup_pairs`
+    arithmetic exactly: a finishing clip is dropped iff its DISTINCT
+    frame-hash set has Jaccard ≥ ``min_jaccard_ppm`` (exact-integer
+    cross-multiply, ``1e6·common vs ppm·(na+nb−common)``) with any
+    already-ingested clip or a lower-id clip finishing in the same
+    batch; a clip whose stream carried no frames fails loudly at
+    ``video_cdc_finish`` (a corrupt upload is an error, not a silent
+    drop — unlike audio's no-evidence rule, zero frames here means a
+    malformed container).
+
+    Idempotence matrix: identical to the audio sink — per-batch
+    DYNAMIC partition overwrites for frame hashes / survivor index /
+    corpus, the state+ledger ``write_and_swap`` LAST, and the index
+    probe filtered to ``ingest_batch != batch_id`` so a crash-replay
+    after the index write reproduces the original attempt's inputs
+    (the round-10 ADVICE fix, applied here from birth)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from dataflow_python_etl_spark.operators.multimodal import (
+        video_cdc_finish,
+        video_cdc_push_chunk,
+        video_cdc_state_new,
+    )
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    spark = batch_df.sparkSession
+    applied = _read_applied_batch(state_path)
+    if applied is not None and batch_id <= applied:
+        return  # fully committed — replay is a no-op
+    if (
+        not os.path.exists(corpus_path)
+        and batch_id > 0
+        and (os.path.exists(index_path) or os.path.exists(state_path))
+    ):
+        raise RuntimeError(
+            f"chunked video ingest restart at batch {batch_id} but corpus "
+            f"{corpus_path} is missing — refusing to rebuild from a single "
+            "batch; restore the corpus or start a fresh checkpoint."
+        )
+    chunks = batch_df.select(
+        F.col(id_col).alias("clip_id"), "chunk_seq", "data", "is_last"
+    )
+    if chunks.isEmpty():
+        return
+    state = (
+        spark.read.parquet(state_path)
+        if os.path.exists(state_path)
+        else spark.createDataFrame([], VIDEO_CHUNK_STATE_DDL)
+    )
+    scalar_keys = ("vids", "end", "movi_end", "abs", "skip", "n_frames")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_seq")
+        first = pdf.iloc[0]
+        if pd.isna(first["next_seq"]):
+            st, nxt = video_cdc_state_new(), 0
+        else:
+            st = {"stage": first["stage"], "buf": bytes(first["buf"])}
+            st.update({k: int(first[k]) for k in scalar_keys})
+            nxt = int(first["next_seq"])
+        seqs = [int(s) for s in pdf["chunk_seq"]]
+        if seqs[0] != nxt or any(b != a + 1 for a, b in zip(seqs, seqs[1:])):
+            raise ValueError(
+                f"chunked video ingest: clip {int(first['clip_id'])} chunks "
+                f"arrived out of order (expected seq {nxt}, got {seqs}) — "
+                "ordered delivery is the upstream contract"
+            )
+        lasts = [bool(x) for x in pdf["is_last"]]
+        if any(lasts[:-1]):
+            raise ValueError(
+                f"chunked video ingest: clip {int(first['clip_id'])} has "
+                "is_last on a non-final chunk"
+            )
+        hashes: list = []
+        for data in pdf["data"]:
+            st, hs = video_cdc_push_chunk(st, bytes(data))
+            hashes.extend(hs)
+        finished = lasts[-1]
+        if finished:
+            video_cdc_finish(st)  # loud on truncation / no frames
+        row = {
+            "clip_id": int(first["clip_id"]),
+            "frame_hashes": hashes,
+            "stage": st["stage"],
+            "buf": bytearray(st["buf"]),
+            "next_seq": seqs[-1] + 1,
+            "finished": finished,
+        }
+        row.update({k: int(st[k]) for k in scalar_keys})
+        return pd.DataFrame([row])
+
+    upd = (
+        chunks.join(state, "clip_id", "left")
+        .groupBy("clip_id")
+        .applyInPandas(kernel, _VIDEO_CHUNK_UPD_DDL)
+        .localCheckpoint(eager=True)  # 4 consumers; kernel runs once
+    )
+
+    # 1) this batch's completed frame hashes: replay overwrites itself
+    (
+        upd.select("clip_id", F.explode("frame_hashes").alias("frame_hash"))
+        .withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(seg_path)
+    )
+
+    # 2) finished clips: assemble DISTINCT hash set, Jaccard, decide
+    fin = upd.where("finished").select("clip_id", "n_frames")
+    if not fin.isEmpty():
+        hset = (
+            spark.read.parquet(seg_path)
+            .join(fin.select("clip_id"), "clip_id", "left_semi")
+            .select("clip_id", "frame_hash")
+            .distinct()
+        )
+        sizes = hset.groupBy("clip_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        probe = hset.join(sizes, "clip_id").localCheckpoint(eager=True)
+        dropped = spark.createDataFrame([], "clip_id long")
+        if os.path.exists(index_path):
+            # replay safety: exclude our own partition (see audio twin)
+            idx = (
+                spark.read.parquet(index_path)
+                .where(F.col("ingest_batch") != F.lit(batch_id))
+                .select(
+                    F.col("clip_id").alias("cid"),
+                    "frame_hash",
+                    F.col("n").alias("inn"),
+                )
+            )
+            dropped = (
+                probe.join(idx, "frame_hash")
+                .groupBy("clip_id", "cid")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("common"),
+                    F.first("n").alias("n"),
+                    F.first("inn").alias("inn"),
+                )
+                .where(
+                    F.col("common") * F.lit(1_000_000)
+                    >= F.lit(min_jaccard_ppm)
+                    * (F.col("n") + F.col("inn") - F.col("common"))
+                )
+                .select("clip_id")
+                .distinct()
+            )
+        a, b = probe.alias("a"), probe.alias("b")
+        peer_dropped = (
+            a.join(
+                b,
+                (F.col("a.frame_hash") == F.col("b.frame_hash"))
+                & (F.col("a.clip_id") < F.col("b.clip_id")),
+            )
+            .groupBy(
+                F.col("b.clip_id").alias("clip_id"),
+                F.col("a.clip_id").alias("peer"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("common"),
+                F.first(F.col("a.n")).alias("na"),
+                F.first(F.col("b.n")).alias("nb"),
+            )
+            .where(
+                F.col("common") * F.lit(1_000_000)
+                >= F.lit(min_jaccard_ppm)
+                * (F.col("na") + F.col("nb") - F.col("common"))
+            )
+            .select("clip_id")
+            .distinct()
+        )
+        survivors = sizes.select("clip_id").join(
+            dropped.unionByName(peer_dropped), "clip_id", "left_anti"
+        )
+        (
+            probe.join(survivors, "clip_id", "left_semi")
+            .select("clip_id", "frame_hash", "n")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(index_path)
+        )
+        (
+            fin.join(survivors, "clip_id", "left_semi")
+            .join(sizes, "clip_id")
+            .select(
+                "clip_id",
+                F.col("n_frames").alias("n_frames"),
+                F.col("n").alias("n_distinct_hashes"),
+            )
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(corpus_path)
+        )
+
+    # 3) carry state LAST, ledger swapped atomically with it
+    new_state = state.join(upd.select("clip_id"), "clip_id", "left_anti").unionByName(
+        upd.where(~F.col("finished")).select(
+            "clip_id", "stage", "buf", "vids", "end", "movi_end", "abs",
+            "skip", "n_frames", "next_seq",
+        )
+    )
+    write_and_swap(
+        new_state,
+        state_path,
+        extra_files={"_applied_batch.json": json.dumps({"batch_id": batch_id})},
+    )
+
+
+def stream_chunked_video_dedup_ingest(
+    stream_chunks: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    seg_path: str,
+    state_path: str,
+    checkpoint: str,
+    id_col: str = "clip_id",
+    min_jaccard_ppm: int = 500_000,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Online near-dup-filtered ingestion of LONG video — the chunked
+    twin of ``stream_video_dedup_ingest`` for recordings that never
+    fit one micro-batch row, fed as ordered byte ranges of an MJPEG
+    AVI stream. See :func:`apply_chunked_video_batch` for the row
+    contract, the bounded carry state (an incremental RIFF parser),
+    and the idempotence matrix; the streamed frame-hash set is
+    identical to batch ``video_frame_hashes`` of the whole clip
+    (the ``video_cdc_push_chunk`` split-invariance, property-pinned),
+    so streamed ingest decisions match the batch
+    ``video_near_dup_pairs`` arithmetic exactly."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_chunked_video_batch(
+            batch_df,
+            batch_id,
+            seg_path=seg_path,
+            state_path=state_path,
+            index_path=index_path,
+            corpus_path=corpus_path,
+            id_col=id_col,
+            min_jaccard_ppm=min_jaccard_ppm,
+        )
+
+    return (
+        stream_chunks.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_chunked_audio_containment_ingest(
     stream_chunks: DataFrame,
     corpus_path: str,
