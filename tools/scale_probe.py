@@ -152,7 +152,55 @@ def build_replicated(src_dir: str, out_dir: str, replicas: int) -> int:
         tout = pd.concat(tparts, ignore_index=True)
         pq.write_table(pa.Table.from_pandas(tout, preserve_index=False),
                        f"{out_dir}/{tbl}.parquet")
-    for small in ("region", "nation", "part", "embeddings"):
+    # part replicates under the SAME key stride as l_partkey — copying
+    # it unstrided leaves replicas r>=1 with dangling part FKs, so any
+    # part-joining probe (q160's brand blocks) would measure a
+    # SHRINKING join (the customer/supplier rationale above). Brand/
+    # attribute columns copy through, so each replica carries the
+    # original's full brand structure.
+    pt_src = f"{src_dir}/part.parquet"
+    if os.path.exists(pt_src):
+        base = pq.read_table(pt_src).to_pandas()
+        pparts = []
+        for r in range(replicas):
+            part = base.copy()
+            part["p_partkey"] = part["p_partkey"] + r * ID_STRIDE
+            pparts.append(part)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(pparts, ignore_index=True),
+                                 preserve_index=False),
+            f"{out_dir}/part.parquet",
+        )
+
+    # embeddings replicate under the vec_id stride (matching doc_id,
+    # so semantic tiers joining documents x embeddings stay aligned
+    # per replica) with each replica's vectors DIMENSION-ROLLED by r:
+    # a coordinate permutation preserves norms and within-replica
+    # inner products exactly — every replica carries the original's
+    # neighbor structure — while the serving-shaped probes (fixed
+    # query batch from replica 0, corpus growing R x) scan a linear-
+    # by-construction candidate volume.
+    em_src = f"{src_dir}/embeddings.parquet"
+    if os.path.exists(em_src):
+        import numpy as np
+
+        base = pq.read_table(em_src).to_pandas()
+        eparts2 = []
+        for r in range(replicas):
+            part = base.copy()
+            part["vec_id"] = part["vec_id"] + r * ID_STRIDE
+            if r:
+                part["embedding"] = part["embedding"].map(
+                    lambda v, _r=r: np.roll(np.asarray(v), _r).tolist()
+                )
+            eparts2.append(part)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(eparts2, ignore_index=True),
+                                 preserve_index=False),
+            f"{out_dir}/embeddings.parquet",
+        )
+
+    for small in ("region", "nation"):
         src = f"{src_dir}/{small}.parquet"
         if os.path.exists(src):
             shutil.copyfile(src, f"{out_dir}/{small}.parquet")
