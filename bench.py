@@ -130,6 +130,7 @@ EXTENDED_QUERIES = [
     "q161_quality_classifier",
     "q162_mojibake_repair",
     "q163_ann_recall",
+    "q164_sequence_packing",
 ]
 
 

@@ -1126,3 +1126,101 @@ def curate_corpus(
         F.col("quality"),
         token_count(text_col).cast("long").alias("n_tokens"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 32,
+) -> DataFrame:
+    """Fixed-length training-sequence packing — the export step every
+    LLM pipeline runs after curation: documents are concatenated in
+    ``id_col`` order, one EOS token appended per document, and the
+    token stream is cut into back-to-back sequences of ``seq_len``
+    tokens (documents cross sequence boundaries — contiguous packing,
+    the GPT-style recipe; the last sequence may be partial). Returns
+    one row per sequence: ``(seq_id, n_docs, n_tokens, first_doc,
+    last_doc)`` — the packing MANIFEST (which docs land in which
+    sequence, how full it is); the token payload itself stays with
+    the shard writer.
+
+    Tokens are whitespace tokens with empty strings dropped (the ''
+    split artifact — q64 lesson); a document with zero real tokens is
+    dropped entirely (no EOS-only rows: no evidence, no sequence —
+    the DSIR-gate contract).
+
+    Scale shape: the global token prefix sum is computed WITHOUT the
+    single-partition ``Window.orderBy`` wall (the :func:`~.events.
+    global_rank` machinery): range-repartition on ``id_col``, ONE
+    narrow hash exchange of the (id, n_tok) projection for the
+    per-partition running sum, per-partition token totals broadcast
+    back as offsets. Each document then explodes to only the
+    ``<= n_tok/seq_len + 1`` sequences it overlaps, and the final
+    agg shuffles on ``seq_id``. Everything downstream of the token
+    COUNT is O(docs), never O(tokens) — the token stream itself is
+    never materialized."""
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.functions.text import tokens
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    real_toks = F.filter(tokens(text_col), lambda x: F.length(x) > 0)
+    t = docs.select(
+        F.col(id_col), (F.size(real_toks) + F.lit(1)).cast("long").alias("n_tok")
+    ).where(F.col("n_tok") >= 2)  # >=1 real token (+1 EOS)
+    part = register_cache(
+        t.repartitionByRange(partitions, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright(F.col("_mid"), 33)
+    psums = part.groupBy(pid.alias("_pid")).agg(F.sum("n_tok").alias("_cnt"))
+    tiny = Window.orderBy("_pid")  # partitions-row frame, not data-sized
+    offsets = psums.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    pref = (
+        part.withColumn("_pid", pid)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "start",
+            (F.col("_off") + F.sum("n_tok").over(w) - F.col("n_tok")).cast("long"),
+        )
+    )
+    spans = pref.select(
+        F.col(id_col),
+        "n_tok",
+        "start",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {seq_len}"),
+                F.expr(f"(start + n_tok - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    return (
+        spans.withColumn(
+            "tok_in_seq",
+            F.least(
+                F.col("start") + F.col("n_tok"),
+                (F.col("seq_id") + 1) * F.lit(seq_len),
+            )
+            - F.greatest(F.col("start"), F.col("seq_id") * F.lit(seq_len)),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tok_in_seq").cast("long").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )

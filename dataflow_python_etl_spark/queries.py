@@ -8257,6 +8257,68 @@ def q163_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
+_PACK_SEQ_LEN = 256
+
+
+@_q(
+    "q164_sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> length(x) > 0)) + 1 AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    d AS (SELECT doc_id, n_tok FROM t WHERE n_tok >= 2),
+    p AS (
+        SELECT doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, n_tok, start, u.seq_id
+        FROM p, LATERAL (
+            SELECT unnest(range(start // {_PACK_SEQ_LEN},
+                                (start + n_tok - 1) // {_PACK_SEQ_LEN} + 1))
+                   AS seq_id
+        ) u
+    )
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(start + n_tok, (seq_id + 1) * {_PACK_SEQ_LEN})
+                    - greatest(start, seq_id * {_PACK_SEQ_LEN}))
+                AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM s GROUP BY seq_id
+    """,
+    "Fixed-length training-sequence packing (corpus.pack_sequences) — "
+    "the export step every LLM pipeline runs after curation: docs "
+    "concatenate in doc_id order with one EOS each, the token stream "
+    "cuts into back-to-back 256-token sequences (docs cross "
+    "boundaries — contiguous GPT-style packing), output = the packing "
+    "manifest (seq_id, n_docs, n_tokens, first_doc, last_doc). The "
+    "Spark side computes the global token prefix sum WITHOUT the "
+    "single-partition Window.orderBy wall: range-repartition on "
+    "doc_id + one narrow hash exchange for the per-partition running "
+    "sum + broadcast partition offsets (the global_rank machinery); "
+    "each doc explodes to only the <= n_tok/256 + 1 sequences it "
+    "overlaps, so everything after the token COUNT is O(docs), never "
+    "O(tokens). The oracle spells the same prefix-sum + interval "
+    "arithmetic with a plain ordered window — exact integers "
+    "throughout, so the manifests hash identically.",
+)
+def q164_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=_PACK_SEQ_LEN
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
