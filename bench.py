@@ -131,6 +131,7 @@ EXTENDED_QUERIES = [
     "q162_mojibake_repair",
     "q163_ann_recall",
     "q164_sequence_packing",
+    "q165_token_budget_mix",
 ]
 
 

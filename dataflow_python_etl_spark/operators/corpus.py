@@ -1224,3 +1224,85 @@ def pack_sequences(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    partitions: int = 32,
+) -> DataFrame:
+    """Static data-MIXING selection — the mixture-weights step of a
+    training run (DoReMi / The Pile recipe: each domain contributes a
+    token BUDGET, not a document count): within each domain, take
+    documents in ``id_col`` order while the domain's running token
+    total is under ``budget_tokens``; the document that CROSSES the
+    budget is kept (greedy fill — progress is guaranteed even when
+    one document exceeds the whole budget) and everything after it is
+    cut. Returns the selected manifest ``(id, domain, n_tokens,
+    cum_before)`` where ``cum_before`` is the domain's token total
+    before this document — the oracle-checkable audit trail of WHY
+    each doc made the mix.
+
+    Token counting matches :func:`pack_sequences` (whitespace tokens,
+    empties dropped, zero-token docs excluded).
+
+    Scale shape: per-domain running sums over FEW domains are the
+    same single-partition wall as a global order — a plain
+    ``Window.partitionBy(domain)`` funnels each domain's terabytes
+    through one task. This spells the grouped prefix sum with the
+    distributed machinery instead: range-repartition on (domain, id),
+    per-(domain, partition) token totals broadcast back as offsets,
+    in-partition running sum keyed by (domain, _pid). One narrow hash
+    exchange of the (id, domain, n_tok) projection; the text column
+    never shuffles."""
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.functions.text import tokens
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    real_toks = F.filter(tokens(text_col), lambda x: F.length(x) > 0)
+    t = docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("__dom"),
+        F.size(real_toks).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") >= 1)
+    part = register_cache(
+        t.repartitionByRange(partitions, F.col("__dom"), F.col(id_col))
+        .sortWithinPartitions("__dom", id_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright(F.col("_mid"), 33)
+    psums = part.groupBy("__dom", pid.alias("_pid")).agg(
+        F.sum("n_tokens").alias("_cnt")
+    )
+    tiny = Window.partitionBy("__dom").orderBy("_pid")
+    offsets = psums.select(
+        "__dom",
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    w = Window.partitionBy("__dom", "_pid").orderBy("_mid")
+    return (
+        part.withColumn("_pid", pid)
+        .join(F.broadcast(offsets), ["__dom", "_pid"])
+        .withColumn(
+            "cum_before",
+            (F.col("_off") + F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .cast("long"),
+        )
+        .where(F.col("cum_before") < budget_tokens)
+        .select(
+            F.col(id_col),
+            F.col("__dom").alias(domain_col),
+            "n_tokens",
+            "cum_before",
+        )
+    )

@@ -8319,6 +8319,53 @@ def q164_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET = 600
+
+
+@_q(
+    "q165_token_budget_mix",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    d AS (SELECT * FROM t WHERE n_tokens >= 1),
+    p AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM d
+    )
+    SELECT doc_id, source, n_tokens, cum_before
+    FROM p WHERE cum_before < {_MIX_BUDGET}
+    """,
+    "Static data-mixing selection (corpus.select_token_budget — the "
+    "DoReMi/The-Pile mixture step: each domain contributes a token "
+    "BUDGET, not a doc count): within each source, docs are taken in "
+    "id order while the domain's running token total is under 600; "
+    "the crossing doc is kept (greedy fill, progress guaranteed). "
+    "Output = the selected manifest with cum_before as the audit "
+    "trail of why each doc made the mix. The Spark side computes the "
+    "per-domain running sums WITHOUT the per-domain single-task wall "
+    "(a plain Window.partitionBy(domain) funnels each domain's "
+    "terabytes through one task at few-domain scale): "
+    "range-repartition on (domain, id) + per-(domain, partition) "
+    "totals broadcast as offsets + in-partition running sum — the "
+    "grouped form of q164's prefix-sum machinery. The oracle spells "
+    "the plain per-domain window; exact integers throughout.",
+)
+def q165_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import select_token_budget
+
+    return select_token_budget(
+        _t(spark, sf_dir, "documents"), budget_tokens=_MIX_BUDGET
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.
