@@ -536,3 +536,46 @@ def test_core_communities_query_stays_jvm(spark):
     plan = explain_str(df, "simple")
     assert "EvalPython" not in plan
     assert "POWER" not in plan.upper() and "pow(" not in plan
+
+
+def test_quality_classifier_weight_join_broadcasts(spark):
+    """q161's <=B+1-row weight table must broadcast onto the
+    (id, bucket) gram counts at BOTH fit margins and frozen scoring
+    (the corpus-sized side never shuffles for the join), and the
+    whole fit+score plan stays JVM — the trainer is Catalyst
+    aggregates, not a Python loop."""
+    df = _q(spark, "q161_quality_classifier")
+    plan = explain_str(df, "simple")
+    assert has_broadcast_join(df), plan
+    assert "EvalPython" not in plan
+    # the int64 margin guard is filter-anchored (a dead projected
+    # column would be pruned and the check would silently vanish)
+    assert "raise_error" in plan and "Filter" in plan, plan
+
+
+def test_mojibake_repair_pure_map_plan(spark):
+    """q162 is plant -> corrupt -> repair, all literal replace chains:
+    zero exchanges, no regex fallback to Python, scan pruned to the
+    two needed columns."""
+    df = _q(spark, "q162_mojibake_repair")
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 0, plan
+    assert "EvalPython" not in plan
+    cols = read_schema_columns(df)
+    assert "doc_id" in cols and "text" in cols and "lang" not in cols
+
+
+def test_ann_recall_probes_are_partition_pruned(spark):
+    """q163's three index probes must reach the inverted files as
+    cid partition filters (file-listing-level pruning — the whole
+    point of the persisted IVF layout), and recall arithmetic stays
+    JVM."""
+    df = _q(spark, "q163_ann_recall")
+    plan = final_plan_str(df)
+    assert "EvalPython" not in plan
+    assert "PartitionFilters" in plan, plan
+    pruned = [
+        seg[:200] for seg in plan.split("PartitionFilters")[1:]
+        if "cid" in seg[:200]
+    ]
+    assert len(pruned) >= 3, plan  # fp64 + sq8 + pq probes all pruned
