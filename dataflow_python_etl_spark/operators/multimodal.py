@@ -1330,7 +1330,12 @@ def video_cdc_finish(state: dict) -> None:
     buf = bytes(state["buf"])
     if state["stage"] == "riff":
         raise ValueError("not an AVI payload" if buf else "empty AVI stream")
-    if state["skip"] > 0 or (buf and state["abs"] < state["end"]):
+    # abs < end alone is truncation even with an EMPTY carry buffer: a
+    # stream cut exactly on a RIFF chunk boundary inside movi leaves
+    # nothing buffered, yet decode_avi_frames raises on the same bytes
+    # (a complete stream always reaches abs >= end via the trailing-
+    # bytes discard path). ADVICE r10 medium.
+    if state["skip"] > 0 or state["abs"] < state["end"]:
         raise ValueError("AVI truncated mid-chunk")
     if state["vids"] < 0:
         raise ValueError("AVI contains no video ('vids') stream")

@@ -1307,7 +1307,7 @@ _CHUNK_UPD_DDL = (
 )
 
 
-def _read_applied_batch(table_path: str) -> int | None:
+def _read_ledger(table_path: str) -> dict | None:
     import json
     import os
 
@@ -1315,7 +1315,38 @@ def _read_applied_batch(table_path: str) -> int | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(json.load(f)["batch_id"])
+        return json.load(f)
+
+
+def _guard_lost_corpus(
+    ledger: dict | None, corpus_path: str, batch_id: int, kind: str
+) -> None:
+    """Raise iff a COMMITTED batch recorded the corpus as written but it
+    is now missing — genuine data loss, refuse to rebuild from one batch.
+
+    The corpus dir is only created when a clip FINISHES, while the carry
+    state is swapped every batch, so ``state exists && corpus missing``
+    is a legitimately progressing stream whose first recording spans
+    micro-batches (ADVICE r10 high: the old state-existence guard killed
+    exactly that stream at batch 1). The index cannot stand in either:
+    it is written strictly BEFORE the corpus, so the replay-tested crash
+    window (index written, corpus not yet, ledger not yet swapped) would
+    false-positive. Only the ledger flag — swapped atomically WITH the
+    state, LAST — proves the corpus should exist. Ledgers predating the
+    flag default to True (conservative against silent data loss)."""
+    import os
+
+    if (
+        not os.path.exists(corpus_path)
+        and ledger is not None
+        and bool(ledger.get("corpus_written", True))
+    ):
+        raise RuntimeError(
+            f"chunked {kind} ingest restart at batch {batch_id} but corpus "
+            f"{corpus_path} is missing despite a committed batch having "
+            "written it — refusing to rebuild from a single batch; restore "
+            "the corpus or start a fresh checkpoint."
+        )
 
 
 def apply_chunked_audio_batch(
@@ -1379,19 +1410,11 @@ def apply_chunked_audio_batch(
     from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
     spark = batch_df.sparkSession
-    applied = _read_applied_batch(state_path)
+    ledger = _read_ledger(state_path)
+    applied = None if ledger is None else int(ledger["batch_id"])
     if applied is not None and batch_id <= applied:
         return  # fully committed — replay is a no-op
-    if (
-        not os.path.exists(corpus_path)
-        and batch_id > 0
-        and (os.path.exists(index_path) or os.path.exists(state_path))
-    ):
-        raise RuntimeError(
-            f"chunked audio ingest restart at batch {batch_id} but corpus "
-            f"{corpus_path} is missing — refusing to rebuild from a single "
-            "batch; restore the corpus or start a fresh checkpoint."
-        )
+    _guard_lost_corpus(ledger, corpus_path, batch_id, "audio")
     chunks = batch_df.select(
         F.col(id_col).alias("clip_id"), "chunk_seq", "samples", "is_last"
     )
@@ -1574,7 +1597,17 @@ def apply_chunked_audio_batch(
     write_and_swap(
         new_state,
         state_path,
-        extra_files={"_applied_batch.json": json.dumps({"batch_id": batch_id})},
+        extra_files={
+            "_applied_batch.json": json.dumps(
+                # corpus_written: evaluated AFTER the corpus write so the
+                # flag only turns true once a clip actually finished;
+                # _guard_lost_corpus keys off it on restart.
+                {
+                    "batch_id": batch_id,
+                    "corpus_written": os.path.exists(corpus_path),
+                }
+            )
+        },
     )
 
 
@@ -1640,19 +1673,11 @@ def apply_chunked_video_batch(
     from dataflow_python_etl_spark.operators.upsert import write_and_swap
 
     spark = batch_df.sparkSession
-    applied = _read_applied_batch(state_path)
+    ledger = _read_ledger(state_path)
+    applied = None if ledger is None else int(ledger["batch_id"])
     if applied is not None and batch_id <= applied:
         return  # fully committed — replay is a no-op
-    if (
-        not os.path.exists(corpus_path)
-        and batch_id > 0
-        and (os.path.exists(index_path) or os.path.exists(state_path))
-    ):
-        raise RuntimeError(
-            f"chunked video ingest restart at batch {batch_id} but corpus "
-            f"{corpus_path} is missing — refusing to rebuild from a single "
-            "batch; restore the corpus or start a fresh checkpoint."
-        )
+    _guard_lost_corpus(ledger, corpus_path, batch_id, "video")
     chunks = batch_df.select(
         F.col(id_col).alias("clip_id"), "chunk_seq", "data", "is_last"
     )
@@ -1822,7 +1847,15 @@ def apply_chunked_video_batch(
     write_and_swap(
         new_state,
         state_path,
-        extra_files={"_applied_batch.json": json.dumps({"batch_id": batch_id})},
+        extra_files={
+            "_applied_batch.json": json.dumps(
+                # corpus_written: see the audio twin — restart guard flag.
+                {
+                    "batch_id": batch_id,
+                    "corpus_written": os.path.exists(corpus_path),
+                }
+            )
+        },
     )
 
 

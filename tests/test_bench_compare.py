@@ -46,6 +46,37 @@ def test_improvements_are_notes():
     assert any("improved" in n for n in notes)
 
 
+def test_anchored_queries_surface_improvements():
+    # ADVICE r10 low: the anchored branch used to `continue`
+    # unconditionally, so anchored speedups never appeared.
+    from tools.bench_compare import RATIO_ANCHOR, RATIO_ANCHORED
+
+    name = sorted(RATIO_ANCHORED)[0]
+    old = _r({RATIO_ANCHOR: 1.0, name: 4.0})
+    new = _r({RATIO_ANCHOR: 1.0, name: 2.0})
+    regs, notes = compare(old, new, 1.30, 0.15)
+    assert regs == []
+    assert any(name in n and "improved" in n for n in notes)
+    # and the drift-note / regression paths are untouched
+    regs, notes = compare(
+        _r({RATIO_ANCHOR: 1.0, name: 2.0}),
+        _r({RATIO_ANCHOR: 2.0, name: 4.0}),  # raw 2x, ratio stable
+        1.30,
+        0.15,
+    )
+    # (the anchor itself moved 2x raw and is legitimately flagged;
+    # only the ANCHORED query's adjudication is under test here)
+    assert not any(r.startswith(name) for r in regs)
+    assert any("anchor-ratio is stable" in n for n in notes)
+    regs, _ = compare(
+        _r({RATIO_ANCHOR: 1.0, name: 2.0}),
+        _r({RATIO_ANCHOR: 1.0, name: 4.0}),  # ratio itself 2x
+        1.30,
+        0.15,
+    )
+    assert any(name in r and "anchor-ratio" in r for r in regs)
+
+
 def test_calib_normalization_absorbs_machine_drift():
     from tools.bench_compare import compare
 

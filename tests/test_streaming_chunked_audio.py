@@ -237,6 +237,39 @@ def test_chunked_ingest_loud_guards(spark, tmp_path):
     assert got == [1]
 
 
+def test_chunked_audio_restart_mid_first_recording(spark, tmp_path):
+    """ADVICE r10 high (latent pre-existing twin of the video flaw):
+    batch 0 carries only partial chunks of the first recording — state
+    swaps, corpus legitimately absent — and batch 1 must proceed, not
+    die on the old state-existence restart guard."""
+    rng = np.random.RandomState(17)
+    paths = _paths(tmp_path)
+    rows = _chunk_rows(1, _clip(rng, 4096), 4)
+    _apply(spark, rows[:2], 0, paths)  # no is_last in batch 0
+    assert os.path.exists(paths["state_path"])
+    assert not os.path.exists(paths["corpus_path"])
+    led = json.load(open(os.path.join(paths["state_path"], "_applied_batch.json")))
+    assert led == {"batch_id": 0, "corpus_written": False}
+    _apply(spark, rows[2:], 1, paths)  # must NOT raise "corpus missing"
+    assert [
+        r["clip_id"] for r in spark.read.parquet(paths["corpus_path"]).collect()
+    ] == [1]
+
+
+def test_chunked_audio_lost_corpus_still_refuses(spark, tmp_path):
+    """Genuine loss still refuses: committed corpus_written=True +
+    missing corpus dir on a later batch entry raises."""
+    import shutil
+
+    rng = np.random.RandomState(18)
+    paths = _paths(tmp_path)
+    _apply(spark, _chunk_rows(1, _clip(rng, 2048), 2), 0, paths)
+    assert os.path.exists(paths["corpus_path"])
+    shutil.rmtree(paths["corpus_path"])
+    with pytest.raises(RuntimeError, match="corpus .* is missing"):
+        _apply(spark, _chunk_rows(2, _clip(rng, 2048), 2), 1, paths)
+
+
 def test_stream_chunked_audio_e2e(spark, tmp_path):
     """Thin readStream wiring check: two source files become two
     micro-batches; a trim split across them is dropped, its source

@@ -214,6 +214,75 @@ def test_chunked_video_loud_guards(spark, tmp_path):
         _apply(spark, _chunk_rows(4, A[: len(A) // 2], 2), 1, paths)
 
 
+def test_chunked_video_restart_mid_first_recording(spark, tmp_path):
+    """ADVICE r10 high: the corpus dir is only created when a clip
+    FINISHES, but the carry state swaps every batch — so a stream
+    whose first recording spans micro-batches reaches batch 1 with
+    state present and corpus legitimately absent. The old
+    state-existence restart guard killed exactly that stream; the
+    ledger's corpus_written flag must let it proceed."""
+    paths = _paths(tmp_path)
+    A = encode_avi(_frames(5, seed0=70))
+    rows = _chunk_rows(1, A, 4)
+    _apply(spark, rows[:2], 0, paths)  # partial chunks only: no is_last
+    assert os.path.exists(paths["state_path"])
+    assert not os.path.exists(paths["corpus_path"])
+    led = json.load(open(os.path.join(paths["state_path"], "_applied_batch.json")))
+    assert led == {"batch_id": 0, "corpus_written": False}
+    _apply(spark, rows[2:], 1, paths)  # must NOT raise "corpus missing"
+    assert [
+        r["clip_id"] for r in spark.read.parquet(paths["corpus_path"]).collect()
+    ] == [1]
+
+
+def test_chunked_video_lost_corpus_still_refuses(spark, tmp_path):
+    """The guard's real job survives the ADVICE fix: once a COMMITTED
+    batch recorded corpus_written, a missing corpus on a later entry
+    is genuine data loss and must raise."""
+    import shutil
+
+    paths = _paths(tmp_path)
+    A = encode_avi(_frames(4, seed0=80))
+    _apply(spark, _chunk_rows(1, A, 2), 0, paths)
+    assert os.path.exists(paths["corpus_path"])
+    shutil.rmtree(paths["corpus_path"])
+    B = encode_avi(_frames(4, seed0=81))
+    with pytest.raises(RuntimeError, match="corpus .* is missing"):
+        _apply(spark, _chunk_rows(2, B, 2), 1, paths)
+
+
+def test_boundary_truncation_raises():
+    """ADVICE r10 medium: a stream truncated EXACTLY on a RIFF chunk
+    boundary inside movi leaves the carry buffer empty with
+    abs < end — video_cdc_finish must still raise, matching
+    decode_avi_frames' loud error on the same bytes (the documented
+    batch/chunked error-parity invariant)."""
+    from dataflow_python_etl_spark.operators.codecs import decode_avi_frames
+
+    avi = encode_avi(_frames(3, seed0=90))
+    # locate chunk boundaries inside movi: push byte-at-a-time and
+    # record positions where the carry buffer empties with skip
+    # exhausted while abs < end — exactly the states the old
+    # `buf and` conjunct silently accepted.
+    st, cuts = video_cdc_state_new(), []
+    for i in range(len(avi)):
+        st, _ = video_cdc_push_chunk(st, avi[i : i + 1])
+        if (
+            not st["buf"]
+            and st["skip"] == 0
+            and st["abs"] < st["end"]
+            and st["n_frames"] > 0
+        ):
+            cuts.append(i + 1)
+    assert cuts, "no mid-movi chunk boundary found in the fixture"
+    for cut in (cuts[0], cuts[-1]):
+        st2, _ = video_cdc_push_chunk(video_cdc_state_new(), avi[:cut])
+        with pytest.raises(ValueError, match="truncated"):
+            video_cdc_finish(st2)
+        with pytest.raises(ValueError, match="overruns container|truncated"):
+            decode_avi_frames(avi[:cut])
+
+
 def test_stream_chunked_video_e2e(spark, tmp_path):
     """Thin readStream wiring check (atomic .coalesce(1) source
     writes): a re-encode split across micro-batches is dropped, its

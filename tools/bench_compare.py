@@ -144,13 +144,18 @@ def compare(
                     f"{RATIO_ANCHOR} ({rn / ro:.2f}x — plan-level, not "
                     "machine drift)"
                 )
-            elif n > threshold * o and n - o > abs_floor:
+                continue
+            if n > threshold * o and n - o > abs_floor:
                 notes.append(
                     f"{name} raw moved {o:.3f}s -> {n:.3f}{unit} but "
                     f"anchor-ratio is stable ({ro:.1f}x -> {rn:.1f}x): "
                     "uniform machine/data drift, not a regression"
                 )
-            continue
+                continue
+            # fall through so anchored queries surface improvements too
+            # (ADVICE r10 low: the unconditional `continue` hid every
+            # speedup); the raw-regression branch below is unreachable
+            # here — its exact condition just `continue`d above.
         if n > threshold * o and n - o > abs_floor:
             regressions.append(
                 f"{name}: {o:.3f}s -> {n:.3f}{unit} ({n / o:.2f}x, +{n - o:.3f}{unit})"
