@@ -132,6 +132,7 @@ EXTENDED_QUERIES = [
     "q163_ann_recall",
     "q164_sequence_packing",
     "q165_token_budget_mix",
+    "q166_erasure_audit",
 ]
 
 

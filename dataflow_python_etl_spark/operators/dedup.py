@@ -508,6 +508,74 @@ class BandIndexStore:
         if self.path is not None and os.path.exists(self.path):
             shutil.rmtree(self.path)
 
+    def _location(self) -> str:
+        """Filesystem dir behind the table — the caller-chosen
+        ``path`` for external stores, the catalog location otherwise
+        (managed tables get a warehouse dir)."""
+        if self.path is not None:
+            return self.path
+        loc = (
+            self.spark.sql(f"DESC FORMATTED {self.table}")
+            .where(F.col("col_name") == "Location")
+            .first()["data_type"]
+        )
+        return loc[7:] if loc.startswith("file:") else loc
+
+    def forget(self, keys, key_col: str = "doc") -> tuple[int, int]:
+        """Erase documents' band rows (right-to-be-forgotten — see
+        ``operators.erasure``): survivors are written as a NEW
+        bucketed table at a ``.__tmp_`` sibling path, the files are
+        swapped in under the EXISTING catalog entry (same bucket spec,
+        same n_buckets — Spark reads bucket ids from file names, so
+        the co-located zero-Exchange probe survives the rewrite;
+        plan-pinned in tests/test_erasure.py), and the tmp catalog
+        entry is dropped. Crash anywhere: ``swap_table_dir``'s backup
+        protects the files (``recover_table_dir``), the uuid'd
+        ``.__tmp_`` sibling rides ``vacuum_table_dir``, and a stale
+        tmp catalog entry is dropped up front on the next run.
+        Returns ``(rows_before, rows_removed)``; idempotent."""
+        import uuid as _uuid
+
+        from pyspark.sql import Observation
+
+        from dataflow_python_etl_spark.operators.upsert import swap_table_dir
+        from dataflow_python_etl_spark.sources.sinks import write_bucketed
+
+        kset = (
+            keys.select(F.col(key_col).alias("__fk"))
+            .where(F.col("__fk").isNotNull())
+            .distinct()
+        )
+        cur = self.read()
+        j = cur.join(kset, cur["doc"] == F.col("__fk"), "left")
+        obs = Observation(f"forget_band:{self.table}")
+        kept = (
+            j.observe(
+                obs,
+                F.count(F.lit(1)).alias("before"),
+                F.sum(F.col("__fk").isNotNull().cast("long")).alias("removed"),
+            )
+            .where(F.col("__fk").isNull())
+            .drop("__fk")
+        )
+        loc = self._location()
+        tmp_table = f"{self.table}__fk_tmp"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # stale crash leftover
+        tmp_path = f"{loc}.__tmp_{_uuid.uuid4().hex[:8]}"
+        write_bucketed(
+            kept,
+            tmp_table,
+            ["band", "sig"],
+            n_buckets=self.n_buckets,
+            path=tmp_path,
+        )
+        before = int(obs.get["before"])
+        removed = int(obs.get["removed"] or 0)
+        swap_table_dir(loc, tmp_path)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        self.spark.catalog.refreshTable(self.table)
+        return before, removed
+
 
 def _verify_jaccard(
     docs: DataFrame,

@@ -200,6 +200,14 @@ def search_index(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     stats = load_search_stats(path)
+    if stats["n_docs"] <= 0:
+        # reachable when erasure removed every indexed document
+        # (operators.erasure) — BM25 divides by avgdl, so scoring an
+        # empty index must be loud, not a ZeroDivisionError
+        raise ValueError(
+            f"search index at {path} is empty (n_docs = {stats['n_docs']}) — "
+            "every document was removed (erasure?); nothing to score"
+        )
     n_docs, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
     buckets = sorted({_term_bucket_py(w, stats["n_buckets"]) for w in query_terms})
     p = (

@@ -569,6 +569,25 @@ def forget_keys(
 AGG_LEDGER = "_applied_batch.json"  # "_"-prefixed: Spark scans skip it
 
 
+def _guard_erasure_stale(table_path: str, op: str) -> None:
+    """Refuse to fold into an erasure-tombstoned MV: its sketch cells
+    irreversibly contain a forgotten item's contribution, and every
+    further fold would perpetuate it (see operators.erasure). Rebuild
+    from the cleansed base via erasure.rebuild_mv, which clears the
+    marker atomically with the fresh data."""
+    import os
+
+    from dataflow_python_etl_spark.operators.erasure import ERASURE_TOMBSTONE
+
+    if os.path.exists(os.path.join(table_path, ERASURE_TOMBSTONE)):
+        raise RuntimeError(
+            f"{op}: MV at {table_path} is tombstoned by an erasure request "
+            "— its aggregates cannot subtract the forgotten contribution; "
+            "rebuild from the cleansed base (erasure.rebuild_mv) before "
+            "folding further batches."
+        )
+
+
 def _read_agg_ledger(table_path: str):
     import json
     import os
@@ -625,6 +644,7 @@ def refresh_additive_agg(
     missing = [k for k in key_cols if k not in batch_agg.columns]
     if missing:
         raise ValueError(f"key columns absent from batch: {missing}")
+    _guard_erasure_stale(table_path, "refresh_additive_agg")
     ledger = (
         {AGG_LEDGER: json.dumps({"last_batch_id": batch_id})}
         if batch_id is not None
@@ -802,6 +822,7 @@ def refresh_kmv_agg(
         raise ValueError(f"unexpected non-sketch columns in batch: {extra}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    _guard_erasure_stale(table_path, "refresh_kmv_agg")
     if not os.path.exists(table_path):
         write_and_swap(batch_sketch, table_path)
         return

@@ -8366,6 +8366,144 @@ def q165_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ERASURE_AUDIT_CACHE: dict = {}
+
+
+@_q(
+    "q166_erasure_audit",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    postings AS (
+        SELECT DISTINCT doc_id, w
+        FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+    ),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    band_docs AS (SELECT doc_id FROM lens WHERE dl >= 3),
+    a AS (
+        SELECT 'band_index' AS surface,
+               CAST(8 * (SELECT count(*) FROM band_docs) AS BIGINT)
+                   AS rows_before,
+               CAST(8 * (SELECT count(*) FROM band_docs WHERE doc_id % 7 = 3)
+                   AS BIGINT) AS rows_removed,
+               CAST(NULL AS BIGINT) AS n_docs_after,
+               CAST(NULL AS BIGINT) AS sum_dl_after
+        UNION ALL
+        SELECT 'ivf_index',
+               (SELECT count(*) FROM embeddings),
+               (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3),
+               NULL, NULL
+        UNION ALL
+        SELECT 'search_index',
+               (SELECT count(*) FROM postings),
+               (SELECT count(*) FROM postings WHERE doc_id % 7 = 3),
+               (SELECT count(*) FROM documents WHERE doc_id % 7 <> 3),
+               CAST((SELECT sum(dl) FROM lens WHERE doc_id % 7 <> 3) AS BIGINT)
+        UNION ALL
+        SELECT 'table',
+               (SELECT count(*) FROM documents),
+               (SELECT count(*) FROM documents WHERE doc_id % 7 = 3),
+               NULL, NULL
+    )
+    SELECT surface, rows_before, rows_removed,
+           CAST(rows_before - rows_removed AS BIGINT) AS rows_after,
+           n_docs_after, sum_dl_after
+    FROM a ORDER BY surface
+    """,
+    "Right-to-be-forgotten propagation through PERSISTED DERIVED "
+    "state (operators.erasure.forget_everywhere): doc/vec ids with "
+    "id % 7 == 3 are erased from a corpus-table copy, the BM25 "
+    "postings index (with the n_docs/sum_dl sidecar corrected in the "
+    "same atomic swap), the bucketed MinHash band index (bucket spec "
+    "preserved — probes stay co-located, pinned in test_erasure), "
+    "and the IVF vector index (sidecars carried), returning ONE "
+    "audit report. The oracle recomputes every surface's cardinality "
+    "from first principles: postings = distinct (doc, token) pairs, "
+    "band rows = 8 per doc with >= 3 tokens (num_perm 32 / "
+    "rows_per_band 4), IVF rows = embeddings. The search row also "
+    "carries the corrected sidecar scalars — erasure must equal a "
+    "rebuild from the cleansed corpus (rebuild-equivalence pinned in "
+    "tests). KMV/HLL/CMS sketch MVs cannot subtract and are "
+    "tombstoned instead (policy + pins in operators.erasure / "
+    "test_erasure).",
+)
+def q166_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _ERASURE_AUDIT_CACHE.get(sf_dir)
+    if cached is None:
+        import re
+        import tempfile
+
+        from dataflow_python_etl_spark.operators.dedup import (
+            BandIndexStore,
+            minhash_band_index,
+        )
+        from dataflow_python_etl_spark.operators.erasure import forget_everywhere
+        from dataflow_python_etl_spark.operators.search import (
+            build_search_index,
+            load_search_stats,
+        )
+        from dataflow_python_etl_spark.operators.similarity import (
+            build_ivf_index,
+            fit_ivf_centroids,
+        )
+
+        # ONE erasure pass per sf_dir per process (the q128/q163
+        # memoization rule) — the pass mutates its private tmp copies,
+        # so the audit numbers are computed once and the returned
+        # frame is rebuilt from them deterministically per call.
+        base = tempfile.mkdtemp(prefix="erasure_q166_")
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+        tbl = base + "/documents"
+        docs.write.parquet(tbl)
+        six = base + "/search_index"
+        build_search_index(docs, six)
+        store = BandIndexStore(
+            spark,
+            f"q166_bix_{re.sub(r'[^A-Za-z0-9]+', '_', sf_dir)}",
+            path=base + "/band_index",
+            n_buckets=8,
+        )
+        store.append(minhash_band_index(docs))
+        ivf = base + "/ivf_index"
+        build_ivf_index(emb, fit_ivf_centroids(emb, k=4), ivf, id_col="vec_id")
+        keys = (
+            docs.select(F.col("doc_id").alias("k"))
+            .unionByName(emb.select(F.col("vec_id").alias("k")))
+            .where(F.col("k") % 7 == 3)
+            .distinct()
+        )
+        audit = forget_everywhere(
+            spark,
+            keys,
+            key_col="k",
+            tables=[(tbl, "doc_id")],
+            search_indexes=[six],
+            band_indexes=[store],
+            ivf_indexes=[(ivf, "k")],
+        ).collect()
+        stats = load_search_stats(six)
+        cached = sorted(
+            (
+                r["surface"],
+                r["rows_before"],
+                r["rows_removed"],
+                r["rows_after"],
+                stats["n_docs"] if r["surface"] == "search_index" else None,
+                stats["sum_dl"] if r["surface"] == "search_index" else None,
+            )
+            for r in audit
+        )
+        store.drop()
+        _ERASURE_AUDIT_CACHE[sf_dir] = cached
+    return spark.createDataFrame(
+        cached,
+        "surface string, rows_before long, rows_removed long, "
+        "rows_after long, n_docs_after long, sum_dl_after long",
+    ).orderBy("surface")
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

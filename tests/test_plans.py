@@ -579,3 +579,28 @@ def test_ann_recall_probes_are_partition_pruned(spark):
         if "cid" in seg[:200]
     ]
     assert len(pruned) >= 3, plan  # fp64 + sq8 + pq probes all pruned
+
+
+def test_erasure_rewrite_scans_once_and_broadcasts_keys(spark, tmp_path):
+    """q166 / operators.erasure: the kept-frame rewrite behind every
+    index erasure is ONE FileScan of the derived surface with the
+    request-sized key set BROADCAST onto it (at 100 TB the surface
+    never re-shuffles for a deletion batch), audit counts riding the
+    write via Observation — and the whole plan stays JVM."""
+    from dataflow_python_etl_spark.operators.erasure import _kset, _observed_kept
+
+    p = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id AS doc_id", "id % 5 AS dl").write.parquet(p)
+    keys = spark.createDataFrame([(3,), (7,)], "doc_id: long")
+    kept, _obs = _observed_kept(
+        spark.read.parquet(p), "doc_id", _kset(keys, "doc_id"), "pin"
+    )
+    plan = final_plan_str(kept)
+    # an executed AQE dump prints Final AND Initial plans — count
+    # inside the final section only (the round-6 double-count pitfall)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final
+    assert final.count("FileScan parquet") == 1, plan
+    # static estimate picks SMJ; AQE measures the key set and
+    # broadcasts — the property forget_keys' docstring promises
+    assert "BroadcastHashJoin" in final, plan
