@@ -133,6 +133,7 @@ EXTENDED_QUERIES = [
     "q164_sequence_packing",
     "q165_token_budget_mix",
     "q166_erasure_audit",
+    "q167_ann_recall_reranked",
 ]
 
 

@@ -1014,6 +1014,39 @@ def ivf_index_stats(
     }
 
 
+def _query_probe_frame(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, list[int]]:
+    """(query_id, qvec, qn, cid) — one row per query per probed cell
+    (top-``n_probe`` centroid dots, index tie-break), plus the probe
+    cell ids collected to the driver (bounded by contract: ≤ n_probe ×
+    |queries| ≤ K distinct cells) for the file-listing-level
+    ``cid IN (...)`` pruning filter. Shared by :func:`ivf_topk_indexed`
+    and :func:`ivf_topk_indexed_reranked` so both stages of a reranked
+    probe prune to the SAME cells by construction."""
+    kcells = len(centroids)
+    n_probe = min(n_probe, kcells)
+    dots = _centroid_dots(as_double_array(vec_col), centroids)
+    ranked = F.array_sort(
+        F.arrays_zip(dots.alias("s"), F.sequence(F.lit(1), F.lit(kcells)).alias("i")),
+        lambda l, r: F.when(l["s"] > r["s"], -1)
+        .when(l["s"] < r["s"], 1)
+        .otherwise((l["i"] - r["i"]).cast("int")),
+    )
+    probes = F.slice(F.transform(ranked, lambda x: x["i"]), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qvec"),
+        F.explode(probes).alias("cid"),
+    ).withColumn("qn", l2_norm(F.col("qvec")))
+    probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    return q, probe_cids
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,
@@ -1039,23 +1072,7 @@ def ivf_topk_indexed(
     """
     if centroids is None:
         centroids = load_ivf_centroids(index_path)
-    kcells = len(centroids)
-    n_probe = min(n_probe, kcells)
-    dots = _centroid_dots(as_double_array(vec_col), centroids)
-    ranked = F.array_sort(
-        F.arrays_zip(dots.alias("s"), F.sequence(F.lit(1), F.lit(kcells)).alias("i")),
-        lambda l, r: F.when(l["s"] > r["s"], -1)
-        .when(l["s"] < r["s"], 1)
-        .otherwise((l["i"] - r["i"]).cast("int")),
-    )
-    probes = F.slice(F.transform(ranked, lambda x: x["i"]), 1, n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("qvec"),
-        F.explode(probes).alias("cid"),
-    ).withColumn("qn", l2_norm(F.col("qvec")))
-
-    probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    q, probe_cids = _query_probe_frame(queries, centroids, n_probe, id_col, vec_col)
     c = spark.read.parquet(index_path).where(F.col("cid").isin(probe_cids))
 
     if "pq_codes" in c.columns:
@@ -1081,6 +1098,94 @@ def ivf_topk_indexed(
     scored = (
         c.join(F.broadcast(q.withColumnRenamed("qvec", "__q")), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def ivf_topk_indexed_reranked(
+    spark,
+    coarse_path: str,
+    refine_path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 1,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving — the production answer to the PQ recall
+    gap (VERDICT r10 #2, the FAISS IVFPQ+Refine shape): a CHEAP
+    shortlist of ``rerank`` candidates from the quantized
+    ``coarse_path`` index (PQ codes: M-byte rows, codebook-bounded
+    error), then ONLY those candidates re-scored at ``refine_path``'s
+    precision (fp64 or SQ8) and the top-``k`` taken by the refined
+    score with the q27 rounded-6 + id tie-break discipline.
+
+    Scale shape: BOTH stages prune to the SAME probed cells (both
+    indexes must be built from ONE centroid fit — enforced loudly:
+    diverging sidecars would let the pruned refine scan silently miss
+    shortlisted ids), and the refine scan additionally pushes
+    ``neighbor_id IN (shortlist)`` into the parquet scan (row-group
+    stat skipping — the columnar analog of the id-keyed random access
+    a serving store does for refinement; the shortlist is driver-
+    bounded by contract: ≤ |queries| × rerank ids). Per-query cost
+    stays independent of corpus size; plan-pinned in
+    tests/test_plans.py.
+    """
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    centroids = load_ivf_centroids(coarse_path)
+    if load_ivf_centroids(refine_path) != centroids:
+        raise ValueError(
+            "coarse and refine indexes disagree on centroids — both stages "
+            "prune to the coarse probe cells, so a refine index from a "
+            "different fit would silently drop shortlisted candidates; "
+            "rebuild both from one fit_ivf_centroids call"
+        )
+    short = ivf_topk_indexed(
+        spark, coarse_path, queries,
+        centroids=centroids, k=rerank, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    short_rows = short.collect()  # driver-bounded: |queries| × rerank
+    short_ids = sorted({r["neighbor_id"] for r in short_rows})
+    q, probe_cids = _query_probe_frame(queries, centroids, n_probe, id_col, vec_col)
+    c = (
+        spark.read.parquet(refine_path)
+        .where(F.col("cid").isin(probe_cids))
+        .where(F.col("neighbor_id").isin(short_ids))
+    )
+    if "pq_codes" in c.columns:
+        raise ValueError(
+            "refine index is PQ-quantized — re-ranking at coarse precision "
+            "is a no-op; refine with the fp64 or SQ8 index"
+        )
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r["neighbor_id"]) for r in short_rows],
+        "query_id long, neighbor_id long",
+    )
+    qq = q.select("query_id", "qvec", "qn").dropDuplicates(["query_id"])
+    if "qvec" in c.columns:
+        sim = F.round(
+            (F.col("qscale") * dot(F.col("qvec").cast("array<double>"), F.col("__q")))
+            / (F.col("qn") * F.col("cn")),
+            6,
+        )
+        c = c.select("neighbor_id", "qvec", "qscale", "cn")
+    else:
+        sim = F.round(dot(F.col("__q"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6)
+        c = c.select("neighbor_id", "cvec", "cn")
+    scored = (
+        c.join(F.broadcast(pairs), "neighbor_id")
+        .join(F.broadcast(qq.withColumnRenamed("qvec", "__q")), "query_id")
         .withColumn("cos_sim", sim)
     )
     w = Window.partitionBy("query_id").orderBy(

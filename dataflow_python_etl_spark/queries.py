@@ -8504,6 +8504,160 @@ def q166_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("surface")
 
 
+def _ann_recall_rerank_oracle_sql(
+    k: int = 10, n_probe: int = 2, n_q: int = 20, rerank: int = 50
+) -> str:
+    """Mirror q167 end-to-end: q163's cell assignment / probe
+    selection / grid-PQ scoring verbatim, then the two-stage rerank —
+    top-``rerank`` by PQ score (same rounded-6 + id tie-break), those
+    pairs re-scored with the fp64 formula, top-``k`` by the refined
+    score. Recall is the same exact-integer ppm as q163."""
+    kc = len(CENTROIDS)
+    dots = ", ".join(
+        f"list_inner_product(ve, {_sql_double_array(c)})" for c in CENTROIDS
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    a AS MATERIALIZED (
+        SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS n,
+               list_indexof(dots, list_max(dots)) AS cid, dots
+        FROM (SELECT vec_id, ve, [{dots}] AS dots FROM v)
+    ),
+    qp AS MATERIALIZED (
+        SELECT query_id, qv, qn, cell AS cid FROM (
+            SELECT a.vec_id AS query_id, a.ve AS qv, a.n AS qn,
+                   u.i AS cell, u.d,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY u.d DESC, u.i
+                   ) AS rk
+            FROM a, LATERAL (
+                SELECT unnest(a.dots) AS d,
+                       unnest(range(1, {kc + 1})) AS i
+            ) u
+            WHERE a.vec_id < {n_q}
+        ) WHERE rk <= {n_probe}
+    ),
+    ext AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(list_inner_product(q.ve, c.ve) / (q.n * c.n), 6)
+                           DESC, c.vec_id) AS rk
+            FROM a q JOIN a c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {n_q}
+        ) WHERE rk <= {k}
+    ),
+    pqc AS MATERIALIZED (
+        SELECT vec_id, cid, n,
+               {_PQ_RECON_SQL.format(v='ve')} AS rv
+        FROM a
+    ),
+    ranked_pq AS MATERIALIZED (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qp.query_id ORDER BY
+                   round(list_inner_product(qp.qv, c.rv) / (qp.qn * c.n), 6)
+                       DESC, c.vec_id) AS rk
+        FROM qp JOIN pqc c ON c.cid = qp.cid AND c.vec_id != qp.query_id
+    ),
+    apx_pq AS (SELECT query_id, neighbor_id FROM ranked_pq WHERE rk <= {k}),
+    shortlist AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ranked_pq WHERE rk <= {rerank}
+    ),
+    apx_rr AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT s.query_id, s.neighbor_id,
+                   row_number() OVER (PARTITION BY s.query_id ORDER BY
+                       round(list_inner_product(q.ve, c.ve) / (q.n * c.n), 6)
+                           DESC, s.neighbor_id) AS rk
+            FROM shortlist s
+            JOIN a q ON q.vec_id = s.query_id
+            JOIN a c ON c.vec_id = s.neighbor_id
+        ) WHERE rk <= {k}
+    ),
+    rec_pq AS (
+        SELECT e.query_id, CAST(count(x.query_id) AS BIGINT) AS n_hit
+        FROM ext e LEFT JOIN apx_pq x
+          ON e.query_id = x.query_id AND e.neighbor_id = x.neighbor_id
+        GROUP BY e.query_id
+    ),
+    rec_rr AS (
+        SELECT e.query_id, CAST(count(x.query_id) AS BIGINT) AS n_hit
+        FROM ext e LEFT JOIN apx_rr x
+          ON e.query_id = x.query_id AND e.neighbor_id = x.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT 'pq' AS variant, query_id, n_hit,
+           CAST((1000000 * n_hit) // {k} AS BIGINT) AS recall_ppm
+    FROM rec_pq
+    UNION ALL
+    SELECT 'pq_rerank', query_id, n_hit, CAST((1000000 * n_hit) // {k} AS BIGINT)
+    FROM rec_rr
+    """
+
+
+@_q(
+    "q167_ann_recall_reranked",
+    _ann_recall_rerank_oracle_sql(),
+    "Two-stage ANN re-ranking under the cross-engine hash gate "
+    "(VERDICT r10 #2 — closing q163's PQ recall gap, the FAISS "
+    "IVFPQ+Refine shape): similarity.ivf_topk_indexed_reranked takes "
+    "a 50-candidate shortlist from the grid-PQ index and re-scores "
+    "ONLY those pairs against the fp64 index (same centroid fit — "
+    "enforced loudly, both stages prune to the SAME probed cells; "
+    "the refine scan also pushes neighbor_id IN (shortlist) into the "
+    "parquet scan — the columnar analog of id-keyed refinement "
+    "fetch). Output = q163's recall rows for the raw 'pq' variant "
+    "and the 'pq_rerank' variant side by side, so the recall "
+    "recovery is itself hash-verified; the oracle replays shortlist "
+    "ranking and refined re-scoring bit-for-bit.",
+)
+def q167_ann_recall_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_indexed,
+        ivf_topk_indexed_reranked,
+    )
+
+    K, NPROBE, NQ, R = 10, 2, 20, 50
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < NQ)
+    exact = cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    paths = _ivf_recall_index_paths(spark, sf_dir)
+    variants = {
+        "pq": ivf_topk_indexed(
+            spark, paths["pq"], queries, centroids=CENTROIDS, k=K, n_probe=NPROBE
+        ),
+        "pq_rerank": ivf_topk_indexed_reranked(
+            spark, paths["pq"], paths["fp64"], queries,
+            k=K, n_probe=NPROBE, rerank=R,
+        ),
+    }
+    outs = []
+    for variant, approx in variants.items():
+        hits = (
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("__h"))
+        )
+        outs.append(
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(variant).alias("variant"),
+                "query_id",
+                F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hit"),
+                F.expr(f"(1000000 * coalesce(__h, 0)) div {K}")
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

