@@ -134,6 +134,8 @@ EXTENDED_QUERIES = [
     "q165_token_budget_mix",
     "q166_erasure_audit",
     "q167_ann_recall_reranked",
+    "q168_sequence_packing_bpe",
+    "q169_token_budget_mix_bpe",
 ]
 
 
@@ -246,6 +248,13 @@ def main() -> None:
         full["extended_sf0.01"] = small_ext
         full["queries_sf0.01"] = small
         full["scaling_exponent_extended"] = ext_exponents
+        # fold the latest streaming load-bench run (bench_streaming.py
+        # writes the sidecar; it runs separately so the two JVM
+        # workloads never contend) into the committed record
+        stream_sidecar = Path(__file__).resolve().parent / "BENCH_STREAMING.json"
+        if stream_sidecar.exists():
+            with open(stream_sidecar) as f:
+                full["streaming"] = json.load(f)
         with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
             json.dump(full, f, indent=1)
     line = json.dumps(report)

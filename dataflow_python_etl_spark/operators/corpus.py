@@ -1128,12 +1128,32 @@ def curate_corpus(
     )
 
 
+def _real_token_count(text_col: str, token_mode: str) -> F.Column:
+    """Per-doc token count in the requested unit: ``whitespace`` =
+    split with '' artifacts dropped (the q64 lesson); ``bpe`` = the
+    portable BPE-ish subword segmentation of q38 / chunk_documents
+    (``functions.text.bpe_tokens`` — matches are non-empty by
+    construction). Real training budgets are tokenizer-unit budgets
+    (VERDICT r10 #3), so packing and mixing take the same
+    ``token_mode`` switch chunking already has."""
+    from dataflow_python_etl_spark.functions.text import bpe_token_count, tokens
+
+    if token_mode == "bpe":
+        return bpe_token_count(text_col).cast("long")
+    if token_mode != "whitespace":
+        raise ValueError(f"token_mode must be whitespace|bpe, got {token_mode!r}")
+    return F.size(
+        F.filter(tokens(text_col), lambda x: F.length(x) > 0)
+    ).cast("long")
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
     partitions: int = 32,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Fixed-length training-sequence packing — the export step every
     LLM pipeline runs after curation: documents are concatenated in
@@ -1163,14 +1183,15 @@ def pack_sequences(
     never materialized."""
     from pyspark.sql import Window
 
-    from dataflow_python_etl_spark.functions.text import tokens
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    real_toks = F.filter(tokens(text_col), lambda x: F.length(x) > 0)
     t = docs.select(
-        F.col(id_col), (F.size(real_toks) + F.lit(1)).cast("long").alias("n_tok")
+        F.col(id_col),
+        (_real_token_count(text_col, token_mode) + F.lit(1))
+        .cast("long")
+        .alias("n_tok"),
     ).where(F.col("n_tok") >= 2)  # >=1 real token (+1 EOS)
     part = register_cache(
         t.repartitionByRange(partitions, F.col(id_col))
@@ -1233,6 +1254,7 @@ def select_token_budget(
     text_col: str = "text",
     domain_col: str = "source",
     partitions: int = 32,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Static data-MIXING selection — the mixture-weights step of a
     training run (DoReMi / The Pile recipe: each domain contributes a
@@ -1260,16 +1282,14 @@ def select_token_budget(
     never shuffles."""
     from pyspark.sql import Window
 
-    from dataflow_python_etl_spark.functions.text import tokens
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
     if budget_tokens < 1:
         raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
-    real_toks = F.filter(tokens(text_col), lambda x: F.length(x) > 0)
     t = docs.select(
         F.col(id_col),
         F.col(domain_col).alias("__dom"),
-        F.size(real_toks).cast("long").alias("n_tokens"),
+        _real_token_count(text_col, token_mode).alias("n_tokens"),
     ).where(F.col("n_tokens") >= 1)
     part = register_cache(
         t.repartitionByRange(partitions, F.col("__dom"), F.col(id_col))

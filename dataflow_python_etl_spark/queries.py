@@ -8658,6 +8658,135 @@ def q167_ann_recall_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
+@_q(
+    "q168_sequence_packing_bpe",
+    f"""
+    WITH staged AS (
+        SELECT doc_id,
+               replace(replace(text, 'the', 'The.42'), 'merge', 'Merge-7')
+                   AS text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) + 1 AS BIGINT)
+                   AS n_tok
+        FROM staged
+    ),
+    d AS (SELECT doc_id, n_tok FROM t WHERE n_tok >= 2),
+    p AS (
+        SELECT doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, n_tok, start, u.seq_id
+        FROM p, LATERAL (
+            SELECT unnest(range(start // {_PACK_SEQ_LEN},
+                                (start + n_tok - 1) // {_PACK_SEQ_LEN} + 1))
+                   AS seq_id
+        ) u
+    )
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(start + n_tok, (seq_id + 1) * {_PACK_SEQ_LEN})
+                    - greatest(start, seq_id * {_PACK_SEQ_LEN}))
+                AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM s GROUP BY seq_id
+    """,
+    "q164's sequence packing in TOKENIZER units (VERDICT r10 #3: real "
+    "training budgets are tokenizer-unit budgets, not whitespace "
+    "words): pack_sequences(token_mode='bpe') counts the portable "
+    "BPE-ish subword segmentation q38/chunk_documents already share "
+    "(functions.text.bpe_tokens — lowercase runs, digit runs, single "
+    "marks; matches non-empty by construction, so no ''-artifact "
+    "filter), same distributed prefix-sum machinery, same manifest "
+    "shape. The driver corpus is pure lowercase space-separated words "
+    "— bpe == whitespace counts on it, which would make a plain twin "
+    "VACUOUS — so the query first plants case/punct/digits with "
+    "literal replaces both engines share ('the'->'The.42', "
+    "'merge'->'Merge-7': measured 66.9 vs 55.9 mean tokens/doc), and "
+    "the manifests only hash-match if the subword segmentation "
+    "semantics agree.",
+)
+def q168_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _bpe_stage(_t(spark, sf_dir, "documents")),
+        seq_len=_PACK_SEQ_LEN,
+        token_mode="bpe",
+    )
+
+
+def _bpe_stage(docs: DataFrame) -> DataFrame:
+    """Plant case/punctuation/digits deterministically (literal global
+    replaces — identical semantics in Spark and DuckDB) so the bpe
+    token unit actually DIVERGES from whitespace words on the
+    all-lowercase driver corpus; see q168's docstring."""
+    return docs.withColumn(
+        "text",
+        F.replace(
+            F.replace(F.col("text"), F.lit("the"), F.lit("The.42")),
+            F.lit("merge"),
+            F.lit("Merge-7"),
+        ),
+    )
+
+
+_MIX_BUDGET_BPE = 1200  # subword units run ~2x whitespace words
+
+
+@_q(
+    "q169_token_budget_mix_bpe",
+    f"""
+    WITH staged AS (
+        SELECT doc_id, source,
+               replace(replace(text, 'the', 'The.42'), 'merge', 'Merge-7')
+                   AS text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                   AS n_tokens
+        FROM staged
+    ),
+    d AS (SELECT * FROM t WHERE n_tokens >= 1),
+    p AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM d
+    )
+    SELECT doc_id, source, n_tokens, cum_before
+    FROM p WHERE cum_before < {_MIX_BUDGET_BPE}
+    """,
+    "q165's per-domain token-budget mixing in TOKENIZER units "
+    "(VERDICT r10 #3): select_token_budget(token_mode='bpe') fills "
+    "each domain's budget in q38's portable subword units via the "
+    "same grouped distributed prefix sum, over the q168-staged text "
+    "(planted case/punct/digits — the all-lowercase driver corpus "
+    "would otherwise make bpe == whitespace and the twin vacuous). "
+    "Budget 1200 subword units per domain.",
+)
+def q169_token_budget_mix_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.corpus import select_token_budget
+
+    return select_token_budget(
+        _bpe_stage(_t(spark, sf_dir, "documents")),
+        budget_tokens=_MIX_BUDGET_BPE,
+        token_mode="bpe",
+    )
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -103,3 +103,50 @@ def test_prefix_sum_plan_is_distributed(spark):
     unpersist_all()
     assert "rangepartitioning" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_bpe_mode_conservation_in_tokenizer_units(spark):
+    """token_mode='bpe' (VERDICT r10 #3): the packed total equals
+    sum(bpe subtokens + 1 EOS per kept doc) IN TOKENIZER UNITS, on a
+    fixture where subwords genuinely diverge from whitespace words
+    (case/punct/digits); whitespace mode would pack a different
+    stream, pinned by direct count."""
+    from dataflow_python_etl_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "The.42 quick-brown fox"),
+            (2, "HTTP 200 OK; retry=false"),
+            (3, ""),
+            (4, "plain lower words only"),
+        ],
+        DDL,
+    )
+    want = (
+        df.select(F.size(bpe_tokens("text")).alias("n"))
+        .where(F.col("n") >= 1)
+        .agg(F.sum(F.col("n") + 1))
+        .first()[0]
+    )
+    ws = (
+        df.select(
+            F.size(
+                F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 0)
+            ).alias("n")
+        )
+        .where(F.col("n") >= 1)
+        .agg(F.sum(F.col("n") + 1))
+        .first()[0]
+    )
+    assert want != ws  # the fixture actually discriminates the modes
+    got = pack_sequences(df, seq_len=8, token_mode="bpe")
+    total = got.agg(F.sum("n_tokens")).first()[0]
+    unpersist_all()
+    assert total == want
+    # seq fullness: all but the last full at 8
+    rows = sorted(
+        pack_sequences(df, seq_len=8, token_mode="bpe").collect(),
+        key=lambda r: r["seq_id"],
+    )
+    unpersist_all()
+    assert all(r["n_tokens"] == 8 for r in rows[:-1])

@@ -62,6 +62,43 @@ def test_budget_invariants_on_testdata(spark):
         assert rows[-1]["cum_before"] + rows[-1]["n_tokens"] >= B, src
 
 
+def test_bpe_mode_budgets_in_tokenizer_units(spark):
+    """token_mode='bpe' (VERDICT r10 #3): n_tokens is the q38 subword
+    count, so a doc with case/punct/digits costs MORE budget than its
+    whitespace word count — pinned by a fixture where the two modes
+    select different greedy prefixes."""
+    from dataflow_python_etl_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame(
+        [
+            # "HTTP-200.OK" = 1 whitespace word but 9 bpe subtokens
+            # (H,T,T,P,-,200,.,O,K — uppercase letters are single
+            # marks under BPE_RE's [^a-z0-9\s] class)
+            (1, "a", "HTTP-200.OK x y"),  # ws: 3, bpe: 11
+            (2, "a", "t t t"),            # ws: 3, bpe: 3
+            (3, "a", "t"),
+        ],
+        DDL,
+    )
+    n1 = df.where("doc_id = 1").select(F.size(bpe_tokens("text"))).first()[0]
+    assert n1 == 11  # the fixture discriminates (ws count is 3)
+    ws = sorted(
+        r["doc_id"]
+        for r in select_token_budget(df, budget_tokens=7).collect()
+    )
+    bpe = sorted(
+        r["doc_id"]
+        for r in select_token_budget(
+            df, budget_tokens=7, token_mode="bpe"
+        ).collect()
+    )
+    unpersist_all()
+    # whitespace: doc1 (3) + doc2 (cum 3<7) + doc3 (cum 6<7) all fit;
+    # bpe: doc1 (11) exhausts the budget — doc2 starts at 11 >= 7.
+    assert ws == [1, 2, 3]
+    assert bpe == [1]
+
+
 def test_grouped_prefix_sum_plan_is_distributed(spark):
     from dataflow_python_etl_spark.sources.catalog import read_table
 
