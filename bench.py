@@ -136,6 +136,7 @@ EXTENDED_QUERIES = [
     "q167_ann_recall_reranked",
     "q168_sequence_packing_bpe",
     "q169_token_budget_mix_bpe",
+    "q170_classifier_eval",
 ]
 
 

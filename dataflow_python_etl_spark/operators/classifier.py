@@ -237,3 +237,150 @@ def quality_classifier_score_with(
             "n_grams",
         )
     )
+
+
+def classifier_eval(
+    scored: DataFrame,
+    label_col: str = "label",
+    margin_col: str = "margin",
+    partitions: int = 32,
+    _bound: int = _LONG_MAX,
+) -> DataFrame:
+    """Exact-integer evaluation of a scored labeled frame — the
+    train→score→EVALUATE step every classifier deployment needs
+    (fastText's own ``test`` verb; what decides whether q161's gate
+    threshold ships). One output row:
+
+    ``(n, n_pos, n_neg, tp, fp, tn, fn, accuracy_ppm, precision_ppm,
+    recall_ppm, u2, auc_ppm)``
+
+    - Confusion counts at the fastText decision rule ``margin > 0``;
+      accuracy/precision/recall as floor-divided ppm of exact counts
+      (single integer division — cross-engine exact, the established
+      float discipline; zero denominators yield NULL, never a raise).
+    - ROC AUC via the Mann–Whitney U statistic with the standard
+      tie correction (ties count half): since margins are exact
+      integers (the q161 contract), group by DISTINCT margin value,
+      prefix-sum the negative counts in margin order, and
+      ``U2 = Σ_m p_m · (2·cumneg_below(m) + g_m)`` — twice the U
+      statistic, so ties never produce a half and everything stays
+      integer. ``auc_ppm = (1_000_000·U2) div (2·n_pos·n_neg)``.
+
+    Scale shape: the per-margin aggregate is map-side combined; the
+    prefix sum over distinct margins uses the same distributed
+    range-repartition machinery as ``corpus.pack_sequences`` (no
+    data-sized single-task ``Window.orderBy`` wall — the only global
+    window runs on the ≤``partitions``-row partition-offsets frame).
+    Overflow: ``1_000_000·U2`` must fit int64, which bounds the eval
+    split at ``n_pos·n_neg ≤ ~4.6e12`` pairs (≈2.1M per class) — a
+    filter-anchored ``raise_error`` fires at the exact bound. Like
+    training, evaluation runs on a bounded LABELED split (labels are
+    the scarce resource); the guard documents the posture loudly
+    instead of wrapping silently.
+    """
+    from pyspark.sql import Window
+
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
+    y = F.col(label_col).cast("boolean")
+    per_m = scored.groupBy(F.col(margin_col).alias("__mg")).agg(
+        F.sum(F.when(y, 1).otherwise(0)).cast("long").alias("__p"),
+        F.sum(F.when(y, 0).otherwise(1)).cast("long").alias("__g"),
+    )
+    part = register_cache(
+        per_m.repartitionByRange(partitions, F.col("__mg"))
+        .sortWithinPartitions("__mg")
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright(F.col("_mid"), 33)
+    psums = part.groupBy(pid.alias("_pid")).agg(F.sum("__g").alias("_cnt"))
+    tiny = Window.orderBy("_pid")  # partitions-row frame, not data-sized
+    offsets = psums.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    pref = (
+        part.withColumn("_pid", pid)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "__cumneg",
+            (F.col("_off") + F.sum("__g").over(w) - F.col("__g")).cast("long"),
+        )
+    )
+    u = pref.agg(
+        F.coalesce(
+            F.sum(F.col("__p") * (2 * F.col("__cumneg") + F.col("__g"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("u2"),
+        F.coalesce(F.sum("__p"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("__g"), F.lit(0)).cast("long").alias("n_neg"),
+    )
+    conf = scored.agg(
+        F.sum(F.when(y & (F.col(margin_col) > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(~y & (F.col(margin_col) > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~y & (F.col(margin_col) <= 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when(y & (F.col(margin_col) <= 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    ppm = 1_000_000
+    return (
+        u.crossJoin(conf)
+        .where(
+            # filter-anchored int64 guard: 1e6 * U2 <= 1e6 * 2*n_pos*n_neg
+            # must fit — raise at the exact cross-multiplied bound
+            F.when(
+                # _bound is injectable ONLY so the guard is testable
+                # without materializing 2.1M rows per class
+                F.expr(
+                    f"n_pos * n_neg > {_bound} div {2 * ppm} "
+                    "and n_pos > 0 and n_neg > 0"
+                ),
+                F.raise_error(
+                    F.concat(
+                        F.lit("classifier_eval AUC would exceed the 64-bit "),
+                        F.lit("bound (n_pos="),
+                        F.col("n_pos").cast("string"),
+                        F.lit(", n_neg="),
+                        F.col("n_neg").cast("string"),
+                        F.lit(") — evaluate on a bounded labeled split"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .select(
+            (F.col("n_pos") + F.col("n_neg")).alias("n"),
+            "n_pos",
+            "n_neg",
+            "tp",
+            "fp",
+            "tn",
+            "fn",
+            F.expr(
+                f"CASE WHEN n_pos + n_neg > 0 "
+                f"THEN ({ppm} * (tp + tn)) div (n_pos + n_neg) END"
+            ).alias("accuracy_ppm"),
+            F.expr(
+                f"CASE WHEN tp + fp > 0 THEN ({ppm} * tp) div (tp + fp) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                f"CASE WHEN n_pos > 0 THEN ({ppm} * tp) div n_pos END"
+            ).alias("recall_ppm"),
+            "u2",
+            F.expr(
+                f"CASE WHEN n_pos > 0 AND n_neg > 0 "
+                f"THEN ({ppm} * u2) div (2 * n_pos * n_neg) END"
+            ).alias("auc_ppm"),
+        )
+    )

@@ -7913,6 +7913,16 @@ def _qclf_oracle_sql(buckets: int = 1024, epochs: int = 4) -> str:
     "100 TB posture (labels are the scarce resource).",
 )
 def q161_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qclf_scored(spark, sf_dir, buckets=1024, epochs=4)
+
+
+def _qclf_scored(
+    spark: SparkSession, sf_dir: str, buckets: int, epochs: int
+) -> DataFrame:
+    """The q161 pipeline body, parameterized for q170's weaker-model
+    evaluation: data-derived labeled split (positives = real docs,
+    negatives = common-letter corruption), train on 4/5, score the
+    held-out fifth with the frozen weights."""
     from dataflow_python_etl_spark.operators.classifier import (
         quality_classifier_fit,
         quality_classifier_score_with,
@@ -7934,10 +7944,10 @@ def q161_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = ex.where(F.expr("(ex_id div 2) % 5 = 0"))
     weights = quality_classifier_fit(
         train, id_col="ex_id", text_col="text", label_col="label",
-        buckets=1024, epochs=4,
+        buckets=buckets, epochs=epochs,
     )
     scored = quality_classifier_score_with(
-        hold, weights, id_col="ex_id", text_col="text", buckets=1024
+        hold, weights, id_col="ex_id", text_col="text", buckets=buckets
     )
     return scored.join(hold.select("ex_id", "label"), "ex_id").select(
         "ex_id", "label", "margin", "n_grams",
@@ -8785,6 +8795,77 @@ def q169_token_budget_mix_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=_MIX_BUDGET_BPE,
         token_mode="bpe",
     )
+
+
+@_q(
+    "q170_classifier_eval",
+    f"""
+    WITH scored AS MATERIALIZED ({_qclf_oracle_sql(buckets=16, epochs=2)}),
+    per_m AS (
+        SELECT margin,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS g
+        FROM scored GROUP BY margin
+    ),
+    pref AS (
+        SELECT p, g,
+               CAST(coalesce(sum(g) OVER (ORDER BY margin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cumneg
+        FROM per_m
+    ),
+    uagg AS (
+        SELECT CAST(coalesce(sum(p * (2 * cumneg + g)), 0) AS BIGINT) AS u2,
+               CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pos,
+               CAST(coalesce(sum(g), 0) AS BIGINT) AS n_neg
+        FROM pref
+    ),
+    conf AS (
+        SELECT CAST(count(*) FILTER (WHERE label AND margin > 0) AS BIGINT) AS tp,
+               CAST(count(*) FILTER (WHERE NOT label AND margin > 0) AS BIGINT) AS fp,
+               CAST(count(*) FILTER (WHERE NOT label AND margin <= 0) AS BIGINT) AS tn,
+               CAST(count(*) FILTER (WHERE label AND margin <= 0) AS BIGINT) AS fn
+        FROM scored
+    )
+    SELECT n_pos + n_neg AS n, n_pos, n_neg, tp, fp, tn, fn,
+           CASE WHEN n_pos + n_neg > 0
+                THEN (1000000 * (tp + tn)) // (n_pos + n_neg) END
+               AS accuracy_ppm,
+           CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END
+               AS precision_ppm,
+           CASE WHEN n_pos > 0 THEN (1000000 * tp) // n_pos END AS recall_ppm,
+           u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN (1000000 * u2) // (2 * n_pos * n_neg) END AS auc_ppm
+    FROM uagg, conf
+    """,
+    "Classifier EVALUATION — the train→score→evaluate step that "
+    "decides whether q161's gate ships (fastText's own `test` verb): "
+    "exact-integer confusion counts at the margin>0 decision rule "
+    "(accuracy/precision/recall as floor-div ppm — single integer "
+    "division, cross-engine exact) plus tie-corrected ROC AUC via "
+    "the Mann-Whitney U statistic over the held-out fifth. Margins "
+    "are exact integers (the q161 contract), so AUC groups by "
+    "DISTINCT margin and prefix-sums negative counts in margin "
+    "order: U2 = sum p_m*(2*cumneg+g_m) — twice U, so ties never "
+    "make a half; auc_ppm = (1e6*U2) div (2*n_pos*n_neg). The "
+    "prefix sum runs on the distributed range-repartition machinery "
+    "(pack_sequences pattern — no data-sized single-task window); "
+    "a filter-anchored raise_error fires when 1e6*U2 would leave "
+    "int64 (eval on a bounded labeled split — the training "
+    "posture). Evaluates a deliberately WEAKER model than q161 "
+    "(buckets=16, epochs=2 — hash collisions force class overlap: "
+    "auc 0.9955, not 1.0) so the confusion/AUC algebra is exercised "
+    "on non-degenerate statistics; the full q161 model is perfect "
+    "on this split, which would leave the tie/overlap paths "
+    "untested by the gate. Oracle = the parameterized q161 "
+    "fixed-unroll fit+score composed with the identical window "
+    "algebra.",
+)
+def q170_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.classifier import classifier_eval
+
+    return classifier_eval(_qclf_scored(spark, sf_dir, buckets=16, epochs=2))
 
 
 # The registry is re-inserted in numeric key order so dict iteration

@@ -369,3 +369,107 @@ def test_third_party_linear_rule_parity(spark):
         i for i, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     ]
     assert {i: m > 0 for i, m in got.items()} == {i: m > 0 for i, m in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# classifier_eval (q170): exact-integer confusion + tie-corrected AUC
+# ---------------------------------------------------------------------------
+
+
+def _brute_auc2(pairs):
+    """O(n²) reference: 2x the Mann-Whitney AUC numerator — each
+    (pos, neg) pair contributes 2 if pos outranks, 1 on a tie."""
+    pos = [m for y, m in pairs if y]
+    neg = [m for y, m in pairs if not y]
+    u2 = sum(2 if p > g else (1 if p == g else 0) for p in pos for g in neg)
+    return u2, len(pos), len(neg)
+
+
+def test_classifier_eval_matches_bruteforce_with_ties(spark):
+    from dataflow_python_etl_spark.operators.classifier import classifier_eval
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    # deliberate tie structure: pos/neg share margins 0 and 5; margins
+    # on both sides of the margin>0 decision boundary
+    pairs = [
+        (True, 9), (True, 5), (True, 5), (True, 0), (True, -2),
+        (False, 5), (False, 0), (False, 0), (False, -3), (False, -7),
+        (False, 9),
+    ]
+    df = spark.createDataFrame(
+        [(i, y, m) for i, (y, m) in enumerate(pairs)],
+        "ex_id long, label boolean, margin long",
+    )
+    row = classifier_eval(df, partitions=4).collect()[0]
+    unpersist_all()
+    u2, n_pos, n_neg = _brute_auc2(pairs)
+    assert (row["u2"], row["n_pos"], row["n_neg"]) == (u2, n_pos, n_neg)
+    assert row["auc_ppm"] == (1_000_000 * u2) // (2 * n_pos * n_neg)
+    tp = sum(1 for y, m in pairs if y and m > 0)
+    fp = sum(1 for y, m in pairs if not y and m > 0)
+    tn = sum(1 for y, m in pairs if not y and m <= 0)
+    fn = sum(1 for y, m in pairs if y and m <= 0)
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (tp, fp, tn, fn)
+    assert row["accuracy_ppm"] == 1_000_000 * (tp + tn) // len(pairs)
+    assert row["precision_ppm"] == 1_000_000 * tp // (tp + fp)
+    assert row["recall_ppm"] == 1_000_000 * tp // n_pos
+
+
+def test_classifier_eval_extremes_and_empty_classes(spark):
+    from dataflow_python_etl_spark.operators.classifier import classifier_eval
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    # perfect separation -> auc exactly 1.0
+    perfect = spark.createDataFrame(
+        [(1, True, 10), (2, True, 3), (3, False, 2), (4, False, -1)],
+        "ex_id long, label boolean, margin long",
+    )
+    r = classifier_eval(perfect, partitions=2).collect()[0]
+    assert r["auc_ppm"] == 1_000_000 and r["u2"] == 2 * 2 * 2
+    # single-class input: AUC/precision undefined -> NULL, counts exact
+    onecls = spark.createDataFrame(
+        [(1, True, 4), (2, True, -1)], "ex_id long, label boolean, margin long"
+    )
+    r = classifier_eval(onecls, partitions=2).collect()[0]
+    unpersist_all()
+    assert r["n_pos"] == 2 and r["n_neg"] == 0
+    assert r["auc_ppm"] is None  # no negatives: AUC undefined
+    assert r["precision_ppm"] == 1_000_000  # tp=1, fp=0 — defined
+    assert r["recall_ppm"] == 500_000  # 1 of 2 pos above the threshold
+
+
+def test_classifier_eval_overflow_guard_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dataflow_python_etl_spark.operators.classifier import classifier_eval
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    df = spark.createDataFrame(
+        [(1, True, 4), (2, False, -1), (3, False, 2)],
+        "ex_id long, label boolean, margin long",
+    )
+    with pytest.raises(SparkRuntimeException, match="64-bit bound"):
+        classifier_eval(df, partitions=2, _bound=1_000_000).collect()
+    unpersist_all()
+
+
+def test_classifier_eval_plan_is_distributed(spark):
+    """The AUC prefix sum must use the range-repartition machinery
+    (pack_sequences pattern) — no EvalPython anywhere, and range
+    partitioning present for the distinct-margin ordering."""
+    from dataflow_python_etl_spark.operators.classifier import classifier_eval
+    from dataflow_python_etl_spark.operators.dedup import unpersist_all
+
+    df = spark.createDataFrame(
+        [(i, i % 3 == 0, (i * 7) % 11 - 5) for i in range(60)],
+        "ex_id long, label boolean, margin long",
+    )
+    plan = (
+        classifier_eval(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    unpersist_all()
+    assert "rangepartitioning" in plan.lower()
+    assert "EvalPython" not in plan
