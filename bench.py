@@ -137,6 +137,8 @@ EXTENDED_QUERIES = [
     "q168_sequence_packing_bpe",
     "q169_token_budget_mix_bpe",
     "q170_classifier_eval",
+    "q171_corpus_drift",
+    "q172_corpus_drift_by_domain",
 ]
 
 

@@ -482,3 +482,279 @@ def dsir_scores(
         .groupBy(id_col)
         .agg(F.sum(F.col("c") * F.col("s")).cast("long").alias("dsir_score_ppm"))
     )
+
+
+def gram_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    hash_prefix: str = "drift-v1:",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """``(bucket, count)`` hashed-gram histogram of a corpus — the
+    ≤``buckets``-row summary :func:`corpus_drift` compares and the
+    frozen reference the streaming drift monitor probes per batch.
+    Map-side combined; the output is summary-sized regardless of
+    corpus size."""
+    return (
+        _gram_buckets(df, id_col, text_col, buckets, hash_prefix)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias(count_col))
+    )
+
+
+def corpus_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    top_k: int = 20,
+    hash_prefix: str = "drift-v1:",
+    _bound: int = _LONG_MAX,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots — the
+    data-quality monitor every production ingest runs (did today's
+    crawl shift vocabulary/topic mix vs the reference corpus?): total
+    variation distance over the hashed unigram+bigram bucket
+    histogram, plus the ``top_k`` most-drifted buckets as the
+    actionable report.
+
+    Statistic: with per-bucket gram counts ``r_b`` (ref, total R) and
+    ``c_b`` (cur, total C),
+
+        TVD = ½ Σ_b |r_b/R − c_b/C|
+        contrib_b = |r_b·C − c_b·R|          (exact integer)
+        tvd_ppm   = (10⁶ · Σ_b contrib_b) div (2·R·C)
+
+    — one floor division of exact integers, so the DuckDB oracle
+    hashes identically (the established cross-engine float
+    discipline; a chi-square or KL/PSI needs per-bucket division or
+    ln, both engine-private). TVD is a real drift metric with a
+    clean interpretation: the largest probability mass any event set
+    gained or lost.
+
+    Output (``top_k`` rows): ``(bucket, ref_count, cur_count,
+    contrib, rank, n_ref, n_cur, tvd_ppm)`` ordered by the exact
+    integer ``contrib`` (bucket id tie-break — the ranking
+    discipline); the global columns repeat on every row.
+
+    Scale shape: two map-side-combined groupBys collapse each
+    snapshot to ≤``buckets`` rows BEFORE any join; the full-outer
+    bucket join, the top-k window and the TVD sum all run on that
+    ≤buckets-row frame (summary-sized, like the partition-offsets
+    frame — never data-sized). Overflow: ``10⁶·Σcontrib ≤ 2·10⁶·R·C``
+    must fit int64, bounding R·C at ~4.6e12 gram-pairs — a
+    filter-anchored ``raise_error`` fires at the exact bound; at
+    100 TB, monitor drift on a sampled window per snapshot (drift is
+    a statistic, not an inventory — sampling is the standard
+    posture, and the guard makes the requirement loud)."""
+    return drift_report(
+        gram_histogram(ref, id_col, text_col, buckets, hash_prefix, "ref_count"),
+        gram_histogram(cur, id_col, text_col, buckets, hash_prefix, "cur_count"),
+        top_k=top_k,
+        _bound=_bound,
+    )
+
+
+def drift_report(
+    ref_hist: DataFrame,
+    cur_hist: DataFrame,
+    top_k: int = 20,
+    _bound: int = _LONG_MAX,
+) -> DataFrame:
+    """The histogram-vs-histogram comparison stage of
+    :func:`corpus_drift` (``(bucket, ref_count)`` vs ``(bucket,
+    cur_count)``) — factored out so the streaming monitor can probe a
+    FROZEN reference histogram per micro-batch without re-scanning
+    the reference corpus. Same output contract as ``corpus_drift``."""
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    j = (
+        ref_hist.join(cur_hist, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("ref_count", F.lit(0)).cast("long").alias("ref_count"),
+            F.coalesce("cur_count", F.lit(0)).cast("long").alias("cur_count"),
+        )
+    )
+    tot = j.agg(
+        F.coalesce(F.sum("ref_count"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.sum("cur_count"), F.lit(0)).cast("long").alias("n_cur"),
+    ).where(
+        F.when(
+            # 1e6 * sum(contrib) <= 2e6 * n_ref * n_cur must fit int64
+            F.expr(
+                f"n_ref * n_cur > {_bound} div {2_000_000} "
+                "and n_ref > 0 and n_cur > 0"
+            ),
+            F.raise_error(
+                F.concat(
+                    F.lit("corpus_drift TVD would exceed the 64-bit bound "),
+                    F.lit("(n_ref="),
+                    F.col("n_ref").cast("string"),
+                    F.lit(" grams, n_cur="),
+                    F.col("n_cur").cast("string"),
+                    F.lit(") — drift-monitor a sampled window per snapshot"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    d = j.crossJoin(F.broadcast(tot)).withColumn(
+        "contrib",
+        F.abs(
+            F.col("ref_count") * F.col("n_cur")
+            - F.col("cur_count") * F.col("n_ref")
+        ).cast("long"),
+    )
+    s = d.groupBy("n_ref", "n_cur").agg(
+        F.sum("contrib").cast("long").alias("__sum_contrib")
+    )
+    # ≤buckets-row frame: the unpartitioned window is summary-sized
+    w = Window.orderBy(F.col("contrib").desc(), F.col("bucket"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .join(F.broadcast(s), ["n_ref", "n_cur"])
+        .select(
+            "bucket",
+            "ref_count",
+            "cur_count",
+            "contrib",
+            F.col("rank").cast("long").alias("rank"),
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "CASE WHEN n_ref > 0 AND n_cur > 0 THEN "
+                "(1000000 * __sum_contrib) div (2 * n_ref * n_cur) END"
+            ).alias("tvd_ppm"),
+        )
+    )
+
+
+def build_drift_reference(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    hash_prefix: str = "drift-v1:",
+) -> None:
+    """Freeze a reference gram histogram to ``path`` for the
+    streaming drift monitor (atomic ``write_and_swap``; the histogram
+    is ≤``buckets`` rows however large the corpus). An EMPTY
+    reference is refused loudly — every later batch would compare
+    against nothing and report NULL drift forever."""
+    from dataflow_python_etl_spark.operators.upsert import write_and_swap
+
+    hist = gram_histogram(
+        docs, id_col, text_col, buckets, hash_prefix, "ref_count"
+    )
+    if hist.limit(1).count() == 0:
+        raise ValueError(
+            "drift reference corpus produced an empty histogram — "
+            "refusing to freeze a reference with no evidence"
+        )
+    write_and_swap(hist, path)
+
+
+def corpus_drift_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    hash_prefix: str = "drift-v1:",
+    _bound: int = _LONG_MAX,
+) -> DataFrame:
+    """WHICH slice moved — the grouped form of :func:`corpus_drift`
+    (the question a drift alert actually raises): one row per
+    ``group_col`` value with that group's exact-integer TVD and its
+    single most-drifted bucket.
+
+    Output: ``(group, n_ref, n_cur, tvd_ppm, top_bucket,
+    top_contrib)``. A group present on only one side reports its
+    counts with NULL ``tvd_ppm`` (no reference ⇒ no statistic — the
+    empty-batch rule, never a silent drop). Same cross-multiplied
+    integer arithmetic and per-group filter-anchored int64 guard as
+    the global form; every frame after the two map-side-combined
+    histogram aggs is ≤ groups×buckets rows, and the windows are
+    PARTITIONED by group (no global ordering wall)."""
+    from pyspark.sql import Window
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        return (
+            _gram_buckets(
+                df, id_col, text_col, buckets, hash_prefix, (group_col,)
+            )
+            .groupBy(group_col, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    j = (
+        hist(ref, "ref_count")
+        .join(hist(cur, "cur_count"), [group_col, "bucket"], "full")
+        .select(
+            group_col,
+            "bucket",
+            F.coalesce("ref_count", F.lit(0)).cast("long").alias("ref_count"),
+            F.coalesce("cur_count", F.lit(0)).cast("long").alias("cur_count"),
+        )
+    )
+    tot = j.groupBy(group_col).agg(
+        F.sum("ref_count").cast("long").alias("n_ref"),
+        F.sum("cur_count").cast("long").alias("n_cur"),
+    ).where(
+        F.when(
+            F.expr(
+                f"n_ref * n_cur > {_bound} div {2_000_000} "
+                "and n_ref > 0 and n_cur > 0"
+            ),
+            F.raise_error(
+                F.concat(
+                    F.lit("corpus_drift_by_group TVD would exceed the "),
+                    F.lit("64-bit bound for group "),
+                    F.col(group_col).cast("string"),
+                    F.lit(" — drift-monitor a sampled window per snapshot"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    d = j.join(F.broadcast(tot), group_col).withColumn(
+        "contrib",
+        F.abs(
+            F.col("ref_count") * F.col("n_cur")
+            - F.col("cur_count") * F.col("n_ref")
+        ).cast("long"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("contrib").desc(), F.col("bucket")
+    )
+    return (
+        d.withColumn("__rk", F.row_number().over(w))
+        .groupBy(group_col, "n_ref", "n_cur")
+        .agg(
+            F.sum("contrib").cast("long").alias("__sum_contrib"),
+            F.max(F.when(F.col("__rk") == 1, F.col("bucket"))).alias(
+                "top_bucket"
+            ),
+            F.max(F.when(F.col("__rk") == 1, F.col("contrib")))
+            .cast("long")
+            .alias("top_contrib"),
+        )
+        .select(
+            group_col,
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "CASE WHEN n_ref > 0 AND n_cur > 0 THEN "
+                "(1000000 * __sum_contrib) div (2 * n_ref * n_cur) END"
+            ).alias("tvd_ppm"),
+            "top_bucket",
+            "top_contrib",
+        )
+    )

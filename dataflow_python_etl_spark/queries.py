@@ -8868,6 +8868,209 @@ def q170_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_eval(_qclf_scored(spark, sf_dir, buckets=16, epochs=2))
 
 
+_DRIFT_BUCKETS = 1024
+
+
+def _md5_split(side: int) -> F.Column:
+    """Deterministic 50/50 snapshot split ORTHOGONAL to the table
+    layout: parity of md5_hash60(doc_id). A doc_id parity split would
+    silently split BY DOMAIN here (driver testdata assigns doc_id %
+    n_sources = source index — measured), making per-domain drift
+    vacuous and global drift a domain-composition artifact."""
+    from dataflow_python_etl_spark.functions.text import md5_hash60
+
+    return md5_hash60(F.col("doc_id").cast("string")) % 2 == F.lit(side)
+
+
+def _drift_gram_sql(src: str) -> str:
+    """Per-snapshot hashed-gram bucket counts mirroring
+    ``lm._gram_buckets`` (the q161 oracle's tok/g pattern): whitespace
+    unigrams + adjacent bigrams, empties dropped, md5-hashed with the
+    drift prefix."""
+    return f"""
+        SELECT {_md5h60_sql("'drift-v1:' || gram")} % {_DRIFT_BUCKETS}
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(toks) AS gram FROM {src}
+            UNION ALL
+            SELECT array_to_string(toks[i:i+1], ' ') AS gram
+            FROM {src}, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+        ) g
+        GROUP BY bucket
+    """
+
+
+@_q(
+    "q171_corpus_drift",
+    f"""
+    WITH refd AS (
+        SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents WHERE list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''), c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), (acc, x) -> acc * 16 + x) % 2 = 0
+    ),
+    curd AS (
+        SELECT list_filter(regexp_split_to_array(
+                   replace(text, 'the', 'quantum'), '\\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents WHERE list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''), c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), (acc, x) -> acc * 16 + x) % 2 = 1
+    ),
+    rh AS MATERIALIZED ({_drift_gram_sql('refd')}),
+    ch AS MATERIALIZED ({_drift_gram_sql('curd')}),
+    j AS (
+        SELECT coalesce(rh.bucket, ch.bucket) AS bucket,
+               CAST(coalesce(rh.cnt, 0) AS BIGINT) AS ref_count,
+               CAST(coalesce(ch.cnt, 0) AS BIGINT) AS cur_count
+        FROM rh FULL OUTER JOIN ch ON rh.bucket = ch.bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(ref_count) AS BIGINT) AS n_ref,
+               CAST(sum(cur_count) AS BIGINT) AS n_cur
+        FROM j
+    ),
+    d AS (
+        SELECT bucket, ref_count, cur_count,
+               CAST(abs(ref_count * n_cur - cur_count * n_ref) AS BIGINT)
+                   AS contrib,
+               n_ref, n_cur
+        FROM j, tot
+    ),
+    s AS (SELECT CAST(sum(contrib) AS BIGINT) AS sum_contrib FROM d),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY contrib DESC, bucket) AS rk
+        FROM d
+    )
+    SELECT bucket, ref_count, cur_count, contrib,
+           CAST(rk AS BIGINT) AS rank, n_ref, n_cur,
+           (1000000 * sum_contrib) // (2 * n_ref * n_cur) AS tvd_ppm
+    FROM r, s WHERE rk <= 20
+    """,
+    "Corpus drift monitor — the data-quality gate every production "
+    "ingest runs (did this crawl shift vocabulary vs the reference "
+    "corpus?): total variation distance over the shared hashed "
+    "unigram+bigram bucket histogram (lm._gram_buckets — one gram "
+    "kernel for the whole DSIR/classifier/drift family) plus the 20 "
+    "most-drifted buckets as the actionable report. TVD stays "
+    "exact-integer by cross-multiplying: contrib_b = "
+    "|r_b*C - c_b*R|, tvd_ppm = (1e6*sum contrib) div (2*R*C) — one "
+    "floor division (chi-square/KL/PSI need per-bucket division or "
+    "ln, engine-private). Snapshots are data-derived: ref = even "
+    "doc_ids, cur = odd doc_ids with 'the'->'quantum' planted (a "
+    "material vocabulary shift both engines stage identically). "
+    "Both histograms collapse map-side to <=1024 rows BEFORE the "
+    "full-outer join; the top-k window runs on that summary-sized "
+    "frame. Filter-anchored int64 guard at the exact "
+    "2e6*R*C bound (at 100 TB, drift-monitor a sampled window — "
+    "the guard makes the posture loud). Ranked by exact integer "
+    "contrib with bucket tie-break (the ranking discipline).",
+)
+def q171_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.lm import corpus_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(_md5_split(0))
+    cur = docs.where(_md5_split(1)).withColumn(
+        "text", F.replace(F.col("text"), F.lit("the"), F.lit("quantum"))
+    )
+    return corpus_drift(ref, cur, buckets=_DRIFT_BUCKETS, top_k=20)
+
+
+def _drift_group_gram_sql(src: str) -> str:
+    """Grouped twin of :func:`_drift_gram_sql`: per-(source, bucket)
+    hashed-gram counts."""
+    return f"""
+        SELECT source,
+               {_md5h60_sql("'drift-v1:' || gram")} % {_DRIFT_BUCKETS}
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT source, unnest(toks) AS gram FROM {src}
+            UNION ALL
+            SELECT source, array_to_string(toks[i:i+1], ' ') AS gram
+            FROM {src}, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+        ) g
+        GROUP BY source, bucket
+    """
+
+
+@_q(
+    "q172_corpus_drift_by_domain",
+    f"""
+    WITH refd AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents WHERE list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''), c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), (acc, x) -> acc * 16 + x) % 2 = 0
+    ),
+    curd AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(
+                   CASE WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 0
+                        THEN replace(text, 'the', 'quantum') ELSE text END,
+                   '\\s+'), x -> length(x) > 0) AS toks
+        FROM documents WHERE list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''), c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), (acc, x) -> acc * 16 + x) % 2 = 1
+    ),
+    rh AS MATERIALIZED ({_drift_group_gram_sql('refd')}),
+    ch AS MATERIALIZED ({_drift_group_gram_sql('curd')}),
+    j AS (
+        SELECT coalesce(rh.source, ch.source) AS source,
+               coalesce(rh.bucket, ch.bucket) AS bucket,
+               CAST(coalesce(rh.cnt, 0) AS BIGINT) AS ref_count,
+               CAST(coalesce(ch.cnt, 0) AS BIGINT) AS cur_count
+        FROM rh FULL OUTER JOIN ch
+          ON rh.source = ch.source AND rh.bucket = ch.bucket
+    ),
+    tot AS (
+        SELECT source, CAST(sum(ref_count) AS BIGINT) AS n_ref,
+               CAST(sum(cur_count) AS BIGINT) AS n_cur
+        FROM j GROUP BY source
+    ),
+    d AS (
+        SELECT j.source, bucket, ref_count, cur_count, n_ref, n_cur,
+               CAST(abs(ref_count * n_cur - cur_count * n_ref) AS BIGINT)
+                   AS contrib,
+               row_number() OVER (PARTITION BY j.source
+                                  ORDER BY abs(ref_count * n_cur
+                                               - cur_count * n_ref) DESC,
+                                           bucket) AS rk
+        FROM j JOIN tot ON j.source = tot.source
+    )
+    SELECT source, n_ref, n_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               (1000000 * CAST(sum(contrib) AS BIGINT)) // (2 * n_ref * n_cur)
+           END AS tvd_ppm,
+           max(CASE WHEN rk = 1 THEN bucket END) AS top_bucket,
+           CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT)
+               AS top_contrib
+    FROM d GROUP BY source, n_ref, n_cur
+    """,
+    "WHICH domain moved — the grouped form of q171 (the question a "
+    "drift alert actually raises): one row per source with that "
+    "domain's exact-integer TVD and its most-drifted bucket "
+    "(lm.corpus_drift_by_group). The plant targets only domains "
+    "whose numeric suffix is divisible by 3 ('the'->'quantum' on "
+    "src0/src3/...), so drifted and quiet domains coexist in one "
+    "report — the oracle only hash-matches if per-group histogram "
+    "grouping, per-group totals, per-group ranking (contrib desc, "
+    "bucket tie-break) and the guard all agree. Windows are "
+    "PARTITIONED by source over the <=groups x 1024-row summary "
+    "frame; no global ordering wall.",
+)
+def q172_corpus_drift_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.lm import corpus_drift_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(_md5_split(0))
+    cur = docs.where(_md5_split(1)).withColumn(
+        "text",
+        F.when(
+            F.expr("cast(substr(source, 4) as int) % 3 = 0"),
+            F.replace(F.col("text"), F.lit("the"), F.lit("quantum")),
+        ).otherwise(F.col("text")),
+    )
+    return corpus_drift_by_group(ref, cur, buckets=_DRIFT_BUCKETS)
+
+
 # The registry is re-inserted in numeric key order so dict iteration
 # (what the driver's grading window walks) always follows the numeric
 # query order, whatever the current upper bound of the registry.

@@ -2128,6 +2128,104 @@ def stream_docs_to_search_index(
     )
 
 
+def apply_drift_monitor_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    ref_hist_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> None:
+    """One micro-batch of the streaming drift monitor: compare the
+    batch's hashed-gram histogram against the FROZEN reference
+    histogram (``lm.build_drift_reference``) and record ONE summary
+    row — ``(batch, n_ref, n_cur, tvd_ppm, top_bucket,
+    top_contrib)`` — the online twin of ``lm.corpus_drift``
+    (same cross-multiplied exact-integer TVD via the shared
+    ``lm.drift_report``; batch==stream parity pinned in tests).
+
+    Exactly-once by construction (the search-index shape): the row
+    lands via DYNAMIC partition overwrite of its own ``batch=N``
+    partition, so an at-least-once replay REWRITES that partition,
+    and the statistic is deterministic, so the rewrite converges.
+    An all-empty batch (zero grams) still records a row with
+    ``n_cur = 0`` and NULL tvd — visible, not skipped: a monitor
+    that silently drops empty batches cannot tell "no drift" from
+    "no data". Module-level (not a closure) so replay semantics are
+    directly testable."""
+    import os
+
+    from dataflow_python_etl_spark.operators.lm import (
+        drift_report,
+        gram_histogram,
+    )
+
+    spark = batch_df.sparkSession
+    if not os.path.exists(ref_hist_path):
+        raise RuntimeError(
+            f"drift monitor reference histogram missing at {ref_hist_path} "
+            "— build it with lm.build_drift_reference before starting the "
+            "stream (a monitor comparing against nothing reports nothing)"
+        )
+    ref = spark.read.parquet(ref_hist_path).select(
+        "bucket", F.col("ref_count").cast("long").alias("ref_count")
+    )
+    cur = gram_histogram(
+        batch_df, id_col, text_col, buckets, count_col="cur_count"
+    )
+    top1 = drift_report(ref, cur, top_k=1).select(
+        F.lit(batch_id).cast("long").alias("batch"),
+        "n_ref",
+        "n_cur",
+        "tvd_ppm",
+        F.col("bucket").alias("top_bucket"),
+        F.col("contrib").alias("top_contrib"),
+    )
+    # no emptiness probe: with a (guarded) non-empty reference the
+    # full-outer bucket join is non-empty by construction, so
+    # drift_report always yields >= 1 row — and a probe here would
+    # re-run the batch's gram fan-out a second time per micro-batch
+    (
+        top1.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(out_path)
+    )
+
+
+def stream_drift_monitor(
+    doc_stream: DataFrame,
+    ref_hist_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Online data-quality drift monitor: per micro-batch, one
+    ``(batch, n_ref, n_cur, tvd_ppm, top_bucket, top_contrib)`` row
+    against the frozen reference via
+    :func:`apply_drift_monitor_batch`. Pair with an alerting query
+    over ``out_path`` (``tvd_ppm > threshold``); per-batch cost is
+    the batch's gram fan-out + a ≤buckets-row join — nothing
+    reference-corpus-sized is ever rescanned."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_drift_monitor_batch(
+            batch_df, batch_id, ref_hist_path, out_path,
+            id_col, text_col, buckets,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def conversion_join(
     events: DataFrame,
     trigger_type: str = "view",
