@@ -358,3 +358,91 @@ def test_compact_table_every_crash_point(spark, tmp_path):
         assert _rows(table) == want
         with open(os.path.join(table, "_applied_batch.json")) as f:
             assert f.read() == '{"batch": 7}'
+
+
+# ---------------------------------------------------------------------------
+# BandIndexStore.forget: the erasure rewrite composes swap_table_dir
+# with CATALOG operations (tmp-table create, drops, refresh) — the
+# crash windows between the file swap and the catalog cleanup are
+# exactly what the generic write_and_swap sweep cannot reach. At
+# every fs crash point: the index FILES are old or new (never torn,
+# recover_table_dir if missing), a re-run of forget converges to the
+# erased state, the stale tmp catalog entry is cleaned up, and the
+# catalog probe still reads the (bucketed) index.
+# ---------------------------------------------------------------------------
+
+
+def test_band_index_forget_every_crash_point(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataflow_python_etl_spark.operators.dedup import (
+        BandIndexStore,
+        minhash_band_index,
+        unpersist_all,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot"),
+            (2, "bravo charlie delta echo golf hotel"),
+            (3, "zanzibar unique nowhere else zanzibar appears"),
+            (4, "charlie delta echo india juliet kilo"),
+        ],
+        "doc_id: long, text: string",
+    )
+    keys = spark.createDataFrame([(3,)], "doc: long")
+
+    def build(base: str) -> "BandIndexStore":
+        store = BandIndexStore(
+            spark, "t_fi_bix", path=os.path.join(base, "bix"), n_buckets=2
+        )
+        store.append(minhash_band_index(docs))
+        unpersist_all()
+        return store
+
+    def docs_in_index(store) -> set:
+        return {
+            r["doc"]
+            for r in store.read().select("doc").distinct().collect()
+        }
+
+    # census
+    base0 = str(tmp_path / "census")
+    os.makedirs(base0)
+    store = build(base0)
+    with Injector(base0) as inj:
+        store.forget(keys)
+    n_ops = inj.n
+    assert n_ops >= 3, inj.trace  # swap_table_dir: move, move, delete
+    assert docs_in_index(store) == {1, 2, 4}
+    store.drop()
+
+    for k in range(n_ops):
+        base = str(tmp_path / f"k{k}")
+        os.makedirs(base)
+        store = build(base)
+        loc = os.path.join(base, "bix")
+        with Injector(base, crash_at=k):
+            with pytest.raises(InjectedCrash):
+                store.forget(keys)
+        unpersist_all()
+        if not os.path.exists(loc):
+            assert recover_table_dir(loc), f"k={k}: index files lost"
+        visible = set(
+            r[0]
+            for r in spark.read.parquet(loc).select("doc").distinct().collect()
+        )
+        assert visible in ({1, 2, 3, 4}, {1, 2, 4}), f"k={k}: torn {visible}"
+        # recovery: vacuum fs leftovers, re-run forget — converges,
+        # stale tmp catalog entry from the crashed run is dropped
+        _vacuum_leftovers(loc)
+        spark.catalog.refreshTable("t_fi_bix")
+        before, removed = store.forget(keys)
+        unpersist_all()
+        assert docs_in_index(store) == {1, 2, 4}, f"k={k}"
+        # idempotent re-run: 8 band rows (32 perms / 4 per band) if the
+        # crash left the OLD files, 0 if the swap had already landed
+        assert removed in (0, 8), f"k={k}: removed={removed}"
+        assert before in (24, 32), f"k={k}: before={before}"
+        assert not spark.catalog.tableExists("t_fi_bix__fk_tmp"), f"k={k}"
+        store.drop()
