@@ -282,6 +282,12 @@ def classifier_eval(
 
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
+    # REGISTERED cache (optimization r11, guide §5): the scored frame
+    # feeds BOTH the per-margin AUC aggregate and the confusion-count
+    # aggregate — uncached, the whole upstream scoring pipeline (gram
+    # explode + weight join on the held-out split) evaluates twice per
+    # action. A persist never changes values; unpersist_all() reclaims.
+    scored = register_cache(scored)
     y = F.col(label_col).cast("boolean")
     per_m = scored.groupBy(F.col(margin_col).alias("__mg")).agg(
         F.sum(F.when(y, 1).otherwise(0)).cast("long").alias("__p"),

@@ -1028,6 +1028,8 @@ def _query_probe_frame(
     ``cid IN (...)`` pruning filter. Shared by :func:`ivf_topk_indexed`
     and :func:`ivf_topk_indexed_reranked` so both stages of a reranked
     probe prune to the SAME cells by construction."""
+    from dataflow_python_etl_spark.operators.dedup import register_cache
+
     kcells = len(centroids)
     n_probe = min(n_probe, kcells)
     dots = _centroid_dots(as_double_array(vec_col), centroids)
@@ -1038,11 +1040,20 @@ def _query_probe_frame(
         .otherwise((l["i"] - r["i"]).cast("int")),
     )
     probes = F.slice(F.transform(ranked, lambda x: x["i"]), 1, n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("qvec"),
-        F.explode(probes).alias("cid"),
-    ).withColumn("qn", l2_norm(F.col("qvec")))
+    # REGISTERED cache: the cid collect below materializes the tiny
+    # (|queries| x n_probe)-row frame, so every downstream consumer
+    # (the broadcast probe side of each index scan — three of them in
+    # q163's union) reads cached rows instead of re-scanning the
+    # query table and re-evaluating the interpreted centroid-dot
+    # array_sort per consumer (guide §2.4/§5: the probe frame is the
+    # decision proxy, compute it once).
+    q = register_cache(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qvec"),
+            F.explode(probes).alias("cid"),
+        ).withColumn("qn", l2_norm(F.col("qvec")))
+    )
     probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
     return q, probe_cids
 
@@ -1056,6 +1067,8 @@ def ivf_topk_indexed(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _probe: tuple[DataFrame, list[int]] | None = None,
+    _keep_rank: bool = False,
 ) -> DataFrame:
     """IVF ANN over a :func:`build_ivf_index` table: identical results
     to :func:`ivf_topk` (pinned in tests), but the corpus scan is
@@ -1069,10 +1082,23 @@ def ivf_topk_indexed(
     :func:`ivf_topk` broadcasts it). The resulting ``cid IN (...)``
     filter prunes at the file-listing level, which a join could only
     achieve via runtime DPP.
+
+    ``_probe`` (internal): a precomputed ``_query_probe_frame`` result
+    for these exact (queries, centroids, n_probe) — callers probing
+    several index variants with ONE query batch (q163/q167) pass it so
+    the probe-cid collect job runs once, not once per variant; results
+    are identical by construction. ``_keep_rank`` (internal) appends
+    the window rank ``rk`` to the output so a single ``k=rerank``
+    probe can serve both a shortlist and its ``rk <= k`` prefix
+    (q167's coarse stage) without a second index scan.
     """
     if centroids is None:
         centroids = load_ivf_centroids(index_path)
-    q, probe_cids = _query_probe_frame(queries, centroids, n_probe, id_col, vec_col)
+    q, probe_cids = (
+        _probe
+        if _probe is not None
+        else _query_probe_frame(queries, centroids, n_probe, id_col, vec_col)
+    )
     c = spark.read.parquet(index_path).where(F.col("cid").isin(probe_cids))
 
     if "pq_codes" in c.columns:
@@ -1103,10 +1129,11 @@ def ivf_topk_indexed(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
+    out_cols = ["query_id", "neighbor_id", "cos_sim"] + (["rk"] if _keep_rank else [])
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim")
+        .select(*out_cols)
     )
 
 
@@ -1120,6 +1147,8 @@ def ivf_topk_indexed_reranked(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _probe: tuple[DataFrame, list[int]] | None = None,
+    _short: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage ANN serving — the production answer to the PQ recall
     gap (VERDICT r10 #2, the FAISS IVFPQ+Refine shape): a CHEAP
@@ -1150,14 +1179,30 @@ def ivf_topk_indexed_reranked(
             "different fit would silently drop shortlisted candidates; "
             "rebuild both from one fit_ivf_centroids call"
         )
-    short = ivf_topk_indexed(
-        spark, coarse_path, queries,
-        centroids=centroids, k=rerank, n_probe=n_probe,
-        id_col=id_col, vec_col=vec_col,
+    # ``_probe`` / ``_short`` (internal): precomputed probe frame and
+    # coarse shortlist (same (queries, centroids, n_probe, rerank)
+    # contract as the in-house computation they replace) — q167 passes
+    # a CACHED k=rerank coarse probe whose collect below doubles as
+    # the cache fill, so the coarse index is scanned once per
+    # invocation instead of once here plus once per downstream
+    # consumer of the coarse top-k.
+    q, probe_cids = (
+        _probe
+        if _probe is not None
+        else _query_probe_frame(queries, centroids, n_probe, id_col, vec_col)
+    )
+    short = (
+        _short
+        if _short is not None
+        else ivf_topk_indexed(
+            spark, coarse_path, queries,
+            centroids=centroids, k=rerank, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+            _probe=(q, probe_cids),
+        )
     ).select("query_id", "neighbor_id")
     short_rows = short.collect()  # driver-bounded: |queries| × rerank
     short_ids = sorted({r["neighbor_id"] for r in short_rows})
-    q, probe_cids = _query_probe_frame(queries, centroids, n_probe, id_col, vec_col)
     c = (
         spark.read.parquet(refine_path)
         .where(F.col("cid").isin(probe_cids))

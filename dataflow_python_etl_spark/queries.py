@@ -33,7 +33,7 @@ from dataflow_python_etl_spark.functions.core import (
     quota_expr,
 )
 from dataflow_python_etl_spark.functions import text as TX
-from dataflow_python_etl_spark.functions.vectors import as_double_array, cosine
+from dataflow_python_etl_spark.functions.vectors import as_double_array
 from dataflow_python_etl_spark.operators import dedup as DD
 from dataflow_python_etl_spark.operators import similarity as SIM
 from dataflow_python_etl_spark.operators.compensation import with_compensation
@@ -1345,15 +1345,27 @@ def _gen_centroids(dim: int = 64, k: int = 8, seed: int = 11) -> list[list[float
 CENTROIDS: list[list[float]] = _gen_centroids()
 
 
-def _centroid_assign_spark(vec):
+def _centroid_assign_spark(vec, norm=None):
     # Single aggregate argmax over the zipped (score, index) array:
     # the array_position(scores, array_max(scores)) spelling evaluates
     # the interpreted K-cosine array TWICE per row (CLAUDE.md sibling-
     # expression pitfall). Element values and the first-max tie rule
     # are identical to the oracle's list_indexof(scores, list_max(..)),
     # so hashes are unchanged — only the plan cost halves.
+    #
+    # ``norm`` (optional): a column holding l2_norm(vec) precomputed
+    # ONCE per row — the inline ``cosine()`` spelling re-folds the
+    # 64-element vector norm once per centroid (K× per row,
+    # interpreted HOF). Identical doubles: cosine() evaluates
+    # dot/(l2_norm(a)·l2_norm(b)) in exactly this operand order.
+    from dataflow_python_etl_spark.functions.vectors import dot, l2_norm
+
+    if norm is None:
+        norm = l2_norm(vec)
     scores = F.array(*[
-        cosine(vec, F.array(*[F.lit(v) for v in c])) for c in CENTROIDS
+        dot(vec, F.array(*[F.lit(v) for v in c]))
+        / (norm * l2_norm(F.array(*[F.lit(v) for v in c])))
+        for c in CENTROIDS
     ])
     return F.aggregate(
         F.arrays_zip(
@@ -1403,15 +1415,32 @@ def _ivf_oracle_sql() -> str:
     "(probes 1/K of the corpus; oracle reproduces the fixed centroids)",
 )
 def q39_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double_array("embedding").alias("ve"))
-    assigned = v.withColumn("cid", _centroid_assign_spark(F.col("ve")))
-    q = (
-        assigned.where(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"), "cid")
-    )
     from dataflow_python_etl_spark.functions.vectors import dot, l2_norm
+    from dataflow_python_etl_spark.operators.dedup import register_cache
 
+    emb = _t(spark, sf_dir, "embeddings")
+    # Optimization r11 (guide §1.2 per-task work + §5 caching):
+    #  - the vector norm is folded ONCE per row and reused by all 8
+    #    centroid cosines AND the pair-stage cosine (the inline
+    #    spelling re-folded the 64-element norm 8× per corpus row and
+    #    2× more per candidate pair — all interpreted HOFs);
+    #  - ``assigned`` sits behind a registered cache: it fed both the
+    #    corpus side and the broadcast query side, so the whole
+    #    assignment map ran twice per action.
+    # Same doubles in the same operand order throughout → identical
+    # cid assignment, identical rounded cosines, unchanged oracle hash.
+    v = emb.select("vec_id", as_double_array("embedding").alias("ve")).withColumn(
+        "nv", l2_norm(F.col("ve"))
+    )
+    assigned = register_cache(
+        v.withColumn("cid", _centroid_assign_spark(F.col("ve"), F.col("nv")))
+    )
+    q = assigned.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("nv").alias("qn"),
+        "cid",
+    )
     a = assigned.alias("a")
     scored = (
         a.join(
@@ -1422,7 +1451,7 @@ def q39_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
             F.round(
                 dot(F.col("q.qv"), F.col("a.ve"))
-                / (l2_norm(F.col("q.qv")) * l2_norm(F.col("a.ve"))),
+                / (F.col("q.qn") * F.col("a.nv")),
                 6,
             ),
         )
@@ -8231,7 +8260,9 @@ def _ivf_recall_index_paths(spark: SparkSession, sf_dir: str) -> dict:
     "intersection bit-for-bit.",
 )
 def q163_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.dedup import register_cache
     from dataflow_python_etl_spark.operators.similarity import (
+        _query_probe_frame,
         cosine_topk,
         ivf_topk_indexed,
     )
@@ -8239,22 +8270,38 @@ def q163_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, NPROBE, NQ = 10, 2, 20
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < NQ)
-    exact = cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    # Optimization r11 (guide §2.4 remove shuffles, §3.1 deliberate
+    # joins, §5): stage-level profiling showed near-ZERO executor time
+    # — the whole wall was driver/scheduling overhead across ~50 tiny
+    # stages. Three fixes, all value-preserving: (a) ONE probe-frame
+    # collect shared by all three variants (was one per variant —
+    # three identical jobs); (b) the exact top-k baseline behind a
+    # REGISTERED cache so the union evaluates its window once, not
+    # once per branch (36 parquet scans in the before plan); (c)
+    # explicit broadcasts of the structurally bounded recall frames —
+    # ``approx`` ≤ NQ·K rows and ``hits`` ≤ NQ rows BY CONTRACT at any
+    # corpus size, so the hint is scale-safe and removes the
+    # Exchange+Sort pairs of six tiny sort-merge joins from the plan
+    # (plans/r11/q163_ann_recall_{before,after}.txt).
+    probe = _query_probe_frame(queries, CENTROIDS, NPROBE, "vec_id", "embedding")
+    exact = register_cache(
+        cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    )
     paths = _ivf_recall_index_paths(spark, sf_dir)
     outs = []
     for variant in ("fp64", "sq8", "pq"):
         approx = ivf_topk_indexed(
             spark, paths[variant], queries,
-            centroids=CENTROIDS, k=K, n_probe=NPROBE,
+            centroids=CENTROIDS, k=K, n_probe=NPROBE, _probe=probe,
         ).select("query_id", "neighbor_id")
         hits = (
-            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias("__h"))
         )
         outs.append(
             queries.select(F.col("vec_id").alias("query_id"))
-            .join(hits, "query_id", "left")
+            .join(F.broadcast(hits), "query_id", "left")
             .select(
                 F.lit(variant).alias("variant"),
                 "query_id",
@@ -8622,7 +8669,9 @@ def _ann_recall_rerank_oracle_sql(
     "ranking and refined re-scoring bit-for-bit.",
 )
 def q167_ann_recall_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataflow_python_etl_spark.operators.dedup import register_cache
     from dataflow_python_etl_spark.operators.similarity import (
+        _query_probe_frame,
         cosine_topk,
         ivf_topk_indexed,
         ivf_topk_indexed_reranked,
@@ -8631,22 +8680,45 @@ def q167_ann_recall_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, NPROBE, NQ, R = 10, 2, 20, 50
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < NQ)
-    exact = cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
     paths = _ivf_recall_index_paths(spark, sf_dir)
+    # Optimization r11 (guide §2.4, §5): the before shape probed the
+    # PQ index THREE times per run (the 'pq' variant, the shortlist
+    # job inside the reranked probe, and that probe's own re-derived
+    # probe frame — plus two more probe-cid collect jobs). Now: ONE
+    # probe-frame collect, ONE cached k=R coarse probe whose rk<=K
+    # prefix IS the 'pq' variant (same window, same tie-break — the
+    # top-10 of the top-50 is the top-10), the reranked stage reuses
+    # both, and the exact baseline sits behind a registered cache so
+    # the final union computes it once. Rows identical by
+    # construction; hash-verified against the unchanged oracle.
+    probe = _query_probe_frame(queries, CENTROIDS, NPROBE, "vec_id", "embedding")
+    ranked = register_cache(
+        ivf_topk_indexed(
+            spark, paths["pq"], queries, centroids=CENTROIDS,
+            k=R, n_probe=NPROBE, _probe=probe, _keep_rank=True,
+        )
+    )
+    exact = register_cache(
+        cosine_topk(emb, queries, k=K).select("query_id", "neighbor_id")
+    )
     variants = {
-        "pq": ivf_topk_indexed(
-            spark, paths["pq"], queries, centroids=CENTROIDS, k=K, n_probe=NPROBE
+        "pq": ranked.where(F.col("rk") <= K).select(
+            "query_id", "neighbor_id", "cos_sim"
         ),
         "pq_rerank": ivf_topk_indexed_reranked(
             spark, paths["pq"], paths["fp64"], queries,
             k=K, n_probe=NPROBE, rerank=R,
+            _probe=probe, _short=ranked,
         ),
     }
     outs = []
     for variant, approx in variants.items():
+        # explicit broadcasts: ``approx`` ≤ NQ·K and ``hits`` ≤ NQ rows
+        # BY CONTRACT at any corpus size (q163's rationale) — removes
+        # four tiny sort-merge joins' Exchange+Sort pairs per run
         hits = (
             exact.join(
-                approx.select("query_id", "neighbor_id"),
+                F.broadcast(approx.select("query_id", "neighbor_id")),
                 ["query_id", "neighbor_id"],
                 "left_semi",
             )
@@ -8655,7 +8727,7 @@ def q167_ann_recall_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(
             queries.select(F.col("vec_id").alias("query_id"))
-            .join(hits, "query_id", "left")
+            .join(F.broadcast(hits), "query_id", "left")
             .select(
                 F.lit(variant).alias("variant"),
                 "query_id",
