@@ -227,12 +227,18 @@ def components_contract(
 
     Returns (node, cluster), cluster = min reachable node id.
     Direction/duplicate edges and self-loops are ignored."""
-    e = (
+    from dataflow_python_etl_spark.operators.graph import checkpoint_count
+
+    # the contracted-edge count that decides termination RIDES the job
+    # that materializes each round's checkpoint (checkpoint_count —
+    # optimization r12): per-round jobs drop from 3 (count + p
+    # checkpoint + ce checkpoint) to 2, and the initial probe rides
+    # the initial edge checkpoint. Values unchanged.
+    e, n_ce = checkpoint_count(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     p = (
         e.select(F.col("a").alias("node"))
@@ -244,7 +250,7 @@ def components_contract(
     ce = e
     converged = False
     for _ in range(max_rounds):
-        if ce.count() == 0:
+        if n_ce == 0:
             converged = True
             break
         sym = ce.select(F.col("a").alias("r"), F.col("b").alias("s")).unionAll(
@@ -266,7 +272,7 @@ def components_contract(
         )
         pa = p.select(F.col("node").alias("a"), F.col("p").alias("pa"))
         pb = p.select(F.col("node").alias("b"), F.col("p").alias("pb"))
-        ce = (
+        ce, n_ce = checkpoint_count(
             ce.join(pa, "a")
             .join(pb, "b")
             .where(F.col("pa") != F.col("pb"))
@@ -274,7 +280,6 @@ def components_contract(
                 F.least("pa", "pb").alias("a"), F.greatest("pa", "pb").alias("b")
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
     if not converged:
         raise RuntimeError(

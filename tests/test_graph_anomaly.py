@@ -435,6 +435,53 @@ def test_k_core_early_exit_rounds(spark):
     assert stats == {"rounds_run": 4, "converged_early": False}
 
 
+def test_iterative_probes_ride_checkpoint_jobs(spark, monkeypatch):
+    """Optimization-r12 convergence pin (guide §5, VERDICT r11 #3):
+    the early-exit / termination counts of the iterative graph family
+    are Observations riding the SAME Spark job that materializes each
+    round's eager localCheckpoint — neither k_core nor
+    components_contract may call DataFrame.count() on an intermediate
+    frame (a separate count doubles the per-round job bill: q155
+    measured 80 -> 60 jobs/run, q160 112 -> 95 at sf0.1). Results and
+    early-exit behavior must be unchanged while the probe rides."""
+    from pyspark.sql.classic import dataframe as classic
+
+    from dataflow_python_etl_spark.operators.corpus import components_contract
+    from dataflow_python_etl_spark.operators.graph import k_core
+
+    calls: list[int] = []
+    real_count = classic.DataFrame.count
+
+    def counting(self):
+        calls.append(1)
+        return real_count(self)
+
+    # patch the concrete class (Spark 4 shadows the base — CLAUDE.md)
+    monkeypatch.setattr(classic.DataFrame, "count", counting)
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src: long, dst: long"
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(tri, k=2, rounds=16, stats=stats).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert stats == {"rounds_run": 2, "converged_early": True}
+    assert not calls, "k_core ran a separate count() job per round"
+
+    # two components + the termination probe on the contracted frame
+    cc = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 11), (11, 12)], "src: long, dst: long"
+    )
+    labels = {
+        r["node"]: r["cluster"] for r in components_contract(cc).collect()
+    }
+    assert labels == {3: 3, 5: 3, 9: 3, 11: 11, 12: 11, 20: 11}
+    assert not calls, "components_contract ran a separate count() job"
+
+
 def test_k_core_convergence_guard_and_validation(spark):
     """A peel that needs more rounds than granted must FAIL LOUDLY
     (filter-anchored raise_error), not return a non-core: a path of
