@@ -195,6 +195,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "calib": calib,
+        # machine-speed-normalized total (VERDICT r11 #2): absolute
+        # seconds moved ~1.7x between the r10 and r11 driver benches
+        # with every plan pin green — compare value_per_calib across
+        # sessions/rounds, not raw seconds. Additive field only; the
+        # raw value/queries contract is unchanged.
+        "value_per_calib": round(total / calib, 2) if calib else None,
         "queries": results,
         # stdout carries the extended set as a SUMMARY only (the
         # per-query detail is in the committed BENCH_FULL.json

@@ -282,12 +282,12 @@ def classifier_eval(
 
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
-    # REGISTERED cache (optimization r11, guide §5): the scored frame
-    # feeds BOTH the per-margin AUC aggregate and the confusion-count
-    # aggregate — uncached, the whole upstream scoring pipeline (gram
-    # explode + weight join on the held-out split) evaluates twice per
-    # action. A persist never changes values; unpersist_all() reclaims.
-    scored = register_cache(scored)
+    # Optimization r12 (guide §2.3 aggregate early, §5 driver
+    # overhead): the scored frame has ONE consumer — everything,
+    # including the confusion counts, derives from the per-margin
+    # aggregate ``per_m`` (tp = Σ p over margins > 0 etc.), so the
+    # r11 cache on ``scored`` is gone and the whole scoring pipeline
+    # runs exactly once into the registered ``part`` cache below.
     y = F.col(label_col).cast("boolean")
     per_m = scored.groupBy(F.col(margin_col).alias("__mg")).agg(
         F.sum(F.when(y, 1).otherwise(0)).cast("long").alias("__p"),
@@ -317,6 +317,11 @@ def classifier_eval(
             (F.col("_off") + F.sum("__g").over(w) - F.col("__g")).cast("long"),
         )
     )
+    # ONE aggregate pass carries the AUC terms AND the confusion
+    # counts (tp = Σ pos over margins > 0, etc. — the per-margin
+    # grouping already separates the classes at each decision
+    # threshold), replacing the r11 shape's second full pass over the
+    # scored frame. Same exact integers in, same out.
     u = pref.agg(
         F.coalesce(
             F.sum(F.col("__p") * (2 * F.col("__cumneg") + F.col("__g"))), F.lit(0)
@@ -325,24 +330,22 @@ def classifier_eval(
         .alias("u2"),
         F.coalesce(F.sum("__p"), F.lit(0)).cast("long").alias("n_pos"),
         F.coalesce(F.sum("__g"), F.lit(0)).cast("long").alias("n_neg"),
-    )
-    conf = scored.agg(
-        F.sum(F.when(y & (F.col(margin_col) > 0), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("__mg") > 0, F.col("__p"))), F.lit(0))
         .cast("long")
         .alias("tp"),
-        F.sum(F.when(~y & (F.col(margin_col) > 0), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("__mg") > 0, F.col("__g"))), F.lit(0))
         .cast("long")
         .alias("fp"),
-        F.sum(F.when(~y & (F.col(margin_col) <= 0), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("__mg") <= 0, F.col("__g"))), F.lit(0))
         .cast("long")
         .alias("tn"),
-        F.sum(F.when(y & (F.col(margin_col) <= 0), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("__mg") <= 0, F.col("__p"))), F.lit(0))
         .cast("long")
         .alias("fn"),
     )
     ppm = 1_000_000
     return (
-        u.crossJoin(conf)
+        u
         .where(
             # filter-anchored int64 guard: 1e6 * U2 <= 1e6 * 2*n_pos*n_neg
             # must fit — raise at the exact cross-multiplied bound

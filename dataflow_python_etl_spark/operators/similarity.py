@@ -1027,7 +1027,13 @@ def _query_probe_frame(
     |queries| ≤ K distinct cells) for the file-listing-level
     ``cid IN (...)`` pruning filter. Shared by :func:`ivf_topk_indexed`
     and :func:`ivf_topk_indexed_reranked` so both stages of a reranked
-    probe prune to the SAME cells by construction."""
+    probe prune to the SAME cells by construction.
+
+    NOTE: every invocation REGISTERS a persist on the probe frame
+    (tiny, but registered caches accumulate until
+    ``dedup.unpersist_all()``) — a long-lived per-batch serving loop
+    must call ``unpersist_all()`` between iterations, as bench and
+    certify already do between trials (ADVICE r11)."""
     from dataflow_python_etl_spark.operators.dedup import register_cache
 
     kcells = len(centroids)
@@ -1171,6 +1177,16 @@ def ivf_topk_indexed_reranked(
     """
     if rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    if _short is not None and _probe is None:
+        # the same consistency argument as the centroid-sidecar guard
+        # below: _short is only sound when built from the SAME probe
+        # frame/cells the refine scan prunes to, so a caller supplying
+        # a shortlist must supply the probe it came from (ADVICE r11)
+        raise ValueError(
+            "_short requires the matching _probe: the refine scan prunes "
+            "to _probe's cells, so a shortlist from a different probe "
+            "would silently drop candidates"
+        )
     centroids = load_ivf_centroids(coarse_path)
     if load_ivf_centroids(refine_path) != centroids:
         raise ValueError(
