@@ -579,6 +579,14 @@ def test_ann_recall_probes_are_partition_pruned(spark):
         if "cid" in seg[:200]
     ]
     assert len(pruned) >= 3, plan  # fp64 + sq8 + pq probes all pruned
+    # r11-optimization shape pins (VERDICT r11 #5): the contract-
+    # bounded broadcast hints keep every recall hit-join a BHJ (the
+    # before-shape was 12 SortMergeJoins / 48 Exchanges), and the
+    # exact brute-force baseline + shared probe frame are CACHED —
+    # consumed from InMemoryTableScan, not re-derived per union branch
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, plan
+    assert "InMemoryTableScan" in final, plan
 
 
 def test_erasure_rewrite_scans_once_and_broadcasts_keys(spark, tmp_path):
@@ -623,3 +631,25 @@ def test_ann_rerank_refine_scan_pruned_and_id_pushed(spark):
         if "cid" in seg[:200]
     ]
     assert len(pruned) >= 2, plan  # the pq probe AND the refine scan
+    # r11-optimization shape pins (VERDICT r11 #5): one cached k=R
+    # coarse probe serves the pq variant (rk <= K prefix), the
+    # shortlist, and the rerank stage — no SortMergeJoin anywhere
+    # (before: 8), and the cached frames read from InMemoryTableScan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, plan
+    assert "InMemoryTableScan" in final, plan
+
+
+def test_ivf_ann_assignment_cached_and_norm_folded_once(spark):
+    """q39's r11 shape: the centroid-assignment frame feeds both join
+    sides from a REGISTERED cache (InMemoryTableScan — uncached, the
+    whole assignment map ran twice per action), the corpus-side L2
+    norm is folded ONCE per row and reused by all centroid cosines
+    (the plan must not contain more norm-fold aggregates than rows
+    of the centroid literal + the pair stage), and the query side
+    broadcasts."""
+    df = _q(spark, "q39_ivf_ann")
+    plan = explain_str(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan
