@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -936,49 +937,151 @@ def encode_jpeg(
 _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
+@lru_cache(maxsize=None)
+def _lzw_base(clear: int) -> list[bytes]:
+    """The initial LZW table for a given CLEAR code — immutable bytes
+    entries, so one shared instance per code size serves every decode
+    (rebuilding 256 bytes objects per frame measured ~20% of small-
+    frame decode time). Callers copy with ``list(base)``."""
+    return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+
 def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
     """GIF-variant LZW (LSB-first variable-width codes, CLEAR/END,
-    deferred-clear tolerated) → index stream of ``expected`` pixels."""
+    deferred-clear tolerated) → index stream of ``expected`` pixels.
+
+    Vectorized (optimization r12, guide §4.2): code positions and
+    widths are a pure function of the CODE COUNT since the last CLEAR
+    (the table grows by one entry per code after the first, so width
+    bumps are value-independent), which lets whole same-width runs of
+    codes be extracted with numpy in one shot. A run of LITERAL codes
+    (< clear — the only codes our fixed-width encoder ever emits, and
+    the common case in real GIFs' early segments) is emitted in bulk
+    without building table entries at all (entries from an
+    all-literal stretch are only ever READ by a later composite code,
+    and the table dies at the next CLEAR). The first composite code
+    in a segment reconstructs the table from the literal prefix
+    (append i is ``bytes([v[i-1], v[i]])``) and drops to the
+    spec-faithful scalar loop until the next CLEAR. Output, error
+    cases, and tolerance (deferred clears, truncation) are identical
+    to the scalar implementation — pinned by the codec fuzz suite and
+    the GIF==AVI parity tests."""
     if not 2 <= min_code_size <= 11:
         raise ValueError(f"invalid GIF LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
-    base = [bytes([i]) for i in range(clear)] + [b"", b""]
-    table = list(base)
-    width = min_code_size + 1
+    base = _lzw_base(clear)
+    width0 = min_code_size + 1
     out = bytearray()
-    prev: bytes | None = None
     pos, total = 0, len(data) * 8
-    data_pad = data + b"\x00\x00\x00"
-    while pos + width <= total and len(out) < expected:
-        byte, sh = pos >> 3, pos & 7
-        chunk = int.from_bytes(data_pad[byte : byte + 3], "little")
-        code = (chunk >> sh) & ((1 << width) - 1)
-        pos += width
-        if code == clear:
-            table = list(base)
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == end:
-            break
-        if prev is None:
-            if code >= clear:
+    pad = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8).astype(np.uint32)
+
+    width = width0
+    seg_k = 0  # codes processed since the segment (CLEAR) started
+    seg_vals: list[np.ndarray] = []  # literal prefix (literal mode only)
+    table: list[bytes] | None = None  # None = all-literal so far
+    prev: bytes | None = None
+    stop = False
+
+    def _k_bump(w: int) -> int:
+        # after processing code k (1-based) the table holds
+        # clear + 2 + (k - 1) entries; width bumps when that hits 2^w
+        return (1 << w) - clear - 1
+
+    while not stop and len(out) < expected:
+        # one same-width run: capped by the bits left and the next bump
+        m = (total - pos) // width
+        if width < 12:
+            m = min(m, _k_bump(width) - seg_k)
+        if table is None:
+            # literal mode: 1 code = 1 output byte, so never extract
+            # past what `expected` still needs (the scalar loop stops
+            # there too — junk bits past the needed pixels must not
+            # raise)
+            m = min(m, expected - len(out))
+        if m <= 0:
+            if m == 0 and width < 12 and _k_bump(width) == seg_k:
+                width += 1
+                continue
+            break  # not enough bits for one more code: truncated
+        starts = pos + width * np.arange(m, dtype=np.int64)
+        b = starts >> 3
+        chunk = pad[b] | (pad[b + 1] << 8) | (pad[b + 2] << 16)
+        codes = (chunk >> (starts & 7).astype(np.uint32)) & ((1 << width) - 1)
+        if table is None:
+            # ---- bulk literal mode ----
+            spec = np.flatnonzero(codes >= clear)
+            j = int(spec[0]) if spec.size else m
+            if j:
+                lits = codes[:j]
+                out += lits.astype(np.uint8).tobytes()
+                seg_vals.append(lits)
+                seg_k += j
+                pos += j * width
+            if spec.size == 0:
+                if width < 12 and seg_k == _k_bump(width):
+                    width += 1
+                continue
+            c = int(codes[j])
+            if c == clear:
+                pos += width
+                seg_k, seg_vals, width = 0, [], width0
+                continue
+            if c == end:
+                stop = True
+                continue
+            # first composite: reconstruct the table from the literal
+            # prefix, then fall through to scalar processing below
+            if seg_k == 0:
                 raise ValueError("GIF LZW stream starts with a composite code")
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            if len(table) < 4096:
-                table.append(prev + entry[:1])
-        elif code == len(table) and len(table) < 4096:
-            entry = prev + prev[:1]
-            table.append(entry)
-        else:
-            raise ValueError(f"corrupt GIF LZW stream (code {code})")
-        out += entry
-        prev = entry
-        if len(table) == (1 << width) and width < 12:
-            width += 1
+            vals = (
+                np.concatenate(seg_vals)
+                if len(seg_vals) > 1
+                else seg_vals[0]
+            )
+            table = list(base)
+            n_app = min(len(vals) - 1, 4096 - len(table))
+            if n_app > 0:
+                pairs = np.stack(
+                    [vals[: n_app], vals[1 : n_app + 1]], axis=1
+                ).astype(np.uint8)
+                table.extend(map(bytes, pairs))
+            prev = bytes([int(vals[-1])])
+            codes = codes[j:]  # scalar-process from the composite on
+            # (pos/seg_k advance per code below)
+        # ---- scalar (table) mode: spec-faithful per-code loop ----
+        for code in codes.tolist():
+            if len(out) >= expected:
+                stop = True
+                break
+            pos += width
+            if code == clear:
+                seg_k, seg_vals, width = 0, [], width0
+                table, prev = None, None
+                break  # back to bulk literal mode
+            if code == end:
+                stop = True
+                break
+            seg_k += 1
+            if prev is None:
+                if code >= clear:
+                    raise ValueError(
+                        "GIF LZW stream starts with a composite code"
+                    )
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
     if len(out) < expected:
         raise ValueError(
             f"GIF LZW stream truncated: {len(out)} of {expected} pixels"
@@ -1123,9 +1226,22 @@ def encode_gif(
     for f in frames:
         if f.shape != (h, w, 3):
             raise ValueError(f"every frame must be ({h}, {w}, 3), got {f.shape}")
-    # one global palette across frames
+    # one global palette across frames. RGB rows packed big-endian
+    # into one int32 so the unique/sort runs 1-D (optimization r12:
+    # np.unique(axis=0)'s row lexsort was the single largest cost of
+    # a small-frame encode); big-endian packing preserves the exact
+    # (R, G, B) lexicographic palette order axis-unique produced.
     flat = np.concatenate([f.reshape(-1, 3) for f in frames])
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    packed = (
+        (flat[:, 0].astype(np.int32) << 16)
+        | (flat[:, 1].astype(np.int32) << 8)
+        | flat[:, 2].astype(np.int32)
+    )
+    pal_packed, inverse = np.unique(packed, return_inverse=True)
+    palette = np.stack(
+        [(pal_packed >> 16) & 255, (pal_packed >> 8) & 255, pal_packed & 255],
+        axis=1,
+    ).astype(np.uint8)
     if len(palette) > 256:
         raise ValueError(f"GIF needs <=256 distinct colors, got {len(palette)}")
     pal_bits = max(int(np.ceil(np.log2(max(len(palette), 2)))), 1)
@@ -1156,27 +1272,32 @@ def encode_gif(
             )
             idx = rows[order].reshape(-1)
         out += bytes([min_code])
-        acc = 0
-        nbits = 0
-        stream = bytearray()
-
-        def put(code: int) -> None:
-            nonlocal acc, nbits
-            acc |= code << nbits
-            nbits += width
-            while nbits >= 8:
-                stream.append(acc & 0xFF)
-                acc >>= 8
-                nbits -= 8
-
-        put(clear)
-        for i, v in enumerate(idx):
-            if i and i % span == 0:
-                put(clear)
-            put(int(v))
-        put(end)
-        if nbits:
-            stream.append(acc & 0xFF)
+        # vectorized LSB-first bit-packing (optimization r12, guide
+        # §4.2): the scalar put() loop paid one Python iteration per
+        # PIXEL. All codes share one width, so the stream is: per code
+        # its low `width` bits LSB-first, concatenated — exactly
+        # np.unpackbits(..., bitorder="little") sliced to `width`
+        # bits, then packbits back (final partial byte zero-padded,
+        # identical to the old accumulator flush).
+        n_codes = len(idx)
+        n_clears = (n_codes - 1) // span if n_codes else 0
+        codes = np.empty(1 + n_codes + n_clears + 1, dtype=np.uint16)
+        codes[0] = clear
+        w_at = 1
+        for start in range(0, n_codes, span):
+            if start:
+                codes[w_at] = clear
+                w_at += 1
+            chunk = idx[start : start + span]
+            codes[w_at : w_at + len(chunk)] = chunk
+            w_at += len(chunk)
+        codes[w_at] = end
+        bits = np.unpackbits(
+            codes.astype("<u2").view(np.uint8).reshape(-1, 2),
+            axis=1,
+            bitorder="little",
+        )[:, :width]
+        stream = np.packbits(bits.ravel(), bitorder="little").tobytes()
         for i in range(0, len(stream), 255):
             block = stream[i : i + 255]
             out += bytes([len(block)]) + bytes(block)

@@ -443,13 +443,21 @@ def ahash64(pixels) -> int:
     import numpy as np
 
     px = np.asarray(pixels)
+    # int64 vectorized luma (optimization r12, guide §4.2): the
+    # object-dtype path ran one Python-int multiply per PIXEL —
+    # measured as the dominant per-frame cost of the video/image
+    # fingerprint kernels. Luma ≤ 255_000 per pixel, so int64 block
+    # sums are exact up to ~3.6e13 pixels per image; the astronomical
+    # remainder keeps the old exact-object path (same arithmetic).
+    exact = px.size >= (1 << 44)
+    dt = object if exact else np.int64
     if px.ndim == 2:
-        luma = px.astype(object) * 1000
+        luma = px.astype(dt) * 1000
     elif px.ndim == 3 and px.shape[2] in (3, 4):
-        p = px.astype(object)
+        p = px.astype(dt)
         luma = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
     elif px.ndim == 3 and px.shape[2] == 2:  # gray + alpha
-        luma = px[:, :, 0].astype(object) * 1000
+        luma = px[:, :, 0].astype(dt) * 1000
     else:
         raise ValueError(f"expected (h,w[,2|3|4]) pixels, got {px.shape}")
     h, w = luma.shape[:2]
@@ -457,13 +465,18 @@ def ahash64(pixels) -> int:
         raise ValueError(f"image too small for an 8x8 grid: {h}x{w}")
     total = int(luma.sum())
     n_px = h * w
+    # block sums via two reduceat passes (rows then cols) — exact
+    # int64; the 64 threshold compares stay Python ints (unbounded)
+    rb = [r * h // 8 for r in range(8)]
+    cb = [c * w // 8 for c in range(8)]
+    rows = np.add.reduceat(luma, rb, axis=0)
+    blocks = np.add.reduceat(rows, cb, axis=1)
     fp = 0
     for r in range(8):
         r0, r1 = r * h // 8, (r + 1) * h // 8
         for c in range(8):
             c0, c1 = c * w // 8, (c + 1) * w // 8
-            s = int(luma[r0:r1, c0:c1].sum())
-            if s * n_px > total * (r1 - r0) * (c1 - c0):
+            if int(blocks[r, c]) * n_px > total * (r1 - r0) * (c1 - c0):
                 k = r * 8 + c
                 fp += -(1 << 63) if k == 63 else (1 << k)
     return fp
