@@ -31,8 +31,12 @@ from pyspark.sql import functions as F
 
 from dataflow_python_etl_spark.functions.vectors import (
     as_double_array,
+    as_double_array_sql,
     cosine,
+    darr,
+    dlit,
     dot,
+    dot_sql,
     l2_norm,
 )
 
@@ -363,12 +367,15 @@ def fit_ivf_centroids(
     return cents
 
 
-def _centroid_dots(vec: F.Column, centroids: list[list[float]]) -> F.Column:
-    """array<double> of dot(vec, centroid_i). Centroids are unit-norm,
-    so argmax-dot == nearest-by-cosine without per-row norm division
-    (the row norm is a positive constant across the K scores)."""
-    return F.array(
-        *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+def _centroid_dots(vec_sql: str, centroids: list[list[float]]) -> F.Column:
+    """array<double> of dot(vec, centroid_i) over the SQL text of the
+    vector expression. Centroids are unit-norm, so argmax-dot ==
+    nearest-by-cosine without per-row norm division (the row norm is a
+    positive constant across the K scores). Rendered as ONE F.expr —
+    the Column-API spelling cost K×D py4j literal round-trips per plan
+    build (optimization r12; tree and doubles identical)."""
+    return F.expr(
+        "array(" + ", ".join(dot_sql(vec_sql, darr(c)) for c in centroids) + ")"
     )
 
 
@@ -405,8 +412,10 @@ def ivf_topk(
     # doubling the map stage that touches 100% of the corpus. Strict
     # `>` keeps the first index on ties, matching array_position.
     kcells_seq = F.sequence(F.lit(1), F.lit(len(centroids)))
-    argmax_cell = lambda vec: F.aggregate(  # noqa: E731
-        F.arrays_zip(_centroid_dots(vec, centroids).alias("s"), kcells_seq.alias("i")),
+    argmax_cell = lambda vec_sql: F.aggregate(  # noqa: E731
+        F.arrays_zip(
+            _centroid_dots(vec_sql, centroids).alias("s"), kcells_seq.alias("i")
+        ),
         F.struct(
             F.lit(float("-inf")).alias("s"), F.lit(0).cast("integer").alias("i")
         ),
@@ -415,13 +424,13 @@ def ivf_topk(
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), cv.alias("cvec")
-    ).withColumn("cid", argmax_cell(F.col("cvec"))).withColumn(
+    ).withColumn("cid", argmax_cell("cvec")).withColumn(
         "cn", l2_norm(F.col("cvec"))
     )
 
     # top-n_probe cells per query: sort (dot, index) pairs by dot
     # descending with an index tie-break, slice, explode
-    dots = _centroid_dots(as_double_array(vec_col), centroids)
+    dots = _centroid_dots(as_double_array_sql(vec_col), centroids)
     ranked = F.array_sort(
         F.arrays_zip(dots.alias("s"), F.sequence(F.lit(1), F.lit(kcells)).alias("i")),
         lambda l, r: F.when(l["s"] > r["s"], -1)
@@ -468,7 +477,7 @@ def _assigned(
     kcells_seq = F.sequence(F.lit(1), F.lit(len(centroids)))
     argmax_cell = F.aggregate(
         F.arrays_zip(
-            _centroid_dots(F.col("cvec"), centroids).alias("s"), kcells_seq.alias("i")
+            _centroid_dots("cvec", centroids).alias("s"), kcells_seq.alias("i")
         ),
         F.struct(F.lit(float("-inf")).alias("s"), F.lit(0).cast("integer").alias("i")),
         lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
@@ -606,13 +615,18 @@ def _quantize_pq(assigned: DataFrame, codebooks: list[list[list[float]]]) -> Dat
     m, ksub, dsub = _pq_shape(codebooks)
     codes = []
     for mi, cb in enumerate(codebooks):
-        sub = F.slice(F.col("cvec"), mi * dsub + 1, dsub)
-        scores = F.array(
-            *[
-                dot(sub, F.array(*[F.lit(x) for x in c]))
-                - F.lit(sum(x * x for x in c) / 2.0)
+        # ONE parsed SQL expression per subspace (optimization r12):
+        # the Column-API spelling paid m·ksub·(dsub+2) py4j literal
+        # round-trips per plan build — 3.5 s of pure driver time per
+        # _quantize_pq call at m=8, ksub=16. Identical Catalyst tree.
+        sub = f"slice(cvec, {mi * dsub + 1}, {dsub})"
+        scores = F.expr(
+            "array("
+            + ", ".join(
+                f"({dot_sql(sub, darr(c))} - {dlit(sum(x * x for x in c) / 2.0)})"
                 for c in cb
-            ]
+            )
+            + ")"
         )
         code = F.aggregate(
             F.arrays_zip(
@@ -630,17 +644,32 @@ def _quantize_pq(assigned: DataFrame, codebooks: list[list[list[float]]]) -> Dat
     )
 
 
-def _pq_reconstruct(codes_col: F.Column, codebooks: list[list[list[float]]]) -> F.Column:
+def _pq_reconstruct(
+    codes: str | F.Column, codebooks: list[list[list[float]]]
+) -> F.Column:
     """Dequantize M codes back to a D-dim array<double> by literal
     codebook lookup (element_at over an array-of-arrays literal per
-    subspace) — the scoring side then reuses the plain ``dot``."""
-    parts = []
-    for mi, cb in enumerate(codebooks):
-        lut = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
-        parts.append(
-            F.element_at(lut, F.element_at(codes_col, mi + 1).cast("int") + 1)
-        )
-    return F.flatten(F.array(*parts))
+    subspace) — the scoring side then reuses the plain ``dot``.
+    ``codes`` is the SQL text of the codes column (preferred: the
+    whole reconstruction renders as ONE parsed expression — the
+    Column-API LUT cost m·ksub·dsub py4j literal round-trips, measured
+    7.7 s of the 10.7 s q163 plan build; tree and doubles identical)
+    or a Column for ad-hoc/expression callers."""
+    if not isinstance(codes, str):
+        parts_c = []
+        for mi, cb in enumerate(codebooks):
+            lut = F.expr("array(" + ", ".join(darr(c) for c in cb) + ")")
+            parts_c.append(
+                F.element_at(lut, F.element_at(codes, mi + 1).cast("int") + 1)
+            )
+        return F.flatten(F.array(*parts_c))
+    parts = ", ".join(
+        "element_at("
+        + "array(" + ", ".join(darr(c) for c in cb) + ")"
+        + f", CAST(element_at({codes}, {mi + 1}) AS INT) + 1)"
+        for mi, cb in enumerate(codebooks)
+    )
+    return F.expr(f"flatten(array({parts}))")
 
 
 def _write_pq_sidecar(path: str, codebooks: list[list[list[float]]]) -> None:
@@ -748,6 +777,27 @@ def pq_grid_codes(
     if levels < 2 or levels**dsub > 128:
         raise ValueError(f"levels**dsub out of tinyint range: {levels}**{dsub}")
     step = (hi - lo) / levels
+    if isinstance(vec_col, str):
+        # ONE parsed SQL expression (optimization r12): the Column-API
+        # spelling cost ~6 py4j round-trips per dimension per plan
+        # build. Identical tree — same floor/least/greatest over the
+        # same double literals, same integer coercions.
+        vsql = as_double_array_sql(vec_col)
+
+        def digit_sql(idx1: int) -> str:
+            return (
+                f"least(greatest(floor((element_at({vsql}, {idx1})"
+                f" - {dlit(lo)}) / {dlit(step)}), 0), {levels - 1})"
+            )
+
+        parts = []
+        for mi in range(m):
+            code = digit_sql(mi * dsub + 1)
+            for j in range(1, dsub):
+                code = f"(({code} * {levels}) + {digit_sql(mi * dsub + j + 1)})"
+            parts.append(f"CAST({code} AS TINYINT)")
+        return F.expr("array(" + ", ".join(parts) + ")")
+
     v = as_double_array(vec_col)
 
     def digit(idx1: int) -> F.Column:
@@ -1014,6 +1064,18 @@ def ivf_index_stats(
     }
 
 
+def _in_longs(col_name: str, ids) -> F.Column:
+    """``col IN (...)`` over a driver-bounded integer id list, rendered
+    as ONE parsed SQL expression — ``Column.isin`` creates one py4j
+    literal per id (measured 4.7 s across q167's three isin calls at
+    ~260 ids each). Same Catalyst In(...) predicate, so pushdown /
+    partition pruning behave identically. Empty list → false, matching
+    ``isin([])``."""
+    if not ids:
+        return F.lit(False)
+    return F.expr(f"`{col_name}` IN ({', '.join(str(int(i)) for i in ids)})")
+
+
 def _query_probe_frame(
     queries: DataFrame,
     centroids: list[list[float]],
@@ -1038,7 +1100,7 @@ def _query_probe_frame(
 
     kcells = len(centroids)
     n_probe = min(n_probe, kcells)
-    dots = _centroid_dots(as_double_array(vec_col), centroids)
+    dots = _centroid_dots(as_double_array_sql(vec_col), centroids)
     ranked = F.array_sort(
         F.arrays_zip(dots.alias("s"), F.sequence(F.lit(1), F.lit(kcells)).alias("i")),
         lambda l, r: F.when(l["s"] > r["s"], -1)
@@ -1105,7 +1167,7 @@ def ivf_topk_indexed(
         if _probe is not None
         else _query_probe_frame(queries, centroids, n_probe, id_col, vec_col)
     )
-    c = spark.read.parquet(index_path).where(F.col("cid").isin(probe_cids))
+    c = spark.read.parquet(index_path).where(_in_longs("cid", probe_cids))
 
     if "pq_codes" in c.columns:
         # PQ index (build_ivf_index(quantize='pq')): reconstruct each
@@ -1113,7 +1175,7 @@ def ivf_topk_indexed(
         # then asymmetric dot against the full-precision query. cn is
         # the TRUE pre-quantization norm (as in SQ8), so the only
         # error is the per-subspace codebook distortion.
-        rvec = _pq_reconstruct(F.col("pq_codes"), load_pq_codebooks(index_path))
+        rvec = _pq_reconstruct("pq_codes", load_pq_codebooks(index_path))
         sim = F.round(dot(F.col("__q"), rvec) / (F.col("qn") * F.col("cn")), 6)
     elif "qvec" in c.columns:
         # SQ8 index (build_ivf_index(quantize='int8')): asymmetric
@@ -1221,8 +1283,8 @@ def ivf_topk_indexed_reranked(
     short_ids = sorted({r["neighbor_id"] for r in short_rows})
     c = (
         spark.read.parquet(refine_path)
-        .where(F.col("cid").isin(probe_cids))
-        .where(F.col("neighbor_id").isin(short_ids))
+        .where(_in_longs("cid", probe_cids))
+        .where(_in_longs("neighbor_id", short_ids))
     )
     if "pq_codes" in c.columns:
         raise ValueError(

@@ -1345,7 +1345,7 @@ def _gen_centroids(dim: int = 64, k: int = 8, seed: int = 11) -> list[list[float
 CENTROIDS: list[list[float]] = _gen_centroids()
 
 
-def _centroid_assign_spark(vec, norm=None):
+def _centroid_assign_spark(vec_sql: str, norm_sql: str | None = None):
     # Single aggregate argmax over the zipped (score, index) array:
     # the array_position(scores, array_max(scores)) spelling evaluates
     # the interpreted K-cosine array TWICE per row (CLAUDE.md sibling-
@@ -1353,20 +1353,32 @@ def _centroid_assign_spark(vec, norm=None):
     # are identical to the oracle's list_indexof(scores, list_max(..)),
     # so hashes are unchanged — only the plan cost halves.
     #
-    # ``norm`` (optional): a column holding l2_norm(vec) precomputed
-    # ONCE per row — the inline ``cosine()`` spelling re-folds the
-    # 64-element vector norm once per centroid (K× per row,
-    # interpreted HOF). Identical doubles: cosine() evaluates
-    # dot/(l2_norm(a)·l2_norm(b)) in exactly this operand order.
-    from dataflow_python_etl_spark.functions.vectors import dot, l2_norm
+    # ``norm_sql`` (optional): SQL text of a column holding
+    # l2_norm(vec) precomputed ONCE per row — the inline ``cosine()``
+    # spelling re-folds the 64-element vector norm once per centroid
+    # (K× per row, interpreted HOF). Identical doubles: cosine()
+    # evaluates dot/(l2_norm(a)·l2_norm(b)) in exactly this operand
+    # order. The scores array renders as ONE parsed SQL expression
+    # (optimization r12: the Column-API spelling cost K·2D py4j
+    # literal round-trips per plan build; Catalyst tree identical —
+    # the constant centroid norms still fold at optimize time).
+    from dataflow_python_etl_spark.functions.vectors import (
+        darr,
+        dot_sql,
+        l2_norm_sql,
+    )
 
-    if norm is None:
-        norm = l2_norm(vec)
-    scores = F.array(*[
-        dot(vec, F.array(*[F.lit(v) for v in c]))
-        / (norm * l2_norm(F.array(*[F.lit(v) for v in c])))
-        for c in CENTROIDS
-    ])
+    if norm_sql is None:
+        norm_sql = l2_norm_sql(vec_sql)
+    scores = F.expr(
+        "array("
+        + ", ".join(
+            f"({dot_sql(vec_sql, darr(c))}"
+            f" / ({norm_sql} * {l2_norm_sql(darr(c))}))"
+            for c in CENTROIDS
+        )
+        + ")"
+    )
     return F.aggregate(
         F.arrays_zip(
             scores.alias("s"),
@@ -1433,7 +1445,7 @@ def q39_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nv", l2_norm(F.col("ve"))
     )
     assigned = register_cache(
-        v.withColumn("cid", _centroid_assign_spark(F.col("ve"), F.col("nv")))
+        v.withColumn("cid", _centroid_assign_spark("ve", "nv"))
     )
     q = assigned.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
