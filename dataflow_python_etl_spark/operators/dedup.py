@@ -379,8 +379,13 @@ def minhash_signatures(
     # _hash_family is prefix-stable in count (one RNG stream), so any
     # num_perm yields the same leading pairs as MINHASH_AB.
     family = MINHASH_AB if num_perm <= 32 else _hash_family(num_perm, seed=1203)
+    # ONE parsed SQL expression per permutation (optimization r12):
+    # the Column-API spelling cost ~8 py4j round-trips per permutation
+    # per plan build; integer literal typing (INT vs BIGINT) and the
+    # long promotion are identical in the parser, so the Catalyst tree
+    # and every signature value are unchanged.
     mins = [
-        F.min((F.col("bh") * F.lit(a) + F.lit(b)) % P_MOD).alias(f"h{i}")
+        F.expr(f"min((bh * {a} + {b}) % {P_MOD})").alias(f"h{i}")
         for i, (a, b) in enumerate(family[:num_perm])
     ]
     return (
@@ -397,23 +402,21 @@ def _band_frame(sig: DataFrame, id_col: str, num_perm: int, rows_per_band: int) 
     """(doc, band, sig): one row per document per band, the band's
     sub-signature serialized as a join key."""
     num_bands = num_perm // rows_per_band
+    # one parsed expression for the whole band array (optimization
+    # r12 — same py4j rationale as minhash_signatures; `signature[i]`
+    # is the same 0-based GetArrayItem the Column [] operator builds)
+    bands_sql = ", ".join(
+        f"struct({bi} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(signature[{bi * rows_per_band + r}] AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + ") AS sig)"
+        for bi in range(num_bands)
+    )
     return sig.select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("signature")[bi * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ).alias("sig"),
-                )
-                for bi in range(num_bands)
-            ])
-        ).alias("bs"),
+        F.explode(F.expr(f"array({bands_sql})")).alias("bs"),
     ).select("doc", "bs.band", "bs.sig")
 
 

@@ -156,16 +156,22 @@ def hard_negatives(
     )
 
 
-def _band_keys(vec: F.Column) -> list[F.Column]:
+def _band_keys(vec_sql: str) -> list[F.Column]:
     """One string key per band: the concatenated sign bits of that
-    band's hyperplane projections."""
+    band's hyperplane projections, over the SQL text of the vector
+    expression. Each band renders as ONE parsed expression
+    (optimization r12: the Column-API spelling cost
+    NUM_PLANES × (dim + ~6) py4j literal round-trips per plan build;
+    Catalyst tree and doubles identical)."""
     keys = []
     for band in range(NUM_PLANES // PLANES_PER_BAND):
         bits = []
         for p in range(band * PLANES_PER_BAND, (band + 1) * PLANES_PER_BAND):
-            plane = F.array(*[F.lit(v) for v in PLANES[p]])
-            bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        keys.append(F.concat(*bits))
+            bits.append(
+                f"(CASE WHEN {dot_sql(vec_sql, darr(PLANES[p]))} >= 0 "
+                "THEN '1' ELSE '0' END)"
+            )
+        keys.append(F.expr("concat(" + ", ".join(bits) + ")"))
     return keys
 
 
@@ -174,7 +180,7 @@ def rp_lsh_buckets(
 ) -> DataFrame:
     """(id, band, bucket_key) — the LSH index. Pure map stage."""
     vec = as_double_array(vec_col)
-    keys = _band_keys(vec)
+    keys = _band_keys(as_double_array_sql(vec_col))
     return df.select(
         F.col(id_col),
         vec.alias("__v"),
