@@ -993,9 +993,13 @@ def simhash(
     64 hashes per token.
     """
     family = SIMHASH_AB if bits <= 64 else _hash_family(bits, seed=4107)
-    ab = F.array(*[
-        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in family[:bits]
-    ])
+    # parsed SQL literals (optimization r12 — the py4j rationale of
+    # minhash_signatures; integer typing/promotion identical)
+    ab = F.expr(
+        "array("
+        + ", ".join(f"struct({a} AS a, {b} AS b)" for a, b in family[:bits])
+        + ")"
+    )
     toks = F.array_distinct(tokens(text_col))
     base_hashes = F.transform(toks, lambda t: md5_hash60(t) % P_MOD)
     counters = F.aggregate(
@@ -1010,9 +1014,14 @@ def simhash(
     )
     # Literal powers of two; bit 63 is the two's-complement min value
     # (1<<63 wraps), identical on both engines' signed 64-bit ints.
-    pow2 = F.array(*[
-        F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(bits)
-    ])
+    pow2 = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST({1 << i if i < 63 else -(1 << 63)} AS BIGINT)"
+            for i in range(bits)
+        )
+        + ")"
+    )
     bit_values = F.zip_with(
         counters,
         pow2,
